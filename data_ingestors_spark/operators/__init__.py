@@ -1,0 +1,19 @@
+from data_ingestors_spark.operators.asof import asof_join  # noqa: F401
+from data_ingestors_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    normalized_dedup,
+    minhash_signatures,
+    minhash_near_duplicates,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from data_ingestors_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+from data_ingestors_spark.operators.text import (  # noqa: F401
+    text_stats,
+    language_id,
+    token_count,
+    fingerprint,
+)

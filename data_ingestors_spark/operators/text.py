@@ -1,0 +1,91 @@
+"""Text analysis operators: stats, language-ID heuristic, token
+counting, document fingerprinting. All built-in-function expressions
+(no UDFs) so they run inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.operators.dedup import normalize_text
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic — deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality stats: chars, words, avg word length,
+    punctuation ratio, digit ratio, uppercase ratio."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.trim(t) == "", 0).otherwise(F.size(words)).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+    n_digit = (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("chars_per_word"),
+        n_punct.alias("n_punct"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+    )
+
+
+def _marker_hits(text_col: str, lang: str) -> "F.Column":
+    """Count of stopword-marker occurrences (word-boundary regex)."""
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pat)).cast("long")
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-marker language heuristic: argmax of per-language
+    marker hit counts; 'und' (undetermined) when all zero. Ties break
+    by fixed language priority en > de > fr > es — a deterministic
+    CASE cascade that the SQL oracle mirrors verbatim."""
+    hits = {lang: _marker_hits(text_col, lang) for lang in LANG_MARKERS}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    pred = (
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    ws = F.when(F.trim(t) == "", 0).otherwise(F.size(F.split(F.trim(t), r"\s+"))).cast("long")
+    bpe = F.regexp_count(t, F.lit(TOKEN_RE)).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical-form document fingerprint (md5 of normalized text) +
+    a 64-bit content hash for compact join keys."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp64"),
+    )

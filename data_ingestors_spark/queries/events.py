@@ -1,0 +1,172 @@
+"""Event-stream queries over the events table: tumbling / sliding /
+session windows and JSON extraction. These run in *batch* here (the
+same expressions work under readStream — streaming/ covers that with
+watermarks); window starts are emitted as epoch seconds so the oracle
+comparison is timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.queries.base import tables, dsum, davg
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type."""
+    t = tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+O_TUMBLING_WINDOW = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    t = tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), davg(F.col("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").cast("long").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+O_SLIDING_WINDOW = """
+WITH assigned AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS w_start, value FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS w_start, value FROM events
+)
+SELECT w_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value), 4) AS avg_value
+FROM assigned GROUP BY 1
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap per user.
+    Batch session_window; the oracle is the classic gaps-and-islands
+    (lag + cumulative new-session flags) formulation."""
+    t = tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+O_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column + aggregation."""
+    t = tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+O_JSON_EXTRACT = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: first event per (user, type) by time — the batch
+    analog of dropDuplicatesWithinWatermark, made deterministic with a
+    full ordering chain."""
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+O_EVENT_DEDUP = """
+SELECT user_id, event_type, event_id, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+    "json_extract": q_json_extract,
+    "event_dedup": q_event_dedup,
+}
+
+ORACLES = {
+    "tumbling_window": O_TUMBLING_WINDOW,
+    "sliding_window": O_SLIDING_WINDOW,
+    "session_window": O_SESSION_WINDOW,
+    "json_extract": O_JSON_EXTRACT,
+    "event_dedup": O_EVENT_DEDUP,
+}

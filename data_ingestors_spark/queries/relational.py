@@ -1,0 +1,613 @@
+"""Relational operator surface (SURVEY.md §2.5): scans, project/filter,
+every join type, aggregation (+cube/rollup/grouping sets/pivot),
+sort/limit/top-k, set ops, scalar function families, subqueries.
+
+Each query is a thin, idiomatic DataFrame program — Catalyst owns the
+physical plan (broadcast selection, pushdown, AQE). Dimension tables
+are explicitly ``broadcast()`` where we know they stay small at any
+scale factor (region/nation/supplier), so the plan holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.queries.base import tables, views, DEC, dsum, davg, o_dsum, o_davg
+
+
+# --- Q1: full-scan aggregation (TPC-H Q1 shape) -------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + groupBy with 8 aggregates; partial aggregation
+    (map-side combine) is automatic; filter pushes to the parquet scan."""
+    t = tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q2: projection / filter / CASE ------------------------------------
+def q_filter_project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .filter((F.col("o_totalprice") > 1000.0) & (F.col("o_orderstatus") != "X"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.when(F.col("o_totalprice") > 50000, "high")
+            .when(F.col("o_totalprice") > 10000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.upper("o_orderpriority").alias("priority_uc"),
+        )
+    )
+
+
+O_FILTER_PROJECT_CASE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+       CASE WHEN o_totalprice > 50000 THEN 'high'
+            WHEN o_totalprice > 10000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       upper(o_orderpriority) AS priority_uc
+FROM orders
+WHERE o_totalprice > 1000.0 AND o_orderstatus <> 'X'
+"""
+
+
+# --- Q3: multi-way equi-join + agg (broadcast dims) ---------------------
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: fact tables shuffle on their keys; nation is tiny at
+    every scale factor → explicit broadcast removes its shuffle."""
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(rev).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+O_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- Q4: left outer join with null handling -----------------------------
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"), dsum(F.col("o_totalprice")).alias("spend")
+    )
+    return (
+        t["customer"]
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+O_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders,
+       coalesce(spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS spend
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+# --- Q5/Q6: semi / anti joins ------------------------------------------
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one open ('O') order — left semi
+    (EXISTS): no row multiplication, only the probe side's columns."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+O_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all — left anti (NOT EXISTS).
+    Same shape as the reference's file-pairing orphan check
+    (file_pairing_validator.py:60-142 — SURVEY.md V12)."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+O_ANTI_JOIN = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- Q7: full outer join ------------------------------------------------
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    f_side = (
+        o.filter(F.col("o_orderstatus") == "F").groupBy("o_custkey").agg(F.count("*").alias("n_f"))
+    ).withColumnRenamed("o_custkey", "k_f")
+    o_side = (
+        o.filter(F.col("o_orderstatus") == "O").groupBy("o_custkey").agg(F.count("*").alias("n_o"))
+    ).withColumnRenamed("o_custkey", "k_o")
+    return f_side.join(o_side, F.col("k_f") == F.col("k_o"), "full_outer").select(
+        F.coalesce(F.col("k_f"), F.col("k_o")).alias("custkey"),
+        F.coalesce(F.col("n_f"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("n_o"), F.lit(0)).cast("long").alias("n_open"),
+    )
+
+
+O_FULL_OUTER_JOIN = """
+SELECT CAST(coalesce(k_f, k_o) AS BIGINT) AS custkey,
+       CAST(coalesce(n_f, 0) AS BIGINT) AS n_finished,
+       CAST(coalesce(n_o, 0) AS BIGINT) AS n_open
+FROM      (SELECT o_custkey AS k_f, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+FULL JOIN (SELECT o_custkey AS k_o, count(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) b
+  ON k_f = k_o
+"""
+
+
+# --- Q8: cross join -----------------------------------------------------
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dims cartesian (region × supplier) — broadcast NLJ."""
+    t = tables(spark, sf_dir, "region", "supplier")
+    return (
+        t["region"]
+        .crossJoin(F.broadcast(t["supplier"]))
+        .select("r_regionkey", "r_name", "s_suppkey", F.round("s_acctbal", 2).alias("s_bal"))
+    )
+
+
+O_CROSS_JOIN = """
+SELECT r_regionkey, r_name, s_suppkey, round(s_acctbal, 2) AS s_bal
+FROM region CROSS JOIN supplier
+"""
+
+
+# --- Q9: non-equi (theta/range) join ------------------------------------
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: customers within ±100 acctbal of each supplier.
+    Small side broadcast → BroadcastNestedLoopJoin; at cluster scale the
+    supplier side stays dimension-sized so this remains broadcastable."""
+    t = tables(spark, sf_dir, "supplier", "customer")
+    s, c = F.broadcast(t["supplier"]), t["customer"]
+    cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 100.0) & (
+        F.col("c_acctbal") <= F.col("s_acctbal") + 100.0
+    )
+    return (
+        c.join(s, cond, "inner")
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_near"), davg(F.col("c_acctbal")).alias("avg_near_bal"))
+    )
+
+
+O_RANGE_JOIN = """
+SELECT s_suppkey, count(*) AS n_near, round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(c_acctbal), 4) AS avg_near_bal
+FROM customer JOIN supplier
+  ON c_acctbal BETWEEN s_acctbal - 100.0 AND s_acctbal + 100.0
+GROUP BY s_suppkey
+"""
+
+
+# --- set operations -----------------------------------------------------
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b).withColumnRenamed("o_custkey", "custkey")
+
+
+O_SET_INTERSECT = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .select("c_custkey")
+        .exceptAll(t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct())
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+
+
+O_SET_EXCEPT = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey FROM orders
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "customer", "supplier")
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+O_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+# --- distinct / grouped count-distinct ----------------------------------
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+O_COUNT_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- top-k global (deterministic via unique key chain) ------------------
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 — TakeOrderedAndProject: per-partition top-k then
+    driver merge of k·p rows; no full sort at any scale."""
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+O_TOPK_GLOBAL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --- cube / rollup / grouping sets / pivot ------------------------------
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+O_CUBE = """
+SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(dsum(F.col("o_totalprice")).alias("total"), F.count("*").alias("n"))
+    )
+
+
+O_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total, count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+O_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price, count(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values (never inferred — inference is a
+    driver-side distinct scan and non-deterministic column order)."""
+    t = tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+        )
+    )
+
+
+O_PIVOT = """
+SELECT l_returnflag,
+       coalesce(round(CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE), 2), 0.0) AS qty_f,
+       coalesce(round(CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE), 2), 0.0) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- scalar function families ------------------------------------------
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "part")
+    return t["part"].select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_pre"),
+        F.element_at(F.split(F.col("p_type"), " "), 1).alias("type_first_word"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.upper(F.col("p_name"))).alias("name_uc"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+    )
+
+
+O_STRING_FUNCS = """
+SELECT p_partkey,
+       lower(p_name) AS name_lc,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_type, 1, 5) AS type_pre,
+       split_part(p_type, ' ', 1) AS type_first_word,
+       regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       trim(upper(p_name)) AS name_uc,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return t["orders"].select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("month", d).cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_98"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+O_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+       strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+FROM orders
+"""
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+            F.round(F.sqrt(F.col("l_extendedprice")), 4).alias("sqrt_price"),
+            F.round(F.log(F.col("l_extendedprice") + 1.0), 4).alias("ln_price"),
+            F.round(F.pow(F.col("l_discount") + 1.0, 2), 4).alias("pow_disc"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+            F.ceil(F.col("l_quantity")).cast("long").alias("qty_ceil"),
+            (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+            F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
+            F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
+        )
+    )
+
+
+O_MATH_FUNCS = """
+SELECT l_orderkey,
+       round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
+       round(sqrt(l_extendedprice), 4) AS sqrt_price,
+       round(ln(l_extendedprice + 1.0), 4) AS ln_price,
+       round(pow(l_discount + 1.0, 2), 4) AS pow_disc,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+# --- subqueries ---------------------------------------------------------
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery via the SQL frontend —
+    Catalyst decorrelates to joins."""
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 20000)
+        """
+    )
+
+
+O_CORRELATED_EXISTS = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 20000)
+"""
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_size
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        """
+    )
+
+
+O_IN_SUBQUERY = """
+SELECT p_partkey, p_brand, p_size
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project_case": q_filter_project_case,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customer_order_counts": q_customer_order_counts,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "full_outer_join": q_full_outer_join,
+    "cross_join": q_cross_join,
+    "range_join": q_range_join,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "union_distinct": q_union_distinct,
+    "count_distinct": q_count_distinct,
+    "topk_global": q_topk_global,
+    "cube": q_cube,
+    "rollup": q_rollup,
+    "grouping_sets": q_grouping_sets,
+    "pivot": q_pivot,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "math_funcs": q_math_funcs,
+    "correlated_exists": q_correlated_exists,
+    "in_subquery": q_in_subquery,
+}
+
+ORACLES = {
+    "pricing_summary": O_PRICING_SUMMARY,
+    "filter_project_case": O_FILTER_PROJECT_CASE,
+    "revenue_by_nation": O_REVENUE_BY_NATION,
+    "customer_order_counts": O_CUSTOMER_ORDER_COUNTS,
+    "semi_join": O_SEMI_JOIN,
+    "anti_join": O_ANTI_JOIN,
+    "full_outer_join": O_FULL_OUTER_JOIN,
+    "cross_join": O_CROSS_JOIN,
+    "range_join": O_RANGE_JOIN,
+    "set_intersect": O_SET_INTERSECT,
+    "set_except": O_SET_EXCEPT,
+    "union_distinct": O_UNION_DISTINCT,
+    "count_distinct": O_COUNT_DISTINCT,
+    "topk_global": O_TOPK_GLOBAL,
+    "cube": O_CUBE,
+    "rollup": O_ROLLUP,
+    "grouping_sets": O_GROUPING_SETS,
+    "pivot": O_PIVOT,
+    "string_funcs": O_STRING_FUNCS,
+    "date_funcs": O_DATE_FUNCS,
+    "math_funcs": O_MATH_FUNCS,
+    "correlated_exists": O_CORRELATED_EXISTS,
+    "in_subquery": O_IN_SUBQUERY,
+}

@@ -1,0 +1,245 @@
+"""LLM training-data pipeline queries over documents/embeddings:
+dedup family, similarity search, text analysis (SURVEY.md §2.5
+"LLM-pipeline" row + the north-star operator list).
+
+Oracle-checked wherever DuckDB can express the same math; the
+hash-seeded ops (MinHash-LSH, SimHash, hyperplane ANN) use Spark's
+Murmur3/xxhash64 and are rows-only checked by the driver — their
+*verification* math (exact Jaccard / Hamming / cosine re-rank) is
+covered by the oracle-checked siblings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.operators import dedup as D
+from data_ingestors_spark.operators import similarity as S
+from data_ingestors_spark.operators import text as X
+from data_ingestors_spark.queries.base import tables
+
+
+# --- dedup -------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "documents")
+    return D.exact_dedup(t["documents"], "text", "doc_id")
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "documents")
+    return D.normalized_dedup(t["documents"], "text", "doc_id")
+
+
+O_DEDUP_NORMALIZED = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs, blocked by source."""
+    t = tables(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(t["documents"], "text", "doc_id", "source", threshold=0.5)
+
+
+O_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, source,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (rows-only: Murmur3 seeds not in DuckDB).
+    Jaccard verification math is oracle-covered by q_ngram_jaccard."""
+    t = tables(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        t["documents"], "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, threshold=0.7
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 not in DuckDB)."""
+    t = tables(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(t["documents"], "text", "doc_id", max_hamming=3)
+
+
+# --- similarity search --------------------------------------------------
+def _queries_subset(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("vec_id") < 5)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for a fixed query set."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.cosine_topk_bruteforce(emb, _queries_subset(emb), k=5)
+
+
+O_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only; recall vs the exact
+    brute-force path is asserted in tests/test_similarity.py)."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.lsh_ann_topk(emb, _queries_subset(emb), k=5, n_planes=8, dim=64)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block."""
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    pairs = a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+    sim = F.round(S.cosine_similarity_col(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
+O_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+"""
+
+
+# --- text analysis ------------------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "documents")
+    return X.text_stats(t["documents"], "text", "doc_id")
+
+
+O_TEXT_STATS = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+       round(CAST(length(text) AS DOUBLE)
+             / greatest(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 4) AS chars_per_word,
+       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "documents")
+    return X.language_id(t["documents"], "text", "doc_id")
+
+
+def _o_hits(lang: str, markers: list[str]) -> str:
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)"
+
+
+_H_EN = _o_hits("en", X.LANG_MARKERS["en"])
+_H_DE = _o_hits("de", X.LANG_MARKERS["de"])
+_H_FR = _o_hits("fr", X.LANG_MARKERS["fr"])
+_H_ES = _o_hits("es", X.LANG_MARKERS["es"])
+
+O_LANGUAGE_ID = f"""
+SELECT doc_id,
+       {_H_EN} AS hits_en, {_H_DE} AS hits_de, {_H_FR} AS hits_fr, {_H_ES} AS hits_es,
+       CASE WHEN {_H_EN} = 0 AND {_H_DE} = 0 AND {_H_FR} = 0 AND {_H_ES} = 0 THEN 'und'
+            WHEN {_H_EN} >= {_H_DE} AND {_H_EN} >= {_H_FR} AND {_H_EN} >= {_H_ES} THEN 'en'
+            WHEN {_H_DE} >= {_H_FR} AND {_H_DE} >= {_H_ES} THEN 'de'
+            WHEN {_H_FR} >= {_H_ES} THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir, "documents")
+    return X.token_count(t["documents"], "text", "doc_id")
+
+
+O_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 canonical fingerprint is oracle-checked; the xxhash64 compact
+    key is Spark-only, so it is excluded here and covered by unit tests."""
+    t = tables(spark, sf_dir, "documents")
+    return X.fingerprint(t["documents"], "text", "doc_id").select("doc_id", "fp_md5")
+
+
+O_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann": q_embedding_ann,
+    "embedding_neardup": q_embedding_neardup,
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_normalized": O_DEDUP_NORMALIZED,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "embedding_topk": O_EMBEDDING_TOPK,
+    "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "text_stats": O_TEXT_STATS,
+    "language_id": O_LANGUAGE_ID,
+    "token_count": O_TOKEN_COUNT,
+    "fingerprint": O_FINGERPRINT,
+}

@@ -1,0 +1,198 @@
+"""Window-function surface (SURVEY.md §2.5): ranking, analytic,
+row/range frames, per-group top-k, and the as-of join operator.
+
+All orderings include a unique tiebreaker chain so frames and ranks
+are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.operators.asof import asof_join
+from data_ingestors_spark.queries.base import tables, DEC, dsum
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical row_number ≤ k plan:
+    one shuffle on the partition key, no global sort."""
+    t = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+    )
+
+
+O_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per supplier over ship time (ROWS frame,
+    unique order chain). Filtered to a supplier subset so the result
+    stays hashable at bench scale — the filter pushes to the scan."""
+    t = tables(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_suppkey") < 3)
+        .withColumn("running_rev", F.round(F.sum(rev.cast(DEC)).over(w).cast("double"), 2))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+    )
+
+
+O_RUNNING_SUM = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_rev
+FROM lineitem
+WHERE l_suppkey < 3
+"""
+
+
+def q_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic battery: lag/lead/dense_rank/ntile over one window."""
+    t = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(
+                F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+            ).alias("delta_from_first"),
+        )
+    )
+
+
+O_LAG_LEAD_RANK = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(o_totalprice - first_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS delta_from_first
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric time axis: 30-day trailing spend per
+    customer. RANGE (not ROWS) so same-day peers aggregate together —
+    deterministic under ties by construction."""
+    t = tables(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 2).alias("trailing_30d_spend"),
+        F.count("*").over(w).cast("long").alias("trailing_30d_orders"),
+    )
+
+
+O_RANGE_FRAME = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE), 2) AS trailing_30d_spend,
+       count(*) OVER w AS trailing_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the latest
+    order state of the matching customer at event time. Right side is
+    pre-aggregated to one row per (key, time) — required for
+    deterministic as-of semantics under same-timestamp duplicates."""
+    t = tables(spark, sf_dir, "events", "orders")
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("od"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("day_spend"),
+            F.count("*").alias("day_orders"),
+        )
+    )
+    joined = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        daily,
+        left_on="user_id",
+        right_on="cust",
+        left_time="ts",
+        right_time="od",
+        payload=["od", "day_spend", "day_orders"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("od", "yyyy-MM-dd").alias("asof_order_day"),
+        "day_spend",
+        "day_orders",
+    )
+
+
+O_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       strftime(d.od, '%Y-%m-%d') AS asof_order_day,
+       d.day_spend, d.day_orders
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey AS cust, o_orderdate AS od,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS day_spend,
+         count(*) AS day_orders
+  FROM orders GROUP BY 1, 2
+) d ON e.user_id = d.cust AND e.ts >= d.od
+"""
+
+
+QUERIES = {
+    "topk_per_group": q_topk_per_group,
+    "running_sum": q_running_sum,
+    "lag_lead_rank": q_lag_lead_rank,
+    "range_frame": q_range_frame,
+    "asof_join": q_asof_join,
+}
+
+ORACLES = {
+    "topk_per_group": O_TOPK_PER_GROUP,
+    "running_sum": O_RUNNING_SUM,
+    "lag_lead_rank": O_LAG_LEAD_RANK,
+    "range_frame": O_RANGE_FRAME,
+    "asof_join": O_ASOF_JOIN,
+}

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local-mode testing uses ``local[N]``; the same config block is what we
+would ship to a 1000-executor cluster (AQE, skew-join handling,
+partition coalescing) — only master/memory change per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs we re-assert on *any* session handed to us (the driver
+# harness owns its own SparkSession; these are all runtime-settable).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics for oracle comparison: parquet
+    # timestamps in the testdata are naive; treat them as UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join split,
+    # broadcast-join conversion once real sizes are known).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas-UDF / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not settable on this build — non-fatal
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "data_ingestors_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) a SparkSession for local runs.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    Shuffle partitions are pinned to ~cores for local mode; on a real
+    cluster this would be sized to data volume (AQE coalesces down).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

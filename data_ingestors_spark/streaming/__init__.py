@@ -1,0 +1,7 @@
+from data_ingestors_spark.streaming.events import (  # noqa: F401
+    stream_events,
+    windowed_counts_stream,
+    session_stream,
+    dedup_stream,
+    run_stream_to_memory,
+)

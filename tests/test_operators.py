@@ -1,0 +1,141 @@
+"""Unit tests for custom operators: as-of join, dedup family,
+similarity search (incl. ANN recall vs exact), streaming."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.operators import (
+    asof_join,
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from data_ingestors_spark.operators.dedup import simhash_near_duplicates
+from data_ingestors_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "e1"),
+         (1, ts("2024-01-01 12:00"), "e2"),
+         (2, ts("2024-01-01 09:00"), "e3")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), 100.0),
+         (1, ts("2024-01-01 11:00"), 200.0),
+         (2, ts("2024-01-01 09:30"), 300.0)],
+        ["k", "rt", "px"],
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt", payload=["px"]
+    )
+    got = {r.ev: r.px for r in out.collect()}
+    assert got == {"e1": 100.0, "e2": 200.0, "e3": None}  # inclusive; no-match → NULL
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, "completely different words about spark query engines and shuffles"),
+        (4, base.replace("quick", "slow")),  # near-dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_neardups(spark):
+    pairs = minhash_near_duplicates(
+        _docs(spark), "text", "doc_id", num_hashes=32, bands=16, shingle_n=2, threshold=0.3
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_stable_and_neardup(spark):
+    df = _docs(spark)
+    h1 = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    h2 = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert h1 == h2  # deterministic
+    pairs = simhash_near_duplicates(df, "text", "doc_id", max_hamming=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_ngram_jaccard_blocked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "a b c e", "x"), (3, "a b c d", "y")],
+        ["doc_id", "text", "src"],
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", "src", threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got  # (1,3) blocked apart
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    from data_ingestors_spark.queries.base import tables
+
+    emb = tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    approx = lsh_ann_topk(emb, q, k=5, n_planes=8, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"ANN recall too low: {recall}"
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    """Streaming result == batch result for the same window agg."""
+    from data_ingestors_spark.queries.events import q_tumbling_window
+    from data_ingestors_spark.streaming import stream_events, windowed_counts_stream, run_stream_to_memory
+
+    # stage events as a streaming-source dir (complete mode: no watermark wait)
+    from data_ingestors_spark.queries.base import tables
+
+    ev = tables(spark, sf_dir, "events")["events"]
+    src = str(tmp_path / "events_stream")
+    ev.write.parquet(src)
+
+    agg = windowed_counts_stream(stream_events(spark, src), window="1 hour", watermark="0 seconds")
+    got = run_stream_to_memory(agg, "win_counts", output_mode="complete")
+    batch = q_tumbling_window(spark, sf_dir)
+    s = {(r.w_start.isoformat(), r.event_type, r.n_events) for r in got.collect()}
+    b = {
+        (dt.datetime.fromtimestamp(r.w_start, dt.timezone.utc).replace(tzinfo=None).isoformat(), r.event_type, r.n_events)
+        for r in batch.collect()
+    }
+    assert s == b
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    from data_ingestors_spark.queries.base import tables
+    from data_ingestors_spark.streaming import stream_events, dedup_stream, run_stream_to_memory
+
+    ev = tables(spark, sf_dir, "events")["events"]
+    src = str(tmp_path / "events_dedup")
+    ev.write.parquet(src)
+    out = run_stream_to_memory(
+        dedup_stream(stream_events(spark, src)), "dedup_out", output_mode="append"
+    )
+    n_pairs = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_pairs
