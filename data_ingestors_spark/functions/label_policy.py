@@ -31,8 +31,13 @@ def bucket_label(value: object) -> int:
 
 
 def label_bucket_col(c: Column) -> Column:
-    """Columnar equivalent of :func:`bucket_label` — JVM-side, no UDF."""
-    s = F.trim(c.cast("string"))
+    """Columnar equivalent of :func:`bucket_label` — JVM-side, no UDF.
+
+    Python ``str.strip()`` strips every whitespace class, Spark's
+    ``trim`` only spaces — use a regex strip for bit-exact parity
+    (ASCII whitespace; exotic unicode spaces are out of contract).
+    """
+    s = F.regexp_replace(F.regexp_replace(c.cast("string"), r"^\s+", ""), r"\s+$", "")
     byte7 = F.substring(F.sha2(s, 256), 15, 2)
     bucket = (F.conv(byte7, 16, 10).cast("long") % N_BUCKETS).cast("int")
     return F.when(s.isNull() | (s == ""), F.lit(MISSING_BUCKET)).otherwise(bucket)

@@ -111,6 +111,14 @@ class Ingestor:
                 conformed = conformed.withColumn(name, cast_for_decl(F.col(name), decl))
             conformed = self.transform(conformed)
             augmented = self._augment(conformed)
+            # T1 projection: schema columns + framework columns only —
+            # source-only columns (label source etc.) drop here
+            # (base.py:328-341 exclusion semantics).
+            keep = [c for c in cfg.schema if c in augmented.columns] + [
+                "label", "data_id", "data_intent", "ingestor_id", "status",
+                "created_at", "updated_at",
+            ]
+            augmented = augmented.select(keep)
 
             # skipped: mapped data_id missing/blank ⇒ row dropped
             # (base.py:315-326)

@@ -65,13 +65,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
-def check_duplicate_header(spark: SparkSession, path: str) -> None:
-    """Fail fast on duplicate CSV header names.
-
-    Spark silently de-duplicates repeated header names; the reference
-    rejects them loudly (csv_ingestor.py:399-420). One-line driver-side
-    probe of the first file split keeps that contract at any scale.
-    """
+def read_csv_header(spark: SparkSession, path: str) -> list[str]:
+    """Driver-side probe of the raw header line (first file split) —
+    also the duplicate-header fail-fast the reference has and Spark
+    silently papers over (csv_ingestor.py:399-420)."""
     first_line = spark.read.text(path).limit(1).collect()
     if not first_line:
         raise ValueError(f"empty source file: {path}")
@@ -79,6 +76,11 @@ def check_duplicate_header(spark: SparkSession, path: str) -> None:
     dupes = sorted({n for n in names if names.count(n) > 1})
     if dupes:
         raise ValueError(f"duplicate column headers in {path}: {dupes}")
+    return names
+
+
+def check_duplicate_header(spark: SparkSession, path: str) -> None:
+    read_csv_header(spark, path)
 
 
 def read_csv_source(
@@ -94,8 +96,7 @@ def read_csv_source(
     - FAILFAST surfaces ragged rows / unparseable values loudly;
     - NA sentinel set per category family.
     """
-    check_duplicate_header(spark, path)
-    # Read every declared column as string: the reference pins declared
+    # Read every file column as string: the reference pins declared
     # string columns to str dtype to stop inference corruption
     # ("007" keeping its zeros — csv_ingestor.py:326-366), and its NA
     # sentinel set is wider than Spark's single nullValue option.
@@ -103,7 +104,11 @@ def read_csv_source(
     # conformance casts (functions.casts.conform_types) run as explicit
     # downstream stages shared with the JSON source, mirroring the
     # reference's cross-format consistency (json_ingestor.py:283-308).
-    raw_schema = T.StructType([T.StructField(f.name, T.StringType(), True) for f in schema])
+    # The raw schema covers the FULL header (manifests legally carry
+    # extra columns like the label source — projection happens later);
+    # mismatched widths under FAILFAST stay a loud ragged-row error.
+    header_names = read_csv_header(spark, path)
+    raw_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in header_names])
     return (
         spark.read.schema(raw_schema)
         .option("header", header)

@@ -107,40 +107,63 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_planes: int = 6,
     dim: int = 64,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate cosine top-k: equi-join queries to corpus on the LSH
-    bucket (with Hamming-1 multiprobe buckets for recall), then exact
-    re-rank within candidates. Same output shape as the brute-force op."""
-    planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_sketch_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_sketch_col(F.col(vec_col), planes).alias("q_bucket"),
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("q_bucket"),
-            *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)],
-        )
-        q = q.select("query_id", "q_vec", F.explode(probes).alias("q_bucket"))
-    q = F.broadcast(q)
-    scored = (
-        c.join(q, F.col("bucket") == F.col("q_bucket"))
+    """Approximate cosine top-k via **multi-table** hyperplane LSH.
+
+    Standard (L tables × k planes) construction: a neighbor is a
+    candidate if it collides with the query in ≥1 table; multiprobe
+    additionally probes every Hamming-1 bucket per table. Candidate
+    pairs are deduplicated BEFORE scoring, then exactly re-ranked.
+
+    Collision probability per plane is 1−θ/π, so per-table p^k and
+    overall 1−(1−p^k)^L — tune L up / k down for recall, the reverse
+    for selectivity. Near-orthogonal corpora (random embeddings) need
+    generous L; clustered real-world embeddings prune far harder.
+
+    Plan shape at scale: corpus is hashed once per table (a projection,
+    no shuffle), candidates come from an equi-join on (table, bucket),
+    and only candidates pay the exact-cosine cost.
+    """
+    c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+
+    def sketches(df: DataFrame, vcol: str, out: str, probe: bool) -> DataFrame:
+        rows = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=1000 + t)
+            b = lsh_sketch_col(F.col(vcol), planes)
+            buckets = [b]
+            if probe:
+                buckets += [b.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)]
+            rows.append(
+                F.struct(F.lit(t).alias("tbl"), F.array(*buckets).alias("buckets"))
+            )
+        return df.select(
+            df.columns[0],
+            F.explode(F.array(*rows)).alias("tb"),
+        ).select(df.columns[0], F.col("tb.tbl").alias("tbl"), F.explode("tb.buckets").alias(out))
+
+    c_hashed = sketches(c_base.select("neighbor_id", "c_vec"), "c_vec", "bucket", probe=False)
+    q_hashed = sketches(q_base.select("query_id", "q_vec"), "q_vec", "bucket", probe=multiprobe)
+
+    cand = (
+        c_hashed.join(F.broadcast(q_hashed), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(c_base, "neighbor_id")
+        .join(F.broadcast(q_base), "query_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

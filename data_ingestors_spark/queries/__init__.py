@@ -20,18 +20,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestors_spark.queries import relational, windows, text_llm, events, ingestion
+from data_ingestors_spark.queries import relational, windows, text_llm, events, ingestion, extras
+
+_MODULES = (relational, windows, text_llm, events, ingestion, extras)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, windows, text_llm, events, ingestion):
+    for mod in _MODULES:
         q.update(mod.QUERIES)
     return q
 
 
 def all_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
-    for mod in (relational, windows, text_llm, events, ingestion):
+    for mod in _MODULES:
         o.update(mod.ORACLES)
     return o

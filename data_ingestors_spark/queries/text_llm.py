@@ -113,7 +113,7 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force path is asserted in tests/test_similarity.py)."""
     t = tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    return S.lsh_ann_topk(emb, _queries_subset(emb), k=5, n_planes=8, dim=64)
+    return S.lsh_ann_topk(emb, _queries_subset(emb), k=5, n_tables=8, n_planes=6, dim=64)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,12 +52,14 @@ def test_exact_dedup_keeps_min_id(spark):
 
 
 def _docs(spark):
-    base = "the quick brown fox jumps over the lazy dog again and again today"
+    base = " ".join(
+        f"w{i} the quick brown fox jumps over the lazy dog token{i}" for i in range(8)
+    )
     rows = [
         (1, base),
         (2, base + " extra"),            # near-dup of 1
         (3, "completely different words about spark query engines and shuffles"),
-        (4, base.replace("quick", "slow")),  # near-dup of 1
+        (4, base.replace("w3", "q3")),   # near-dup of 1
     ]
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
@@ -97,7 +99,7 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = tables(spark, sf_dir, "embeddings")["embeddings"]
     q = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk_bruteforce(emb, q, k=5)
-    approx = lsh_ann_topk(emb, q, k=5, n_planes=8, dim=64)
+    approx = lsh_ann_topk(emb, q, k=5, n_tables=8, n_planes=6, dim=64)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)

@@ -1,0 +1,185 @@
+"""Validator battery tests: file-type/pairing/image/XML (V9-V12),
+keypoints (V13/V14), BIO (V15), tokenizer (V16), time-series (V2-V6),
+and the category dispatch matrix."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from data_ingestors_spark.ingest.config import ResolvedConfig
+from data_ingestors_spark.validators.files import (
+    validate_bio_labels,
+    validate_file_pairing,
+    validate_file_types,
+    validate_image_resolution,
+    validate_tokenizer,
+    validate_voc_xml,
+)
+from data_ingestors_spark.validators.keypoints import validate_keypoints
+from data_ingestors_spark.validators.mapping import run_battery, validators_for
+from data_ingestors_spark.validators.timeseries import (
+    validate_numeric_columns,
+    validate_time_before_today,
+    validate_time_format,
+    validate_time_ordered,
+)
+
+
+def _fake_img(path, w, h):
+    path.write_bytes(b"FAKEIMG:%dx%d:" % (w, h) + b"\x00" * 16)
+
+
+VOC_OK = """<annotation><folder>f</folder><filename>a.jpg</filename>
+<source><database>d</database><annotation>voc</annotation></source>
+<size><width>64</width><height>64</height><depth>3</depth></size>
+<segmented>0</segmented>
+<object><name>cat</name><truncated>0</truncated><difficult>0</difficult>
+<bndbox><xmin>1</xmin><ymin>2</ymin><xmax>10</xmax><ymax>12</ymax></bndbox></object>
+</annotation>"""
+
+VOC_BAD = """<annotation><folder>f</folder><filename>b.jpg</filename>
+<source/><size><width>64</width><height>64</height><depth>3</depth></size>
+<segmented>0</segmented>
+<object><name>dog</name>
+<bndbox><xmin>10</xmin><ymin>2</ymin><xmax>10</xmax><ymax>12</ymax></bndbox></object>
+</annotation>"""
+
+
+def test_file_types(spark, tmp_path):
+    d = tmp_path / "images"
+    d.mkdir()
+    _fake_img(d / "a.jpg", 8, 8)
+    _fake_img(d / "b.jpg", 8, 8)
+    (d / ".hidden").write_bytes(b"x")  # skipped
+    assert validate_file_types(spark, str(d), "jpg").is_valid
+    _fake_img(d / "c.png", 8, 8)
+    res = validate_file_types(spark, str(d), "jpg")
+    assert not res.is_valid and "c.png" in res.errors[0]
+
+
+def test_file_pairing(spark, tmp_path):
+    imgs, masks = tmp_path / "images", tmp_path / "masks"
+    imgs.mkdir(), masks.mkdir()
+    _fake_img(imgs / "a.jpg", 8, 8)
+    _fake_img(imgs / "b.jpg", 8, 8)
+    (masks / "a_mask.png").write_bytes(b"m")
+    res = validate_file_pairing(spark, str(imgs), str(masks), sidecar_suffix="_mask")
+    assert not res.is_valid and "b" in res.errors[0]
+    (masks / "b_mask.png").write_bytes(b"m")
+    assert validate_file_pairing(spark, str(imgs), str(masks), sidecar_suffix="_mask").is_valid
+
+
+def test_image_resolution(spark, tmp_path):
+    d = tmp_path / "images"
+    d.mkdir()
+    _fake_img(d / "a.jpg", 32, 32)
+    _fake_img(d / "b.jpg", 32, 32)
+    assert validate_image_resolution(spark, str(d)).is_valid  # auto-detect
+    _fake_img(d / "c.jpg", 16, 16)
+    res = validate_image_resolution(spark, str(d), (32, 32))
+    assert not res.is_valid and "not 32x32" in res.errors[0]
+    (d / "broken.jpg").write_bytes(b"FAKEIMG:corrupt")
+    res = validate_image_resolution(spark, str(d), (32, 32))
+    assert any("undecodable" in e for e in res.errors)
+
+
+def test_voc_xml(spark, tmp_path):
+    d = tmp_path / "annotations"
+    d.mkdir()
+    (d / "a.xml").write_text(VOC_OK)
+    assert validate_voc_xml(spark, str(d)).is_valid
+    (d / "b.xml").write_text(VOC_BAD)
+    res = validate_voc_xml(spark, str(d))
+    assert not res.is_valid and "degenerate bbox" in res.errors[0]
+
+
+def test_keypoints(spark):
+    good = json.dumps({"nose": [1.0, 2.0], "tail": [5.0, 9.0]})
+    df = spark.createDataFrame(
+        [Row(annotation=good, visibility=json.dumps({"nose": 1, "tail": 0}))]
+    )
+    assert validate_keypoints(df, "annotation", "visibility", n_keypoints=2).is_valid
+    bad = spark.createDataFrame(
+        [
+            Row(annotation=good, visibility=json.dumps({"nose": 1, "tail": 0})),
+            Row(annotation=json.dumps({"nose": [1.0, -2.0], "tail": [5.0, 9.0]}),
+                visibility=json.dumps({"nose": 2, "paw": 1})),
+        ]
+    )
+    res = validate_keypoints(bad, "annotation", "visibility", n_keypoints=2)
+    assert not res.is_valid
+    joined = " ".join(res.errors)
+    assert "kp_bad_point" in joined and "vis_bad_value" in joined and "vis_key_mismatch" in joined
+
+
+def test_bio_labels(spark, tmp_path):
+    texts = tmp_path / "texts"
+    texts.mkdir()
+    (texts / "s1.txt").write_text("John lives in Paris")
+    (texts / "s2.txt").write_text("hello world")
+    manifest = spark.createDataFrame(
+        [
+            Row(filename="s1.txt", label="B-PER O O B-LOC"),
+            Row(filename="s2.txt", label="O O O"),  # count mismatch
+        ]
+    )
+    res = validate_bio_labels(spark, manifest, str(texts))
+    assert not res.is_valid
+    assert any("s2.txt" in e and "tag count" in e for e in res.errors)
+
+
+def test_tokenizer(tmp_path):
+    assert not validate_tokenizer(str(tmp_path), mandatory=True).is_valid
+    assert validate_tokenizer(str(tmp_path), mandatory=False).is_valid  # warn only
+    (tmp_path / "tokenizer.json").write_text(
+        json.dumps({"model": {"vocab": {"a": 0, "[MASK]": 1, "[PAD]": 2}}, "added_tokens": []})
+    )
+    assert validate_tokenizer(str(tmp_path), mandatory=True).is_valid
+
+
+def test_time_series_validators(spark):
+    df = spark.createDataFrame(
+        [
+            Row(timestamp="2020-01-01 00:00:00", v="1.5"),
+            Row(timestamp="2020-01-02 00:00:00", v="2.5"),
+            Row(timestamp="2020-01-03 00:00:00", v=None),
+        ]
+    )
+    assert validate_time_format(df, "timestamp", {"timestamp": "TIMESTAMP"}).is_valid
+    assert not validate_time_format(df, "timestamp", {"timestamp": "DATETIME"}).is_valid
+    assert validate_time_ordered(df, "timestamp").is_valid
+    assert validate_time_before_today(df, "timestamp").is_valid
+    assert validate_numeric_columns(df, exclude=["timestamp"]).is_valid
+
+    amb = spark.createDataFrame([Row(timestamp="03.04.2021 10:00:00")])
+    res = validate_time_format(amb, "timestamp", {"timestamp": "TIMESTAMP"})
+    assert not res.is_valid and "ambiguous" in res.errors[0]
+
+    unordered = spark.createDataFrame(
+        [Row(timestamp="2020-01-02"), Row(timestamp="2020-01-01")]
+    )
+    assert not validate_time_ordered(unordered, "timestamp").is_valid
+
+    future = spark.createDataFrame([Row(timestamp="2999-01-01")])
+    assert not validate_time_before_today(future, "timestamp").is_valid
+
+
+def test_category_battery(spark, tmp_path):
+    df = spark.createDataFrame([Row(age="31", score="1.5")])
+    cfg = ResolvedConfig(table_name="t1", schema={"age": "INT", "score": "DOUBLE"})
+    ctx = {"df": df, "config": cfg, "dest_path": str(tmp_path / "dest")}
+    assert run_battery(spark, "tabular_classification", ctx).is_valid
+    # bad table name fails via the common tail
+    ctx["config"] = ResolvedConfig(table_name="1bad", schema=cfg.schema)
+    assert not run_battery(spark, "tabular_classification", ctx).is_valid
+    # every declared category resolves to a battery
+    for cat in (
+        "tabular_classification", "time_series", "time_to_event", "image_classification",
+        "object_detection", "semantic_segmentation", "keypoint_detection",
+        "text_classification", "token_classification", "mlm",
+    ):
+        assert validators_for(cat)
