@@ -22,35 +22,49 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> SparkSession:
     return spark
 
 
-# Exact-decimal accumulation for money aggregates: double sums are
-# reduction-order-dependent (Spark partial aggs / DuckDB segment-tree
-# window sums combine in different orders), so round(sum(double), 2)
-# can land on opposite sides of a rounding boundary. Casting each
-# addend to a fixed-scale decimal makes the sum exact and order-free
-# in both engines; a binary double can never sit exactly on a
-# half-ulp-of-scale-10 decimal boundary, so the per-addend conversion
-# is also engine-agnostic.
+# Cross-engine deterministic money aggregates — two independent
+# hazards, two mechanisms:
+#
+# 1. double sums are reduction-order-dependent (Spark partial aggs /
+#    DuckDB segment-tree window sums combine in different orders) —
+#    fixed by accumulating in a fixed-scale DECIMAL: exact, order-free,
+#    and the per-addend double→decimal conversion rounds identically
+#    in both engines.
+# 2. Spark's round(double, n) rounds the value's shortest *decimal
+#    repr* (HALF_UP on BigDecimal.valueOf), DuckDB rounds the *binary*
+#    value — they disagree whenever the repr sits exactly on a half
+#    boundary (systematic for avgs over power-of-two-sized groups) —
+#    fixed by rounding as floor(x*10^n + 0.5)/10^n in BOTH engines:
+#    identical IEEE ops on identical doubles, no repr anywhere.
 DEC = "decimal(30,10)"
 
 
+def fround(c: "F.Column", nd: int) -> "F.Column":
+    """Engine-portable rounding: floor(x*10^nd + 0.5) / 10^nd."""
+    p = float(10**nd)
+    return F.floor(c.cast("double") * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p)
+
+
 def dsum(expr: "F.Column", nd: int = 2) -> "F.Column":
-    """Order-independent money sum, rounded to nd decimals."""
-    return F.round(F.sum(expr.cast(DEC)).cast("double"), nd)
+    """Order-independent sum rounded to nd decimals (both hazards)."""
+    return fround(F.sum(expr.cast(DEC)).cast("double"), nd)
 
 
 def davg(expr: "F.Column", nd: int = 4) -> "F.Column":
     """Order-independent mean: exact decimal sum / count, in double."""
-    return F.round(
-        F.sum(expr.cast(DEC)).cast("double") / F.count(expr), nd
-    )
+    return fround(F.sum(expr.cast(DEC)).cast("double") / F.count(expr), nd)
+
+
+def o_fround(sql_expr: str, nd: int) -> str:
+    p = float(10**nd)
+    return f"floor(({sql_expr}) * {p} + 0.5) / {p}"
 
 
 def o_dsum(sql_expr: str, nd: int = 2) -> str:
-    return f"round(CAST(sum(CAST({sql_expr} AS DECIMAL(30,10))) AS DOUBLE), {nd})"
+    return o_fround(f"CAST(sum(CAST({sql_expr} AS DECIMAL(30,10))) AS DOUBLE)", nd)
 
 
 def o_davg(sql_expr: str, nd: int = 4) -> str:
-    return (
-        f"round(CAST(sum(CAST({sql_expr} AS DECIMAL(30,10))) AS DOUBLE)"
-        f" / count({sql_expr}), {nd})"
+    return o_fround(
+        f"CAST(sum(CAST({sql_expr} AS DECIMAL(30,10))) AS DOUBLE) / count({sql_expr})", nd
     )

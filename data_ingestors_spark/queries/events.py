@@ -38,7 +38,7 @@ O_TUMBLING_WINDOW = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
        event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value,
+       floor((CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -61,7 +61,7 @@ WITH assigned AS (
   UNION ALL
   SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS w_start, value FROM events
 )
-SELECT w_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value), 4) AS avg_value
+SELECT w_start, count(*) AS n_events, floor((CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM assigned GROUP BY 1
 """
 
@@ -101,7 +101,7 @@ sessions AS (
 SELECT user_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value
+       floor((CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_value
 FROM sessions GROUP BY user_id, sid
 """
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestors_spark.queries.base import tables, views
+from data_ingestors_spark.queries.base import tables, views, fround
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,14 +90,14 @@ def q_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "customer", "orders")
     sql = """
         WITH spend AS (
-          SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+          SELECT o_custkey, floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS total
           FROM orders GROUP BY o_custkey
         ),
         seg AS (
           SELECT c_mktsegment, c_custkey FROM customer
         )
         SELECT c_mktsegment, count(*) AS n_customers,
-               round(CAST(sum(CAST(total AS DECIMAL(30,10))) AS DOUBLE), 2) AS seg_spend
+               floor((CAST(sum(CAST(total AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS seg_spend
         FROM seg JOIN spend ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """
@@ -106,14 +106,14 @@ def q_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_CTE_CHAIN = """
 WITH spend AS (
-  SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+  SELECT o_custkey, floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS total
   FROM orders GROUP BY o_custkey
 ),
 seg AS (
   SELECT c_mktsegment, c_custkey FROM customer
 )
 SELECT c_mktsegment, count(*) AS n_customers,
-       round(CAST(sum(CAST(total AS DECIMAL(30,10))) AS DOUBLE), 2) AS seg_spend
+       floor((CAST(sum(CAST(total AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS seg_spend
 FROM seg JOIN spend ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
@@ -149,14 +149,14 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .groupBy("l_partkey")
-        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double"), 2).alias("qty"))
+        .agg(F.count("*").alias("n"), fround(F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double"), 2).alias("qty"))
         .filter(F.col("n") >= 20)
     )
 
 
 O_HAVING = """
 SELECT l_partkey, count(*) AS n,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS qty
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS qty
 FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
 """
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestors_spark.queries.base import tables, views, DEC, dsum, davg, o_dsum, o_davg
+from data_ingestors_spark.queries.base import tables, views, DEC, dsum, davg, fround, o_dsum, o_davg
 
 
 # --- Q1: full-scan aggregation (TPC-H Q1 shape) -------------------------
@@ -42,13 +42,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_disc_price,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_base_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_disc_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_charge,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(l_quantity)) * 1e4 + 5e-1) / 1e4 AS avg_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(l_extendedprice)) * 1e4 + 5e-1) / 1e4 AS avg_price,
+       floor((CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(l_discount)) * 1e4 + 5e-1) / 1e4 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
@@ -108,7 +108,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_REVENUE_BY_NATION = """
 SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS revenue,
        count(*) AS n_items,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
@@ -143,7 +143,7 @@ SELECT c_custkey, c_mktsegment,
        coalesce(spend, 0.0) AS total_spend
 FROM customer
 LEFT JOIN (
-  SELECT o_custkey, count(*) AS cnt, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS spend
+  SELECT o_custkey, count(*) AS cnt, floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS spend
   FROM orders GROUP BY o_custkey
 ) ON c_custkey = o_custkey
 """
@@ -250,7 +250,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_RANGE_JOIN = """
-SELECT s_suppkey, count(*) AS n_near, round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(c_acctbal), 4) AS avg_near_bal
+SELECT s_suppkey, count(*) AS n_near, floor((CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(c_acctbal)) * 1e4 + 5e-1) / 1e4 AS avg_near_bal
 FROM customer JOIN supplier
   ON c_acctbal BETWEEN s_acctbal - 100.0 AND s_acctbal + 100.0
 GROUP BY s_suppkey
@@ -359,7 +359,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_CUBE = """
-SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty, count(*) AS n
+SELECT l_returnflag, l_linestatus, floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -374,7 +374,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_ROLLUP = """
-SELECT o_orderstatus, o_orderpriority, round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total, count(*) AS n
+SELECT o_orderstatus, o_orderpriority, floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS total, count(*) AS n
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -384,7 +384,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price, count(*) AS n
+               floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_price, count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -392,7 +392,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_GROUPING_SETS = """
-SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_price, count(*) AS n
+SELECT l_returnflag, l_linestatus, floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2 AS sum_price, count(*) AS n
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
@@ -405,7 +405,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2))
+        .agg(fround(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), 2))
         .select(
             "l_returnflag",
             F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
@@ -416,8 +416,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_PIVOT = """
 SELECT l_returnflag,
-       coalesce(round(CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE), 2), 0.0) AS qty_f,
-       coalesce(round(CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE), 2), 0.0) AS qty_o
+       coalesce(floor((CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2, 0.0) AS qty_f,
+       coalesce(floor((CAST(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 5e-1) / 1e2, 0.0) AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """
 

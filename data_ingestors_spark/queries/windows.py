@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.operators.asof import asof_join
-from data_ingestors_spark.queries.base import tables, DEC, dsum
+from data_ingestors_spark.queries.base import tables, DEC, dsum, fround
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,17 +53,17 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .filter(F.col("l_suppkey") < 3)
-        .withColumn("running_rev", F.round(F.sum(rev.cast(DEC)).over(w).cast("double"), 2))
+        .withColumn("running_rev", fround(F.sum(rev.cast(DEC)).over(w).cast("double"), 2))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
     )
 
 
 O_RUNNING_SUM = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))
              OVER (PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_rev
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS running_rev
 FROM lineitem
 WHERE l_suppkey < 3
 """
@@ -119,14 +119,14 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 2).alias("trailing_30d_spend"),
+        fround(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 2).alias("trailing_30d_spend"),
         F.count("*").over(w).cast("long").alias("trailing_30d_orders"),
     )
 
 
 O_RANGE_FRAME = """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE), 2) AS trailing_30d_spend,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS trailing_30d_spend,
        count(*) OVER w AS trailing_30d_orders
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey
@@ -174,7 +174,7 @@ SELECT e.event_id, e.user_id,
 FROM events e
 ASOF LEFT JOIN (
   SELECT o_custkey AS cust, o_orderdate AS od,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS day_spend,
+         floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS day_spend,
          count(*) AS day_orders
   FROM orders GROUP BY 1, 2
 ) d ON e.user_id = d.cust AND e.ts >= d.od
