@@ -47,19 +47,22 @@ def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --- MinHash + LSH ------------------------------------------------------
 
 
-def _word_shingles(text_col: str, n: int) -> "F.Column":
-    """Distinct word n-gram shingles as an array<string> column."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    if n == 1:
-        return F.array_distinct(words)
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, greatest(size(split(trim(regexp_replace(lower({text_col}),"
-            f" '[^a-z0-9]+', ' ')), ' ')) - {n}, 0)),"
-            f" i -> concat_ws(' ', slice(split(trim(regexp_replace(lower({text_col}),"
-            f" '[^a-z0-9]+', ' ')), ' '), i + 1, {n})))"
-        )
+def shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, shingles) with the tokenization materialized ONCE per
+    doc — the split/normalize regex must not be re-evaluated per
+    shingle index (an O(words²) regex trap)."""
+    words_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("words"),
     )
+    if n == 1:
+        sh = F.array_distinct(F.col("words"))
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size("words") - n, F.lit(0)))
+        sh = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, n)))
+        )
+    return words_df.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
 
 
 def minhash_signatures(
@@ -67,9 +70,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed, the min Murmur3 hash
     over the doc's shingle set. All JVM-side higher-order functions."""
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"), _word_shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    shingled = shingle_docs(df, text_col, id_col, shingle_n)
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.hash(s, F.lit(i))))
@@ -98,10 +99,13 @@ def minhash_near_duplicates(
     probability 1-(1-t^r)^b).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+
+    # Stage 1 — candidate ids from the band join. The join payload is
+    # (band, bucket, id) ONLY: at 100 TB you never shuffle shingle
+    # arrays through an LSH self-join; pairs are two longs.
     band_rows = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -115,31 +119,49 @@ def minhash_near_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
-
-    left = band_rows.select(
-        F.col("band"), F.col("bucket"), F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
+    ).select("doc_id", "bb.band", "bb.bucket")
     right = band_rows.select(
         F.col("band").alias("band_r"),
         F.col("bucket").alias("bucket_r"),
         F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
     )
     cand = (
-        left.join(
+        band_rows.join(
             right,
             (F.col("band") == F.col("band_r"))
             & (F.col("bucket") == F.col("bucket_r"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("doc_id") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select(F.col("doc_id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Stage 2 — cheap signature-based Jaccard estimate (fraction of
+    # equal minhash components) prunes the band join's false positives
+    # before any shingle array moves.
+    sig_only = sigs.select("doc_id", "signature")
+    est_eq = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
+    ) / F.lit(float(num_hashes))
+    est = (
+        cand.join(sig_only.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a")
+        .join(sig_only.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b")
+        .withColumn("est_j", est_eq)
+        .filter(F.col("est_j") >= threshold - 0.2)
+        .select("id_a", "id_b")
+    )
+
+    # Stage 3 — exact verification on the survivors only.
+    sh_only = sigs.select("doc_id", "shingles")
+    pairs = est.join(
+        sh_only.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        sh_only.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
