@@ -47,37 +47,75 @@ def normalized_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --- MinHash + LSH ------------------------------------------------------
 
 
+def let_bound(expr, build) -> "F.Column":
+    """Let-binding for Spark SQL expressions: evaluate ``expr`` ONCE per
+    row and pass it to ``build`` as a higher-order-function lambda
+    variable. Referencing a non-trivial expression inside a HOF lambda
+    body re-evaluates its whole subtree per array element (Catalyst
+    does no subexpression elimination inside interpreted lambdas) — a
+    measured O(words²) blow-up for shingling. Wrapping the expression
+    in a 1-element array and transforming over it makes it a cheap
+    lambda-variable reference instead."""
+    return F.get(F.transform(F.array(expr), build), 0)
+
+
 def shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc_id, shingles) with the tokenization materialized ONCE per
     doc — the split/normalize regex must not be re-evaluated per
-    shingle index (an O(words²) regex trap)."""
-    words_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("words"),
-    )
+    shingle index (an O(words²) regex trap; see ``let_bound``)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
     if n == 1:
-        sh = F.array_distinct(F.col("words"))
+        sh = F.array_distinct(words)
     else:
-        idx = F.sequence(F.lit(0), F.greatest(F.size("words") - n, F.lit(0)))
-        sh = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, n)))
-        )
-    return words_df.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
+        def build(ws):
+            idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+            return F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+            )
+        sh = let_bound(words, build)
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """persist + eager count barrier. The LSH plans below reference the
+    shingled/signature frames from several join branches; a *lazy*
+    persist lets those branches race to populate the cache inside one
+    job (duplicate evaluation, 'Block already exists' churn). An eager
+    count materializes once, and every branch reads the cache."""
+    df = df.persist()
+    df.count()
+    return df
+
+
+def _minhash_sig_expr(num_hashes: int) -> "F.Column":
+    """The 32-seed min-hash fan-out over a *materialized* ``shingles``
+    column. MUST be evaluated on top of a persisted shingled frame: a
+    cache boundary becomes an InMemoryRelation, which CollapseProject
+    cannot inline through — otherwise Catalyst re-inlines the shingle
+    regex/split construction into every seed's array_min and each doc
+    is re-tokenized num_hashes× (a measured 150× blow-up)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.hash(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed, the min Murmur3 hash
-    over the doc's shingle set. All JVM-side higher-order functions."""
-    shingled = shingle_docs(df, text_col, id_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.hash(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return shingled.select("doc_id", "shingles", sig.alias("signature"))
+    over the doc's shingle set. All JVM-side higher-order functions.
+
+    The shingled frame is persisted before the seed fan-out (see
+    ``_minhash_sig_expr``); at cluster scale swap ``persist()`` for a
+    reliable checkpoint if executor loss during the build is a concern.
+    """
+    shingled = _materialize(shingle_docs(df, text_col, id_col, shingle_n))
+    return shingled.select("doc_id", "shingles", _minhash_sig_expr(num_hashes).alias("signature"))
 
 
 def minhash_near_duplicates(
@@ -99,7 +137,15 @@ def minhash_near_duplicates(
     probability 1-(1-t^r)^b).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    # Two small cached frames: shingles (reused by exact verify) and
+    # signatures (reused by band join + estimate prune). The persist
+    # boundary on shingled is load-bearing — see _minhash_sig_expr —
+    # and both are materialized eagerly so the downstream join
+    # branches read the cache instead of racing to populate it.
+    shingled = _materialize(shingle_docs(df, text_col, id_col, shingle_n))
+    sigs = _materialize(
+        shingled.select("doc_id", _minhash_sig_expr(num_hashes).alias("signature"))
+    )
 
     # Stage 1 — candidate ids from the band join. The join payload is
     # (band, bucket, id) ONLY: at 100 TB you never shuffle shingle
@@ -139,7 +185,7 @@ def minhash_near_duplicates(
     # Stage 2 — cheap signature-based Jaccard estimate (fraction of
     # equal minhash components) prunes the band join's false positives
     # before any shingle array moves.
-    sig_only = sigs.select("doc_id", "signature")
+    sig_only = sigs
     est_eq = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b)
     ) / F.lit(float(num_hashes))
@@ -152,7 +198,7 @@ def minhash_near_duplicates(
     )
 
     # Stage 3 — exact verification on the survivors only.
-    sh_only = sigs.select("doc_id", "shingles")
+    sh_only = shingled
     pairs = est.join(
         sh_only.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
     ).join(
@@ -171,29 +217,46 @@ def minhash_near_duplicates(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document.
+    """64-bit SimHash per document — fully per-row, ZERO shuffle.
 
-    explode tokens → xxhash64 → per-bit signed vote sum → recombine.
-    One shuffle (groupBy doc); the 64 vote sums are plain conditional
-    aggregates, fully codegen'd.
+    tokens → one xxhash64 per token → per-bit signed vote vector via an
+    ``aggregate`` HOF → recombine with a literal powers-of-two array.
+    Every intermediate (tokens, hashes, votes) is referenced exactly
+    once, so Catalyst's projection collapsing evaluates each one once
+    per row; in particular each token is hashed once, not ``bits``×.
+    No explode and no groupBy: at 100 TB this stays embarrassingly
+    parallel over input splits.
     """
-    tokens = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
-    votes = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bitseq = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bitseq,
+            lambda v, i: v
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
     )
-    sim = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.alias("simhash"))
+    # bit i contributes 2^i when its vote is positive; i=63 contributes
+    # Long.MIN_VALUE (two's complement), matching signed 64-bit packing.
+    powers = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
+    )
+    sim = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"), F.size(toks).alias("_nt"))
+        .filter(F.col("_nt") > 0)
+        .select("doc_id", "simhash")
+    )
 
 
 def simhash_near_duplicates(
@@ -202,7 +265,9 @@ def simhash_near_duplicates(
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
     (pigeonhole: hamming ≤3 ⇒ at least one identical band), bucket-join,
     verify exact Hamming distance."""
-    sh = simhash(df, text_col, id_col)
+    # eager persist: the self-join would otherwise evaluate the per-doc
+    # simhash HOF chain twice (once per side) or race the cache.
+    sh = _materialize(simhash(df, text_col, id_col))
     bands = sh.select(
         "doc_id",
         "simhash",

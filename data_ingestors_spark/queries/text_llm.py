@@ -20,6 +20,18 @@ from data_ingestors_spark.operators import text as X
 from data_ingestors_spark.queries.base import tables
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy per-row work across all cores when the
+    input arrives under-partitioned (one tiny parquet file → one
+    partition → one task). At cluster scale inputs already have
+    thousands of splits and this is a no-op — the repartition only
+    fires when partitions < defaultParallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- dedup -------------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir, "documents")
@@ -70,14 +82,15 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verification math is oracle-covered by q_ngram_jaccard."""
     t = tables(spark, sf_dir, "documents")
     return D.minhash_near_duplicates(
-        t["documents"], "text", "doc_id", num_hashes=32, bands=8, shingle_n=3, threshold=0.7
+        _spread(t["documents"]), "text", "doc_id",
+        num_hashes=32, bands=8, shingle_n=3, threshold=0.7,
     )
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: xxhash64 not in DuckDB)."""
     t = tables(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(t["documents"], "text", "doc_id", max_hamming=3)
+    return D.simhash_near_duplicates(_spread(t["documents"]), "text", "doc_id", max_hamming=3)
 
 
 # --- similarity search --------------------------------------------------
