@@ -69,10 +69,26 @@ def cast_for_decl(c: Column, decl: str) -> Column:
     base, args = parse_decl(decl)
     if base in _INT_TYPES or base == "BIGINT":
         target = "bigint" if base == "BIGINT" else "int"
-        # No float truncation: "3.5" → NULL (error), "3.0" → 3.
-        d = c.cast("string").try_cast("double")
-        integral = d.isNotNull() & ~F.isnan(d) & (d == F.floor(d))
-        return F.when(integral, d.try_cast(target)).otherwise(F.lit(None).cast(target))
+        s = F.trim(c.cast("string"))
+        # Exact path: canonical integer strings cast DIRECTLY to the
+        # target (no double round-trip — BIGINT beyond 2^53 stays
+        # exact; the reference keeps exact int64 the same way,
+        # csv_ingestor.py:218-221). try_cast's ANSI semantics turn
+        # overflow into NULL, which the validator counts as an
+        # overflow error (rules.py) rather than silently wrapping.
+        exact = s.rlike(r"^[+-]?[0-9]+$")
+        # Float-form integrals ("3.0") go through the double — their
+        # precision is bounded by the literal anyway. "3.5" → NULL.
+        d = s.try_cast("double")
+        # integral test via `% 1.0` — F.floor returns LONG, which
+        # itself overflows for |d| > 2^63 and would misclassify huge
+        # integral values as fractional.
+        float_integral = d.isNotNull() & ~F.isnan(d) & (d % 1.0 == 0.0)
+        return (
+            F.when(exact, s.try_cast(target))
+            .when(float_integral, d.try_cast(target))
+            .otherwise(F.lit(None).cast(target))
+        )
     if base in _FLOAT_TYPES:
         return c.cast("string").try_cast("double")
     if base in _DECIMAL_TYPES:

@@ -48,19 +48,25 @@ def asof_join(
     if lk is None or rk is None:
         raise ValueError("asof_join requires a join key (on= or left_on=/right_on=)")
 
+    # The payload travels as ONE struct so the matched right row is
+    # picked atomically: carrying each column independently with
+    # last(col, ignorenulls) would stitch values from *different* right
+    # rows whenever a payload field is legitimately NULL, diverging
+    # from DuckDB/pandas ASOF semantics.
+    p_type = right.select(F.struct(*payload).alias("__p")).schema["__p"].dataType
     l_tag = left.select(
         F.col(lk).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None).cast(p_type).alias("__p"),
     )
     r_tag = right.select(
         F.col(rk).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        *payload,
+        F.struct(*payload).alias("__p"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -71,7 +77,6 @@ def asof_join(
     carried = unioned.select(
         "__is_left",
         "__l",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    out = carried.filter(F.col("__is_left") == 1).select("__l.*", *payload)
-    return out
+    return carried.filter(F.col("__is_left") == 1).select("__l.*", "__p.*")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestors_spark.functions.rounding import fround
+
 # --- exact -------------------------------------------------------------
 
 
@@ -209,7 +211,7 @@ def minhash_near_duplicates(
     return (
         pairs.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -318,22 +320,49 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact word-set Jaccard over a *blocked* candidate set (pairs
-    sharing ``block_col``). Blocking bounds the pair count; for
-    unblocked corpora use minhash_near_duplicates instead."""
+    sharing ``block_col``), computed with an **inverted-index join**:
+
+    explode distinct words → self-join on (block, word) → the per-pair
+    match count IS the intersection size; union = |A| + |B| − |A∩B|.
+
+    Unlike the naive per-pair ``array_intersect`` form (O(pairs ×
+    words) interpreted array ops — measured 100× slower at sf0.1),
+    every step here is a codegen'd equi-join + hash aggregate, and
+    only pairs sharing ≥1 word are ever materialized. Blocking bounds
+    the candidate set; for unblocked corpora use
+    minhash_near_duplicates. At very large scale, additionally drop
+    ultra-high-document-frequency words before the self-join (they
+    can't push a pair over any useful threshold but dominate the
+    shuffle).
+    """
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(block_col).alias("block"), words.alias("words")
     )
-    right = base.select(
-        F.col("block").alias("block_r"), F.col("doc_id").alias("id_b"), F.col("words").alias("w_b")
+    sizes = base.select("doc_id", F.size("words").alias("sz"))
+    tok = base.select("doc_id", "block", F.explode("words").alias("w"))
+    inter = (
+        tok.join(
+            tok.select(
+                F.col("doc_id").alias("id_b"), F.col("block").alias("block_r"), F.col("w").alias("w_r")
+            ),
+            (F.col("block") == F.col("block_r"))
+            & (F.col("w") == F.col("w_r"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .groupBy(F.col("doc_id").alias("id_a"), F.col("id_b"))
+        .agg(F.count("*").alias("n_inter"))
     )
-    pairs = base.join(
-        right, (F.col("block") == F.col("block_r")) & (F.col("doc_id") < F.col("id_b"))
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
     )
-    inter = F.size(F.array_intersect("words", "w_b")).cast("double")
-    union = F.size(F.array_union("words", "w_b")).cast("double")
     return (
-        pairs.select(F.col("doc_id").alias("id_a"), "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        j.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))
     )

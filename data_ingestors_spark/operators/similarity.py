@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_ingestors_spark.functions.rounding import fround
+
 
 def _dot(a, b) -> "F.Column":
     return F.aggregate(
@@ -71,7 +73,7 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -162,7 +164,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestors_spark.functions.rounding import fround
 from data_ingestors_spark.operators.dedup import normalize_text
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -36,10 +37,10 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
-        F.round(n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("chars_per_word"),
+        fround(n_chars.cast("double") / F.greatest(n_words, F.lit(1)), 4).alias("chars_per_word"),
         n_punct.alias("n_punct"),
-        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        fround(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        fround(n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
     )
 
 

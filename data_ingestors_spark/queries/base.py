@@ -38,11 +38,7 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> SparkSession:
 #    identical IEEE ops on identical doubles, no repr anywhere.
 DEC = "decimal(30,10)"
 
-
-def fround(c: "F.Column", nd: int) -> "F.Column":
-    """Engine-portable rounding: floor(x*10^nd + 0.5) / 10^nd."""
-    p = float(10**nd)
-    return F.floor(c.cast("double") * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p)
+from data_ingestors_spark.functions.rounding import fround, o_fround  # noqa: E402
 
 
 def dsum(expr: "F.Column", nd: int = 2) -> "F.Column":
@@ -53,11 +49,6 @@ def dsum(expr: "F.Column", nd: int = 2) -> "F.Column":
 def davg(expr: "F.Column", nd: int = 4) -> "F.Column":
     """Order-independent mean: exact decimal sum / count, in double."""
     return fround(F.sum(expr.cast(DEC)).cast("double") / F.count(expr), nd)
-
-
-def o_fround(sql_expr: str, nd: int) -> str:
-    p = float(10**nd)
-    return f"floor(({sql_expr}) * {p} + 0.5) / {p}"
 
 
 def o_dsum(sql_expr: str, nd: int = 2) -> str:

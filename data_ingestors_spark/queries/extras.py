@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestors_spark.queries.base import tables, views, fround
+from data_ingestors_spark.queries.base import tables, views, fround, o_fround
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -18,20 +18,22 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
-            F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+            fround(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            fround(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            fround(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
             F.round(F.min("o_totalprice"), 2).alias("mn"),
             F.round(F.max("o_totalprice"), 2).alias("mx"),
         )
     )
 
 
-O_PERCENTILES = """
+# Interpolated percentiles are computed doubles → engine-portable
+# fround; min/max are raw 2-dp money values where round is identity.
+O_PERCENTILES = f"""
 SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       {o_fround("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+       {o_fround("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
+       {o_fround("quantile_cont(o_totalprice, 0.99)", 4)} AS p99,
        round(min(o_totalprice), 2) AS mn,
        round(max(o_totalprice), 2) AS mx
 FROM orders GROUP BY o_orderpriority
@@ -67,20 +69,20 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["embeddings"].select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(l2, 6).alias("l2_norm"),
+        fround(l2, 6).alias("l2_norm"),
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
-        F.round(F.array_max(v), 6).alias("max_comp"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("comp_sum"),
+        fround(F.array_max(v), 6).alias("max_comp"),
+        fround(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("comp_sum"),
     )
 
 
-O_ARRAY_HOF = """
+O_ARRAY_HOF = f"""
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
-       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+       {o_fround("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS l2_norm,
        CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS BIGINT) AS n_positive,
-       round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_comp,
-       round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS comp_sum
+       {o_fround("list_max(CAST(embedding AS DOUBLE[]))", 6)} AS max_comp,
+       {o_fround("list_sum(CAST(embedding AS DOUBLE[]))", 6)} AS comp_sum
 FROM embeddings
 """
 

@@ -175,6 +175,14 @@ SELECT CAST(sum(CASE WHEN int_col IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS int_c
                            OR NOT isfinite(try_cast(trim(int_col) AS DOUBLE))
                            OR try_cast(trim(int_col) AS DOUBLE) <> floor(try_cast(trim(int_col) AS DOUBLE)))
                 THEN 1 ELSE 0 END) AS BIGINT) AS int_col__non_integer,
+       CAST(sum(CASE WHEN trim(int_col) IS NOT NULL AND trim(int_col) <> ''
+                      AND try_cast(trim(int_col) AS DOUBLE) IS NOT NULL
+                      AND isfinite(try_cast(trim(int_col) AS DOUBLE))
+                      AND try_cast(trim(int_col) AS DOUBLE) = floor(try_cast(trim(int_col) AS DOUBLE))
+                      AND (CASE WHEN regexp_matches(trim(int_col), '^[+-]?[0-9]+$')
+                                THEN try_cast(trim(int_col) AS INTEGER)
+                                ELSE try_cast(try_cast(trim(int_col) AS DOUBLE) AS INTEGER) END) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS int_col__overflow,
        CAST(sum(CASE WHEN vc_col IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS vc_col__nulls,
        CAST(sum(CASE WHEN vc_col IS NOT NULL AND length(vc_col) > 8 THEN 1 ELSE 0 END) AS BIGINT) AS vc_col__too_long,
        CAST(sum(CASE WHEN ts_col IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_col__nulls,

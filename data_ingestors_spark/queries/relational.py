@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestors_spark.queries.base import tables, views, DEC, dsum, davg, fround, o_dsum, o_davg
+from data_ingestors_spark.queries.base import tables, views, DEC, dsum, davg, fround, o_fround, o_dsum, o_davg
 
 
 # --- Q1: full-scan aggregation (TPC-H Q1 shape) -------------------------
@@ -489,10 +489,10 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_linenumber") == 1)
         .select(
             "l_orderkey",
-            F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
-            F.round(F.sqrt(F.col("l_extendedprice")), 4).alias("sqrt_price"),
-            F.round(F.log(F.col("l_extendedprice") + 1.0), 4).alias("ln_price"),
-            F.round(F.pow(F.col("l_discount") + 1.0, 2), 4).alias("pow_disc"),
+            fround(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+            fround(F.sqrt(F.col("l_extendedprice")), 4).alias("sqrt_price"),
+            fround(F.log(F.col("l_extendedprice") + 1.0), 4).alias("ln_price"),
+            fround(F.pow(F.col("l_discount") + 1.0, 2), 4).alias("pow_disc"),
             F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
             F.ceil(F.col("l_quantity")).cast("long").alias("qty_ceil"),
             (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
@@ -502,12 +502,12 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_MATH_FUNCS = """
+O_MATH_FUNCS = f"""
 SELECT l_orderkey,
-       round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
-       round(sqrt(l_extendedprice), 4) AS sqrt_price,
-       round(ln(l_extendedprice + 1.0), 4) AS ln_price,
-       round(pow(l_discount + 1.0, 2), 4) AS pow_disc,
+       {o_fround("abs(l_extendedprice - 1000.0)", 2)} AS abs_diff,
+       {o_fround("sqrt(l_extendedprice)", 4)} AS sqrt_price,
+       {o_fround("ln(l_extendedprice + 1.0)", 4)} AS ln_price,
+       {o_fround("pow(l_discount + 1.0, 2)", 4)} AS pow_disc,
        CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
        CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
        CAST(l_orderkey % 7 AS BIGINT) AS key_mod,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_ingestors_spark.operators import dedup as D
 from data_ingestors_spark.operators import similarity as S
 from data_ingestors_spark.operators import text as X
+from data_ingestors_spark.functions.rounding import fround, o_fround
 from data_ingestors_spark.queries.base import tables
 
 
@@ -62,15 +63,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(t["documents"], "text", "doc_id", "source", threshold=0.5)
 
 
-O_NGRAM_JACCARD = """
+O_NGRAM_JACCARD = f"""
 WITH w AS (
   SELECT doc_id, source,
          list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS words
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
+       {o_fround('''CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))''', 6)} AS jaccard
 FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
       / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.5
@@ -105,11 +106,11 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_bruteforce(emb, _queries_subset(emb), k=5)
 
 
-O_EMBEDDING_TOPK = """
+O_EMBEDDING_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+         {o_fround("list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_sim
   FROM embeddings c CROSS JOIN q
   WHERE c.vec_id <> q.query_id
 )
@@ -136,19 +137,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
     b = e.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
     pairs = a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-    sim = F.round(S.cosine_similarity_col(F.col("v_a"), F.col("v_b")), 6)
+    sim = fround(S.cosine_similarity_col(F.col("v_a"), F.col("v_b")), 6)
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.9)
     )
 
 
-O_EMBEDDING_NEARDUP = """
+O_EMBEDDING_NEARDUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+       {o_fround("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+WHERE {o_fround("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} >= 0.9
 """
 
 
@@ -158,19 +159,24 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_stats(t["documents"], "text", "doc_id")
 
 
-O_TEXT_STATS = """
+_O_NWORDS = (
+    "CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_O_NPUNCT = "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
+_O_NDIGIT = "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+_O_CPW = o_fround(f"CAST(length(text) AS DOUBLE) / greatest({_O_NWORDS}, 1)", 4)
+_O_PUNCT_R = o_fround(f"CAST({_O_NPUNCT} AS DOUBLE) / greatest(length(text), 1)", 6)
+_O_DIGIT_R = o_fround(f"CAST({_O_NDIGIT} AS DOUBLE) / greatest(length(text), 1)", 6)
+
+O_TEXT_STATS = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_words,
-       round(CAST(length(text) AS DOUBLE)
-             / greatest(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 4) AS chars_per_word,
-       CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
-       round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS punct_ratio,
-       round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-             / greatest(length(text), 1), 6) AS digit_ratio
+       CAST({_O_NWORDS} AS BIGINT) AS n_words,
+       {_O_CPW} AS chars_per_word,
+       CAST({_O_NPUNCT} AS BIGINT) AS n_punct,
+       {_O_PUNCT_R} AS punct_ratio,
+       {_O_DIGIT_R} AS digit_ratio
 FROM documents
 """
 

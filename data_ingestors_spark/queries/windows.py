@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.operators.asof import asof_join
-from data_ingestors_spark.queries.base import tables, DEC, dsum, fround
+from data_ingestors_spark.queries.base import tables, DEC, dsum, fround, o_fround
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,22 +83,22 @@ def q_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
             F.dense_rank().over(w).cast("long").alias("drnk"),
             F.ntile(4).over(w).cast("long").alias("quartile"),
-            F.round(
+            fround(
                 F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
             ).alias("delta_from_first"),
         )
     )
 
 
-O_LAG_LEAD_RANK = """
+O_LAG_LEAD_RANK = f"""
 SELECT o_custkey, o_orderkey,
        round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
        round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
        dense_rank() OVER w AS drnk,
        ntile(4) OVER w AS quartile,
-       round(o_totalprice - first_value(o_totalprice) OVER
+       {o_fround('''o_totalprice - first_value(o_totalprice) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS delta_from_first
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)} AS delta_from_first
 FROM orders
 WHERE o_custkey < 50
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from data_ingestors_spark.functions.casts import (
     FALSY,
     TRUTHY,
+    cast_for_decl,
     parse_decl,
     _INT_TYPES,
     _FLOAT_TYPES,
@@ -44,7 +45,9 @@ def _bad_numeric(c: Column, integral: bool) -> Column:
     present = s.isNotNull() & (s != "")
     bad = d.isNull() | F.isnan(d) | (d == float("inf")) | (d == float("-inf"))
     if integral:
-        bad = bad | (d != F.floor(d))
+        # `% 1.0`, not floor(): F.floor yields LONG and overflows for
+        # |d| > 2^63, misclassifying huge integral values.
+        bad = bad | (d % 1.0 != 0.0)
     return present & bad
 
 
@@ -78,8 +81,16 @@ def column_rule_aggs(name: str, decl: str) -> dict[str, Column]:
 
     if base in _INT_TYPES or base == "BIGINT":
         bad = _bad_numeric(c, integral=True)
+        # Overflow: numerically integral but outside the declared
+        # type's range (conformance cast yields NULL) — an error, not a
+        # silent NULL, matching the reference's _raise_on_overflow
+        # (csv_ingestor.py:218-221).
+        s = F.trim(c.cast("string"))
+        present = s.isNotNull() & (s != "")
+        overflow = present & ~bad & cast_for_decl(c, decl).isNull()
         aggs[f"{name}__non_integer"] = count_of(bad)
-        aggs[f"{name}__bad_samples"] = sample_of(bad)
+        aggs[f"{name}__overflow"] = count_of(overflow)
+        aggs[f"{name}__bad_samples"] = sample_of(bad | overflow)
     elif base in _FLOAT_TYPES or base in _DECIMAL_TYPES:
         bad = _bad_numeric(c, integral=False)
         aggs[f"{name}__non_numeric"] = count_of(bad)

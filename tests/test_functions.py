@@ -41,6 +41,28 @@ def test_bigint_and_double(spark):
     assert got[0] == 9999999999.0 and got[1] == 1.5
 
 
+def test_bigint_exact_beyond_double_precision(spark):
+    # 2^53 + 1 is not representable as a double; the direct string→
+    # bigint path must keep it exact instead of rounding to 2^53.
+    df = _str_df(spark, "v", ["9007199254740993", "-9007199254740993"])
+    out = [r.v for r in conform_types(df, {"v": "BIGINT"}).collect()]
+    assert out == [9007199254740993, -9007199254740993]
+
+
+def test_int_overflow_is_error_not_wrap(spark):
+    from data_ingestors_spark.validators.rules import validate_schema_single_pass
+
+    df = _str_df(spark, "v", ["3000000000", "42", "99999999999999999999999"])
+    # conformance cast: overflow → NULL (never a wrapped value)
+    out = [r.v for r in conform_types(df, {"v": "INT"}).collect()]
+    assert out == [None, 42, None]
+    # validation: overflow is a counted error with samples
+    res = validate_schema_single_pass(df, {"v": "INT"})
+    assert not res.is_valid
+    assert res.metadata["v__overflow"] == 2
+    assert res.metadata["v__non_integer"] == 0
+
+
 def test_bool_vocabulary(spark):
     df = _str_df(
         spark, "v", ["true", "T", "YES", "y", "1", "1.0", "false", "F", "no", "N", "0", "0.0", "maybe", None]

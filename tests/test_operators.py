@@ -43,6 +43,24 @@ def test_asof_join_backward_inclusive(spark):
     assert got == {"e1": 100.0, "e2": 200.0, "e3": None}  # inclusive; no-match → NULL
 
 
+def test_asof_join_payload_is_atomic(spark):
+    # When the matched right row has a NULL payload field, the output
+    # must carry THAT row's (NULL, value) pair — not stitch the field
+    # from an older right row (DuckDB/pandas ASOF semantics).
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00"), "e1")], ["k", "t", "ev"])
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), 100.0, "full"),
+         (1, ts("2024-01-01 11:00"), None, "partial")],
+        ["k", "rt", "px", "tag"],
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+        payload=["px", "tag"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].tag == "partial" and out[0].px is None
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
