@@ -28,11 +28,17 @@ STANDARD_COLUMNS: dict[str, str] = {
     "filename": "VARCHAR(255)",
     "extension": "VARCHAR(10)",
     "annotation": "TEXT",
+    "mask_id": "VARCHAR(255)",
     "ingestor_id": "VARCHAR(255)",
 }
 
 # `label` is excluded on purpose (users may map onto it).
 RESERVED_COLUMNS = frozenset(STANDARD_COLUMNS) - {"label"} | {"id"}
+
+# File-bearing categories SOURCE these columns from the manifest (the
+# reference's column_mapping targets them — base.py:309-313), so they
+# are not collisions there.
+FILE_KEY_COLUMNS = frozenset({"filename", "annotation", "mask_id"})
 
 MAX_IDENTIFIER_LEN = 64
 MAX_FEATURE_COLUMNS = 4000
@@ -54,6 +60,15 @@ class ResolvedConfig:
     ingestor_id: str = "spark-ingestor"
     batch_size: int = 4000
     tabular: bool = True
+    # file-bearing categories (K5/T5/V17): source tree holding
+    # images/ annotations/ masks/ texts/ sequences/, the destination
+    # directory files are copied into, and the primary file extension.
+    src_path: str | None = None
+    dest_path: str | None = None
+    extension: str = ""
+    # V18: directory for the advisory per-table lock (defaults to the
+    # parent of dest_path when unset; None + no dest_path = no lock).
+    lock_dir: str | None = None
 
     def validate(self) -> None:
         """Fail-fast plan guards — same error classes as the reference
@@ -62,7 +77,9 @@ class ResolvedConfig:
             raise ValueError(
                 f"invalid data_intent {self.data_intent!r}; expected one of {VALID_INTENTS}"
             )
-        collisions = sorted(set(self.schema) & RESERVED_COLUMNS)
+        from data_ingestors_spark.ingest.file_transfer import CATEGORY_FILES as _CF
+        reserved = RESERVED_COLUMNS - (FILE_KEY_COLUMNS if self.category in _CF else frozenset())
+        collisions = sorted(set(self.schema) & reserved)
         if collisions:
             raise ValueError(f"schema columns collide with reserved framework columns: {collisions}")
         too_long = sorted(c for c in self.schema if len(c) > MAX_IDENTIFIER_LEN)
@@ -78,3 +95,12 @@ class ResolvedConfig:
             raise ValueError("data_id_strategy='column' requires data_id_column")
         if self.label_policy not in ("passthrough", "bucket"):
             raise ValueError(f"unknown label_policy: {self.label_policy!r}")
+        from data_ingestors_spark.ingest.file_transfer import CATEGORY_FILES
+        if self.category in CATEGORY_FILES:
+            from data_ingestors_spark.ingest.lock import preflight_src_path
+            preflight_src_path(self.src_path)  # V17: one clear error
+            if not self.dest_path:
+                raise ValueError(
+                    f"category {self.category!r} copies sidecar files and "
+                    "requires dest_path"
+                )

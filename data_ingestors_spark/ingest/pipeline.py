@@ -25,10 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import os
+
 from data_ingestors_spark.functions.casts import cast_for_decl
 from data_ingestors_spark.functions.label_policy import label_bucket_col
 from data_ingestors_spark.functions.nulls import normalize_nulls
 from data_ingestors_spark.ingest.config import ResolvedConfig
+from data_ingestors_spark.ingest.file_transfer import CATEGORY_FILES, transfer_files
+from data_ingestors_spark.ingest.lock import TableLock
 from data_ingestors_spark.ingest.summary import IngestionSummary
 from data_ingestors_spark.io.readers import read_csv_source, read_json_source
 from data_ingestors_spark.io.writers import upsert
@@ -81,7 +85,7 @@ class Ingestor:
             content = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
             data_id = F.sha2(F.concat(F.lit(ns), content), 256)
         now = F.current_timestamp()
-        return (
+        out = (
             df.withColumn("label", label)
             .withColumn("data_id", data_id)
             .withColumn("data_intent", F.lit(cfg.data_intent))
@@ -90,10 +94,32 @@ class Ingestor:
             .withColumn("created_at", now)
             .withColumn("updated_at", now)
         )
+        # T5: the file-bearing standard columns exist on every table
+        # (database.py:302-321); absent in the source ⇒ NULL. The file
+        # transfer stage later overwrites filename/extension with the
+        # resolved on-disk values (file_transfer.py:153-154).
+        for name in ("filename", "extension", "annotation", "mask_id"):
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast("string"))
+        return out
 
     # -- run -------------------------------------------------------------
 
     def ingest(self, source: str) -> IngestionSummary:
+        """Run the full pipeline; file-bearing categories take the
+        advisory table lock (V18) around the side-effecting span —
+        sidecar copies are not transactional with the table swap, so
+        two concurrent runs must serialize (base.py:482-620)."""
+        cfg = self.config
+        lock_dir = cfg.lock_dir
+        if lock_dir is None and cfg.dest_path:
+            lock_dir = os.path.dirname(cfg.dest_path.rstrip("/")) or "."
+        if lock_dir:
+            with TableLock(lock_dir, cfg.table_name, owner=cfg.ingestor_id):
+                return self._run(source)
+        return self._run(source)
+
+    def _run(self, source: str) -> IngestionSummary:
         cfg = self.config
         raw = self.read(source)
         raw = normalize_nulls(raw, columns=list(cfg.schema), tabular=cfg.tabular)
@@ -117,6 +143,9 @@ class Ingestor:
             keep = [c for c in cfg.schema if c in augmented.columns] + [
                 "label", "data_id", "data_intent", "ingestor_id", "status",
                 "created_at", "updated_at",
+            ] + [
+                c for c in ("filename", "extension", "annotation", "mask_id")
+                if c not in cfg.schema
             ]
             augmented = augmented.select(keep)
 
@@ -126,6 +155,21 @@ class Ingestor:
             augmented.cache()
             skipped = augmented.count() - ok.count()
 
+            # K5: sidecar copies for file-bearing categories. Records
+            # missing a source file (or whose copy failed) are dropped
+            # from the insert and counted — never a partial pair on
+            # disk, never a silent 100%-success (issue #99).
+            ft_failures = 0
+            if cfg.category in CATEGORY_FILES:
+                ok, stats = transfer_files(
+                    self.spark, ok,
+                    category=cfg.category,
+                    src_path=cfg.src_path,
+                    dest_path=cfg.dest_path,
+                    extension=cfg.extension,
+                )
+                ft_failures = stats.failures
+
             updated, inserted = upsert(self.spark, self.target_path, ok, key="data_id")
             processed = updated + inserted
             return IngestionSummary(
@@ -133,8 +177,9 @@ class Ingestor:
                 processed=processed,
                 inserted=processed,
                 api_sent=processed,  # API sink is a driver-side no-op stub here
-                failed=total - skipped - processed,
+                failed=total - skipped - ft_failures - processed,
                 skipped=skipped,
+                file_transfer_failures=ft_failures,
             )
         finally:
             raw.unpersist()
