@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 import os
 
+from data_ingestors_spark.api.client import ApiSink, register_dataset, send_metadata_batches
 from data_ingestors_spark.functions.casts import cast_for_decl
 from data_ingestors_spark.functions.label_policy import label_bucket_col
 from data_ingestors_spark.functions.nulls import normalize_nulls
@@ -42,11 +43,21 @@ from data_ingestors_spark.validators.rules import validate_schema_single_pass
 class Ingestor:
     """Compile a ResolvedConfig into a run over one source file/dir."""
 
-    def __init__(self, spark: SparkSession, config: ResolvedConfig, target_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: ResolvedConfig,
+        target_path: str,
+        api_sink: ApiSink | None = None,
+    ):
         config.validate()
         self.spark = spark
         self.config = config
         self.target_path = target_path
+        # K3/K4: when a sink is configured, api_sent is real per-batch
+        # accounting and registration runs after commit; None = local
+        # mode (the reference's EDGE_ENV=local mock-everything path).
+        self.api_sink = api_sink
 
     # -- stages ----------------------------------------------------------
 
@@ -172,11 +183,36 @@ class Ingestor:
 
             updated, inserted = upsert(self.spark, self.target_path, ok, key="data_id")
             processed = updated + inserted
+
+            # K3: per-batch metadata send — api_sent counts only ACKed
+            # batches, so a rejected batch trips has_failures
+            # (api_sent < inserted). K4: registration is fail-loud —
+            # rows are committed by now (base.py:861-918).
+            if self.api_sink is not None:
+                api_sent = send_metadata_batches(
+                    ok, self.api_sink,
+                    table_name=cfg.table_name,
+                    ingestor_id=cfg.ingestor_id,
+                    batch_size=cfg.batch_size,
+                )
+                from data_ingestors_spark.ingest.config import STANDARD_COLUMNS
+                register_dataset(
+                    self.api_sink,
+                    table_name=cfg.table_name,
+                    schema={**cfg.schema, **STANDARD_COLUMNS},
+                    category=cfg.category,
+                    ingestor_id=cfg.ingestor_id,
+                    data_format=cfg.data_format,
+                    intent=cfg.data_intent,
+                )
+            else:
+                api_sent = processed  # local mode: mock-ACK everything
+
             return IngestionSummary(
                 total_records=total,
                 processed=processed,
                 inserted=processed,
-                api_sent=processed,  # API sink is a driver-side no-op stub here
+                api_sent=api_sent,
                 failed=total - skipped - ft_failures - processed,
                 skipped=skipped,
                 file_transfer_failures=ft_failures,
