@@ -1,0 +1,143 @@
+"""ingest.yaml v1 schema (draft-07), the declarative frontend contract.
+
+Modeled on the reference's ``schema/ingest.v1.json``: customers
+describe the dataset (category / table / intent / source / schema /
+label) and convention defaults fill in the rest. Differences are
+engine-honest: the table lands at a warehouse path (parquet/Delta
+layout) instead of cluster-internal MySQL, sidecar directories live
+under one ``src`` root (the framework's images/ annotations/ masks/
+texts/ sequences/ convention), and ``parquet`` is a first-class source
+format alongside csv/json.
+"""
+
+CATEGORIES = [
+    "image_classification",
+    "object_detection",
+    "keypoint_detection",
+    "semantic_segmentation",
+    "instance_segmentation",
+    "text_classification",
+    "token_classification",
+    "tabular_classification",
+    "tabular_regression",
+    "time_series_forecasting",
+    "time_to_event_prediction",
+    "masked_language_modeling",
+]
+
+INGEST_V1 = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "title": "spark-ingest IngestConfig (v1)",
+    "type": "object",
+    "additionalProperties": False,
+    "required": ["apiVersion", "kind", "category", "table", "intent"],
+    "properties": {
+        "apiVersion": {"const": "spark-ingest/v1"},
+        "kind": {"const": "IngestConfig"},
+        "category": {"type": "string", "enum": CATEGORIES},
+        "table": {"type": "string", "minLength": 1, "maxLength": 64},
+        "intent": {"type": "string", "enum": ["train", "test"]},
+        # source — exactly one of csv / json / parquet (oneOf below)
+        "csv": {"type": "string", "minLength": 1},
+        "json": {"type": "string", "minLength": 1},
+        "parquet": {"type": "string", "minLength": 1},
+        # declared column types for tabular-ish sources
+        "schema": {
+            "type": "object",
+            "minProperties": 1,
+            "additionalProperties": {"type": "string", "minLength": 1},
+        },
+        # label: string shorthand or object form with a policy
+        "label": {
+            "oneOf": [
+                {"type": "string", "minLength": 1},
+                {
+                    "type": "object",
+                    "additionalProperties": False,
+                    "required": ["column"],
+                    "properties": {
+                        "column": {"type": "string", "minLength": 1},
+                        "policy": {"type": "string", "enum": ["passthrough", "bucket"]},
+                    },
+                },
+            ]
+        },
+        "data_id": {
+            "type": "object",
+            "additionalProperties": False,
+            "required": ["strategy"],
+            "properties": {
+                "strategy": {"type": "string", "enum": ["uuid", "column"]},
+                "column": {"type": "string", "minLength": 1},
+            },
+        },
+        # file-bearing categories: source tree root + copy destination
+        "src": {"type": "string", "minLength": 1},
+        "dest": {"type": "string", "minLength": 1},
+        "extension": {"type": "string", "pattern": r"^\.[A-Za-z0-9]+$"},
+        # where the table lands (parquet layout); default warehouse/<table>
+        "warehouse": {"type": "string", "minLength": 1},
+        "spec": {
+            "type": "object",
+            "additionalProperties": False,
+            "properties": {
+                "batch_size": {"type": "integer", "minimum": 1},
+                "ingestor_id": {"type": "string", "minLength": 1},
+                "lock_dir": {"type": "string", "minLength": 1},
+                "api": {
+                    "type": "object",
+                    "additionalProperties": False,
+                    "properties": {
+                        "endpoint": {"type": "string", "minLength": 1},
+                        "token": {"type": "string", "minLength": 1},
+                        "client_id": {"type": "string"},
+                        "client_password": {"type": "string"},
+                    },
+                    "required": ["endpoint"],
+                },
+            },
+        },
+    },
+    "oneOf": [
+        {"required": ["csv"], "not": {"anyOf": [{"required": ["json"]}, {"required": ["parquet"]}]}},
+        {"required": ["json"], "not": {"anyOf": [{"required": ["csv"]}, {"required": ["parquet"]}]}},
+        {"required": ["parquet"], "not": {"anyOf": [{"required": ["csv"]}, {"required": ["json"]}]}},
+    ],
+    # file-bearing categories need src+dest (conditional requirement,
+    # mirroring the reference's per-category if/then blocks)
+    "allOf": [
+        {
+            "if": {
+                "properties": {
+                    "category": {
+                        "enum": [
+                            "image_classification",
+                            "object_detection",
+                            "keypoint_detection",
+                            "semantic_segmentation",
+                            "text_classification",
+                            "token_classification",
+                            "masked_language_modeling",
+                        ]
+                    }
+                }
+            },
+            "then": {"required": ["src", "dest"]},
+        },
+        {
+            "if": {
+                "properties": {
+                    "category": {
+                        "enum": [
+                            "tabular_classification",
+                            "tabular_regression",
+                            "time_series_forecasting",
+                            "time_to_event_prediction",
+                        ]
+                    }
+                }
+            },
+            "then": {"required": ["schema"]},
+        },
+    ],
+}
