@@ -1,35 +1,58 @@
-"""Sinks: parquet table store with MERGE-style upsert.
+"""Sinks: hash-bucketed parquet table store with MERGE-style upsert.
 
 The reference upserts batches into MySQL keyed on unique ``data_id``
 (`INSERT ... ON DUPLICATE KEY UPDATE` — database.py:337-478) with
 per-record fallback isolation. Spark-first equivalents:
 
-- primary store: a parquet "table" directory with an upsert implemented
-  as anti-join + union + atomic swap. With Delta/Iceberg on the
-  classpath this is literally ``MERGE INTO`` (jars absent in this
-  container — the call shape is kept so the Delta path is a drop-in);
+- primary store: a parquet "table" directory **hash-bucketed on the
+  key** (``__bucket = pmod(xxhash64(key), n_buckets)``). An upsert
+  reads and rewrites ONLY the buckets the batch touches (dynamic
+  partition overwrite) — a 1-row batch against a 100 TB table moves
+  1/n_buckets of the data, not all of it;
+- all filesystem probes go through the Hadoop FileSystem API, so the
+  same code runs on file:, hdfs:, s3a:, abfs: — no driver-local
+  ``os.path`` assumptions;
+- batch dedup on the key is DETERMINISTIC (row_number over a stable
+  content hash), because ``dropDuplicates`` keeps an arbitrary row and
+  an ambiguous merge source must not resolve differently per run;
+- both merge counts (updated, inserted) come from ONE aggregation job;
 - per-record fallback isolation is replaced by *pre-validation
   splitting* (SURVEY.md §7 hard-part 1): rows that would violate
-  constraints are split off by predicate before the write, so the
-  write itself is all-or-nothing and retry-safe;
-- optional JDBC mirror stub (no driver jar in the container).
+  constraints split off before the write.
 
-At 100 TB the upsert is a shuffle-on-key join; the target should be
-partitioned (e.g. by hash bucket of data_id) so only touched partitions
-rewrite — ``partition_cols`` wires that through.
+Atomicity: dynamic partition overwrite swaps each bucket atomically
+but not the set of buckets as a whole; a crash mid-write can leave a
+mix of old/new buckets. The per-table ingest lock (ingest/lock.py)
+serializes writers, and the deterministic key-based merge makes a
+re-run idempotent — the standard posture for plain-parquet tables.
+With Delta/Iceberg jars on the classpath, swap the write for a real
+``MERGE INTO`` commit; call shape is kept drop-in.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+BUCKET_COL = "__bucket"
+DEFAULT_N_BUCKETS = 64
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_cols: list[str] | None = None) -> None:
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any supported scheme via the JVM gateway."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def write_table(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_cols: list[str] | None = None
+) -> None:
     w = df.write.mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -37,7 +60,24 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_col
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read a table directory; the internal bucket column stays hidden
+    from consumers."""
+    df = spark.read.parquet(path)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
+def _dedup_deterministic(batch: DataFrame, key: str) -> DataFrame:
+    """Keep exactly one row per key, chosen by a stable content hash —
+    same winner on every run/partitioning, unlike dropDuplicates."""
+    tiebreak = F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in batch.columns]), 256
+    )
+    w = Window.partitionBy(key).orderBy(tiebreak)
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def upsert(
@@ -45,36 +85,82 @@ def upsert(
     target_path: str,
     batch: DataFrame,
     key: str = "data_id",
-    partition_cols: list[str] | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> tuple[int, int]:
-    """MERGE-equivalent upsert into a parquet table directory.
+    """Incremental MERGE-equivalent upsert into a bucketed parquet
+    table. WHEN MATCHED → the batch row wins; WHEN NOT MATCHED →
+    insert. Returns (updated, inserted). Only the hash buckets present
+    in the batch are read, merged, and rewritten."""
+    batch = _dedup_deterministic(batch, key)
+    batch = batch.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+    )
 
-    WHEN MATCHED → the batch row wins (update); WHEN NOT MATCHED →
-    insert. Returns (updated, inserted). Batch must be unique on key —
-    enforced here (deterministic keep-first by key order) because an
-    ambiguous merge source is an error in every MERGE engine.
-    """
-    batch = batch.dropDuplicates([key])
-    if not os.path.exists(target_path):
+    if not path_exists(spark, target_path):
         n = batch.count()
-        write_table(batch, target_path, "overwrite", partition_cols)
+        write_table(batch, target_path, "overwrite", [BUCKET_COL])
         return (0, n)
 
-    current = read_table(spark, target_path)
-    # rows in current that are NOT being replaced
-    keep = current.join(batch.select(key), on=key, how="left_anti")
-    merged = keep.unionByName(batch.select(current.columns))
+    batch = batch.persist()
+    try:
+        all_current = spark.read.parquet(target_path)
+        if BUCKET_COL not in all_current.columns:
+            # Legacy flat layout (pre-bucketing): one-time upgrade —
+            # merge the full table and rewrite it bucketed.
+            row = (
+                batch.select(key)
+                .join(all_current.select(key, F.lit(1).alias("__hit")), key, "left")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
+                )
+                .collect()[0]
+            )
+            keep = all_current.join(batch.select(key), on=key, how="left_anti").withColumn(
+                BUCKET_COL,
+                F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
+            )
+            merged = keep.unionByName(batch.select(keep.columns)).localCheckpoint(eager=True)
+            write_table(merged, target_path, "overwrite", [BUCKET_COL])
+            updated = int(row["updated"] or 0)
+            return (updated, int(row["n"]) - updated)
 
-    updated = current.count() - keep.count()
-    inserted = batch.count() - updated
+        touched = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
+        current = all_current.filter(F.col(BUCKET_COL).isin(touched))
 
-    tmp = f"{target_path}.__tmp_{uuid.uuid4().hex[:8]}"
-    write_table(merged, tmp, "overwrite", partition_cols)
-    old = f"{target_path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    shutil.rmtree(old)
-    return (updated, inserted)
+        # one job for both counts: left-join batch keys to current keys
+        row = (
+            batch.select(key)
+            .join(current.select(key, F.lit(1).alias("__hit")), key, "left")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
+            )
+            .collect()[0]
+        )
+        updated = int(row["updated"] or 0)
+        inserted = int(row["n"]) - updated
+
+        keep = current.join(batch.select(key), on=key, how="left_anti")
+        merged = keep.unionByName(batch.select(keep.columns))
+
+        # Truncate lineage before overwriting the path we just read —
+        # Spark (correctly) refuses an overwrite whose plan still scans
+        # the target. Scoped to the touched buckets only; a
+        # transactional format (Delta MERGE) removes the need.
+        merged = merged.localCheckpoint(eager=True)
+
+        # dynamic overwrite: only partitions present in `merged`
+        # (exactly the touched buckets) are replaced.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return (updated, inserted)
+    finally:
+        batch.unpersist()
 
 
 def quarantine_split(df: DataFrame, valid_predicate) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,102 @@
+"""Bucketed incremental upsert: portability, determinism, and the
+only-touched-buckets-rewrite contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.io.writers import (
+    BUCKET_COL,
+    path_exists,
+    read_table,
+    upsert,
+)
+
+
+def bucket_files(path):
+    """{bucket_dir: {file: mtime_ns}} for every parquet part file."""
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith(f"{BUCKET_COL}="):
+            files = {}
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    files[f] = os.stat(os.path.join(path, d, f)).st_mtime_ns
+            out[d] = files
+    return out
+
+
+def test_upsert_counts_and_merge(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"])
+    assert upsert(spark, t, df1) == (0, 2)
+    df2 = spark.createDataFrame([("b", 20), ("c", 3)], ["data_id", "v"])
+    assert upsert(spark, t, df2) == (1, 1)  # b updated, c inserted
+    rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3}
+    # the internal bucket column never leaks to readers
+    assert BUCKET_COL not in read_table(spark, t).columns
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(200)], ["data_id", "v"])
+    upsert(spark, t, base, n_buckets=8)
+    before = bucket_files(t)
+    assert len(before) > 1  # data spread over several buckets
+
+    one = spark.createDataFrame([("k0", 999)], ["data_id", "v"])
+    upsert(spark, t, one, n_buckets=8)
+    after = bucket_files(t)
+
+    touched = [d for d in before if before[d] != after.get(d)]
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(touched) == 1  # exactly the bucket holding k0
+    assert len(untouched) == len(before) - 1  # every other bucket untouched
+    rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
+    assert rows["k0"] == 999 and rows["k1"] == 1 and len(rows) == 200
+
+
+def test_upsert_batch_dedup_is_deterministic(spark, tmp_path):
+    # two rows with the same key: the winner must be stable across runs
+    # and partitionings (row_number over a content hash, not
+    # dropDuplicates' arbitrary pick)
+    rows = [("k", "alpha"), ("k", "beta")]
+    winners = set()
+    for rep in range(3):
+        t = str(tmp_path / f"t{rep}")
+        df = spark.createDataFrame(rows, ["data_id", "v"]).repartition(rep + 1)
+        upsert(spark, t, df)
+        winners.add(read_table(spark, t).collect()[0].v)
+    assert len(winners) == 1
+
+
+def test_path_exists_via_hadoop_fs(spark, tmp_path):
+    assert not path_exists(spark, str(tmp_path / "nope"))
+    (tmp_path / "yes").mkdir()
+    assert path_exists(spark, str(tmp_path / "yes"))
+    # scheme-qualified local URI also works (portability smoke)
+    assert path_exists(spark, f"file://{tmp_path}/yes")
+
+
+def test_upsert_upgrades_legacy_flat_layout(spark, tmp_path):
+    # a table written before bucketing (flat parquet, no __bucket)
+    t = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"]).write.parquet(t)
+    df = spark.createDataFrame([("b", 20), ("c", 3)], ["data_id", "v"])
+    assert upsert(spark, t, df, n_buckets=8) == (1, 1)
+    rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3}
+    # upgraded in place to the bucketed layout
+    assert bucket_files(t)
+
+
+def test_upsert_idempotent_reingest(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"])
+    upsert(spark, t, df)
+    assert upsert(spark, t, df) == (2, 0)  # same batch: all updates
+    assert read_table(spark, t).count() == 2
