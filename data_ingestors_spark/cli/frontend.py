@@ -120,6 +120,7 @@ def resolve(raw: dict) -> ResolvedRun:
         dest_path=raw.get("dest"),
         extension=raw.get("extension", ""),
         lock_dir=spec.get("lock_dir"),
+        csv_options=dict(spec.get("csv_options") or {}),
     )
 
     warehouse = raw.get("warehouse", "warehouse")

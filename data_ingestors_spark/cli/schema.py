@@ -84,6 +84,17 @@ INGEST_V1 = {
                 "batch_size": {"type": "integer", "minimum": 1},
                 "ingestor_id": {"type": "string", "minLength": 1},
                 "lock_dir": {"type": "string", "minLength": 1},
+                "csv_options": {
+                    "type": "object",
+                    "additionalProperties": False,
+                    "properties": {
+                        "delimiter": {"type": "string", "minLength": 1, "maxLength": 1},
+                        "quotechar": {"type": "string", "minLength": 1, "maxLength": 1},
+                        "escapechar": {"type": "string", "maxLength": 1},
+                        "encoding": {"type": "string", "minLength": 1},
+                        "decimal": {"type": "string", "enum": [".", ","]},
+                    },
+                },
                 "api": {
                     "type": "object",
                     "additionalProperties": False,

@@ -54,6 +54,12 @@ def parse_decl(decl: str) -> tuple[str, list[int]]:
     return base, args
 
 
+def is_numeric_decl(decl: str) -> bool:
+    """True for INT/BIGINT/FLOAT/DOUBLE/DECIMAL declarations."""
+    base, _ = parse_decl(decl)
+    return base in _INT_TYPES or base == "BIGINT" or base in _FLOAT_TYPES or base in _DECIMAL_TYPES
+
+
 def bool_from_vocab(c: Column) -> Column:
     """Truthy/falsy vocabulary cast (wider than Spark's bool cast)."""
     lc = F.lower(F.trim(c.cast("string")))

@@ -60,6 +60,9 @@ class ResolvedConfig:
     ingestor_id: str = "spark-ingestor"
     batch_size: int = 4000
     tabular: bool = True
+    # CSV dialect overrides (delimiter/quotechar/escapechar/encoding/
+    # decimal) merged over io.readers.DEFAULT_CSV_OPTIONS.
+    csv_options: dict = field(default_factory=dict)
     # file-bearing categories (K5/T5/V17): source tree holding
     # images/ annotations/ masks/ texts/ sequences/, the destination
     # directory files are copied into, and the primary file extension.

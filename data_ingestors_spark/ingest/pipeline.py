@@ -66,7 +66,11 @@ class Ingestor:
             [T.StructField(name, T.StringType(), True) for name in self.config.schema]
         )
         if self.config.data_format == "csv":
-            return read_csv_source(self.spark, source, schema, tabular=self.config.tabular)
+            return read_csv_source(
+                self.spark, source, schema,
+                tabular=self.config.tabular,
+                options=self.config.csv_options,
+            )
         if self.config.data_format == "json":
             return read_json_source(self.spark, source, schema)
         if self.config.data_format == "parquet":
@@ -80,10 +84,15 @@ class Ingestor:
 
     def _augment(self, df: DataFrame) -> DataFrame:
         cfg = self.config
-        # label mapping + policy (T3)
+        # label mapping + policy (T3). `label` is deliberately not a
+        # reserved name: a source column called "label" with no
+        # explicit mapping IS the label (passthrough), matching the
+        # reference's map-onto-label allowance (database.py:203-215).
         if cfg.label_column and cfg.label_column in df.columns:
             lbl = F.col(cfg.label_column).cast("string")
             label = label_bucket_col(lbl).cast("string") if cfg.label_policy == "bucket" else lbl
+        elif "label" in df.columns:
+            label = F.col("label").cast("string")
         else:
             label = F.lit(None).cast("string")
         # data_id strategy (T4): deterministic UUID5-style hash of row
@@ -134,9 +143,34 @@ class Ingestor:
         cfg = self.config
         raw = self.read(source)
         raw = normalize_nulls(raw, columns=list(cfg.schema), tabular=cfg.tabular)
+        # i18n: decimal-comma locales (German Excel) — normalize
+        # "1,5" → "1.5" on declared-NUMERIC columns only, BEFORE the
+        # validation scan and the casts; strings are untouched
+        # (csv_options.decimal — reference #739 i18n battery).
+        if cfg.csv_options.get("decimal") == ",":
+            from data_ingestors_spark.functions.casts import is_numeric_decl
+            for name, decl in cfg.schema.items():
+                if name in raw.columns and is_numeric_decl(decl):
+                    c = F.col(name).cast("string")
+                    fixed = F.when(
+                        c.rlike(r"^\s*[+-]?[0-9]+,[0-9]+\s*$"),
+                        F.regexp_replace(c, ",", "."),
+                    ).otherwise(c)
+                    raw = raw.withColumn(name, fixed)
         raw.cache()
         try:
             total = raw.count()
+
+            # every declared column must exist in the source — a
+            # missing one is usually a delimiter/encoding mistake, so
+            # say that instead of an unresolved-column plan error.
+            missing_decl = [c for c in cfg.schema if c not in raw.columns]
+            if missing_decl:
+                raise ValueError(
+                    f"declared schema columns missing from source: {missing_decl}; "
+                    f"source columns: {raw.columns}. If the source is delimited "
+                    "differently, set spec.csv_options (delimiter/encoding)."
+                )
 
             # single-pass validation battery (replaces ≥6 source scans)
             result = validate_schema_single_pass(raw, cfg.schema)
@@ -151,13 +185,16 @@ class Ingestor:
             # T1 projection: schema columns + framework columns only —
             # source-only columns (label source etc.) drop here
             # (base.py:328-341 exclusion semantics).
-            keep = [c for c in cfg.schema if c in augmented.columns] + [
-                "label", "data_id", "data_intent", "ingestor_id", "status",
-                "created_at", "updated_at",
-            ] + [
-                c for c in ("filename", "extension", "annotation", "mask_id")
-                if c not in cfg.schema
-            ]
+            keep = list(
+                dict.fromkeys(  # ordered-unique: schema may declare "label" etc.
+                    [c for c in cfg.schema if c in augmented.columns]
+                    + [
+                        "label", "data_id", "data_intent", "ingestor_id", "status",
+                        "created_at", "updated_at",
+                        "filename", "extension", "annotation", "mask_id",
+                    ]
+                )
+            )
             augmented = augmented.select(keep)
 
             # skipped: mapped data_id missing/blank ⇒ row dropped

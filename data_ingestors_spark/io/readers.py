@@ -14,6 +14,8 @@ duplicate-header preflight that Spark would otherwise silently mangle.
 
 from __future__ import annotations
 
+import csv
+import io
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,6 +23,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_ingestors_spark.session import tune
+
+# Reference DEFAULT_CSV_OPTIONS (cli/conventions.py:83-88) minus
+# chunk_size (a pandas concern; Spark splits by bytes).
+DEFAULT_CSV_OPTIONS: dict[str, str] = {
+    "delimiter": ",",
+    "quotechar": '"',
+    "escapechar": "\\",
+    "encoding": "UTF-8",
+    # decimal="," turns on German-Excel decimal-comma normalization
+    # for declared-numeric columns (pipeline stage).
+    "decimal": ".",
+}
 
 TABLES = (
     "region",
@@ -65,14 +79,55 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
-def read_csv_header(spark: SparkSession, path: str) -> list[str]:
-    """Driver-side probe of the raw header line (first file split) —
-    also the duplicate-header fail-fast the reference has and Spark
-    silently papers over (csv_ingestor.py:399-420)."""
-    first_line = spark.read.text(path).limit(1).collect()
-    if not first_line:
+def utf8_preflight(path: str, encoding: str = "UTF-8", probe_bytes: int = 16 << 20) -> None:
+    """S5: decode-check the first bytes and fail with the byte offset
+    and a hex context window (reference base.py:458-480) instead of a
+    deep Spark task stack. Local paths only; remote stores rely on the
+    executor-side FAILFAST."""
+    if not os.path.isfile(path):
+        return
+    with open(path, "rb") as f:
+        blob = f.read(probe_bytes)
+    try:
+        blob.decode("utf-8-sig" if encoding.upper().replace("-", "") in ("UTF8", "UTF8SIG") else encoding)
+    except UnicodeDecodeError as e:
+        ctx = blob[max(0, e.start - 8): e.start + 8]
+        raise ValueError(
+            f"{path} is not valid {encoding}: byte 0x{blob[e.start]:02x} at "
+            f"offset {e.start} (context: {ctx!r}). If the file is Latin-1 or "
+            f"UTF-16, set spec.csv_options.encoding accordingly."
+        ) from e
+
+
+def read_csv_header(
+    spark: SparkSession, path: str, options: dict | None = None
+) -> list[str]:
+    """Driver-side probe of the raw header line — also the
+    duplicate-header fail-fast the reference has and Spark silently
+    papers over (csv_ingestor.py:399-420). Parses with csv.reader so
+    quoted delimiters inside a header name (``"P01033|TIMP1"``,
+    ``"a,b"``) survive, honoring the configured delimiter/quotechar."""
+    opts = {**DEFAULT_CSV_OPTIONS, **(options or {})}
+    enc = opts["encoding"]
+    read_enc = "utf-8-sig" if enc.upper().replace("-", "") == "UTF8" else enc
+    if os.path.isfile(path):
+        utf8_preflight(path, enc)
+        with open(path, encoding=read_enc, newline="") as f:
+            line = f.readline()
+    else:  # directory/glob/remote: probe via Spark (text is UTF-8)
+        first = spark.read.text(path).limit(1).collect()
+        line = first[0][0] if first else ""
+    if not line.strip():
         raise ValueError(f"empty source file: {path}")
-    names = [h.strip() for h in first_line[0][0].split(",")]
+    names = next(
+        csv.reader(
+            io.StringIO(line),
+            delimiter=opts["delimiter"],
+            quotechar=opts["quotechar"],
+            escapechar=opts["escapechar"] or None,
+        )
+    )
+    names = [h.strip() for h in names]
     dupes = sorted({n for n in names if names.count(n) > 1})
     if dupes:
         raise ValueError(f"duplicate column headers in {path}: {dupes}")
@@ -89,6 +144,7 @@ def read_csv_source(
     schema: T.StructType,
     tabular: bool = True,
     header: bool = True,
+    options: dict | None = None,
 ) -> DataFrame:
     """CSV manifest scan with the reference's semantics.
 
@@ -107,15 +163,20 @@ def read_csv_source(
     # The raw schema covers the FULL header (manifests legally carry
     # extra columns like the label source — projection happens later);
     # mismatched widths under FAILFAST stay a loud ragged-row error.
-    header_names = read_csv_header(spark, path)
+    opts = {**DEFAULT_CSV_OPTIONS, **(options or {})}
+    header_names = read_csv_header(spark, path, opts)
     raw_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in header_names])
-    return (
+    reader = (
         spark.read.schema(raw_schema)
         .option("header", header)
         .option("mode", "FAILFAST")
-        .option("encoding", "UTF-8")
-        .csv(path)
+        .option("encoding", opts["encoding"])
+        .option("sep", opts["delimiter"])
+        .option("quote", opts["quotechar"])
     )
+    if opts["escapechar"]:
+        reader = reader.option("escape", opts["escapechar"])
+    return reader.csv(path)
 
 
 def read_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
