@@ -65,6 +65,123 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+# open-session state carried between micro-batches, one per user:
+# (start_us, last_us, n_events, sum_value) — epoch microseconds so the
+# tuple is plain scalars (Arrow-safe), no timestamp objects in state.
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, s double"
+
+
+def stateful_sessions(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    an inactivity gap, written directly against the GroupState API via
+    ``applyInPandasWithState`` (the escape hatch for semantics
+    ``session_window`` can't express — here each closed session also
+    reports its END timestamp, and the state layout is explicit).
+
+    Semantics match q_session_window's gaps-and-islands oracle: a new
+    session starts when ``ts - prev_ts >= gap``. Sessions closed by a
+    later event emit immediately; each user's trailing open session
+    emits when the event-time watermark passes ``last_ts + gap``
+    (EventTimeTimeout — Spark runs a no-data micro-batch after the
+    watermark advances, so timeouts fire without new input).
+
+    Scale notes: state is one scalar tuple per ACTIVE user (bounded by
+    the timeout), grouped shuffle is by user_id only, and the handler
+    is Arrow-batched. Late rows beyond the watermark never reach the
+    handler (dropped by Spark, standard watermark semantics).
+    """
+    import pandas as pd  # noqa: F401 (handler returns pandas frames)
+
+    gap_us = _duration_us(gap)
+
+    def handle(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            state.remove()
+            yield _session_row(pd, user_id, start_us, last_us, n, s)
+            return
+
+        # merge the open session (if any) with this batch's events
+        ts_us, vals = [], []
+        for pdf in pdfs:
+            ts_us.append(pdf["ts"].astype("int64"))  # ns → see below
+            vals.append(pdf["value"])
+        ts = pd.concat(ts_us) // 1000  # ns → µs
+        vv = pd.concat(vals)
+        if ts.empty and not state.exists:
+            return
+        order = ts.sort_values().index
+        ts, vv = ts[order], vv[order]
+
+        if state.exists:
+            start_us, last_us, n, s = state.get
+        else:
+            start_us = last_us = None
+            n, s = 0, 0.0
+
+        out = []
+        for t, v in zip(ts.tolist(), vv.tolist()):
+            if last_us is not None and t - last_us >= gap_us:
+                out.append((user_id, start_us, last_us, n, s))
+                start_us, n, s = t, 0, 0.0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+            s += float(v)
+        state.update((start_us, last_us, n, s))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)  # ms
+        if out:
+            yield pd.concat([_session_row(pd, *row) for row in out])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handle,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _session_row(pd, user_id, start_us, last_us, n, s):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "sum_value": [s],
+        }
+    )
+
+
+def _duration_us(text: str) -> int:
+    """'30 minutes' → microseconds (CalendarInterval-style literals)."""
+    qty, unit = text.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+        "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult * 1_000_000
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming frame to completion against the memory sink;
     returns the materialized result as a batch DataFrame."""

@@ -159,3 +159,78 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     )
     n_pairs = ev.select("user_id", "event_type").distinct().count()
     assert out.count() == n_pairs
+
+
+def test_stateful_sessions_matches_batch_gaps_and_islands(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer == batch gaps-and-islands.
+
+    Non-final sessions (closed by a later event for the same user) must
+    all emit; each user's trailing session emits only if the event-time
+    watermark passed its timeout (last + gap), which with a 0-second
+    watermark delay means last + gap < global max ts."""
+    from data_ingestors_spark.queries.base import tables
+    from data_ingestors_spark.streaming import (
+        stream_events,
+        stateful_sessions,
+        run_stream_to_memory,
+    )
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir, "events")["events"]
+    src = str(tmp_path / "events_sessions")
+    ev.write.parquet(src)
+
+    out = run_stream_to_memory(
+        stateful_sessions(stream_events(spark, src), gap="30 minutes"),
+        "sessions_out",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in out.collect()
+    }
+
+    # batch oracle: gaps-and-islands sessions with the same >= gap rule
+    gap_s = 30 * 60
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts").cast("long") - F.col("prev").cast("long") >= gap_s),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    rows = sess.collect()
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_end > cur.session_end:
+            last_per_user[r.user_id] = r
+
+    def key(r):
+        return (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+
+    import datetime as _dt
+
+    expected = set()
+    for r in rows:
+        is_final = last_per_user[r.user_id] is r
+        closes = r.session_end + _dt.timedelta(seconds=gap_s) < max_ts
+        if not is_final or closes:
+            expected.add(key(r))
+    assert got == expected, (
+        f"stateful sessions diverge: {len(got)} emitted vs {len(expected)} expected; "
+        f"missing={list(expected - got)[:3]} extra={list(got - expected)[:3]}"
+    )
