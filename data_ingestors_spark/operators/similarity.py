@@ -22,6 +22,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingestors_spark.functions.rounding import fround
 
@@ -171,5 +172,187 @@ def lsh_ann_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def _pround(x: "np.ndarray", nd: int) -> "np.ndarray":
+    """numpy twin of functions.rounding.fround — identical IEEE ops
+    (floor(x*10^n + 0.5)/10^n) so scores hash-match the JVM/DuckDB path."""
+    p = float(10**nd)
+    return np.floor(x * p + 0.5) / p
+
+
+def cosine_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow-batched numpy scorer — the throughput
+    path for the same contract as ``cosine_topk_bruteforce``.
+
+    The query set is collected to the driver (small by contract — this
+    operator is the "few queries × huge corpus" shape) and closed over
+    as a normalized float64 matrix; each corpus Arrow batch computes
+    one GEMM ``C @ Q.T`` instead of interpreted per-element HOF folds,
+    then keeps only the batch-local top-k per query, so the shuffle
+    into the global top-k window carries ≤ k·n_batches·n_queries rows
+    — never the corpus.
+
+    Scores are rounded with the same portable floor-rounding as the
+    JVM path before ranking, and results are bit-identical to
+    ``cosine_topk_bruteforce`` (asserted in tests): float64 dot-product
+    reassociation differences vanish at 6 dp.
+    """
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("cosine_topk_numpy: empty query set")
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.q_vec for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = _pround(Cn @ Qn.T, 6)  # (batch, n_queries)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_ids, cand = ids[mask], col[mask]
+                if cand.size == 0:
+                    continue
+                # batch-local top-k with the global tie-break
+                order = np.lexsort((cand_ids, -cand))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "cos_sim": cand[order],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def _kmeans(X: "np.ndarray", n_cells: int, *, iters: int = 10, seed: int = 42) -> "np.ndarray":
+    """Small deterministic Lloyd's k-means on a driver-side sample —
+    the coarse quantizer for the IVF index. Empty cells re-seed to the
+    farthest points so every centroid stays live."""
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                cents[c] = X[d.min(axis=1).argmax()]
+    return cents
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    → corpus partitioned into cells → queries probe only the
+    ``n_probe`` nearest cells → exact re-rank of the candidates.
+
+    The scale path complementing ``lsh_ann_topk``: train on a bounded
+    driver-side sample (deterministic), broadcast the centroid matrix
+    in the Arrow UDF closure, assign each corpus vector ONCE (a
+    projection, no shuffle), then candidates come from an equi-join on
+    ``cell`` — cost scales with n_probe/n_cells of the corpus, never
+    all-pairs. Recall vs the exact path is asserted in tests.
+    """
+    sample = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = _kmeans(Xn, n_cells, seed=seed)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign_cell(s):
+        import pandas as pd
+
+        V = np.array(list(s), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series((Vn @ cents.T).argmax(axis=1).astype(np.int32))
+
+    def probe_cells(s):
+        import pandas as pd
+
+        V = np.array(list(s), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    assign_udf = F.pandas_udf(assign_cell, "int")
+    probe_udf = F.pandas_udf(probe_cells, "array<int>")
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign_udf(F.col(vec_col)).alias("cell"),
+    )
+    q_probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        c_assigned.join(F.broadcast(q_probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
     )

@@ -130,6 +130,22 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, _queries_subset(emb), k=5, n_tables=8, n_planes=6, dim=64)
 
 
+def q_embedding_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy GEMM scorer — same exact contract (and the
+    same oracle) as embedding_topk; this is the throughput path."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.cosine_topk_numpy(emb, _queries_subset(emb), k=5)
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse cells + n_probe search
+    (rows-only; recall vs brute force asserted in tests)."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.ivf_ann_topk(emb, _queries_subset(emb), k=5, n_cells=16, n_probe=4)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label block."""
     t = tables(spark, sf_dir, "embeddings")
@@ -243,7 +259,9 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_fast": q_embedding_topk_fast,
     "embedding_ann": q_embedding_ann,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -256,6 +274,8 @@ ORACLES = {
     "dedup_normalized": O_DEDUP_NORMALIZED,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "embedding_topk": O_EMBEDDING_TOPK,
+    # same exact semantics, same oracle — the fast path must match it
+    "embedding_topk_fast": O_EMBEDDING_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "text_stats": O_TEXT_STATS,
     "language_id": O_LANGUAGE_ID,

@@ -234,3 +234,30 @@ def test_stateful_sessions_matches_batch_gaps_and_islands(spark, sf_dir, tmp_pat
         f"stateful sessions diverge: {len(got)} emitted vs {len(expected)} expected; "
         f"missing={list(expected - got)[:3]} extra={list(got - expected)[:3]}"
     )
+
+
+def test_cosine_numpy_matches_bruteforce_exactly(spark, sf_dir):
+    """The GEMM fast path must be bit-identical to the HOF baseline
+    after portable 6-dp rounding — same rows, same scores, same ranks."""
+    from data_ingestors_spark.operators import cosine_topk_bruteforce, cosine_topk_numpy
+    from data_ingestors_spark.queries.base import tables
+
+    emb = tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {tuple(r) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    fast = {tuple(r) for r in cosine_topk_numpy(emb, q, k=5).collect()}
+    assert fast == exact
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    from data_ingestors_spark.operators import cosine_topk_bruteforce, ivf_ann_topk
+    from data_ingestors_spark.queries.base import tables
+
+    emb = tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, q, k=5)
+    approx = ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
