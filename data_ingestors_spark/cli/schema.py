@@ -89,6 +89,7 @@ INGEST_V1 = {
                     "additionalProperties": False,
                     "properties": {
                         "delimiter": {"type": "string", "minLength": 1, "maxLength": 1},
+                        "sep": {"type": "string", "minLength": 1, "maxLength": 1},
                         "quotechar": {"type": "string", "minLength": 1, "maxLength": 1},
                         "escapechar": {"type": "string", "maxLength": 1},
                         "encoding": {"type": "string", "minLength": 1},

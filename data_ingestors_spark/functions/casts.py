@@ -107,9 +107,17 @@ def cast_for_decl(c: Column, decl: str) -> Column:
     if base in ("DATETIME", "TIMESTAMP"):
         return c.cast("string").try_cast("timestamp")
     if base == "TIME":
-        # Canonical HH:mm:ss string (SURVEY §7: no TimeType).
-        t = F.try_to_timestamp(F.concat(F.lit("1970-01-01 "), F.trim(c.cast("string"))))
-        return F.date_format(t, "HH:mm:ss")
+        # Canonical HH:mm:ss string (SURVEY §7: no TimeType); the
+        # source's fractional-second digits are re-appended verbatim
+        # (the reference keeps the whole string verbatim, base.py TIME
+        # passthrough) — date_format alone would truncate them.
+        s = F.trim(c.cast("string"))
+        t = F.try_to_timestamp(F.concat(F.lit("1970-01-01 "), s))
+        whole = F.date_format(t, "HH:mm:ss")
+        frac = F.regexp_extract(s, r"\.([0-9]+)\s*$", 1)
+        return F.when(t.isNull(), F.lit(None).cast("string")).when(
+            frac != "", F.concat(whole, F.lit("."), frac)
+        ).otherwise(whole)
     if base in _STR_TYPES:
         return c.cast("string")
     if base in _BIN_TYPES:

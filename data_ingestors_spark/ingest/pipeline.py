@@ -152,10 +152,23 @@ class Ingestor:
             for name, decl in cfg.schema.items():
                 if name in raw.columns and is_numeric_decl(decl):
                     c = F.col(name).cast("string")
-                    fixed = F.when(
-                        c.rlike(r"^\s*[+-]?[0-9]+,[0-9]+\s*$"),
-                        F.regexp_replace(c, ",", "."),
-                    ).otherwise(c)
+                    # "1.234,5" / "1.234.567": in a decimal-comma
+                    # locale a dot can only be a thousands separator,
+                    # so strip the dots, then comma → decimal point.
+                    thou = c.rlike(r"^\s*[+-]?[0-9]{1,3}(\.[0-9]{3})+(,[0-9]+)?\s*$")
+                    fixed = (
+                        F.when(
+                            thou,
+                            F.regexp_replace(
+                                F.regexp_replace(c, r"\.", ""), ",", "."
+                            ),
+                        )
+                        .when(
+                            c.rlike(r"^\s*[+-]?[0-9]+,[0-9]+\s*$"),
+                            F.regexp_replace(c, ",", "."),
+                        )
+                        .otherwise(c)
+                    )
                     raw = raw.withColumn(name, fixed)
         raw.cache()
         try:

@@ -55,6 +55,16 @@ TABLES = (
 TABULAR_NA_VALUES = ("", "NA", "NULL", "None")
 
 
+def merge_csv_options(options: dict | None) -> dict:
+    """Merge user csv_options over the defaults; ``sep`` is accepted
+    as a pandas-style alias for ``delimiter`` (the reference's
+    csv_options pass straight into pandas.read_csv, which takes both)."""
+    opts = {**DEFAULT_CSV_OPTIONS, **(options or {})}
+    if "sep" in opts:
+        opts["delimiter"] = opts.pop("sep")
+    return opts
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one benchmark table; asserts UTC timestamp semantics.
 
@@ -107,7 +117,7 @@ def read_csv_header(
     papers over (csv_ingestor.py:399-420). Parses with csv.reader so
     quoted delimiters inside a header name (``"P01033|TIMP1"``,
     ``"a,b"``) survive, honoring the configured delimiter/quotechar."""
-    opts = {**DEFAULT_CSV_OPTIONS, **(options or {})}
+    opts = merge_csv_options(options)
     enc = opts["encoding"]
     read_enc = "utf-8-sig" if enc.upper().replace("-", "") == "UTF8" else enc
     if os.path.isfile(path):
@@ -163,7 +173,7 @@ def read_csv_source(
     # The raw schema covers the FULL header (manifests legally carry
     # extra columns like the label source — projection happens later);
     # mismatched widths under FAILFAST stay a loud ragged-row error.
-    opts = {**DEFAULT_CSV_OPTIONS, **(options or {})}
+    opts = merge_csv_options(options)
     header_names = read_csv_header(spark, path, opts)
     raw_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in header_names])
     reader = (

@@ -238,29 +238,33 @@ def test_special_char_headers_ingest(spark, tmp_path):
     assert table_rows(spark, t)[0][hdr] == 1.5
 
 
-# --- known gaps (strict xfail checklist) --------------------------------
+# --- i18n edge cases (formerly the strict-xfail gap checklist) ----------
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="TIME values with fractional seconds are truncated to whole "
-    "seconds by the HH:mm:ss canonical form (reference keeps the string "
-    "verbatim); fix = widen the canonical format when fractions present",
-)
 def test_time_fractional_seconds_preserved(spark, tmp_path):
     s, t = run_csv(spark, tmp_path, "t\n13:05:00.123\n", {"t": "TIME"}, name="timef")
     assert table_rows(spark, t)[0].t == "13:05:00.123"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="decimal-comma normalization does not handle thousands "
-    "separators ('1.234,5'); such values fail validation instead of "
-    "parsing as 1234.5",
-)
+def test_time_whole_seconds_still_canonical(spark, tmp_path):
+    s, t = run_csv(spark, tmp_path, "t\n9:05:00\n", {"t": "TIME"}, name="timew")
+    assert table_rows(spark, t)[0].t == "09:05:00"
+
+
 def test_german_thousands_separator(spark, tmp_path):
+    # German Excel pairs the ';' field separator with decimal comma —
+    # with ',' as the field delimiter "1.234,5" is genuinely two fields
     s, t = run_csv(
-        spark, tmp_path, "x\n1.234,5\n", {"x": "DOUBLE"}, name="thou",
-        csv_options={"decimal": ","},
+        spark, tmp_path, "x;y\n1.234,5;ok\n",
+        {"x": "DOUBLE", "y": "VARCHAR(5)"}, name="thou",
+        csv_options={"sep": ";", "decimal": ","},
     )
     assert table_rows(spark, t)[0].x == 1234.5
+
+
+def test_german_thousands_separator_no_decimal_part(spark, tmp_path):
+    s, t = run_csv(
+        spark, tmp_path, "x\n1.234.567\n", {"x": "DOUBLE"}, name="thou2",
+        csv_options={"decimal": ","},
+    )
+    assert table_rows(spark, t)[0].x == 1234567.0
