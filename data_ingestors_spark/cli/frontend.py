@@ -121,6 +121,9 @@ def resolve(raw: dict) -> ResolvedRun:
         extension=raw.get("extension", ""),
         lock_dir=spec.get("lock_dir"),
         csv_options=dict(spec.get("csv_options") or {}),
+        target_size=tuple(raw["target_size"]) if raw.get("target_size") else None,
+        number_of_keypoints=raw.get("number_of_keypoints"),
+        time_column=raw.get("time_column"),
     )
 
     warehouse = raw.get("warehouse", "warehouse")

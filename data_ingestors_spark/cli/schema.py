@@ -75,6 +75,15 @@ INGEST_V1 = {
         "src": {"type": "string", "minLength": 1},
         "dest": {"type": "string", "minLength": 1},
         "extension": {"type": "string", "pattern": r"^\.[A-Za-z0-9]+$"},
+        # category-battery parameters (reference config surface)
+        "target_size": {
+            "type": "array",
+            "items": {"type": "integer", "minimum": 1},
+            "minItems": 2,
+            "maxItems": 2,
+        },
+        "number_of_keypoints": {"type": "integer", "minimum": 1},
+        "time_column": {"type": "string", "minLength": 1},
         # where the table lands (parquet layout); default warehouse/<table>
         "warehouse": {"type": "string", "minLength": 1},
         "spec": {
@@ -127,6 +136,7 @@ INGEST_V1 = {
                             "object_detection",
                             "keypoint_detection",
                             "semantic_segmentation",
+                            "instance_segmentation",
                             "text_classification",
                             "token_classification",
                             "masked_language_modeling",

@@ -72,6 +72,13 @@ class ResolvedConfig:
     # V18: directory for the advisory per-table lock (defaults to the
     # parent of dest_path when unset; None + no dest_path = no lock).
     lock_dir: str | None = None
+    # category-battery parameters (validators/mapping.py ctx):
+    # expected image WxH (auto-detected from the first image when
+    # unset), keypoint count per annotation, and the time column for
+    # the time-series / time-to-event batteries.
+    target_size: tuple[int, int] | None = None
+    number_of_keypoints: int | None = None
+    time_column: str | None = None
 
     def validate(self) -> None:
         """Fail-fast plan guards — same error classes as the reference

@@ -78,6 +78,11 @@ CATEGORY_FILES: dict[str, tuple[FileRequirement, ...]] = {
         FileRequirement("image", "images"),
         FileRequirement("mask", "masks", ext_mode="probe", name_col="mask_id"),
     ),
+    # mirrors semantic: no reference template exists (conventions.py:111)
+    "instance_segmentation": (
+        FileRequirement("image", "images"),
+        FileRequirement("mask", "masks", ext_mode="probe", name_col="mask_id"),
+    ),
     "text_classification": (FileRequirement("text", "texts"),),
     "token_classification": (FileRequirement("text", "texts"),),
     "masked_language_modeling": (FileRequirement("text", "sequences"),),

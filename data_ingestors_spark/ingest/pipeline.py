@@ -37,7 +37,7 @@ from data_ingestors_spark.ingest.lock import TableLock
 from data_ingestors_spark.ingest.summary import IngestionSummary
 from data_ingestors_spark.io.readers import read_csv_source, read_json_source
 from data_ingestors_spark.io.writers import upsert
-from data_ingestors_spark.validators.rules import validate_schema_single_pass
+from data_ingestors_spark.validators.mapping import run_battery
 
 
 class Ingestor:
@@ -185,8 +185,25 @@ class Ingestor:
                     "differently, set spec.csv_options (delimiter/encoding)."
                 )
 
-            # single-pass validation battery (replaces ≥6 source scans)
-            result = validate_schema_single_pass(raw, cfg.schema)
+            # per-category validator battery (validators/mapping.py —
+            # the reference's validators_mapping matrix). Tabular
+            # batteries fold into ONE aggregation pass over the cached
+            # source; file-bearing categories add the distributed
+            # file/annotation checks before any copy happens.
+            result = run_battery(
+                self.spark,
+                cfg.category,
+                {
+                    "config": cfg,
+                    "df": raw,
+                    "src_path": cfg.src_path,
+                    "dest_path": cfg.dest_path,
+                    "target_size": cfg.target_size,
+                    "n_keypoints": cfg.number_of_keypoints,
+                    "ts_col": cfg.time_column or "timestamp",
+                    "time_col": cfg.time_column or "time",
+                },
+            )
             if not result.is_valid:
                 raise ValueError("validation failed:\n  " + "\n  ".join(result.errors))
 

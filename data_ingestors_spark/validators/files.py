@@ -203,6 +203,13 @@ def validate_image_resolution(
         if target_size is None:
             first = dims.filter(F.col("error").isNull()).orderBy("path").limit(1).collect()
             if not first:
+                nodec = dims.filter(
+                    ~F.col("error").startswith("no image decoder")
+                ).limit(1).collect()
+                if dims.limit(1).collect() and not nodec:
+                    return ValidationResult(True, warnings=[
+                        "resolution check skipped: no image decoder available"
+                    ])
                 return ValidationResult(False, errors=["no decodable images found"])
             target_size = (first[0].width, first[0].height)
         w, h = int(target_size[0]), int(target_size[1])
@@ -210,19 +217,32 @@ def validate_image_resolution(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
             F.sum(
+                F.when(F.col("error").startswith("no image decoder"), 1).otherwise(0)
+            ).alias("n_nodec"),
+            F.sum(
                 F.when(
                     F.col("error").isNull() & ((F.col("width") != w) | (F.col("height") != h)), 1
                 ).otherwise(0)
             ).alias("n_wrong"),
             F.slice(F.array_sort(F.collect_set(F.when(F.col("error").isNotNull(), F.col("path")))), 1, 5).alias("err_samples"),
         ).collect()[0]
-        errors = []
+        errors, warnings = [], []
         if row.n_err:
-            errors.append(f"{row.n_err} undecodable image(s): {list(row.err_samples)}")
+            if row.n_nodec == row.n_err:
+                # honest stub boundary: every "failure" is the absent
+                # codec, not bad data — resolution check degrades to a
+                # warning instead of blocking ingestion of real images.
+                warnings.append(
+                    f"resolution check skipped for {row.n_err} image(s): "
+                    "no image decoder available (PIL not installed)"
+                )
+            else:
+                errors.append(f"{row.n_err} undecodable image(s): {list(row.err_samples)}")
         if row.n_wrong:
             errors.append(f"{row.n_wrong} image(s) not {w}x{h}")
         return ValidationResult(
-            not errors, errors=errors, metadata={"n_images": row.n, "expected": [w, h]}
+            not errors, errors=errors, warnings=warnings,
+            metadata={"n_images": row.n, "expected": [w, h]},
         )
     finally:
         dims.unpersist()

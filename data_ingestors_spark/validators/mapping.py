@@ -159,11 +159,18 @@ def _tte(spark, ctx):
     )
 
 
+_SEGMENTATION = [
+    _files("images", "jpg"),
+    _files("masks", "png"),
+    _pairing("images", "masks", suffix="_mask"),
+    _resolution(),
+]
+
 CATEGORY_VALIDATORS: dict[str, list[Validator]] = {
     "tabular_classification": [v_columns],
     "tabular_regression": [v_columns],
-    "time_series": [_ts_checks],
-    "time_to_event": [_tte],
+    "time_series_forecasting": [_ts_checks, v_columns_minus_ts],
+    "time_to_event_prediction": [_tte],
     "image_classification": [_files("images", "jpg"), _resolution()],
     "object_detection": [
         _files("images", "jpg"),
@@ -172,28 +179,40 @@ CATEGORY_VALIDATORS: dict[str, list[Validator]] = {
         _pairing("images", "annotations"),
         _resolution(),
     ],
-    "semantic_segmentation": [
-        _files("images", "jpg"),
-        _files("masks", "png"),
-        _pairing("images", "masks", suffix="_mask"),
-        _resolution(),
-    ],
+    "semantic_segmentation": _SEGMENTATION,
+    # no reference template exists for instance segmentation; it
+    # mirrors semantic (conventions.py:111)
+    "instance_segmentation": _SEGMENTATION,
     "keypoint_detection": [_files("images", "jpg"), _resolution(), _keypoints],
     "text_classification": [_files("texts", "txt"), _tokenizer(mandatory=False)],
     "token_classification": [_files("texts", "txt"), _bio, _tokenizer(mandatory=False)],
-    "mlm": [_files("sequences", "txt"), _tokenizer(mandatory=True)],
+    "masked_language_modeling": [_files("sequences", "txt"), _tokenizer(mandatory=True)],
 }
 
+# Categories whose battery already includes the full column battery —
+# for the rest, a declared schema still gets the single-pass check.
+_COLUMN_COVERED = frozenset(
+    {
+        "tabular_classification",
+        "tabular_regression",
+        "time_series_forecasting",
+        "time_to_event_prediction",
+    }
+)
 
-def validators_for(category: str) -> list[Validator]:
+
+def validators_for(category: str, *, has_schema: bool = False) -> list[Validator]:
     """Battery for a category; every category ends with the common
     table-name + destination checks (validators_mapping.py pattern)."""
-    specific = CATEGORY_VALIDATORS.get(category, [])
+    specific = list(CATEGORY_VALIDATORS.get(category, []))
+    if has_schema and category not in _COLUMN_COVERED:
+        specific.append(v_columns)
     return [*specific, v_table_name, v_destination_duplicate]
 
 
 def run_battery(spark: SparkSession, category: str, ctx: dict[str, Any]) -> ValidationResult:
+    has_schema = bool(ctx.get("config") and ctx["config"].schema)
     out = ValidationResult(True)
-    for v in validators_for(category):
+    for v in validators_for(category, has_schema=has_schema):
         out = out.merge(v(spark, ctx))
     return out
