@@ -48,14 +48,36 @@ from data_ingestors_spark.validators.timeseries import (
 
 TABLE_NAME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_]*$")
 
-# abbreviated reserved-keyword warn list (table_name_validator.py:44-281)
+# Reserved-keyword warn list (table_name_validator.py:44-281 keeps
+# ~120 entries). This is the MySQL 8 / ANSI reserved-word union —
+# public knowledge, independently assembled.
 SQL_KEYWORDS = frozenset(
-    """add all alter and as asc between by case check column create cross
-    current_date current_time database default delete desc distinct drop
-    else exists foreign from group having in index inner insert into is
-    join key left like limit not null on or order outer primary references
-    right select set table then to trigger union unique update values
-    view where with""".split()
+    """accessible add all alter analyze and as asc asensitive before
+    between bigint binary blob both by call cascade case change char
+    character check collate column condition constraint continue convert
+    create cross cube cume_dist current_date current_time
+    current_timestamp current_user cursor database databases date day
+    dayofmonth dec decimal declare default delayed delete dense_rank desc
+    describe deterministic distinct distinctrow div double drop dual each
+    else elseif enclosed escaped except exists exit explain false fetch
+    first_value float for force foreign from fulltext function generated
+    get grant group grouping groups having high_priority hour if ignore
+    in index infile inner inout insensitive insert int integer interval
+    into is iterate join json_table key keys kill lag last_value lateral
+    lead leading leave left like limit linear lines load localtime
+    localtimestamp lock long loop low_priority match maxvalue mediumint
+    merge minute mod modifies natural not null nullif numeric ntile of on
+    optimize option optionally or order out outer outfile over partition
+    percent_rank precision primary procedure purge range rank read reads
+    real recursive references regexp release rename repeat replace
+    require resignal restrict return revoke right rlike row row_number
+    rows schema schemas second select sensitive separator set show
+    signal smallint spatial specific sql sqlexception sqlstate sqlwarning
+    ssl starting stored straight_join system table terminated then
+    tinyint to trailing trigger true undo union unique unlock unsigned
+    update usage use using utc_date utc_time utc_timestamp values
+    varbinary varchar varying virtual when where while window with
+    write xor year year_month zerofill""".split()
 )
 
 Validator = Callable[[SparkSession, dict[str, Any]], ValidationResult]
