@@ -1,0 +1,111 @@
+"""Physical-plan audits: the properties that make the engine survive a
+100× scale-up, asserted against `.explain` output rather than taken on
+faith (SURVEY.md §4).
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the read schema (ReadSchema),
+- small dimensions broadcast (no shuffle of the fact side's join key),
+- aggregates combine map-side (partial HashAggregate before the
+  exchange),
+- expressions stay inside WholeStageCodegen,
+- nothing degenerates into a CartesianProduct except the deliberate
+  limited cross join.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from data_ingestors_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_filter_pushed_to_parquet_scan(spark, queries):
+    plan = plan_of(queries["filter_project_case"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not just the bare brackets
+    assert "PushedFilters: []" not in plan.replace("PushedFilters: [],", "")
+
+
+def test_projection_prunes_read_schema(spark, queries):
+    plan = plan_of(queries["filter_project_case"](spark, SF_DIR))
+    scan = plan[plan.index("ReadSchema"):]
+    line = scan.splitlines()[0]
+    # the query touches a handful of lineitem columns; the 16-column
+    # l_comment/l_shipinstruct tail must not be read
+    assert "l_comment" not in line and "l_shipinstruct" not in line
+
+
+def test_small_dim_broadcasts(spark, queries):
+    plan = plan_of(queries["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_exchange(spark, queries):
+    plan = plan_of(queries["pricing_summary"](spark, SF_DIR), "simple")
+    # partial + final HashAggregate pair around one exchange:
+    # map-side combine is what keeps a 100 TB groupBy's shuffle small
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_everywhere_hot(spark, queries):
+    for name in ("pricing_summary", "filter_project_case", "math_funcs"):
+        # AQE compiles codegen stages lazily: execute first, then read
+        # the final plan — `*(n)` stars mark codegen'd stages
+        df = queries[name](spark, SF_DIR)
+        df.collect()  # count() would finalize a *different* QueryExecution
+        plan = plan_of(df, "simple")
+        assert "isFinalPlan=true" in plan, name
+        assert "*(1)" in plan, f"{name}: no WholeStageCodegen stage in final plan"
+
+
+def test_no_accidental_cartesian(spark, queries):
+    # every headline query except the deliberately-limited cross join
+    for name in (
+        "pricing_summary", "revenue_by_nation", "customer_order_counts",
+        "range_join", "topk_per_group", "running_sum", "asof_join",
+        "dedup_exact", "embedding_topk",
+    ):
+        plan = plan_of(queries[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_is_single_shuffle(spark, queries):
+    # union+window asof: one exchange for the window sort, not a
+    # per-row range probe (operators/asof.py)
+    plan = plan_of(queries["asof_join"](spark, SF_DIR), "simple")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_per_group_no_global_sort(spark, queries):
+    # rank-within-partition then filter: a global TopK must not
+    # materialize a full global sort of the fact table
+    plan = plan_of(queries["topk_per_group"](spark, SF_DIR), "simple")
+    assert "Window" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, queries):
+    plan = plan_of(queries["dedup_exact"](spark, SF_DIR), "simple")
+    # one hash-partition exchange on the dedup key — no sort-merge of
+    # the whole table, no cartesian
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
