@@ -73,7 +73,8 @@ def test_whole_stage_codegen_everywhere_hot(spark, queries):
         df = queries[name](spark, SF_DIR)
         df.collect()  # count() would finalize a *different* QueryExecution
         plan = plan_of(df, "simple")
-        assert "isFinalPlan=true" in plan, name
+        if "AdaptiveSparkPlan" in plan:  # shuffle-free plans skip AQE
+            assert "isFinalPlan=true" in plan, name
         assert "*(1)" in plan, f"{name}: no WholeStageCodegen stage in final plan"
 
 
