@@ -20,9 +20,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestors_spark.queries import relational, windows, text_llm, events, ingestion, extras
+from data_ingestors_spark.queries import (
+    relational,
+    windows,
+    text_llm,
+    events,
+    ingestion,
+    extras,
+    advanced,
+)
 
-_MODULES = (relational, windows, text_llm, events, ingestion, extras)
+_MODULES = (relational, windows, text_llm, events, ingestion, extras, advanced)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
