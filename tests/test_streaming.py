@@ -1,0 +1,121 @@
+"""Structured Streaming operational guarantees: exactly-once delivery
+to a file sink across a restart (checkpoint recovery), and late-data
+drop beyond the watermark. The transformation logic itself is covered
+by tests/test_operators.py; these tests cover the *runtime* contract a
+production pipeline leans on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.streaming import stream_events, windowed_counts_stream
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _ev(i, hour, etype="view", minute=0):
+    return (
+        i,
+        dt.datetime(2024, 1, 1, hour, minute),
+        100 + i % 3,
+        etype,
+        float(i),
+        "{}",
+    )
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(spark, src, [_ev(i, hour=i % 4) for i in range(20)])
+
+    def start():
+        return (
+            stream_events(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(120)
+
+    # restart from the same checkpoint with more input: previously
+    # committed files must not be re-emitted, new ones must land once
+    _write_events(spark, src, [_ev(100 + i, hour=5) for i in range(5)])
+    q2 = start()
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 25
+    assert out.select("event_id").distinct().count() == 25
+
+
+def test_restart_without_new_data_emits_nothing(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [_ev(i, hour=1) for i in range(10)])
+
+    for _ in range(2):  # second run replays the checkpoint, adds nothing
+        q = (
+            stream_events(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert spark.read.parquet(sink).count() == 10
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: one event in each of hours 0,1,2 plus an hour-12 event
+    # that advances the watermark to 10:00 — finalizing those windows
+    _write_events(
+        spark, src, [_ev(0, 0), _ev(1, 1), _ev(2, 2), _ev(3, 12)]
+    )
+    agg = windowed_counts_stream(
+        stream_events(spark, src), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event re-targeting the finalized hour-0 window
+        # (late by 12h against a 2h watermark) + a fresh hour-15 event
+        _write_events(spark, src, [_ev(10, 0), _ev(11, 15)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.w_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    h0 = (dt.datetime(2024, 1, 1, 0, 0), "view")
+    # the late event must NOT have re-opened or double-emitted hour 0
+    assert rows[h0] == 1
+    # the hour-12 window finalized once the watermark passed it
+    assert rows[(dt.datetime(2024, 1, 1, 12, 0), "view")] == 1
+    # no duplicate emission of any finalized window
+    all_rows = spark.sql("SELECT w_start, event_type, count(*) c FROM late_drop GROUP BY 1,2 HAVING count(*) > 1").collect()
+    assert all_rows == []
