@@ -124,6 +124,7 @@ def resolve(raw: dict) -> ResolvedRun:
         target_size=tuple(raw["target_size"]) if raw.get("target_size") else None,
         number_of_keypoints=raw.get("number_of_keypoints"),
         time_column=raw.get("time_column"),
+        processors=tuple(spec.get("processors") or ()),
     )
 
     warehouse = raw.get("warehouse", "warehouse")

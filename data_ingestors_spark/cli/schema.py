@@ -93,6 +93,25 @@ INGEST_V1 = {
                 "batch_size": {"type": "integer", "minimum": 1},
                 "ingestor_id": {"type": "string", "minLength": 1},
                 "lock_dir": {"type": "string", "minLength": 1},
+                # T8: declared processors, applied in order (unlike the
+                # reference, which accepts-but-skips them)
+                "processors": {
+                    "type": "array",
+                    "items": {
+                        "oneOf": [
+                            {"type": "string", "minLength": 1},
+                            {
+                                "type": "object",
+                                "additionalProperties": False,
+                                "required": ["function"],
+                                "properties": {
+                                    "function": {"type": "string", "minLength": 1},
+                                    "args": {"type": "object"},
+                                },
+                            },
+                        ]
+                    },
+                },
                 "csv_options": {
                     "type": "object",
                     "additionalProperties": False,

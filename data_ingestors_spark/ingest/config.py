@@ -79,6 +79,10 @@ class ResolvedConfig:
     target_size: tuple[int, int] | None = None
     number_of_keypoints: int | None = None
     time_column: str | None = None
+    # T8 declared processors (ingest/processors.py): tuple of
+    # "pkg.mod:fn" strings or {"function":..., "args":{...}} dicts,
+    # applied in order after type conformance.
+    processors: tuple = ()
 
     def validate(self) -> None:
         """Fail-fast plan guards — same error classes as the reference

@@ -211,6 +211,12 @@ class Ingestor:
             for name, decl in cfg.schema.items():
                 conformed = conformed.withColumn(name, cast_for_decl(F.col(name), decl))
             conformed = self.transform(conformed)
+            if cfg.processors:
+                # T8 declared processors — resolved fail-loud before
+                # any is applied (ingest/processors.py)
+                from data_ingestors_spark.ingest.processors import apply_processors
+
+                conformed = apply_processors(conformed, cfg.processors)
             augmented = self._augment(conformed)
             # T1 projection: schema columns + framework columns only —
             # source-only columns (label source etc.) drop here
