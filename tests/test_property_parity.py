@@ -1,0 +1,115 @@
+"""Property-based cross-engine parity for the two mechanisms every
+oracle-checked query leans on: engine-portable rounding (fround must
+produce bit-identical doubles in Spark and DuckDB) and exact integer
+conformance (BIGINT strings survive without a double round-trip).
+Hypothesis drives the value space; each example batch runs ONE Spark
+job and one DuckDB query."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.functions.casts import cast_for_decl
+from data_ingestors_spark.functions.rounding import fround, o_fround
+
+finite_doubles = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    width=64,
+    min_value=-1e12,
+    max_value=1e12,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=100), st.integers(0, 6))
+def test_fround_bit_identical_across_engines(spark, values, nd):
+    sdf = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r.y for r in sdf.select(fround(F.col("x"), nd).alias("y")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {o_fround('CAST(? AS DOUBLE)', nd)}", [v]).fetchone()[0]
+        for v in values
+    ]
+    # bit-identical, not approx: both engines ran floor(x*p + 0.5)/p
+    # on the identical IEEE double
+    assert [repr(g) for g in got] == [repr(w) for w in want]
+
+
+int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(int64s, min_size=1, max_size=100))
+def test_bigint_string_roundtrip_exact(spark, ns):
+    """Any int64, as a string, survives the BIGINT conformance cast
+    exactly — including values beyond double's 2^53 integer range
+    (ADVICE r1: a double round-trip corrupts these silently)."""
+    sdf = spark.createDataFrame([(str(n),) for n in ns], "s string")
+    got = [r.y for r in sdf.select(cast_for_decl(F.col("s"), "BIGINT").alias("y")).collect()]
+    assert got == ns
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.just("3.5"),          # non-integral: must NOT truncate
+            st.just("1e3"),          # scientific integral
+            st.just("nan"),
+            st.just("inf"),
+            st.just(" 42 "),         # whitespace-tolerant
+            st.text(alphabet="abcXYZ!#", min_size=1, max_size=6),
+            st.integers(min_value=2**31, max_value=2**40).map(str),  # int32 overflow
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_int_conformance_never_silently_corrupts(spark, raws):
+    """INT (32-bit) conformance: every input either maps to its exact
+    in-range integer value or to NULL (counted as an error upstream) —
+    never to a truncated or wrapped number."""
+    sdf = spark.createDataFrame([(s,) for s in raws], "s string")
+    out = sdf.select(
+        "s", cast_for_decl(F.col("s"), "INT").alias("y")
+    ).collect()
+    for r in out:
+        stripped = r.s.strip()
+        try:
+            exact = int(stripped)
+        except ValueError:
+            # reference semantics (pd.to_numeric): scientific-notation
+            # integrals like '1e3' conform; non-integrals do not
+            try:
+                f = float(stripped)
+                exact = int(f) if f == int(f) else None
+            except (ValueError, OverflowError):
+                exact = None
+        in_range = exact is not None and -(2**31) <= exact < 2**31
+        if in_range:
+            assert r.y == exact, f"{r.s!r} -> {r.y}"
+        else:
+            assert r.y is None, f"{r.s!r} must be NULL (error), got {r.y}"
+
+
+def test_fround_half_boundary_cases(spark):
+    """The exact values where Spark's native round and DuckDB's round
+    historically disagree (decimal-repr vs binary rounding) — fround
+    must agree with itself across engines on all of them."""
+    cases = [2.675, 0.125, 1.005, 2.5, -2.5, 0.285, 1.115]
+    for nd in (0, 1, 2):
+        sdf = spark.createDataFrame([(v,) for v in cases], "x double")
+        got = [r.y for r in sdf.select(fround(F.col("x"), nd).alias("y")).collect()]
+        con = duckdb.connect()
+        want = [
+            con.execute(
+                f"SELECT {o_fround('CAST(? AS DOUBLE)', nd)}", [v]
+            ).fetchone()[0]
+            for v in cases
+        ]
+        assert got == want, f"nd={nd}"
