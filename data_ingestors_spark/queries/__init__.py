@@ -28,9 +28,10 @@ from data_ingestors_spark.queries import (
     ingestion,
     extras,
     advanced,
+    sampling,
 )
 
-_MODULES = (relational, windows, text_llm, events, ingestion, extras, advanced)
+_MODULES = (relational, windows, text_llm, events, ingestion, extras, advanced, sampling)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,161 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+A 100 TB corpus is never shuffled randomly: train/test membership must
+be a pure function of the record (reproducible across runs, engines,
+and re-ingests), and samples must be drawn without a global sort of
+the full table. Everything here keys on md5 of the stable id — the one
+hash both Spark and DuckDB implement identically — so every query has
+an exact DuckDB oracle.
+
+- hash_split: 90/10 membership from the first 4 hex digits of
+  md5(doc_id) — a narrow scan + map-side aggregation, no shuffle of
+  payloads, no RNG state;
+- deterministic_sample: top-k by md5 order. The Spark plan is a
+  TakeOrderedAndProject (per-partition heap of k, merge of k·p rows on
+  the driver) — NOT a full sort of the corpus;
+- stratified_quota: k per label via a bounded window per group — the
+  per-class cap pattern for balanced fine-tuning sets;
+- corpus_prep: the composed LLM-corpus filter (dedup exact → language
+  → length band → per-source token budget) as ONE declarative plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.queries.base import tables
+
+# first 4 hex chars of md5: fixed-width lowercase hex compares
+# lexicographically == numerically, so the 90% cut is a plain string
+# comparison against 'e666' (0xe666 = 58982 ≈ 0.9 * 65536) — no
+# base conversion, identical in every engine
+_TRAIN_CUT_HEX = "e666"
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 split: membership is a pure function of
+    doc_id, stable under re-ingest and engine swap."""
+    t = tables(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = F.when(prefix < _TRAIN_CUT_HEX, "train").otherwise("test")
+    return (
+        t["documents"]
+        .select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+O_HASH_SPLIT = f"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_TRAIN_CUT_HEX}'
+            THEN 'train' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible k-sample: the 100 smallest md5(doc_id) values.
+    Catalyst compiles orderBy+limit to TakeOrderedAndProject — each
+    partition keeps a k-heap, the driver merges k·p candidates; the
+    corpus is never globally sorted."""
+    t = tables(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", "source", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(100)
+        .select("doc_id", "lang", "source")
+    )
+
+
+O_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents ORDER BY h LIMIT 100)
+"""
+
+
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 25 docs per (lang) stratum, chosen by md5 order — the
+    balanced-subset pattern. Window is bounded per group; with heavy
+    skew the rank column could come from the salted two-phase form
+    (queries/advanced.py q_salted_groupby) instead."""
+    t = tables(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        t["documents"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("doc_id", "lang")
+    )
+
+
+O_STRATIFIED_QUOTA = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 25
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep plan: exact-dedup on content, keep
+    en/de/fr, keep 50..2000 chars, then per-source doc counts + char
+    budget. One declarative plan: the dedup groupBy and the final
+    aggregation are the only shuffles; filters run before both."""
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"].filter(
+        F.col("lang").isin("en", "de", "fr")
+        & (F.col("n_chars") >= 50)
+        & (F.col("n_chars") <= 2000)
+    )
+    # exact dedup: keep the smallest doc_id per content hash
+    keeper = (
+        docs.groupBy(F.md5("text").alias("chash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keeper, "doc_id", "inner")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+O_CORPUS_PREP = """
+WITH docs AS (
+  SELECT * FROM documents
+  WHERE lang IN ('en','de','fr') AND n_chars BETWEEN 50 AND 2000
+),
+keeper AS (
+  SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM docs JOIN keeper USING (doc_id)
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "hash_split": q_hash_split,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_quota": q_stratified_quota,
+    "corpus_prep": q_corpus_prep,
+}
+
+ORACLES = {
+    "hash_split": O_HASH_SPLIT,
+    "deterministic_sample": O_DETERMINISTIC_SAMPLE,
+    "stratified_quota": O_STRATIFIED_QUOTA,
+    "corpus_prep": O_CORPUS_PREP,
+}
