@@ -387,3 +387,61 @@ def test_mlm_without_tokenizer_fails_loud(spark, tmp_path):
             "csv": str(csv),
             "src": str(src), "dest": str(dest), "extension": ".txt",
         })
+
+# --- non-CSV sources through the same YAML path -------------------------
+
+
+def test_tabular_json_ndjson_source(spark, tmp_path):
+    src = tmp_path / "data.json"
+    src.write_text(
+        '{"f0": 0.5, "f1": 1.25, "label": 1}\n'
+        '{"f0": 0.75, "f1": 2.5, "label": 0}\n'
+    )
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_json_nd", "category": "tabular_classification",
+        "json": str(src),
+        "schema": {"f0": "FLOAT", "f1": "FLOAT", "label": "INT"},
+        "label": "label",
+    })
+    assert_clean(s, t, 2)
+
+
+def test_tabular_json_array_source(spark, tmp_path):
+    src = tmp_path / "data.json"
+    src.write_text(
+        '[{"f0": 0.5, "label": 1}, {"f0": 0.75, "label": 0},'
+        ' {"f0": 1.5, "label": 1}]'
+    )
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_json_arr", "category": "tabular_classification",
+        "json": str(src),
+        "schema": {"f0": "FLOAT", "label": "INT"},
+        "label": "label",
+    })
+    assert_clean(s, t, 3)
+
+
+def test_tabular_parquet_source(spark, tmp_path):
+    src = str(tmp_path / "data_pq")
+    spark.createDataFrame(
+        [("2.5", "1"), ("3.5", "0")], "f0 string, label string"
+    ).write.parquet(src)
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_pq", "category": "tabular_classification",
+        "parquet": src,
+        "schema": {"f0": "FLOAT", "label": "INT"},
+        "label": "label",
+    })
+    assert_clean(s, t, 2)
+
+
+def test_json_bad_record_fails_loud(spark, tmp_path):
+    src = tmp_path / "data.json"
+    src.write_text('{"f0": 0.5, "label": 1}\n{not json at all}\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        run_yaml(spark, tmp_path, {
+            "table": "e2e_json_bad", "category": "tabular_classification",
+            "json": str(src),
+            "schema": {"f0": "FLOAT", "label": "INT"},
+            "label": "label",
+        })
