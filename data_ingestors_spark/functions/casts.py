@@ -61,11 +61,17 @@ def is_numeric_decl(decl: str) -> bool:
 
 
 def bool_from_vocab(c: Column) -> Column:
-    """Truthy/falsy vocabulary cast (wider than Spark's bool cast)."""
+    """Truthy/falsy vocabulary cast (wider than Spark's bool cast),
+    plus the JSON verdicts' numeric-coercible forms: any string whose
+    numeric value is exactly 1 or 0 — '00', '1e0', '1.000' — conforms
+    (json_ingestor.py:77-181; SURVEY.md T7)."""
     lc = F.lower(F.trim(c.cast("string")))
+    num = lc.try_cast("double")
     return (
         F.when(lc.isin(TRUTHY), F.lit(True))
         .when(lc.isin(FALSY), F.lit(False))
+        .when(num == 1.0, F.lit(True))
+        .when(num == 0.0, F.lit(False))
         .otherwise(F.lit(None).cast("boolean"))
     )
 

@@ -35,7 +35,11 @@ from data_ingestors_spark.ingest.config import ResolvedConfig
 from data_ingestors_spark.ingest.file_transfer import CATEGORY_FILES, transfer_files
 from data_ingestors_spark.ingest.lock import TableLock
 from data_ingestors_spark.ingest.summary import IngestionSummary
-from data_ingestors_spark.io.readers import read_csv_source, read_json_source
+from data_ingestors_spark.io.readers import (
+    json_scalar_preflight,
+    read_csv_source,
+    read_json_source,
+)
 from data_ingestors_spark.io.writers import upsert
 from data_ingestors_spark.validators.mapping import run_battery
 
@@ -72,6 +76,9 @@ class Ingestor:
                 options=self.config.csv_options,
             )
         if self.config.data_format == "json":
+            # T7 non-scalar reject runs BEFORE the schema'd read, which
+            # would silently stringify nested values into string columns
+            json_scalar_preflight(self.spark, source, list(self.config.schema))
             return read_json_source(self.spark, source, schema)
         if self.config.data_format == "parquet":
             return self.spark.read.parquet(source)

@@ -189,6 +189,57 @@ def read_csv_source(
     return reader.csv(path)
 
 
+def json_scalar_preflight(spark: SparkSession, path: str, columns: list[str]) -> None:
+    """T7 non-scalar reject: a declared scalar column holding a JSON
+    object/array is an ERROR, not a silently-stringified value
+    (json_ingestor.py:77-181 rejects non-scalars per record).
+
+    Spark's schema'd JSON reader stringifies nested values into string
+    columns, which is indistinguishable from a legitimate string after
+    the fact — so this check parses each record to a VARIANT first
+    (one JVM-side pass, no Python) and counts per-column values whose
+    variant type is OBJECT/ARRAY. Fails loud with counts + samples.
+    """
+    with open(path, "rb") as f:
+        multiline = f.read(65536).lstrip().startswith(b"[")
+    recs = spark.read.option("singleVariantColumn", "var").option(
+        "multiLine", multiline
+    ).json(path)
+    if multiline:
+        recs.createOrReplaceTempView("__json_preflight")
+        recs = spark.sql(
+            "SELECT ve.value AS var FROM __json_preflight, "
+            "LATERAL variant_explode(__json_preflight.var) AS ve"
+        )
+    aggs = []
+    for c in columns:
+        vpath = "$['" + c.replace("\\", "\\\\").replace("'", "\\'") + "']"
+        vtype = F.expr(f'schema_of_variant(try_variant_get(var, "{vpath}"))')
+        bad = vtype.rlike("^(OBJECT|ARRAY)")
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"{c}__nonscalar"))
+        aggs.append(
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.when(bad, F.expr("cast(var as string)")))
+                ),
+                1,
+                3,
+            ).alias(f"{c}__samples")
+        )
+    row = recs.agg(*aggs).collect()[0].asDict()
+    errors = [
+        f"{k.removesuffix('__nonscalar')}: {v} non-scalar value(s) "
+        f"(samples: {row[k.removesuffix('__nonscalar') + '__samples']})"
+        for k, v in row.items()
+        if k.endswith("__nonscalar") and v
+    ]
+    if errors:
+        raise ValueError(
+            "JSON validation failed — declared scalar columns hold nested "
+            "objects/arrays:\n  " + "\n  ".join(errors)
+        )
+
+
 def read_json_source(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """JSON manifest scan: newline-delimited or a top-level array.
 

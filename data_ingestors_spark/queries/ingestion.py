@@ -79,6 +79,7 @@ SELECT v, count(*) AS n FROM normed GROUP BY v
 _BOOLSRC = """
 CASE l_linenumber WHEN 1 THEN 'true' WHEN 2 THEN 'YES' WHEN 3 THEN '0'
                   WHEN 4 THEN 'no'   WHEN 5 THEN '1.0' WHEN 6 THEN 'maybe'
+                  WHEN 7 THEN '1e0'  WHEN 8 THEN '00'
                   ELSE 'T' END
 """
 
@@ -100,6 +101,8 @@ WITH raw AS (SELECT {_BOOLSRC} AS v FROM lineitem),
 casted AS (
   SELECT CASE WHEN lower(trim(v)) IN ('true','t','yes','y','1','1.0') THEN TRUE
               WHEN lower(trim(v)) IN ('false','f','no','n','0','0.0') THEN FALSE
+              WHEN TRY_CAST(lower(trim(v)) AS DOUBLE) = 1.0 THEN TRUE
+              WHEN TRY_CAST(lower(trim(v)) AS DOUBLE) = 0.0 THEN FALSE
               ELSE NULL END AS b
   FROM raw
 )

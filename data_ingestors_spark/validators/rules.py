@@ -52,8 +52,16 @@ def _bad_numeric(c: Column, integral: bool) -> Column:
 
 
 def _bad_bool(c: Column) -> Column:
+    # vocab forms OR numeric-coercible 0/1 ('00', '1e0') conform —
+    # mirrors bool_from_vocab exactly (T7 JSON verdicts)
     s = F.lower(F.trim(c.cast("string")))
-    return s.isNotNull() & (s != "") & ~s.isin(TRUTHY + FALSY)
+    coercible = s.try_cast("double").isin(0.0, 1.0)
+    return (
+        s.isNotNull()
+        & (s != "")
+        & ~s.isin(TRUTHY + FALSY)
+        & ~F.coalesce(coercible, F.lit(False))
+    )
 
 
 def _bad_timestamp(c: Column) -> Column:
