@@ -90,3 +90,21 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp64"),
     )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Composite document-quality tier (0-5) from the text_stats
+    signals: length band, word count, punctuation/digit ratios, and
+    chars-per-word band — the standard pre-training corpus filter
+    (C4/Gopher-style heuristics re-expressed as portable column
+    expressions). Pure codegen'd projection; no shuffle."""
+    stats = text_stats(df, text_col, id_col)
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    score = (
+        flag(F.col("n_chars").between(100, 2000))
+        + flag(F.col("n_words") >= 20)
+        + flag(F.col("punct_ratio") <= 0.10)
+        + flag(F.col("digit_ratio") <= 0.20)
+        + flag(F.col("chars_per_word").between(3.0, 12.0))
+    )
+    return stats.select("doc_id", score.cast("long").alias("quality"))

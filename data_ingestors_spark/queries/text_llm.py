@@ -282,3 +282,37 @@ ORACLES = {
     "token_count": O_TOKEN_COUNT,
     "fingerprint": O_FINGERPRINT,
 }
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality tier + corpus histogram (see
+    operators/text.py quality_score)."""
+    t = tables(spark, sf_dir, "documents")
+    return (
+        X.quality_score(t["documents"], "text", "doc_id")
+        .groupBy("quality")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+O_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({_O_NWORDS} AS BIGINT) AS n_words,
+         {_O_CPW} AS chars_per_word,
+         {_O_PUNCT_R} AS punct_ratio,
+         {_O_DIGIT_R} AS digit_ratio
+  FROM documents
+)
+SELECT CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+      + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+      + CASE WHEN punct_ratio <= 0.10 THEN 1 ELSE 0 END
+      + CASE WHEN digit_ratio <= 0.20 THEN 1 ELSE 0 END
+      + CASE WHEN chars_per_word BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END) AS BIGINT) AS quality,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1
+"""
+
+QUERIES["quality_score"] = q_quality_score
+ORACLES["quality_score"] = O_QUALITY_SCORE
