@@ -110,3 +110,53 @@ def test_exact_dedup_single_shuffle(spark, queries):
     # the whole table, no cartesian
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path, queries):
+    """Pre-bucketing both sides of a recurring join on the join key
+    removes the per-query shuffle entirely — the co-location strategy
+    for fact-fact joins that repeat at 100 TB. Asserts the bucketed
+    join plan contains NO Exchange on either side."""
+    from data_ingestors_spark.queries.base import tables
+
+    t = tables(spark, SF_DIR, "orders", "lineitem")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    # sf0.001 tables are broadcast-small; force the shuffle-join path
+    # the bucketing is designed to optimize (at 100 TB neither side
+    # broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df, key in (
+            ("bkt.orders_b", t["orders"], "o_orderkey"),
+            ("bkt.lineitem_b", t["lineitem"], "l_orderkey"),
+        ):
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+
+        joined = (
+            spark.table("bkt.orders_b")
+            .join(
+                spark.table("bkt.lineitem_b"),
+                spark.table("bkt.orders_b").o_orderkey
+                == spark.table("bkt.lineitem_b").l_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(joined, "simple")
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the join itself reads both bucketed scans with no Exchange
+        assert "Exchange hashpartitioning(o_orderkey" not in join_part
+        assert "Exchange hashpartitioning(l_orderkey" not in join_part
+        # correctness unchanged vs the unbucketed plan
+        expect = (
+            t["orders"]
+            .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expect.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
