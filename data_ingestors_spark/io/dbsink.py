@@ -216,3 +216,89 @@ def dbapi_upsert(
         "n_failed": int(row.n_failed or 0),
         "failed_keys": list(row.failed_keys or []),
     }
+
+
+# --- K2: DDL with guards (database.py:184-335) ---------------------------
+
+# declared-type → sqlite storage affinity; other dialects take the
+# declared type verbatim (MySQL/Postgres understand the MySQL-ish
+# vocabulary the schema uses)
+_SQLITE_AFFINITY = {
+    "INT": "INTEGER", "INTEGER": "INTEGER", "TINYINT": "INTEGER",
+    "SMALLINT": "INTEGER", "MEDIUMINT": "INTEGER", "BIGINT": "INTEGER",
+    "FLOAT": "REAL", "DOUBLE": "REAL", "DECIMAL": "REAL", "NUMERIC": "REAL",
+    "BOOL": "INTEGER", "BOOLEAN": "INTEGER",
+    "VARCHAR": "TEXT", "CHAR": "TEXT", "TEXT": "TEXT",
+    "DATE": "TEXT", "DATETIME": "TEXT", "TIMESTAMP": "TEXT", "TIME": "TEXT",
+    "BLOB": "BLOB", "LONGBLOB": "BLOB",
+}
+
+
+def _ddl_type(decl: str, dialect: str) -> str:
+    if dialect != "sqlite":
+        return decl
+    from data_ingestors_spark.functions.casts import parse_decl
+
+    base, _ = parse_decl(decl)
+    return _SQLITE_AFFINITY.get(base, "TEXT")
+
+
+def existing_columns(conn, table: str, d: Dialect) -> "list[str] | None":
+    """Column names of an existing table via a zero-row probe
+    (DBAPI-standard cursor.description) — None if the table is absent."""
+    cur = conn.cursor()
+    try:
+        cur.execute(f"SELECT * FROM {d.quote(table)} WHERE 1=0")
+    except Exception:  # noqa: BLE001 — absent table: driver-specific class
+        try:
+            conn.rollback()
+        except Exception:  # noqa: BLE001
+            pass
+        return None
+    return [c[0] for c in cur.description]
+
+
+def ensure_table(
+    connection_factory: Callable[[], object],
+    *,
+    table: str,
+    schema: dict[str, str],
+    key: str,
+    dialect: str = "sqlite",
+) -> bool:
+    """Create the target table if absent; if present, verify its
+    feature columns match the declared schema and fail with an
+    actionable drift error otherwise (reference reflect-existing +
+    drift detection, database.py:272-297). Returns True if created.
+
+    Driver-side, one connection — DDL is a control-plane operation.
+    """
+    d = DIALECTS[dialect]
+    cols = dict(schema)
+    if key not in cols:
+        cols = {key: "VARCHAR(64)", **cols}
+    conn = connection_factory()
+    try:
+        actual = existing_columns(conn, table, d)
+        if actual is not None:
+            declared, got = set(cols), set(actual)
+            missing, extra = sorted(declared - got), sorted(got - declared)
+            if missing or extra:
+                raise ValueError(
+                    f"table {table!r} exists with a different schema: "
+                    f"missing columns {missing}, unexpected columns {extra}. "
+                    "Drop the table or align the declared schema before "
+                    "ingesting."
+                )
+            return False
+        defs = ", ".join(
+            f"{d.quote(c)} {_ddl_type(t, dialect)}"
+            + (" PRIMARY KEY" if c == key else "")
+            for c, t in cols.items()
+        )
+        cur = conn.cursor()
+        cur.execute(f"CREATE TABLE {d.quote(table)} ({defs})")
+        conn.commit()
+        return True
+    finally:
+        conn.close()

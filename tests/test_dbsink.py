@@ -133,3 +133,30 @@ def test_classification_table():
     assert _classify(sqlite3.OperationalError()) == "transient"
     assert _classify(sqlite3.IntegrityError()) == "permanent"
     assert "InterfaceError" in TRANSIENT_ERRORS
+
+
+def test_ensure_table_creates_and_upserts(spark, tmp_path):
+    db = str(tmp_path / "new.db")
+    from data_ingestors_spark.io.dbsink import ensure_table
+
+    created = ensure_table(
+        factory(db), table="t", key="data_id",
+        schema={"n": "INT", "v": "VARCHAR(16)"},
+    )
+    assert created is True
+    df = spark.createDataFrame([("a", 1, "x")], "data_id string, n int, v string")
+    out = dbapi_upsert(df, table="t", key="data_id", connection_factory=factory(db))
+    assert out["n_upserted"] == 1
+    # second call: table exists with matching schema -> no-op
+    assert ensure_table(
+        factory(db), table="t", key="data_id",
+        schema={"n": "INT", "v": "VARCHAR(16)"},
+    ) is False
+
+
+def test_ensure_table_drift_is_actionable(tmp_path):
+    from data_ingestors_spark.io.dbsink import ensure_table
+
+    db = make_db(tmp_path, "CREATE TABLE t (data_id TEXT PRIMARY KEY, old_col INT)")
+    with pytest.raises(ValueError, match=r"missing columns \['n'\].*unexpected columns \['old_col'\]"):
+        ensure_table(factory(db), table="t", key="data_id", schema={"n": "INT"})
