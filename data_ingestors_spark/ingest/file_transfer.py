@@ -303,13 +303,20 @@ def transfer_files(
     dest_path: str,
     extension: str = "",
     id_col: str = "data_id",
-) -> tuple[DataFrame, TransferStats]:
-    """Plan + execute + account. Returns ``(ok_manifest, stats)`` where
-    ``ok_manifest`` contains only records whose every file landed, with
-    T5 ``filename``/``extension`` populated."""
+) -> tuple[DataFrame, TransferStats, DataFrame]:
+    """Plan + execute + account. Returns ``(ok_manifest, stats,
+    failed)`` where ``ok_manifest`` contains only records whose every
+    file landed (T5 ``filename``/``extension`` populated) and
+    ``failed`` carries ``(id_col, error)`` for every dropped record —
+    the reference's ``failed_records`` list (base.py:818-823), kept
+    distributed so a 100%-failure run at any scale surfaces every
+    reason without collecting rows to the driver."""
     stats = TransferStats()
     if category not in CATEGORY_FILES:
-        return manifest, stats  # tabular/time-series: nothing to move
+        empty = manifest.sparkSession.createDataFrame(
+            [], f"{id_col} string, error string"
+        )
+        return manifest, stats, empty  # tabular/time-series: nothing to move
 
     resolved, missing = plan_transfers(
         spark, manifest, category=category, src_path=src_path,
@@ -329,6 +336,17 @@ def transfer_files(
     stats.files_copied = (stats.complete - stats.copy_failed) * len(CATEGORY_FILES[category])
 
     ok = resolved.join(bad_ids, id_col, "left_anti").drop("__copies")
+    failed = (
+        missing.select(
+            F.col(id_col).cast("string").alias(id_col),
+            F.concat(F.lit("file_missing: "), F.col("__missing")).alias("error"),
+        ).unionByName(
+            bad_ids.select(
+                F.col(id_col).cast("string").alias(id_col),
+                F.lit("file_transfer_failed").alias("error"),
+            )
+        )
+    )
     if category in TOKENIZER_CATEGORIES:
         copy_tokenizer_if_present(src_path, dest_path)
-    return ok, stats
+    return ok, stats, failed

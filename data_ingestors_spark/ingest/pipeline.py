@@ -40,7 +40,7 @@ from data_ingestors_spark.io.readers import (
     read_csv_source,
     read_json_source,
 )
-from data_ingestors_spark.io.writers import upsert
+from data_ingestors_spark.io.writers import upsert, write_table
 from data_ingestors_spark.validators.mapping import run_battery
 
 
@@ -252,7 +252,7 @@ class Ingestor:
             # disk, never a silent 100%-success (issue #99).
             ft_failures = 0
             if cfg.category in CATEGORY_FILES:
-                ok, stats = transfer_files(
+                ok, stats, failed_recs = transfer_files(
                     self.spark, ok,
                     category=cfg.category,
                     src_path=cfg.src_path,
@@ -260,6 +260,13 @@ class Ingestor:
                     extension=cfg.extension,
                 )
                 ft_failures = stats.failures
+                if ft_failures:
+                    # quarantine: the reference surfaces failed_records
+                    # to the caller (base.py:818-823); here they land
+                    # as a parquet table next to the target so a
+                    # 100 TB run's failures are queryable, not a
+                    # driver-side list
+                    write_table(failed_recs, self.target_path + "__failed")
 
             updated, inserted = upsert(self.spark, self.target_path, ok, key="data_id")
             processed = updated + inserted

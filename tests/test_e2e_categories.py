@@ -445,3 +445,24 @@ def test_json_bad_record_fails_loud(spark, tmp_path):
             "schema": {"f0": "FLOAT", "label": "INT"},
             "label": "label",
         })
+
+
+def test_missing_file_quarantined_with_reason(spark, tmp_path):
+    # img1 has no file on disk: its record must drop, be counted, land
+    # in the __failed quarantine with the missing path, and trip
+    # has_failures — while img0 ingests normally (issue #99 contract)
+    src, dest = file_tree(tmp_path, **{"images/img0.jpg": fake_img()})
+    csv = tmp_path / "labels.csv"
+    csv.write_text("filename,label\nimg0,cat\nimg1,dog\n")
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_quar", "category": "image_classification",
+        "csv": str(csv), "label": "label",
+        "src": str(src), "dest": str(dest), "extension": ".jpg",
+        "target_size": [64, 64],
+    })
+    assert s.inserted == 1 and s.file_transfer_failures == 1
+    assert s.has_failures
+    failed = spark.read.parquet(str(tmp_path / "warehouse" / "e2e_quar__failed"))
+    rows = failed.collect()
+    assert len(rows) == 1
+    assert "file_missing" in rows[0].error and "img1" in rows[0].error

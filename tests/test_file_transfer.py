@@ -54,7 +54,7 @@ def manifest_df(spark, rows, cols=("data_id", "filename")):
 def test_image_classification_copies_and_t5_columns(spark, tree):
     src, dest = tree
     m = manifest_df(spark, [("a", "img0"), ("b", "img1.jpg"), ("c", "nope")])
-    ok, stats = transfer_files(
+    ok, stats, _failed = transfer_files(
         spark, m, category="image_classification",
         src_path=str(src), dest_path=str(dest), extension=".jpg",
     )
@@ -75,7 +75,7 @@ def test_object_detection_atomic_pairs(spark, tree):
     src, dest = tree
     os.remove(src / "annotations" / "img1.xml")  # break one pair
     m = manifest_df(spark, [("a", "img0"), ("b", "img1")])
-    ok, stats = transfer_files(
+    ok, stats, _failed = transfer_files(
         spark, m, category="object_detection",
         src_path=str(src), dest_path=str(dest), extension=".jpg",
     )
@@ -92,7 +92,7 @@ def test_semantic_segmentation_mask_probe(spark, tree):
         [("a", "img0", "img0"), ("b", "img1", "img1.png"), ("c", "img2", "img2")],
         ["data_id", "filename", "mask_id"],
     )
-    ok, stats = transfer_files(
+    ok, stats, _failed = transfer_files(
         spark, m, category="semantic_segmentation",
         src_path=str(src), dest_path=str(dest), extension=".jpg",
     )
@@ -106,7 +106,7 @@ def test_semantic_segmentation_mask_probe(spark, tree):
 def test_text_category_ships_tokenizer(spark, tree):
     src, dest = tree
     m = manifest_df(spark, [("a", "doc0"), ("b", "doc1.txt")])
-    ok, stats = transfer_files(
+    ok, stats, _failed = transfer_files(
         spark, m, category="text_classification",
         src_path=str(src), dest_path=str(dest), extension=".txt",
     )
