@@ -319,3 +319,55 @@ ORACLES = {
     "scalar_subquery": O_SCALAR_SUBQUERY,
     "salted_groupby": O_SALTED_GROUPBY,
 }
+
+
+def q_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / replace / match-flag — patterns
+    restricted to the syntax subset Java regex and RE2 agree on."""
+    t = tables(spark, sf_dir, "part")
+    p = F.col("p_name")
+    return t["part"].select(
+        "p_partkey",
+        F.regexp_extract(p, r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace(p, r"[aeiou]", "_").alias("devoweled"),
+        F.when(p.rlike(r"(red|blue|green)"), 1).otherwise(0).cast("long").alias("has_color"),
+    )
+
+
+O_REGEX_BATTERY = """
+SELECT p_partkey,
+       coalesce(regexp_extract(p_name, '^(\\w+)', 1), '') AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CAST(CASE WHEN regexp_matches(p_name, '(red|blue|green)') THEN 1 ELSE 0 END AS BIGINT) AS has_color
+FROM part
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram by fixed 100-char bins (floor division
+    — portable everywhere, unlike width_bucket) + per-bin stats."""
+    t = tables(spark, sf_dir, "documents")
+    bin_ = F.floor(F.col("n_chars") / 100).cast("long")
+    return (
+        t["documents"]
+        .groupBy(bin_.alias("len_bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("mn"),
+            F.max("n_chars").cast("long").alias("mx"),
+        )
+    )
+
+
+O_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(n_chars / 100) AS BIGINT) AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS mn,
+       CAST(max(n_chars) AS BIGINT) AS mx
+FROM documents GROUP BY 1
+"""
+
+QUERIES["regex_battery"] = q_regex_battery
+QUERIES["length_histogram"] = q_length_histogram
+ORACLES["regex_battery"] = O_REGEX_BATTERY
+ORACLES["length_histogram"] = O_LENGTH_HISTOGRAM
