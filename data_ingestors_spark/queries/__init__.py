@@ -29,9 +29,10 @@ from data_ingestors_spark.queries import (
     extras,
     advanced,
     sampling,
+    analytics,
 )
 
-_MODULES = (relational, windows, text_llm, events, ingestion, extras, advanced, sampling)
+_MODULES = (relational, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

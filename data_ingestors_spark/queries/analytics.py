@@ -1,0 +1,385 @@
+"""Statistical / analytical surface beyond the core relational set:
+co-moment aggregates (corr/covar/stddev/var), linear-regression
+aggregates, calendar gap-fill via date sequences, unpivot (wide to
+long), median + boolean + bitwise aggregates, JSON-to-map scalar
+functions, benchmark-contamination overlap (the decontamination pass
+of an LLM training pipeline), and per-document TF-IDF top-k terms.
+
+Scale notes (100 TB): every query here is a single shuffle on its
+group key (co-moment aggs combine map-side), the calendar explode is
+bounded by group-span not table size, and the contamination join
+carries only (doc_id, gram-hash) pairs — never document text.
+
+Cross-engine hazards per queries/base.py: decimal accumulators for
+order-free sums, fround for every computed double (co-moment results
+differ ~1e-12 relative between engines' merge orders — rounding
+absorbs it), BIGINT casts for integer aggregates, unique tiebreakers
+in every ranked selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.queries.base import (
+    dsum,
+    fround,
+    o_dsum,
+    o_fround,
+    tables,
+)
+
+
+# ---------------------------------------------------------------- stats
+
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-moment aggregate family per return flag: correlation and
+    covariance of (quantity, price), stddev / variance. One partial
+    aggregation, map-side combined."""
+    t = tables(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            fround(F.corr(q, p), 6).alias("corr_qty_price"),
+            fround(F.covar_samp(q, p), 2).alias("covar_s"),
+            fround(F.covar_pop(q, p), 2).alias("covar_p"),
+            fround(F.stddev_samp(p), 4).alias("sd_price"),
+            fround(F.var_samp(q), 4).alias("var_qty"),
+        )
+    )
+
+
+O_STATS_AGGS = f"""
+SELECT l_returnflag,
+       {o_fround("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+       {o_fround("covar_samp(l_quantity, l_extendedprice)", 2)} AS covar_s,
+       {o_fround("covar_pop(l_quantity, l_extendedprice)", 2)} AS covar_p,
+       {o_fround("stddev_samp(l_extendedprice)", 4)} AS sd_price,
+       {o_fround("var_samp(l_quantity)", 4)} AS var_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_regr_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price ~ quantity) per line
+    status: slope, intercept, R², point count."""
+    t = tables(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            fround(F.regr_slope(y, x), 4).alias("slope"),
+            fround(F.regr_intercept(y, x), 2).alias("intercept"),
+            fround(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("long").alias("n_pts"),
+        )
+    )
+
+
+O_REGR_AGGS = f"""
+SELECT l_linestatus,
+       {o_fround("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+       {o_fround("regr_intercept(l_extendedprice, l_quantity)", 2)} AS intercept,
+       {o_fround("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# ------------------------------------------------------------- gap fill
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: per-user daily event counts with missing
+    days zero-filled across each user's own [first, last] day span —
+    the hypertable time_bucket_gapfill analog. The explode is bounded
+    by span length per user, not by table size, so at 100 TB the
+    generated calendar stays proportional to (users x days)."""
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+O_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT cal.user_id, cal.day, coalesce(daily.n_events, 0) AS n_events
+FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+"""
+
+
+# -------------------------------------------------------------- unpivot
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of an aggregate row (sum qty / price /
+    discount per return flag) into (flag, measure, val) — Spark's
+    ``DataFrame.unpivot`` (melt)."""
+    t = tables(spark, sf_dir, "lineitem")
+    wide = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            dsum(F.col("l_discount"), 4).alias("sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+O_UNPIVOT_MEASURES = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {o_dsum("l_quantity")} AS sum_qty,
+         {o_dsum("l_extendedprice")} AS sum_price,
+         {o_dsum("l_discount", 4)} AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS val FROM wide
+"""
+
+
+# --------------------------------------------- median / bool / bit aggs
+
+def q_median_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (interpolated), boolean aggregates, and a guarded
+    every/any pair per event type."""
+    t = tables(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            fround(F.median(v), 6).alias("med_value"),
+            F.bool_and(v > 0).alias("all_pos"),
+            F.bool_or(v > 99).alias("any_high"),
+        )
+    )
+
+
+O_MEDIAN_BOOL_AGGS = f"""
+SELECT event_type,
+       {o_fround("median(value)", 6)} AS med_value,
+       bool_and(value > 0) AS all_pos,
+       bool_or(value > 99) AS any_high
+FROM events GROUP BY event_type
+"""
+
+
+def q_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates over user ids per event type —
+    integer-exact, order-free by construction."""
+    t = tables(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.bit_and(u).cast("long").alias("band"),
+            F.bit_or(u).cast("long").alias("bor"),
+            F.bit_xor(u).cast("long").alias("bxor"),
+        )
+    )
+
+
+O_BIT_AGGS = """
+SELECT event_type,
+       CAST(bit_and(user_id) AS BIGINT) AS band,
+       CAST(bit_or(user_id) AS BIGINT) AS bor,
+       CAST(bit_xor(user_id) AS BIGINT) AS bxor
+FROM events GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------ map funcs
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props parsed to a typed map, then the map scalar surface:
+    element access, cardinality, key membership. Output stays scalar
+    (maps themselves are unordered and hash-hostile across engines)."""
+    t = tables(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return t["events"].select(
+        "event_id",
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).cast("long").alias("has_k"),
+    )
+
+
+O_MAP_FUNCS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       CAST(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS has_k
+FROM events
+"""
+
+
+# ----------------------------------------------- contamination overlap
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each candidate doc's
+    distinct word 5-grams that appear anywhere in the benchmark set
+    (source = 'src0'). The join ships only (doc_id, gram) pairs and
+    the benchmark side is distinct-reduced before the join — at 100 TB
+    the benchmark gram set is small enough to broadcast."""
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    ws = F.split("text", " ")
+    grams = (
+        docs.filter(F.size(ws) >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    cand = grams.filter(F.col("source") != "src0")
+    hits = cand.join(F.broadcast(bench), "gram", "left_semi")
+    total = cand.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    matched = hits.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        total.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            fround(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6).alias("overlap"),
+        )
+    )
+
+
+O_CONTAMINATION_CHECK = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest([array_to_string(ws[i:i+4], ' ')
+                 for i in generate_series(1, len(ws) - 4)]) AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 5
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+), cand AS (
+  SELECT doc_id, gram FROM grams WHERE source <> 'src0'
+), total AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cand GROUP BY 1
+), matched AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM cand WHERE gram IN (SELECT gram FROM bench) GROUP BY 1
+)
+SELECT total.doc_id, total.n_grams,
+       coalesce(matched.n_hit, 0) AS n_hit,
+       {o_fround("coalesce(matched.n_hit, 0) / total.n_grams", 6)} AS overlap
+FROM total LEFT JOIN matched ON total.doc_id = matched.doc_id
+"""
+
+
+# --------------------------------------------------------------- tf-idf
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Term and document frequencies
+    are integer-exact; the only double is ln(N/df), rounded engine-
+    portably BEFORE ranking so the selected set is identical across
+    engines; word is the tiebreaker."""
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    n_docs = docs.count()  # scalar; one tiny job, constant-folded into the plan
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        fround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+O_TFIDF_TOPK = f"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         {o_fround("tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df)", 6)} AS tfidf
+  FROM tf JOIN df ON tf.word = df.word
+), ranked AS (
+  SELECT doc_id, word, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rk FROM ranked WHERE rk <= 3
+"""
+
+
+QUERIES = {
+    "stats_aggs": q_stats_aggs,
+    "regr_aggs": q_regr_aggs,
+    "gap_fill": q_gap_fill,
+    "unpivot_measures": q_unpivot_measures,
+    "median_bool_aggs": q_median_bool_aggs,
+    "bit_aggs": q_bit_aggs,
+    "map_funcs": q_map_funcs,
+    "contamination_check": q_contamination_check,
+    "tfidf_topk": q_tfidf_topk,
+}
+
+ORACLES = {
+    "stats_aggs": O_STATS_AGGS,
+    "regr_aggs": O_REGR_AGGS,
+    "gap_fill": O_GAP_FILL,
+    "unpivot_measures": O_UNPIVOT_MEASURES,
+    "median_bool_aggs": O_MEDIAN_BOOL_AGGS,
+    "bit_aggs": O_BIT_AGGS,
+    "map_funcs": O_MAP_FUNCS,
+    "contamination_check": O_CONTAMINATION_CHECK,
+    "tfidf_topk": O_TFIDF_TOPK,
+}
