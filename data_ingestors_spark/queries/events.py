@@ -155,7 +155,53 @@ FROM (
 """
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event attribution: each view paired with every purchase by the
+    same user within the following hour — a time-interval self-join.
+    Delay is emitted in exact integer microseconds (no float). At
+    scale both sides shuffle once on user_id and the per-user range
+    condition bounds the pair count; the streaming twin
+    (streaming/events.py attribution_stream) is the same join with
+    watermarks bounding state instead."""
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"]
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+    )
+
+
+O_ATTRIBUTION_JOIN = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "attribution_join": q_attribution_join,
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
@@ -164,6 +210,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_join": O_ATTRIBUTION_JOIN,
     "tumbling_window": O_TUMBLING_WINDOW,
     "sliding_window": O_SLIDING_WINDOW,
     "session_window": O_SESSION_WINDOW,

@@ -3,6 +3,7 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
     windowed_counts_stream,
     session_stream,
     dedup_stream,
+    attribution_stream,
     stateful_sessions,
     run_stream_to_memory,
 )

@@ -65,6 +65,46 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def attribution_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: each
+    view joined to same-user purchases within ``horizon`` after it.
+    Watermarks on BOTH sides plus the time-range predicate let Spark
+    bound the join state (views older than watermark+horizon are
+    evicted) — the canonical watermarked interval join. Semantics match
+    queries/events.py q_attribution_join run in batch."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+            "inner",
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+        )
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"

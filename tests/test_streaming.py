@@ -119,3 +119,78 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     # no duplicate emission of any finalized window
     all_rows = spark.sql("SELECT w_start, event_type, count(*) c FROM late_drop GROUP BY 1,2 HAVING count(*) > 1").collect()
     assert all_rows == []
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """The watermarked interval join (view -> purchase within 1h per
+    user) emits exactly the pairs the batch join produces over the
+    same files."""
+    from data_ingestors_spark.streaming import attribution_stream
+
+    src = str(tmp_path / "src")
+    rows = []
+    # user 100: view at 1:00, purchases at 1:30 (join) and 3:00 (outside 1h)
+    rows.append(_ev(0, hour=1, etype="view"))
+    rows.append(_ev(1, hour=1, etype="purchase", minute=30))
+    rows.append(_ev(2, hour=3, etype="purchase"))
+    # user 101: purchase before its view — never attributed
+    rows.append(_ev(3, hour=2, etype="purchase", minute=0))
+    rows.append(_ev(4, hour=2, etype="view", minute=30))
+    # fix the users explicitly (the _ev helper derives user from id)
+    rows = [(r[0], r[1], 100 if r[0] < 3 else 101, r[3], r[4], r[5]) for r in rows]
+    # watermark mover far in the future on both sides
+    rows.append((90, dt.datetime(2024, 1, 2, 12), 999, "view", 0.0, "{}"))
+    rows.append((91, dt.datetime(2024, 1, 2, 12), 999, "purchase", 0.0, "{}"))
+    _write_events(spark, src, rows)
+
+    ev = stream_events(spark, src)
+    joined = attribution_stream(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.view_id, r.purchase_id, r.user_id, r.delay_us)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    # batch reference over the same files
+    batch = spark.read.parquet(src)
+    v = batch.filter(F.col("event_type") == "view").selectExpr(
+        "event_id AS view_id", "user_id AS v_user", "ts AS v_ts"
+    )
+    p = batch.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "ts AS p_ts"
+    )
+    expected = {
+        (r.view_id, r.purchase_id, r.user_id, r.delay_us)
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .selectExpr(
+            "view_id",
+            "purchase_id",
+            "v_user AS user_id",
+            "unix_micros(p_ts) - unix_micros(v_ts) AS delay_us",
+        )
+        .collect()
+    }
+    assert got == expected
+    # the only attributed pair is user 100's view->purchase at +30min
+    assert (0, 1, 100, 30 * 60 * 1_000_000) in got
+    assert all(pair[2] != 101 for pair in got)
