@@ -366,3 +366,65 @@ def ngram_jaccard_pairs(
         j.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))
     )
+
+
+# --- Cluster resolution -------------------------------------------------
+
+
+def neardup_clusters(ids: DataFrame, pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
+    """Resolve near-duplicate PAIRS into cluster-level keep/drop
+    decisions — the step real corpus dedup needs after any of the pair
+    generators above (reference scope: dedup family, SURVEY.md §2.5
+    LLM-pipeline row). Connected components by iterative min-label
+    propagation (distributed union-find): every doc's label converges
+    to the smallest doc_id reachable from it; the keeper of each
+    cluster is the doc whose label is itself.
+
+    ``ids``: one ``doc_id`` column (the full corpus). ``pairs``:
+    ``(id_a, id_b)`` undirected near-dup edges.
+
+    Scale design: propagation runs only over docs that appear in at
+    least one edge (the near-dup subgraph — tiny vs the corpus);
+    singleton docs are appended at the end with keep=true and never
+    shuffle. Each iteration is one edge join + one groupBy min, with
+    ``localCheckpoint`` cutting lineage so the plan stays constant
+    size; iteration count is bounded by cluster diameter (3-4 in
+    practice for near-dup blobs) with a hard cap.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("doc_id"), "label")
+        new = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    clustered = labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+    singletons = ids.select("doc_id").join(nodes, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id"), F.lit(True).alias("keep")
+    )
+    return clustered.unionByName(singletons)

@@ -108,3 +108,31 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + flag(F.col("chars_per_word").between(3.0, 12.0))
     )
     return stats.select("doc_id", score.cast("long").alias("quality"))
+
+
+PII_PATTERNS = {
+    # syntax subset Java regex and RE2 agree on (no lookaround/backrefs)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scrub emails, URLs, and phone-shaped numbers from a text
+    column, counting each category — the standard pre-training PII
+    pass. Pure JVM-side regex expressions (codegen'd, no UDF). Counts
+    are per-category over the ORIGINAL text (independent matches);
+    redaction applies email -> url -> phone sequentially."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    red = F.col("t")
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return src.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all("t", F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+        red.alias("redacted"),
+    )

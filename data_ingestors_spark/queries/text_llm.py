@@ -252,8 +252,65 @@ FROM documents
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to cluster keep/drop decisions:
+    connected components (min-label propagation) over the oracle-
+    checked n-gram Jaccard edges, singletons kept. The oracle computes
+    the same components with a recursive-CTE transitive closure."""
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.5)
+    return D.neardup_clusters(docs.select("doc_id"), pairs.select("id_a", "id_b"))
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({O_NGRAM_JACCARD})),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM comp
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id, TRUE AS keep
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: per-doc email/URL/phone match counts
+    plus the redacted text (operators/text.py pii_redact)."""
+    from data_ingestors_spark.operators import text as X
+
+    t = tables(spark, sf_dir, "documents")
+    return X.pii_redact(t["documents"], "text", "doc_id")
+
+
+O_PII_REDACT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "pii_redact": q_pii_redact,
     "dedup_normalized": q_dedup_normalized,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_neardup": q_minhash_neardup,
@@ -271,6 +328,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "pii_redact": O_PII_REDACT,
     "dedup_normalized": O_DEDUP_NORMALIZED,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "embedding_topk": O_EMBEDDING_TOPK,

@@ -261,3 +261,60 @@ def test_ivf_ann_recall(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_neardup_clusters_union_find(spark):
+    """Min-label propagation must agree with a reference union-find:
+    chain {1-2,2-3}, pair {5-6}, singleton 9."""
+    from data_ingestors_spark.operators.dedup import neardup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (6, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in neardup_clusters(ids, pairs).collect()
+    }
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (5, 5, True), (6, 5, False),
+        (9, 9, True),
+    }
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    """A 10-node path graph needs multiple propagation rounds; the
+    label must still converge to the global minimum of the component."""
+    from data_ingestors_spark.operators.dedup import neardup_clusters
+
+    n = 10
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rows = neardup_clusters(ids, pairs).collect()
+    assert all(r.cluster_id == 0 for r in rows)
+    assert sorted(r.doc_id for r in rows if r.keep) == [0]
+
+
+def test_pii_redact(spark):
+    from data_ingestors_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "see https://ex.com/a?b=1 and http://y.io"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].redacted
+    assert "bob.smith" not in rows[1].redacted
+    assert rows[2].n_url == 2 and rows[2].redacted.count("<URL>") == 2
+    assert rows[3].n_phone == 1 and "<PHONE>" in rows[3].redacted
+    assert "555" not in rows[3].redacted
+    assert rows[4].redacted == "clean text with no pii at all"
+    assert (rows[4].n_email, rows[4].n_url, rows[4].n_phone) == (0, 0, 0)
