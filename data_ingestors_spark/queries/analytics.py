@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.queries.base import (
+    davg,
     dsum,
     fround,
+    o_davg,
     o_dsum,
     o_fround,
     tables,
@@ -360,7 +362,168 @@ SELECT doc_id, word, tfidf, rk FROM ranked WHERE rk <= 3
 """
 
 
+# --------------------------------------------------- repetition stats
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and the fraction of bigrams taken by the most frequent
+    bigram. One explode bounded by words-per-doc; the per-doc scalar
+    stats never leave the row."""
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    ws = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+            )
+        ).alias("bigram"),
+    ).filter(F.col("n_words") >= 2)
+    per_bigram = base.groupBy("doc_id", "n_words", "n_distinct", "bigram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return per_bigram.groupBy("doc_id", "n_words", "n_distinct").agg(
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    ).select(
+        "doc_id",
+        "n_words",
+        fround(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+        fround(F.col("top_bigram_n") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+    )
+
+
+O_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+         unnest([array_to_string(ws[i:i+1], ' ')
+                 for i in generate_series(1, len(ws) - 1)]) AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 2
+), per_bigram AS (
+  SELECT doc_id, n_words, n_distinct, bigram, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id, n_words,
+       {o_fround("1.0 - n_distinct / n_words", 6)} AS dup_word_frac,
+       {o_fround("CAST(max(c) AS DOUBLE) / sum(c)", 6)} AS top_bigram_frac
+FROM per_bigram GROUP BY doc_id, n_words, n_distinct
+"""
+
+
+# ----------------------------------------------- embedding centroids
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — vector aggregation via posexplode so the
+    partial aggregation is map-side combined per (label, dim) and no
+    vector ever needs to fit anywhere special. Decimal accumulators
+    keep the mean order-free."""
+    t = tables(spark, sf_dir, "embeddings")
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(F.col("label").cast("long").alias("label"), (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(davg(F.col("v"), 6).alias("centroid"))
+    )
+
+
+O_EMBEDDING_CENTROIDS = f"""
+SELECT CAST(label AS BIGINT) AS label, CAST(s.d AS BIGINT) AS dim,
+       {o_davg("s.v", 6)} AS centroid
+FROM (
+  SELECT label,
+         unnest([struct_pack(d := i, v := embedding[i])
+                 for i in generate_series(1, len(embedding))]) AS s
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------------- funnel
+
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> signup -> purchase: a user
+    counts for a stage only if that event happens strictly after the
+    previous stage's first event. Three keyed min-aggregations chained
+    by join — each stage's frame shrinks, so the joins get cheaper as
+    the funnel narrows."""
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"]
+
+    def first_after(etype: str, prev: DataFrame | None, prev_col: str | None, out: str) -> DataFrame:
+        stage = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return stage.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, None, "v_ts")
+    s = first_after("signup", v, "v_ts", "s_ts")
+    p = first_after("purchase", s, "s_ts", "p_ts")
+    return (
+        v.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(s.agg(F.count("*").cast("long").alias("n_signup_after")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase_after")))
+    )
+
+
+O_FUNNEL_ANALYSIS = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+), s AS (
+  SELECT e.user_id, min(e.ts) AS s_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'signup' AND e.ts > v.v_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts GROUP BY 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after
+"""
+
+
+# ----------------------------------------------------- cohort retention
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day,
+    distinct active users per (cohort_day, day_offset). Two shuffles
+    (first-seen per user, then the matrix aggregation)."""
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", F.to_date("ts").alias("day"))
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+O_COHORT_RETENTION = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+SELECT cohort.cohort_day,
+       CAST(datediff('day', cohort.cohort_day, ev.day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "repetition_stats": q_repetition_stats,
+    "embedding_centroids": q_embedding_centroids,
+    "funnel_analysis": q_funnel_analysis,
+    "cohort_retention": q_cohort_retention,
     "stats_aggs": q_stats_aggs,
     "regr_aggs": q_regr_aggs,
     "gap_fill": q_gap_fill,
@@ -373,6 +536,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "repetition_stats": O_REPETITION_STATS,
+    "embedding_centroids": O_EMBEDDING_CENTROIDS,
+    "funnel_analysis": O_FUNNEL_ANALYSIS,
+    "cohort_retention": O_COHORT_RETENTION,
     "stats_aggs": O_STATS_AGGS,
     "regr_aggs": O_REGR_AGGS,
     "gap_fill": O_GAP_FILL,
