@@ -160,3 +160,36 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path, queries):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_contamination_benchmark_side_broadcasts(spark, queries):
+    plan = plan_of(queries["contamination_check"](spark, SF_DIR))
+    # the benchmark gram set must broadcast into the semi join — the
+    # candidate side (corpus-scale) must never shuffle for it
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_document_frequency_broadcasts(spark, queries):
+    plan = plan_of(queries["tfidf_topk"](spark, SF_DIR))
+    # df (term -> doc count) is vocabulary-sized: broadcast, don't
+    # shuffle the exploded term-frequency side on word
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_no_cartesian_and_pruned_scan(spark, queries):
+    plan = plan_of(queries["gap_fill"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    # only ts and user_id should be read from events
+    assert "props" not in scan and "event_type" not in scan
+
+
+def test_funnel_stage_aggs_partial(spark, queries):
+    plan = plan_of(queries["funnel_analysis"](spark, SF_DIR))
+    assert "partial_min" in plan or "HashAggregate" in plan
+    # the three stage counts are 1-row frames; their cross joins are
+    # the deliberate scalar combination, never a data-scale cartesian
+    assert plan.count("CartesianProduct") <= 2
