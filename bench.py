@@ -40,6 +40,12 @@ HEADLINE = [
     "embedding_topk",
     "text_stats",
     "validation_agg",
+    # r3 additions: the new heavy analytics/LLM-pipeline plans
+    "dedup_clusters",
+    "contamination_check",
+    "tfidf_topk",
+    "gap_fill",
+    "attribution_join",
 ]
 
 

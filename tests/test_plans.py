@@ -193,3 +193,65 @@ def test_funnel_stage_aggs_partial(spark, queries):
     # the three stage counts are 1-row frames; their cross joins are
     # the deliberate scalar combination, never a data-scale cartesian
     assert plan.count("CartesianProduct") <= 2
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, queries):
+    """Partition-pruning proof: a filter on the partition column must
+    become a PartitionFilter (directory pruning), never a data filter
+    over the full scan."""
+    from data_ingestors_spark.io.readers import load_table
+
+    path = str(tmp_path / "orders_by_status")
+    load_table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).filter("o_orderstatus = 'O'").select("o_orderkey")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "o_orderstatus" in plan[idx : idx + 200]
+    # the predicate is fully consumed by directory pruning: no data
+    # filter remains (a pruned scan emits no PushedFilters section at
+    # all, and no Filter node re-checks the partition column)
+    assert "PushedFilters" not in plan
+    assert "Filter" not in plan.replace("PartitionFilters", "")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew handling: one join key carrying ~half the fact
+    rows must be split by AQE's skew-join rule (skew=true in the
+    final adaptive plan) once the partition exceeds the threshold."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        from pyspark.sql import functions as F
+
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 64).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(64).select(F.col("id").alias("k"), F.lit("d").alias("dv"))
+        joined = fact.join(dim, "k")
+        # execute THIS df's plan (count() would plan a different query),
+        # then read the adaptive plan in its final, post-execution state
+        assert len(joined.collect()) == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
