@@ -42,6 +42,7 @@ from data_ingestors_spark.validators.timeseries import (
     validate_numeric_columns,
     validate_time_format,
     validate_time_ordered,
+    validate_time_ordered_scalable,
     validate_time_before_today,
     validate_time_to_event,
 )
@@ -170,7 +171,9 @@ def _ts_checks(spark, ctx):
     col = ctx.get("ts_col", "timestamp")
     df = ctx["df"]
     out = validate_time_format(df, col, ctx["config"].schema)
-    out = out.merge(validate_time_ordered(df, col))
+    # scalable form: per-partition windows + boundary merge (identical
+    # result on single-partition input, parallel on multi-split files)
+    out = out.merge(validate_time_ordered_scalable(df, col))
     out = out.merge(validate_time_before_today(df, col))
     return out.merge(validate_numeric_columns(df, exclude=[col]))
 

@@ -83,6 +83,69 @@ def validate_time_ordered(
     )
 
 
+def validate_time_ordered_scalable(df: DataFrame, ts_col: str) -> ValidationResult:
+    """V4 at 100 TB (SURVEY.md §7 hard part 4): monotonicity without a
+    single-partition global window. Two parallel pieces:
+
+    1. WITHIN each scan partition: lag over a per-partition window
+       (partitionBy(spark_partition_id) — every partition sorts only
+       its own rows by arrival position, fully parallel);
+    2. ACROSS partitions: each partition reduces to (first_ts,
+       last_ts) by arrival position, and the tiny per-partition
+       boundary frame (one row per partition) is checked on the
+       driver: last(i) <= first(i+1), in partition-id order — file
+       order, since Spark's file source assigns split ids in order.
+
+    Equivalent to the global-window form whenever input order is the
+    partition-id-then-position order of the scan (parquet/CSV file
+    splits), which is the reference's definition of "row order".
+    """
+    base = (
+        df.select(F.col(ts_col).cast("timestamp").alias("__ts"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pos", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("__pid").orderBy("__pos")
+    within = base.withColumn(
+        "__ooo", F.when(F.col("__ts") < F.lag("__ts").over(w), 1).otherwise(0)
+    )
+    # one aggregation computes BOTH the within-partition violation count
+    # and the per-partition boundary rows
+    agg = (
+        within.groupBy("__pid")
+        .agg(
+            F.sum("__ooo").alias("n_ooo"),
+            F.min(F.struct(F.col("__pos").alias("pos"), F.col("__ts").alias("ts"))).alias(
+                "first_row"
+            ),
+            F.max(F.struct(F.col("__pos").alias("pos"), F.col("__ts").alias("ts"))).alias(
+                "last_row"
+            ),
+        )
+        .orderBy("__pid")
+        .collect()  # one row per partition — bounded, driver-safe
+    )
+    n_within = sum(r.n_ooo or 0 for r in agg)
+    n_boundary = sum(
+        1
+        for prev, cur in zip(agg, agg[1:])
+        if prev.last_row.ts is not None
+        and cur.first_row.ts is not None
+        and cur.first_row.ts < prev.last_row.ts
+    )
+    n = n_within + n_boundary
+    return ValidationResult(
+        n == 0,
+        errors=[f"{n} out-of-order adjacent timestamp pair(s)"] if n else [],
+        metadata={
+            "n_out_of_order": n,
+            "n_within_partition": n_within,
+            "n_at_partition_boundary": n_boundary,
+            "n_partitions": len(agg),
+        },
+    )
+
+
 def validate_time_before_today(df: DataFrame, ts_col: str) -> ValidationResult:
     """V5: no timestamp >= today; reports earliest/latest."""
     ts = F.col(ts_col).cast("timestamp")

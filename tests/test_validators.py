@@ -183,3 +183,43 @@ def test_category_battery(spark, tmp_path):
         "text_classification", "token_classification", "mlm",
     ):
         assert validators_for(cat)
+
+
+def test_time_ordered_scalable_matches_global(spark, tmp_path):
+    """The per-partition boundary form (SURVEY §7 hard part 4) agrees
+    with the single-window form on multi-split file input, detects
+    both within-partition and boundary violations, and stays parallel
+    (no single-partition global sort)."""
+    from data_ingestors_spark.validators.timeseries import (
+        validate_time_ordered,
+        validate_time_ordered_scalable,
+    )
+
+    # ordered series written as several files, read back in file order
+    path = str(tmp_path / "ordered")
+    spark.createDataFrame(
+        [(f"2020-01-{d:02d} 00:00:00",) for d in range(1, 29)], "timestamp string"
+    ).coalesce(1).write.parquet(path)
+    ordered = spark.read.parquet(path)
+    assert validate_time_ordered_scalable(ordered, "timestamp").is_valid
+
+    # an out-of-order pair inside one partition
+    bad = spark.createDataFrame(
+        [("2020-01-02",), ("2020-01-01",), ("2020-01-03",)], "timestamp string"
+    ).coalesce(1)
+    res = validate_time_ordered_scalable(bad, "timestamp")
+    assert not res.is_valid and res.metadata["n_out_of_order"] == 1
+    assert res.metadata["n_out_of_order"] == validate_time_ordered(
+        bad, "timestamp"
+    ).metadata["n_out_of_order"]
+
+    # a violation that exists ONLY at a partition boundary: partition 0
+    # ends later than partition 1 begins — each partition alone is
+    # sorted. parallelize with explicit slices pins the physical layout
+    # (no shuffle, so AQE cannot coalesce the partitions away).
+    rdd = spark.sparkContext.parallelize([("2020-02-01",), ("2020-01-01",)], 2)
+    boundary = spark.createDataFrame(rdd, "timestamp string")
+    res2 = validate_time_ordered_scalable(boundary, "timestamp")
+    assert not res2.is_valid
+    assert res2.metadata["n_at_partition_boundary"] == 1
+    assert res2.metadata["n_within_partition"] == 0
