@@ -519,7 +519,45 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- robust stats
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust statistics through BOTH grouped Python
+    UDF surfaces: median/MAD/outlier-count via applyInPandas and a
+    geometric-mean pandas UDAF, joined into one row per group."""
+    from data_ingestors_spark.operators.robust import geomean_by_group, mad_outlier_stats
+
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"]
+    mad = mad_outlier_stats(ev, "event_type", "value", k=3.0)
+    gm = geomean_by_group(ev, "event_type", "value")
+    return mad.join(gm, "event_type").select(
+        "event_type",
+        fround(F.col("med"), 6).alias("med"),
+        fround(F.col("mad"), 6).alias("mad"),
+        "n_outliers",
+        fround(F.col("gm"), 6).alias("gm"),
+    )
+
+
+O_ROBUST_STATS = f"""
+WITH s AS (
+  SELECT event_type, median(value) AS med, mad(value) AS mad,
+         exp(avg(ln(value))) AS gm
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       {o_fround("any_value(s.med)", 6)} AS med,
+       {o_fround("any_value(s.mad)", 6)} AS mad,
+       CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {o_fround("any_value(s.gm)", 6)} AS gm
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
+    "robust_stats": q_robust_stats,
     "repetition_stats": q_repetition_stats,
     "embedding_centroids": q_embedding_centroids,
     "funnel_analysis": q_funnel_analysis,
@@ -536,6 +574,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "robust_stats": O_ROBUST_STATS,
     "repetition_stats": O_REPETITION_STATS,
     "embedding_centroids": O_EMBEDDING_CENTROIDS,
     "funnel_analysis": O_FUNNEL_ANALYSIS,

@@ -318,3 +318,22 @@ def test_pii_redact(spark):
     assert "555" not in rows[3].redacted
     assert rows[4].redacted == "clean text with no pii at all"
     assert (rows[4].n_email, rows[4].n_url, rows[4].n_phone) == (0, 0, 0)
+
+
+def test_mad_outlier_stats_and_geomean(spark):
+    from data_ingestors_spark.operators.robust import geomean_by_group, mad_outlier_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0), ("b", 4.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    mad = {r.g: r for r in mad_outlier_stats(df, "g", "v", k=3.0).collect()}
+    # group a: median 2.5, MAD 1.0, 100.0 is the single outlier
+    assert mad["a"].med == 2.5 and mad["a"].mad == 1.0 and mad["a"].n_outliers == 1
+    # group b: constant values, MAD 0, no outliers beyond 0 deviation
+    assert mad["b"].mad == 0.0 and mad["b"].n_outliers == 0
+
+    gm = {r.g: r.gm for r in geomean_by_group(df, "g", "v").collect()}
+    assert abs(gm["b"] - 4.0) < 1e-12
+    import math
+    assert abs(gm["a"] - math.exp(sum(math.log(x) for x in (1, 2, 3, 100)) / 4)) < 1e-9
