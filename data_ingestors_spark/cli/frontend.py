@@ -72,7 +72,7 @@ def validate_config(raw: dict) -> None:
         raise IngestConfigError("ingest.yaml validation failed:\n" + "\n".join(lines))
 
 
-_FORMAT_KEYS = ("csv", "json", "parquet")
+_FORMAT_KEYS = ("csv", "json", "parquet", "orc")
 
 
 def resolve(raw: dict) -> ResolvedRun:

@@ -37,10 +37,11 @@ INGEST_V1 = {
         "category": {"type": "string", "enum": CATEGORIES},
         "table": {"type": "string", "minLength": 1, "maxLength": 64},
         "intent": {"type": "string", "enum": ["train", "test"]},
-        # source — exactly one of csv / json / parquet (oneOf below)
+        # source — exactly one of csv / json / parquet / orc (oneOf below)
         "csv": {"type": "string", "minLength": 1},
         "json": {"type": "string", "minLength": 1},
         "parquet": {"type": "string", "minLength": 1},
+        "orc": {"type": "string", "minLength": 1},
         # declared column types for tabular-ish sources
         "schema": {
             "type": "object",
@@ -139,9 +140,17 @@ INGEST_V1 = {
         },
     },
     "oneOf": [
-        {"required": ["csv"], "not": {"anyOf": [{"required": ["json"]}, {"required": ["parquet"]}]}},
-        {"required": ["json"], "not": {"anyOf": [{"required": ["csv"]}, {"required": ["parquet"]}]}},
-        {"required": ["parquet"], "not": {"anyOf": [{"required": ["csv"]}, {"required": ["json"]}]}},
+        {
+            "required": [fmt],
+            "not": {
+                "anyOf": [
+                    {"required": [other]}
+                    for other in ("csv", "json", "parquet", "orc")
+                    if other != fmt
+                ]
+            },
+        }
+        for fmt in ("csv", "json", "parquet", "orc")
     ],
     # file-bearing categories need src+dest (conditional requirement,
     # mirroring the reference's per-category if/then blocks)

@@ -82,6 +82,10 @@ class Ingestor:
             return read_json_source(self.spark, source, schema)
         if self.config.data_format == "parquet":
             return self.spark.read.parquet(source)
+        if self.config.data_format == "orc":
+            # columnar sibling of the parquet path: native Spark ORC
+            # reader, predicate pushdown and pruning included
+            return self.spark.read.orc(source)
         raise ValueError(f"unknown data_format: {self.config.data_format}")
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -466,3 +466,17 @@ def test_missing_file_quarantined_with_reason(spark, tmp_path):
     rows = failed.collect()
     assert len(rows) == 1
     assert "file_missing" in rows[0].error and "img1" in rows[0].error
+
+
+def test_tabular_orc_source(spark, tmp_path):
+    src = str(tmp_path / "data_orc")
+    spark.createDataFrame(
+        [("2.5", "1"), ("3.5", "0"), ("4.5", "1")], "f0 string, label string"
+    ).write.orc(src)
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_orc", "category": "tabular_classification",
+        "orc": src,
+        "schema": {"f0": "FLOAT", "label": "INT"},
+        "label": "label",
+    })
+    assert_clean(s, t, 3)

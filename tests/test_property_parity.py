@@ -113,3 +113,41 @@ def test_fround_half_boundary_cases(spark):
             for v in cases
         ]
         assert got == want, f"nd={nd}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_neardup_clusters_match_union_find(spark, edge_list):
+    """Min-label propagation must compute exactly the connected
+    components a reference union-find produces, for arbitrary random
+    graphs over 25 nodes (including disconnected nodes and dense
+    blobs)."""
+    from data_ingestors_spark.operators.dedup import neardup_clusters
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edge_list or [(0, 0)], "id_a long, id_b long")
+    if not edge_list:
+        pairs = pairs.filter("id_a <> id_a")  # empty frame, same schema
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(ids, pairs).collect()}
+    assert got == expected
