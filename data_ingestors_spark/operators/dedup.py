@@ -386,10 +386,13 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame, *, max_iter: int = 20) ->
     Scale design: propagation runs only over docs that appear in at
     least one edge (the near-dup subgraph — tiny vs the corpus);
     singleton docs are appended at the end with keep=true and never
-    shuffle. Each iteration is one edge join + one groupBy min, with
-    ``localCheckpoint`` cutting lineage so the plan stays constant
-    size; iteration count is bounded by cluster diameter (3-4 in
-    practice for near-dup blobs) with a hard cap.
+    shuffle. Each iteration is one edge join + one label self-join
+    (pointer jumping) + one groupBy min, with ``localCheckpoint``
+    cutting lineage so the plan stays constant size. The jumping join
+    costs ~25% per round on shallow graphs but makes the round count
+    LOGARITHMIC in cluster diameter — a pathological chained-duplicate
+    corpus converges in ~log2(diameter) rounds instead of diameter
+    rounds, which is the property that matters at 100 TB.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -402,8 +405,20 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame, *, max_iter: int = 20) ->
         prop = edges.join(
             labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("doc_id"), "label")
+        # pointer jumping (shortcutting): label(label(d)) is also
+        # reachable from d — folding it in each round makes the round
+        # count logarithmic in cluster diameter instead of linear
+        jump = (
+            labels.alias("a")
+            .join(
+                labels.select(F.col("doc_id").alias("mid"), F.col("label").alias("jlabel")),
+                F.col("a.label") == F.col("mid"),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("jlabel").alias("label"))
+        )
         new = (
             labels.union(prop)
+            .union(jump)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
