@@ -171,3 +171,34 @@ def quarantine_split(df: DataFrame, valid_predicate) -> tuple[DataFrame, DataFra
     valid = df.filter(valid_predicate)
     invalid = df.filter(~F.coalesce(valid_predicate, F.lit(False)))
     return valid, invalid
+
+
+def export_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "csv",
+    *,
+    single_file: bool = False,
+    compression: str | None = None,
+    options: dict | None = None,
+) -> None:
+    """Export a result set for downstream consumers: csv (with
+    header), json (NDJSON), parquet, or orc.
+
+    ``single_file=True`` coalesces to one partition — convenient for
+    small result sets handed to humans/tools, and deliberately NOT the
+    default: at scale the parallel many-file layout is the correct
+    output shape, and a forced coalesce(1) funnels the whole write
+    through one task.
+    """
+    if fmt not in ("csv", "json", "parquet", "orc"):
+        raise ValueError(f"unsupported export format: {fmt}")
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    getattr(writer, fmt)(path)

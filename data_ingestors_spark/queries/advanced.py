@@ -367,7 +367,40 @@ SELECT CAST(floor(n_chars / 100) AS BIGINT) AS len_bin,
 FROM documents GROUP BY 1
 """
 
+def q_nth_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value / last_value over an explicit full-
+    partition frame — the frame spec is load-bearing: last_value over
+    the default frame (UNBOUNDED PRECEDING..CURRENT ROW) is just the
+    current row, the classic window gotcha."""
+    t = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+O_NTH_VALUE_WINDOW = """
+SELECT o_orderkey, o_orderpriority,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey) OVER w AS last_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES["regex_battery"] = q_regex_battery
 QUERIES["length_histogram"] = q_length_histogram
+QUERIES["nth_value_window"] = q_nth_value_window
 ORACLES["regex_battery"] = O_REGEX_BATTERY
 ORACLES["length_histogram"] = O_LENGTH_HISTOGRAM
+ORACLES["nth_value_window"] = O_NTH_VALUE_WINDOW

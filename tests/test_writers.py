@@ -100,3 +100,23 @@ def test_upsert_idempotent_reingest(spark, tmp_path):
     upsert(spark, t, df)
     assert upsert(spark, t, df) == (2, 0)  # same batch: all updates
     assert read_table(spark, t).count() == 2
+
+
+def test_export_table_formats(spark, tmp_path):
+    from data_ingestors_spark.io.writers import export_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    for fmt in ("csv", "json", "parquet", "orc"):
+        path = str(tmp_path / f"out_{fmt}")
+        export_table(df, path, fmt, single_file=True)
+        if fmt == "csv":
+            back = spark.read.option("header", True).schema("k long, v string").csv(path)
+        elif fmt == "json":
+            back = spark.read.schema("k long, v string").json(path)
+        else:
+            back = getattr(spark.read, fmt)(path)
+        assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        export_table(df, str(tmp_path / "x"), "xml")
