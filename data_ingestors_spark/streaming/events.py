@@ -222,6 +222,35 @@ def _duration_us(text: str) -> int:
     return int(qty) * mult * 1_000_000
 
 
+def stream_upsert(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    *,
+    key: str = "event_id",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming MERGE sink: every micro-batch upserts into the keyed
+    bucketed table via ``foreachBatch``. Exactly-once EFFECT comes from
+    the composition — the checkpoint gives at-least-once batch
+    delivery, and the keyed upsert is idempotent, so a replayed batch
+    after a crash rewrites the same rows instead of duplicating them.
+    This is the production pattern for streaming into a warehouse
+    table without a transactional sink."""
+    from data_ingestors_spark.io.writers import upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert(batch_df.sparkSession, target_path, batch_df, key=key)
+
+    return (
+        df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming frame to completion against the memory sink;
     returns the materialized result as a batch DataFrame."""

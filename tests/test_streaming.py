@@ -194,3 +194,40 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     # the only attributed pair is user 100's view->purchase at +30min
     assert (0, 1, 100, 30 * 60 * 1_000_000) in got
     assert all(pair[2] != 101 for pair in got)
+
+
+def test_stream_upsert_idempotent_across_restart(spark, tmp_path):
+    """foreachBatch + keyed upsert = exactly-once EFFECT: restarting
+    from the checkpoint and replaying data must not duplicate rows,
+    and a re-keyed row must update in place."""
+    from data_ingestors_spark.streaming import stream_events, stream_upsert
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(spark, src, [_ev(i, hour=1) for i in range(10)])
+    q = stream_upsert(stream_events(spark, src), target, ckpt, key="event_id")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = spark.read.parquet(target)
+    assert first.select("event_id").distinct().count() == 10
+    assert first.count() == 10
+
+    # restart from the same checkpoint; add one NEW event and one
+    # UPDATE of an existing key (same event_id, different value)
+    rows = [_ev(10, hour=2)]
+    rows.append((5, dt.datetime(2024, 1, 1, 5), 105, "updated", 999.0, "{}"))
+    _write_events(spark, src, rows)
+    q2 = stream_upsert(stream_events(spark, src), target, ckpt, key="event_id")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = spark.read.parquet(target)
+    assert final.count() == 11  # 10 original + 1 new, no duplicates
+    updated = final.filter(F.col("event_id") == 5).collect()
+    assert len(updated) == 1 and updated[0].event_type == "updated"
