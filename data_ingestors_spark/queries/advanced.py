@@ -398,6 +398,30 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe salted equi-join (operators/joins.py): fact rows
+    fan out over 8 salt lanes, the dim side replicates 8x. The oracle
+    is the PLAIN join — salting may only change physical routing."""
+    from data_ingestors_spark.operators.joins import salted_join
+
+    t = tables(spark, sf_dir, "lineitem", "part")
+    fact = t["lineitem"].select(
+        F.col("l_partkey").alias("partkey"), "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dim = t["part"].select(F.col("p_partkey").alias("partkey"), "p_name")
+    return salted_join(fact, dim, "partkey", n_salt=8).select(
+        "partkey", "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty"), "p_name"
+    )
+
+
+O_SALTED_JOIN = """
+SELECT l_partkey AS partkey, l_orderkey, l_linenumber, l_quantity AS qty, p_name
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+QUERIES["salted_join"] = q_salted_join
+ORACLES["salted_join"] = O_SALTED_JOIN
 QUERIES["regex_battery"] = q_regex_battery
 QUERIES["length_histogram"] = q_length_histogram
 QUERIES["nth_value_window"] = q_nth_value_window

@@ -337,3 +337,39 @@ def test_mad_outlier_stats_and_geomean(spark):
     assert abs(gm["b"] - 4.0) < 1e-12
     import math
     assert abs(gm["a"] - math.exp(sum(math.log(x) for x in (1, 2, 3, 100)) / 4)) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must only change physical routing: the joined result
+    set is identical to the plain join, including a 50%-hot key."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.joins import salted_join
+
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    dim = spark.range(50).select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dv"))
+    plain = {(r.k, r.rowid, r.dv) for r in fact.join(dim, "k").collect()}
+    salted = {(r.k, r.rowid, r.dv) for r in salted_join(fact, dim, "k", n_salt=8).collect()}
+    assert salted == plain
+
+
+def test_approx_aggs_within_tolerance(spark):
+    """The rows-only approx ops are verified here against exact
+    answers: approx_count_distinct within its rsd bound, and
+    approx_percentile within the window implied by its accuracy."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.io.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
