@@ -247,6 +247,48 @@ FROM events
 """
 
 
+def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a 3-key map per row, then
+    transform_values, map_filter, and map_zip_with — emitted as
+    deterministic scalars (summed transformed values, surviving-key
+    count, zipped dot product) since raw maps are unordered and
+    hash-hostile across engines."""
+    t = tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].filter(F.col("l_linenumber") == 1)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("disc"), F.col("l_discount"),
+        F.lit("tax"), F.col("l_tax"),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: v > 0.05)
+    weights = F.create_map(
+        F.lit("qty"), F.lit(1.0), F.lit("disc"), F.lit(10.0), F.lit("tax"), F.lit(100.0)
+    )
+    prod = F.map_zip_with(m, weights, lambda k, a, b: a * b)
+    return li.select(
+        "l_orderkey",
+        fround(
+            F.aggregate(F.map_values(doubled), F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("sum_doubled"),
+        F.size(big).cast("long").alias("n_big"),
+        fround(
+            F.aggregate(F.map_values(prod), F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("weighted"),
+    )
+
+
+O_MAP_HOF = f"""
+SELECT l_orderkey,
+       {o_fround("(l_quantity*2) + (l_discount*2) + (l_tax*2)", 6)} AS sum_doubled,
+       CAST((CASE WHEN l_quantity > 0.05 THEN 1 ELSE 0 END)
+          + (CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+          + (CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       {o_fround("l_quantity*1.0 + l_discount*10.0 + l_tax*100.0", 6)} AS weighted
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
 # ----------------------------------------------- contamination overlap
 
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,6 +611,7 @@ QUERIES = {
     "median_bool_aggs": q_median_bool_aggs,
     "bit_aggs": q_bit_aggs,
     "map_funcs": q_map_funcs,
+    "map_hof": q_map_hof,
     "contamination_check": q_contamination_check,
     "tfidf_topk": q_tfidf_topk,
 }
@@ -586,6 +629,7 @@ ORACLES = {
     "median_bool_aggs": O_MEDIAN_BOOL_AGGS,
     "bit_aggs": O_BIT_AGGS,
     "map_funcs": O_MAP_FUNCS,
+    "map_hof": O_MAP_HOF,
     "contamination_check": O_CONTAMINATION_CHECK,
     "tfidf_topk": O_TFIDF_TOPK,
 }
