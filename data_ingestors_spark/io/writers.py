@@ -181,6 +181,7 @@ def export_table(
     single_file: bool = False,
     compression: str | None = None,
     options: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Export a result set for downstream consumers: csv (with
     header), json (NDJSON), parquet, or orc.
@@ -190,11 +191,19 @@ def export_table(
     default: at scale the parallel many-file layout is the correct
     output shape, and a forced coalesce(1) funnels the whole write
     through one task.
+
+    ``partition_by`` shards the output into one directory per value
+    (e.g. a corpus sharded by language) — readers then prune shards
+    by directory, no scan of the rest.
     """
     if fmt not in ("csv", "json", "parquet", "orc"):
         raise ValueError(f"unsupported export format: {fmt}")
+    if single_file and partition_by:
+        raise ValueError("single_file and partition_by are mutually exclusive")
     out = df.coalesce(1) if single_file else df
     writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if compression:
         writer = writer.option("compression", compression)
     for k, v in (options or {}).items():
@@ -202,3 +211,48 @@ def export_table(
     if fmt == "csv":
         writer = writer.option("header", True)
     getattr(writer, fmt)(path)
+
+
+def compact_table(spark: SparkSession, path: str, *, files_per_bucket: int = 1) -> dict[str, int]:
+    """Small-file compaction for the bucketed upsert target. Every
+    incremental upsert appends files to its touched buckets; after
+    many batches a bucket holds dozens of tiny files and scan/task
+    overhead dominates. Rewrites each bucket directory down to
+    ``files_per_bucket`` files (atomic per bucket: write to a temp
+    sibling, then swap via the Hadoop FS API, so readers never see a
+    half-compacted bucket).
+
+    Returns {"buckets": n_compacted, "files_before": .., "files_after": ..}.
+    """
+    import os as _os
+
+    jvm_fs, root = hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    if not jvm_fs.exists(root):
+        raise FileNotFoundError(path)
+
+    files_before = files_after = buckets = 0
+    for status in jvm_fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(f"{BUCKET_COL}=")):
+            continue
+        bucket_dir = status.getPath()
+        parts = [
+            s for s in jvm_fs.listStatus(bucket_dir) if s.getPath().getName().endswith(".parquet")
+        ]
+        if len(parts) <= files_per_bucket:
+            continue
+        buckets += 1
+        files_before += len(parts)
+        src = _os.path.join(path, name)
+        tmp = _os.path.join(path, f".compact_tmp_{name}")
+        (
+            spark.read.parquet(src)
+            .coalesce(files_per_bucket)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        jvm_fs.delete(bucket_dir, True)
+        jvm_fs.rename(Path(tmp), bucket_dir)
+        files_after += files_per_bucket
+    return {"buckets": buckets, "files_before": files_before, "files_after": files_after}

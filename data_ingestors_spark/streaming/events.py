@@ -228,6 +228,7 @@ def stream_upsert(
     checkpoint: str,
     *,
     key: str = "event_id",
+    available_now: bool = False,
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Streaming MERGE sink: every micro-batch upserts into the keyed
     bucketed table via ``foreachBatch``. Exactly-once EFFECT comes from
@@ -235,7 +236,12 @@ def stream_upsert(
     delivery, and the keyed upsert is idempotent, so a replayed batch
     after a crash rewrites the same rows instead of duplicating them.
     This is the production pattern for streaming into a warehouse
-    table without a transactional sink."""
+    table without a transactional sink.
+
+    ``available_now=True`` turns this into INCREMENTAL BATCH ingest:
+    process everything that arrived since the last checkpoint, then
+    stop — the scheduled-job alternative to an always-on stream, with
+    the same checkpoint bookkeeping deciding what is "new"."""
     from data_ingestors_spark.io.writers import upsert
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -243,12 +249,14 @@ def stream_upsert(
             return
         upsert(batch_df.sparkSession, target_path, batch_df, key=key)
 
-    return (
+    writer = (
         df.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:

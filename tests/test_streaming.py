@@ -231,3 +231,24 @@ def test_stream_upsert_idempotent_across_restart(spark, tmp_path):
     assert final.count() == 11  # 10 original + 1 new, no duplicates
     updated = final.filter(F.col("event_id") == 5).collect()
     assert len(updated) == 1 and updated[0].event_type == "updated"
+
+
+def test_stream_upsert_available_now_incremental(spark, tmp_path):
+    """Trigger.availableNow = scheduled incremental batch: each run
+    processes exactly the files that arrived since the last
+    checkpoint, then terminates on its own."""
+    from data_ingestors_spark.streaming import stream_events, stream_upsert
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(spark, src, [_ev(i, hour=1) for i in range(5)])
+    q = stream_upsert(stream_events(spark, src), target, ckpt, available_now=True)
+    q.awaitTermination(120)  # terminates by itself — no stop() needed
+    assert spark.read.parquet(target).count() == 5
+
+    _write_events(spark, src, [_ev(i, hour=2) for i in range(5, 8)])
+    q2 = stream_upsert(stream_events(spark, src), target, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 8

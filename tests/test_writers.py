@@ -120,3 +120,48 @@ def test_export_table_formats(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported"):
         export_table(df, str(tmp_path / "x"), "xml")
+
+
+def test_export_partitioned_by_column(spark, tmp_path):
+    from data_ingestors_spark.io.writers import export_table
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("de", 3)], "lang string, doc long"
+    )
+    path = str(tmp_path / "sharded")
+    export_table(df, path, "parquet", partition_by=["lang"])
+    import os
+
+    shards = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert shards == {"lang=en", "lang=de"}
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        export_table(df, path, "parquet", single_file=True, partition_by=["lang"])
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    from data_ingestors_spark.io.writers import compact_table, read_table, upsert
+
+    target = str(tmp_path / "t")
+    # 8 incremental batches -> many small files per touched bucket
+    for i in range(8):
+        batch = spark.createDataFrame(
+            [(f"id{j}", i) for j in range(i * 10, i * 10 + 10)], "data_id string, v long"
+        )
+        upsert(spark, target, batch, key="data_id", n_buckets=4)
+    before = read_table(spark, target)
+    rows_before = sorted((r.data_id, r.v) for r in before.collect())
+
+    stats = compact_table(spark, target, files_per_bucket=1)
+    assert stats["buckets"] > 0
+    assert stats["files_after"] < stats["files_before"]
+
+    after = read_table(spark, target)
+    assert sorted((r.data_id, r.v) for r in after.collect()) == rows_before
+    # compaction is invisible to the upsert path: another batch still works
+    upsert(spark, target, spark.createDataFrame([("id0", 99)], "data_id string, v long"))
+    assert read_table(spark, target).filter("data_id = 'id0'").collect()[0].v == 99
