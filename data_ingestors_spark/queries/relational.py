@@ -560,7 +560,86 @@ WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue by order, top 10 by
+    revenue. Both filters push to the scans before the fact-fact
+    shuffle join; the top-k is a global sort of the AGGREGATED frame
+    (one row per order), never of the raw join."""
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = "2024-03-15"
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+O_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+       {o_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2024-03-15'
+  AND l_shipdate > TIMESTAMP '2024-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. Return-flag filter pushes to the lineitem scan; nation
+    broadcasts."""
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev).alias("lost_revenue"), F.count("*").cast("long").alias("n_items"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, n_name,
+       {o_dsum("l_extendedprice * (1 - l_discount)")} AS lost_revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "returned_items": q_returned_items,
     "pricing_summary": q_pricing_summary,
     "filter_project_case": q_filter_project_case,
     "revenue_by_nation": q_revenue_by_nation,
@@ -587,6 +666,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shipping_priority": O_SHIPPING_PRIORITY,
+    "returned_items": O_RETURNED_ITEMS,
     "pricing_summary": O_PRICING_SUMMARY,
     "filter_project_case": O_FILTER_PROJECT_CASE,
     "revenue_by_nation": O_REVENUE_BY_NATION,
