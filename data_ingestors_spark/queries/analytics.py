@@ -354,6 +354,55 @@ FROM total LEFT JOIN matched ON total.doc_id = matched.doc_id
 """
 
 
+# ------------------------------------------------------ corpus packing
+
+def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training prep: documents fill
+    fixed-budget token bins sequentially per source (deterministic
+    doc_id order). bin = floor(tokens_before / budget) — one window
+    cumsum per source partition, integer-exact, then a per-bin
+    rollup. At scale each source packs independently (one shuffle on
+    source), which is how packing is sharded in practice."""
+    budget = 512
+    t = tables(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = (
+        t["documents"]
+        .select("doc_id", "source", toks.alias("tokens"))
+        .withColumn(
+            "bin_id",
+            F.floor((F.sum("tokens").over(w) - F.col("tokens")) / budget).cast("long"),
+        )
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+O_CORPUS_PACKING = """
+WITH toks AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), binned AS (
+  SELECT doc_id, source, tokens,
+         CAST(floor((sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+                    / 512) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM binned GROUP BY source, bin_id
+"""
+
+
 # --------------------------------------------------------------- tf-idf
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,6 +663,7 @@ QUERIES = {
     "map_hof": q_map_hof,
     "contamination_check": q_contamination_check,
     "tfidf_topk": q_tfidf_topk,
+    "corpus_packing": q_corpus_packing,
 }
 
 ORACLES = {
@@ -632,4 +682,5 @@ ORACLES = {
     "map_hof": O_MAP_HOF,
     "contamination_check": O_CONTAMINATION_CHECK,
     "tfidf_topk": O_TFIDF_TOPK,
+    "corpus_packing": O_CORPUS_PACKING,
 }
