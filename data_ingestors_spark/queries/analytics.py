@@ -354,6 +354,57 @@ FROM total LEFT JOIN matched ON total.doc_id = matched.doc_id
 """
 
 
+# ----------------------------------------------------- rolling anomaly
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event's value scored
+    against the mean/std of the PREVIOUS 50 same-type events; |z| > 3
+    flags. Rolling moments come from decimal-exact sum and sum-of-
+    squares over the frame — order-free, so Spark's incremental
+    window evaluation and DuckDB's segment-tree combine cannot drift
+    apart (double window sums would). One shuffle on event_type."""
+    from data_ingestors_spark.queries.base import DEC
+
+    t = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    v = F.col("value")
+    n = F.count(v).over(w)
+    s = F.sum(v.cast(DEC)).over(w).cast("double")
+    sq = F.sum((v * v).cast(DEC)).over(w).cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / (n - 1)
+    z = (v - mean) / F.sqrt(var)
+    return (
+        t["events"]
+        .select("event_id", "event_type", "value", n.alias("n_win"), z.alias("z_raw"))
+        .filter((F.col("n_win") >= 20) & (F.abs("z_raw") > 3))
+        .select("event_id", "event_type", fround(F.col("z_raw"), 4).alias("z"))
+    )
+
+
+O_ROLLING_ANOMALY = f"""
+WITH scored AS (
+  SELECT event_id, event_type, value,
+         count(value) OVER w AS n_win,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sq
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_id, event_type, n_win,
+         (value - s / n_win) / sqrt((sq - s * s / n_win) / (n_win - 1)) AS z_raw
+  FROM scored
+)
+SELECT event_id, event_type, {o_fround("z_raw", 4)} AS z
+FROM z WHERE n_win >= 20 AND abs(z_raw) > 3
+"""
+
+
 # ------------------------------------------------------ corpus packing
 
 def q_corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +715,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "tfidf_topk": q_tfidf_topk,
     "corpus_packing": q_corpus_packing,
+    "rolling_anomaly": q_rolling_anomaly,
 }
 
 ORACLES = {
@@ -683,4 +735,5 @@ ORACLES = {
     "contamination_check": O_CONTAMINATION_CHECK,
     "tfidf_topk": O_TFIDF_TOPK,
     "corpus_packing": O_CORPUS_PACKING,
+    "rolling_anomaly": O_ROLLING_ANOMALY,
 }
