@@ -125,6 +125,7 @@ def resolve(raw: dict) -> ResolvedRun:
         number_of_keypoints=raw.get("number_of_keypoints"),
         time_column=raw.get("time_column"),
         processors=tuple(spec.get("processors") or ()),
+        expectations=tuple(spec.get("expectations") or ()),
     )
 
     warehouse = raw.get("warehouse", "warehouse")

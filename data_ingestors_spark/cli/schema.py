@@ -94,6 +94,31 @@ INGEST_V1 = {
                 "batch_size": {"type": "integer", "minimum": 1},
                 "ingestor_id": {"type": "string", "minLength": 1},
                 "lock_dir": {"type": "string", "minLength": 1},
+                # declarative data expectations (dbt-test style);
+                # any violation fails the ingest with counts + samples
+                "expectations": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "additionalProperties": False,
+                        "properties": {
+                            "column": {"type": "string", "minLength": 1},
+                            "checks": {
+                                "type": "array",
+                                "items": {"type": "string", "enum": ["not_null", "unique"]},
+                            },
+                            "accepted_values": {"type": "array", "minItems": 1},
+                            "between": {
+                                "type": "array",
+                                "items": {"type": "number"},
+                                "minItems": 2,
+                                "maxItems": 2,
+                            },
+                            "matches": {"type": "string", "minLength": 1},
+                            "expression": {"type": "string", "minLength": 1},
+                        },
+                    },
+                },
                 # T8: declared processors, applied in order (unlike the
                 # reference, which accepts-but-skips them)
                 "processors": {

@@ -83,6 +83,10 @@ class ResolvedConfig:
     # "pkg.mod:fn" strings or {"function":..., "args":{...}} dicts,
     # applied in order after type conformance.
     processors: tuple = ()
+    # declarative data expectations (validators/expectations.py),
+    # evaluated in one agg pass after the category battery; any
+    # violation fails the ingest loudly with counts + samples.
+    expectations: tuple = ()
 
     def validate(self) -> None:
         """Fail-fast plan guards — same error classes as the reference

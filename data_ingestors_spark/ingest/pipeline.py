@@ -218,6 +218,19 @@ class Ingestor:
             if not result.is_valid:
                 raise ValueError("validation failed:\n  " + "\n  ".join(result.errors))
 
+            # declarative expectations (spec.expectations) — one more
+            # agg over the SAME cached frame, zero extra scans
+            if cfg.expectations:
+                from data_ingestors_spark.validators.expectations import (
+                    evaluate_expectations,
+                )
+
+                report = evaluate_expectations(raw, list(cfg.expectations))
+                if not report.is_valid:
+                    raise ValueError(
+                        "expectations failed:\n  " + "\n  ".join(report.errors())
+                    )
+
             conformed = raw
             for name, decl in cfg.schema.items():
                 conformed = conformed.withColumn(name, cast_for_decl(F.col(name), decl))
