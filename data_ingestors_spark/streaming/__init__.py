@@ -4,6 +4,7 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
     session_stream,
     dedup_stream,
     attribution_stream,
+    enrich_stream,
     stream_upsert,
     stateful_sessions,
     run_stream_to_memory,

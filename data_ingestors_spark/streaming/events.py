@@ -222,6 +222,17 @@ def _duration_us(text: str) -> int:
     return int(qty) * mult * 1_000_000
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the batch
+    dimension frame (re-read per trigger, so a refreshed dim parquet
+    is picked up without restarting the query). Static side is
+    broadcast when small — no streaming state involved, unlike a
+    stream-stream join."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), on, "left")
+
+
 def stream_upsert(
     df: DataFrame,
     target_path: str,

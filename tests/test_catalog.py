@@ -1,0 +1,50 @@
+"""Warehouse catalog: ingested tables become queryable by name."""
+
+from __future__ import annotations
+
+import textwrap
+
+from data_ingestors_spark import catalog
+
+
+def test_attach_and_sql(spark, tmp_path):
+    from data_ingestors_spark.cli.frontend import run_from_yaml
+
+    csv = tmp_path / "m.csv"
+    csv.write_text("age,target\n31,yes\n42,no\n55,yes\n")
+    yml = tmp_path / "ingest.yaml"
+    yml.write_text(
+        textwrap.dedent(
+            f"""\
+            apiVersion: spark-ingest/v1
+            kind: IngestConfig
+            category: tabular_classification
+            table: people
+            intent: train
+            csv: {csv}
+            schema:
+              age: INT
+            label: target
+            warehouse: {tmp_path / "wh"}
+            """
+        )
+    )
+    run_from_yaml(spark, str(yml))
+
+    names = catalog.attach(spark, str(tmp_path / "wh"))
+    assert "people" in names
+    got = catalog.sql(
+        spark, str(tmp_path / "wh"),
+        "SELECT label, count(*) AS n FROM people GROUP BY label ORDER BY label",
+    ).collect()
+    assert [(r.label, r.n) for r in got] == [("no", 1), ("yes", 2)]
+    # the internal bucket column is hidden from SQL users
+    cols = catalog.sql(spark, str(tmp_path / "wh"), "SELECT * FROM people LIMIT 1").columns
+    assert "__bucket" not in cols
+
+
+def test_attach_missing_dir(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        catalog.attach(spark, str(tmp_path / "nope"))

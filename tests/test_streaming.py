@@ -252,3 +252,26 @@ def test_stream_upsert_available_now_incremental(spark, tmp_path):
     q2 = stream_upsert(stream_events(spark, src), target, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(target).count() == 8
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    from data_ingestors_spark.streaming import enrich_stream, stream_events
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [_ev(i, hour=1) for i in range(6)])
+    dim = spark.createDataFrame(
+        [(100, "gold"), (101, "silver")], "user_id long, tier string"
+    )
+    out = enrich_stream(stream_events(spark, src), dim, "user_id")
+    q = (
+        out.writeStream.format("memory").queryName("enriched")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    tiers = {r.user_id: r.tier for r in rows}
+    # users derive from id % 3 -> 100,101,102; 102 has no dim row (left join)
+    assert tiers[100] == "gold" and tiers[101] == "silver" and tiers[102] is None
