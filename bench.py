@@ -68,17 +68,63 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-            }
-        )
-    )
+
+    # ingest throughput: the reference's core function (CSV -> validate
+    # -> conform -> upsert). Measured over an orders-derived CSV at the
+    # bench scale so rounds are comparable.
+    ingest_rows_per_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            csv_dir = os.path.join(tmp, "src")
+            orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            (
+                orders.selectExpr(
+                    "CAST(o_orderkey AS STRING) AS okey",
+                    "CAST(o_custkey AS STRING) AS ckey",
+                    "o_orderstatus AS ostatus",
+                    "CAST(o_totalprice AS STRING) AS total",
+                )
+                .coalesce(4)
+                .write.option("header", True).mode("overwrite").csv(csv_dir)
+            )
+            csv_file = next(
+                os.path.join(csv_dir, f) for f in os.listdir(csv_dir) if f.endswith(".csv")
+            )
+            n_file = spark.read.option("header", True).csv(csv_file).count()
+
+            from data_ingestors_spark.ingest.config import ResolvedConfig
+            from data_ingestors_spark.ingest.pipeline import Ingestor
+
+            cfg = ResolvedConfig(
+                table_name="bench_ingest",
+                schema={"okey": "BIGINT", "ckey": "BIGINT", "ostatus": "VARCHAR(4)", "total": "DOUBLE"},
+                label_column="ostatus",
+                data_id_strategy="column",
+                data_id_column="okey",
+            )
+            t0 = time.perf_counter()
+            Ingestor(spark, cfg, target_path=os.path.join(tmp, "wh", "bench_ingest")).ingest(csv_file)
+            ingest_rows_per_sec = round(n_file / (time.perf_counter() - t0), 1)
+            print(f"# ingest: {n_file} rows -> {ingest_rows_per_sec} rows/s", file=sys.stderr)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # never let the throughput probe break the bench line
+        print(f"# ingest bench skipped: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+    }
+    if ingest_rows_per_sec is not None:
+        out["ingest_rows_per_sec"] = ingest_rows_per_sec
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -161,10 +161,29 @@ def run_from_yaml(spark, path: str):
 
 def main(argv: list[str] | None = None) -> int:
     """Console entry point: ``python -m data_ingestors_spark.cli
-    [path]`` or INGEST_CONFIG env (run.py:73-166)."""
+    [path]`` or INGEST_CONFIG env (run.py:73-166). Second form:
+    ``python -m data_ingestors_spark.cli query <warehouse_dir> <sql>``
+    runs SQL against the ingested tables (catalog views)."""
     import sys
 
     args = list(argv if argv is not None else sys.argv[1:])
+    if args and args[0] == "query":
+        if len(args) != 3:
+            print(
+                "usage: python -m data_ingestors_spark.cli query <warehouse_dir> <sql>",
+                file=sys.stderr,
+            )
+            return 2
+        from data_ingestors_spark import catalog
+        from data_ingestors_spark.session import get_spark
+
+        try:
+            result = catalog.sql(get_spark("query-cli"), args[1], args[2])
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        result.show(100, truncate=False)
+        return 0
     path = args[0] if args else os.environ.get("INGEST_CONFIG")
     if not path:
         print("usage: python -m data_ingestors_spark.cli <ingest.yaml> "

@@ -48,3 +48,34 @@ def test_attach_missing_dir(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         catalog.attach(spark, str(tmp_path / "nope"))
+
+
+def test_cli_query_subcommand(spark, tmp_path, capsys):
+    import textwrap
+
+    from data_ingestors_spark.cli.frontend import main, run_from_yaml
+
+    csv = tmp_path / "m.csv"
+    csv.write_text("age,target\n31,yes\n42,no\n")
+    yml = tmp_path / "ingest.yaml"
+    yml.write_text(
+        textwrap.dedent(
+            f"""\
+            apiVersion: spark-ingest/v1
+            kind: IngestConfig
+            category: tabular_classification
+            table: cliq
+            intent: train
+            csv: {csv}
+            schema:
+              age: INT
+            label: target
+            warehouse: {tmp_path / "wh"}
+            """
+        )
+    )
+    run_from_yaml(spark, str(yml))
+    rc = main(["query", str(tmp_path / "wh"), "SELECT count(*) AS n FROM cliq"])
+    assert rc == 0
+    assert "2" in capsys.readouterr().out
+    assert main(["query", "just-one-arg"]) == 2
