@@ -86,11 +86,21 @@ def upsert(
     batch: DataFrame,
     key: str = "data_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    allow_evolution: bool = False,
 ) -> tuple[int, int]:
     """Incremental MERGE-equivalent upsert into a bucketed parquet
     table. WHEN MATCHED → the batch row wins; WHEN NOT MATCHED →
     insert. Returns (updated, inserted). Only the hash buckets present
-    in the batch are read, merged, and rewritten."""
+    in the batch are read, merged, and rewritten.
+
+    Schema drift is an ERROR, never silent: a batch missing table
+    columns, or carrying new ones without ``allow_evolution=True``,
+    fails with the exact column lists (K2 drift semantics,
+    database.py:272-297). With ``allow_evolution=True`` new columns
+    are appended (existing rows read NULL) — this rewrites the WHOLE
+    table once so every parquet file carries the same schema, because
+    a mixed-schema directory silently drops the new column on read
+    unless every reader remembers mergeSchema."""
     batch = _dedup_deterministic(batch, key)
     batch = batch.withColumn(
         BUCKET_COL, F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
@@ -104,6 +114,50 @@ def upsert(
     batch = batch.persist()
     try:
         all_current = spark.read.parquet(target_path)
+
+        current_cols = [c for c in all_current.columns if c != BUCKET_COL]
+        batch_cols = [c for c in batch.columns if c != BUCKET_COL]
+        missing = [c for c in current_cols if c not in batch_cols]
+        extra = [c for c in batch_cols if c not in current_cols]
+        if missing:
+            raise ValueError(
+                f"schema drift: batch is missing table columns {missing} "
+                f"(table has {current_cols}). Upserts must carry every "
+                "existing column — project NULLs explicitly if intended."
+            )
+        if extra and not allow_evolution:
+            raise ValueError(
+                f"schema drift: batch carries new columns {extra} not in the "
+                f"table ({current_cols}). Pass allow_evolution=True to add "
+                "them (existing rows read NULL)."
+            )
+        if extra:
+            for c in extra:
+                all_current = all_current.withColumn(
+                    c, F.lit(None).cast(batch.schema[c].dataType)
+                )
+            # evolution rewrites the WHOLE table so the on-disk schema is
+            # uniform; fall through to the full-merge path
+            row = (
+                batch.select(key)
+                .join(all_current.select(key, F.lit(1).alias("__hit")), key, "left")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
+                )
+                .collect()[0]
+            )
+            keep = all_current.join(batch.select(key), on=key, how="left_anti")
+            if BUCKET_COL not in keep.columns:  # legacy flat layout
+                keep = keep.withColumn(
+                    BUCKET_COL,
+                    F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
+                )
+            merged = keep.unionByName(batch.select(keep.columns)).localCheckpoint(eager=True)
+            write_table(merged, target_path, "overwrite", [BUCKET_COL])
+            updated = int(row["updated"] or 0)
+            return (updated, int(row["n"]) - updated)
+
         if BUCKET_COL not in all_current.columns:
             # Legacy flat layout (pre-bucketing): one-time upgrade —
             # merge the full table and rewrite it bucketed.

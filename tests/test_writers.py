@@ -165,3 +165,32 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     # compaction is invisible to the upsert path: another batch still works
     upsert(spark, target, spark.createDataFrame([("id0", 99)], "data_id string, v long"))
     assert read_table(spark, target).filter("data_id = 'id0'").collect()[0].v == 99
+
+
+def test_upsert_schema_drift_is_loud_and_evolution_opt_in(spark, tmp_path):
+    from data_ingestors_spark.io.writers import read_table, upsert
+
+    target = str(tmp_path / "t")
+    upsert(spark, target, spark.createDataFrame([("a", 1)], "data_id string, v long"))
+
+    # missing column: clear error naming it
+    with pytest.raises(ValueError, match=r"missing table columns \['v'\]"):
+        upsert(spark, target, spark.createDataFrame([("b",)], "data_id string"))
+
+    # extra column without opt-in: clear error naming it
+    extra = spark.createDataFrame([("b", 2, "x")], "data_id string, v long, tag string")
+    with pytest.raises(ValueError, match=r"new columns \['tag'\]"):
+        upsert(spark, target, extra)
+
+    # opt-in evolution: column appended, old rows read NULL, counts right
+    updated, inserted = upsert(spark, target, extra, allow_evolution=True)
+    assert (updated, inserted) == (0, 1)
+    rows = {r.data_id: (r.v, r.tag) for r in read_table(spark, target).collect()}
+    assert rows == {"a": (1, None), "b": (2, "x")}
+
+    # post-evolution schema is uniform: a plain upsert still works
+    upsert(spark, target, spark.createDataFrame(
+        [("a", 9, "y")], "data_id string, v long, tag string"))
+    assert {r.data_id: (r.v, r.tag) for r in read_table(spark, target).collect()} == {
+        "a": (9, "y"), "b": (2, "x"),
+    }
