@@ -373,3 +373,58 @@ def test_approx_aggs_within_tolerance(spark):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """Z-order clustering must make per-file min-max ranges narrow on
+    BOTH dimensions: for a tight predicate on y, far fewer files can
+    match than under an x-only sort — the stats-pruning win the layout
+    exists for. File stats are read back via duckdb parquet metadata,
+    i.e. exactly what a parquet reader prunes on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.layout import zorder_write
+
+    n = 40_000
+    # two independent uniform dims in [0, 1000), non-negative and exact
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    zorder_write(df, z_path, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lin_path)
+
+    def overlapping_files(path, col, lo, hi):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT file_name,
+                   min(CAST(stats_min_value AS BIGINT)) AS mn,
+                   max(CAST(stats_max_value AS BIGINT)) AS mx
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = '{col}'
+            GROUP BY file_name
+            """
+        ).fetchall()
+        con.close()
+        assert rows, "no parquet stats found"
+        total = len(rows)
+        hit = sum(1 for _, mn, mx in rows if not (mx < lo or mn > hi))
+        return hit, total
+
+    z_hit, z_total = overlapping_files(z_path, "y", 0, 49)
+    l_hit, l_total = overlapping_files(lin_path, "y", 0, 49)
+    # x-sorted layout: y is random in every file -> all files match
+    assert l_hit == l_total
+    # z-ordered: only the curve segments crossing y<50 can match
+    assert z_hit < z_total / 2
+
+    # layout must not change content
+    assert spark.read.parquet(z_path).count() == n
+    got = spark.read.parquet(z_path).agg(F.sum("payload")).collect()[0][0]
+    want = df.agg(F.sum("payload")).collect()[0][0]
+    assert got == want
