@@ -1,0 +1,104 @@
+"""Plan doctor: static scale-hazard diagnostics for any DataFrame.
+
+``diagnose(df)`` inspects the physical plan text and returns findings
+for the anti-patterns that actually kill jobs at 100 TB — the same
+checks the test-suite plan audits assert, packaged for users to run
+against their own queries before launching them:
+
+- D1 cartesian: a CartesianProduct / BroadcastNestedLoopJoin without
+  a LIMIT in the plan — O(n*m) row explosion.
+- D2 single-partition exchange: a SinglePartition shuffle (e.g. an
+  unpartitioned window) funneling the whole dataset through one task.
+  A global orderBy does NOT trigger this — range partitioning stays
+  parallel.
+- D3 unpushed filter: a Filter node carries real comparisons while
+  the parquet scan pushed nothing beyond IsNotNull — the predicate
+  runs after reading every row (usually a cast/UDF around the column).
+- D4 wide scan: a scan whose ReadSchema lists many more columns than
+  the plan's project — column pruning defeated.
+- D5 shuffle count: informational tally of Exchange operators.
+
+Findings are strings prefixed with their code; empty list = clean.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def _plan_text(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def diagnose(df: DataFrame, *, shuffle_warn_threshold: int = 6) -> list[str]:
+    plan = _plan_text(df)
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, flags=re.M)
+    findings: list[str] = []
+
+    n_cart = sum(1 for o in ops if o in ("CartesianProduct", "BroadcastNestedLoopJoin"))
+    if n_cart and not any(o in ("GlobalLimit", "LocalLimit", "CollectLimit") for o in ops):
+        findings.append(
+            f"D1 cartesian: {n_cart} unbounded cartesian/nested-loop join(s) — "
+            "row count multiplies; add an equi-condition, broadcast a bounded "
+            "side, or limit the result"
+        )
+
+    if re.search(r"\bSinglePartition\b", plan):
+        findings.append(
+            "D2 single-partition exchange: a global sort/window/aggregate is "
+            "funneling all rows through ONE task — partition the window or "
+            "use a per-group form"
+        )
+
+    # unpushed filter: a Filter node carries real comparisons while the
+    # scan pushed nothing beyond IsNotNull — the predicate wraps the
+    # column (cast/function) so the reader cannot skip row groups.
+    scans = re.findall(r"^\(\d+\) Scan parquet[\s\S]*?(?=^\(\d+\) |\Z)", plan, flags=re.M)
+    conditions = re.findall(r"^Condition : (.+)$", plan, flags=re.M)
+    has_real_predicate = any(
+        re.search(r"[=<>]", re.sub(r"isnotnull\([^)]*\)", "", cond, flags=re.I))
+        for cond in conditions
+    )
+    for scan in scans:
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan)
+        if pushed is None:
+            continue
+        entries = [e.strip() for e in pushed.group(1).split(",") if e.strip()]
+        only_nullchecks = all(e.startswith("IsNotNull") for e in entries)
+        if has_real_predicate and only_nullchecks:
+            findings.append(
+                "D3 unpushed filter: a Filter carries real comparisons but the "
+                "parquet scan pushed nothing beyond IsNotNull — the predicate "
+                "likely wraps the column in a cast/function; compare against "
+                "the raw column so the scan can skip row groups"
+            )
+            break
+
+    for scan in scans:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+        if m:
+            n_read = len(m.group(1).split(",")) if m.group(1).strip() else 0
+            if n_read >= 10:
+                findings.append(
+                    f"D4 wide scan: a parquet scan reads {n_read} columns — "
+                    "if the query uses fewer, select them explicitly so "
+                    "pruning reaches the reader"
+                )
+                break
+
+    n_exch = sum(1 for o in ops if o == "Exchange")
+    if n_exch >= shuffle_warn_threshold:
+        findings.append(
+            f"D5 shuffle count: {n_exch} exchanges in one plan — check for "
+            "repeated re-partitioning; reuse one partitioning across stages "
+            "where keys align"
+        )
+
+    return findings

@@ -1,0 +1,60 @@
+"""Plan-doctor diagnostics: each anti-pattern triggers its code, and
+the curated headline queries come back clean."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.doctor import diagnose
+from data_ingestors_spark.io.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _codes(findings):
+    return {f.split(" ")[0] for f in findings}
+
+
+def test_cartesian_flagged_and_limit_clears_it(spark):
+    a = spark.range(100)
+    b = spark.range(100).select(F.col("id").alias("jd"))
+    assert "D1" in _codes(diagnose(a.crossJoin(b)))
+    assert "D1" not in _codes(diagnose(a.crossJoin(b).limit(10)))
+
+
+def test_single_partition_exchange_flagged(spark):
+    from pyspark.sql import Window
+
+    # an UNPARTITIONED window funnels every row through one task;
+    # a global orderBy does NOT (range partitioning stays parallel)
+    w = Window.orderBy("o_totalprice")
+    df = load_table(spark, SF, "orders").withColumn("rn", F.row_number().over(w))
+    assert "D2" in _codes(diagnose(df))
+    assert "D2" not in _codes(diagnose(load_table(spark, SF, "orders").orderBy("o_totalprice")))
+
+
+def test_unpushed_filter_flagged(spark):
+    ord_ = load_table(spark, SF, "orders")
+    # cast wraps the column -> predicate cannot push to the scan
+    wrapped = ord_.filter(F.col("o_orderkey").cast("string") == "1")
+    assert "D3" in _codes(diagnose(wrapped))
+    # raw comparison pushes -> clean
+    clean = ord_.filter(F.col("o_orderkey") == 1)
+    assert "D3" not in _codes(diagnose(clean))
+
+
+def test_wide_scan_flagged(spark):
+    li = load_table(spark, SF, "lineitem")
+    wide = li.filter(F.col("l_quantity") > 0)  # no projection: all 16 cols read
+    assert "D4" in _codes(diagnose(wide))
+    narrow = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 0)
+    assert "D4" not in _codes(diagnose(narrow))
+
+
+def test_headline_queries_clean(spark):
+    from data_ingestors_spark.queries import all_queries
+
+    q = all_queries()
+    for name in ("pricing_summary", "revenue_by_nation", "topk_per_group", "asof_join"):
+        findings = [f for f in diagnose(q[name](spark, SF)) if not f.startswith("D5")]
+        assert not findings, (name, findings)
