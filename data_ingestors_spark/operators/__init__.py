@@ -4,8 +4,16 @@ from data_ingestors_spark.operators.dedup import (  # noqa: F401
     normalized_dedup,
     minhash_signatures,
     minhash_near_duplicates,
+    neardup_clusters,
     simhash,
+    simhash_near_duplicates,
     ngram_jaccard_pairs,
+)
+from data_ingestors_spark.operators.joins import salted_join  # noqa: F401
+from data_ingestors_spark.operators.layout import morton_key, zorder_write  # noqa: F401
+from data_ingestors_spark.operators.robust import (  # noqa: F401
+    geomean_by_group,
+    mad_outlier_stats,
 )
 from data_ingestors_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
@@ -18,4 +26,6 @@ from data_ingestors_spark.operators.text import (  # noqa: F401
     language_id,
     token_count,
     fingerprint,
+    quality_score,
+    pii_redact,
 )

@@ -40,12 +40,18 @@ def mad_outlier_stats(df: DataFrame, group_col: str, value_col: str, k: float = 
     return df.groupBy(group_col).applyInPandas(stats, out_schema)
 
 
-@F.pandas_udf("double")
-def geometric_mean(v: pd.Series) -> float:
+def geometric_mean_udaf():
     """Grouped-aggregate pandas UDF (UDAF): exp(mean(ln(v))). Arrow
-    ships the group's values as one Series; numpy does the math."""
-    return float(np.exp(np.log(v.astype("float64")).mean()))
+    ships the group's values as one Series; numpy does the math.
+    Built lazily — parsing the return type needs an active session,
+    so a module-level decorator would break imports without one."""
+
+    @F.pandas_udf("double")
+    def geometric_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    return geometric_mean
 
 
 def geomean_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    return df.groupBy(group_col).agg(geometric_mean(F.col(value_col)).alias("gm"))
+    return df.groupBy(group_col).agg(geometric_mean_udaf()(F.col(value_col)).alias("gm"))
