@@ -1,0 +1,42 @@
+"""Mergeable sketch rollups — the pre-aggregation pattern that makes
+distinct counts tractable at 100 TB.
+
+Exact count-distinct over a long window re-scans the raw data every
+time. The scalable alternative: aggregate each small grain (e.g. a
+day) ONCE into an HLL sketch column (Datasketches, built into Spark:
+``hll_sketch_agg``), persist the tiny sketch table, and answer any
+coarser question by MERGING sketches (``hll_union_agg``) — no raw
+re-scan, sketches are associative and idempotent across grains.
+
+Accuracy is the standard HLL bound (~1.6% at the default lgK=12);
+tests assert a 5% envelope against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_sketch_rollup(
+    df: DataFrame, grain_cols: list[str], distinct_col: str, *, lgk: int = 12
+) -> DataFrame:
+    """One sketch row per grain: (grain..., n_rows, sketch). Persist
+    this instead of raw data for distinct-count serving."""
+    return df.groupBy(*grain_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("sketch"),
+    )
+
+
+def merge_sketch_rollup(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Answer a coarser-grain distinct-count question purely from the
+    sketch table: union the sketches under each output group and
+    estimate. Never touches raw data."""
+    agg = [
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("approx_distinct"),
+    ]
+    if group_cols:
+        return rollup.groupBy(*group_cols).agg(*agg)
+    return rollup.agg(*agg)

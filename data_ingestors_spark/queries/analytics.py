@@ -698,7 +698,25 @@ GROUP BY e.event_type
 """
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (rows-only: Datasketches HLL has no
+    DuckDB twin; the 5% accuracy envelope and merge-associativity are
+    asserted in tests/test_operators.py): daily per-type sketches
+    merged to per-type distinct-user estimates without re-scanning
+    raw data."""
+    from data_ingestors_spark.operators.sketches import (
+        build_sketch_rollup,
+        merge_sketch_rollup,
+    )
+
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"].select(F.to_date("ts").alias("day"), "user_id", "event_type")
+    daily = build_sketch_rollup(ev, ["day", "event_type"], "user_id")
+    return merge_sketch_rollup(daily, ["event_type"])
+
+
 QUERIES = {
+    "hll_rollup": q_hll_rollup,
     "robust_stats": q_robust_stats,
     "repetition_stats": q_repetition_stats,
     "embedding_centroids": q_embedding_centroids,

@@ -428,3 +428,40 @@ def test_zorder_layout_tightens_file_stats(spark, tmp_path):
     got = spark.read.parquet(z_path).agg(F.sum("payload")).collect()[0][0]
     want = df.agg(F.sum("payload")).collect()[0][0]
     assert got == want
+
+
+def test_hll_sketch_rollup_merges_accurately(spark):
+    """Daily sketches merged to monthly must estimate distinct users
+    within the HLL envelope, and merging must equal sketching the raw
+    data directly (associativity)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.io.readers import load_table
+    from data_ingestors_spark.operators.sketches import (
+        build_sketch_rollup,
+        merge_sketch_rollup,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        F.to_date("ts").alias("day"), "user_id", "event_type"
+    )
+    daily = build_sketch_rollup(ev, ["day", "event_type"], "user_id")
+    # sketch table is tiny: one row per (day, type)
+    assert daily.count() < 200
+
+    merged = merge_sketch_rollup(daily, ["event_type"]).collect()
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in merged:
+        assert abs(r.approx_distinct - exact[r.event_type]) / exact[r.event_type] < 0.05
+
+    # global roll-up from sketches == direct sketch over raw data
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).cast("long").alias("d")
+    ).collect()[0].d
+    via_merge = merge_sketch_rollup(daily, []).collect()[0].approx_distinct
+    assert via_merge == direct
