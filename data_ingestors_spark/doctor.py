@@ -93,6 +93,48 @@ def diagnose(df: DataFrame, *, shuffle_warn_threshold: int = 6) -> list[str]:
                 )
                 break
 
+    # D6: a sort-merge join while one joined scan reads a small file —
+    # broadcasting it would drop both shuffle+sort. Static check: stat
+    # each scanned location and compare against the session's
+    # autoBroadcastJoinThreshold.
+    if any(o == "SortMergeJoin" for o in ops):
+        import os as _os
+
+        try:
+            thresh_raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+            tl = thresh_raw.strip().lower().rstrip("b")
+            thresh = int(float(tl[:-1]) * mult[tl[-1]]) if tl and tl[-1] in mult else int(tl)
+        except Exception:
+            thresh = 10 << 20
+        if thresh <= 0:
+            # broadcast disabled in conf (that's WHY the SMJ exists) —
+            # still advise against Spark's default 10 MB budget
+            thresh = 10 << 20
+        if thresh > 0:
+            for loc in re.findall(r"Location: \w+ \[([^\]]+)\]", plan):
+                p = loc.split(",")[0].replace("file:", "")
+                try:
+                    size = (
+                        sum(
+                            _os.path.getsize(_os.path.join(r, f))
+                            for r, _, fs in _os.walk(p)
+                            for f in fs
+                        )
+                        if _os.path.isdir(p)
+                        else _os.path.getsize(p)
+                    )
+                except OSError:
+                    continue
+                if 0 < size < thresh:
+                    findings.append(
+                        f"D6 broadcastable side: a sort-merge join reads "
+                        f"{p} ({size >> 10} KB, under the "
+                        f"{thresh >> 20} MB broadcast threshold) — "
+                        "broadcast() it to drop the shuffle and sort"
+                    )
+                    break
+
     n_exch = sum(1 for o in ops if o == "Exchange")
     if n_exch >= shuffle_warn_threshold:
         findings.append(

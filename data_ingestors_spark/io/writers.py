@@ -310,3 +310,33 @@ def compact_table(spark: SparkSession, path: str, *, files_per_bucket: int = 1) 
         jvm_fs.rename(Path(tmp), bucket_dir)
         files_after += files_per_bucket
     return {"buckets": buckets, "files_before": files_before, "files_after": files_after}
+
+
+def table_stats(spark: SparkSession, path: str) -> dict:
+    """Operational stats for a bucketed table: per-bucket file counts
+    and bytes, plus totals — the numbers a compaction policy decides
+    on (many small files per bucket -> run compact_table)."""
+    jvm_fs, root = hadoop_fs(spark, path)
+    if not jvm_fs.exists(root):
+        raise FileNotFoundError(path)
+    buckets: dict[str, dict] = {}
+    total_files = total_bytes = 0
+    for status in jvm_fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(f"{BUCKET_COL}=")):
+            continue
+        files = [
+            s for s in jvm_fs.listStatus(status.getPath())
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        nbytes = sum(s.getLen() for s in files)
+        buckets[name] = {"files": len(files), "bytes": nbytes}
+        total_files += len(files)
+        total_bytes += nbytes
+    return {
+        "buckets": buckets,
+        "n_buckets": len(buckets),
+        "total_files": total_files,
+        "total_bytes": total_bytes,
+        "avg_files_per_bucket": round(total_files / len(buckets), 2) if buckets else 0.0,
+    }

@@ -58,3 +58,24 @@ def test_headline_queries_clean(spark):
     for name in ("pricing_summary", "revenue_by_nation", "topk_per_group", "asof_join"):
         findings = [f for f in diagnose(q[name](spark, SF)) if not f.startswith("D5")]
         assert not findings, (name, findings)
+
+
+def test_broadcastable_side_flagged(spark):
+    """A sort-merge join against a tiny scanned file should suggest
+    broadcasting; with broadcast applied the suggestion disappears."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        li = load_table(spark, SF, "lineitem")
+        nat = load_table(spark, SF, "nation")
+        # nation is a few KB: joining it sort-merge is the anti-pattern.
+        # threshold stays -1 through diagnose (explain re-plans lazily,
+        # restoring it would turn the join back into a broadcast) — the
+        # doctor falls back to the default 10 MB advisory budget.
+        smj = li.join(nat, li.l_suppkey % 25 == nat.n_nationkey)
+        codes = _codes(diagnose(smj))
+        assert "D6" in codes
+        bc = li.join(F.broadcast(nat), li.l_suppkey % 25 == nat.n_nationkey)
+        assert "D6" not in _codes(diagnose(bc))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

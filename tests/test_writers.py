@@ -194,3 +194,20 @@ def test_upsert_schema_drift_is_loud_and_evolution_opt_in(spark, tmp_path):
     assert {r.data_id: (r.v, r.tag) for r in read_table(spark, target).collect()} == {
         "a": (9, "y"), "b": (2, "x"),
     }
+
+
+def test_table_stats_drives_compaction(spark, tmp_path):
+    from data_ingestors_spark.io.writers import compact_table, table_stats, upsert
+
+    target = str(tmp_path / "t")
+    for i in range(5):
+        upsert(spark, target, spark.createDataFrame(
+            [(f"id{j}", i) for j in range(i * 5, i * 5 + 5)], "data_id string, v long"
+        ), n_buckets=4)
+    before = table_stats(spark, target)
+    assert before["n_buckets"] > 0 and before["total_files"] > before["n_buckets"]
+
+    compact_table(spark, target, files_per_bucket=1)
+    after = table_stats(spark, target)
+    assert after["avg_files_per_bucket"] == 1.0
+    assert after["total_bytes"] > 0
