@@ -354,6 +354,46 @@ FROM total LEFT JOIN matched ON total.doc_id = matched.doc_id
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average for irregular series (the TWAP/sensor
+    staple): each observation holds until the next one, so its weight
+    is the microsecond gap to the successor; the last observation per
+    user carries no weight. Integer microsecond weights and decimal
+    accumulation keep the result order-free across engines."""
+    from data_ingestors_spark.queries.base import DEC
+
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    weighted = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("w_us", gap_us)
+        .filter(F.col("w_us").isNotNull())
+    )
+    num = F.sum((F.col("value") * F.col("w_us")).cast(DEC)).cast("double")
+    den = F.sum("w_us")
+    return weighted.groupBy("user_id").agg(
+        fround(num / den, 6).alias("twap"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )
+
+
+O_TIME_WEIGHTED_AVG = f"""
+WITH gaps AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS w_us
+  FROM events
+)
+SELECT user_id,
+       {o_fround("CAST(sum(CAST(value * w_us AS DECIMAL(30,10))) AS DOUBLE) / sum(w_us)", 6)} AS twap,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM gaps WHERE w_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # ----------------------------------------------------- rolling anomaly
 
 def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +774,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "corpus_packing": q_corpus_packing,
     "rolling_anomaly": q_rolling_anomaly,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLES = {
@@ -754,4 +795,5 @@ ORACLES = {
     "tfidf_topk": O_TFIDF_TOPK,
     "corpus_packing": O_CORPUS_PACKING,
     "rolling_anomaly": O_ROLLING_ANOMALY,
+    "time_weighted_avg": O_TIME_WEIGHTED_AVG,
 }

@@ -307,9 +307,59 @@ FROM documents
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: label-blocked embedding
+    cosine pairs (>= 0.35 at this corpus's similarity scale) resolved
+    into cluster keep/drop decisions with the same connected-components
+    operator as the textual dedup path. Oracle: recursive-CTE closure
+    over the identical pair SQL."""
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    sim = S.cosine_similarity_col(F.col("v_a"), F.col("v_b"))
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(fround(sim, 6) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return D.neardup_clusters(
+        e.select(F.col("vec_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id", "keep")
+
+
+_O_SEM_PAIRS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {o_fround("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} >= 0.35
+"""
+
+O_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+pairs AS ({_O_SEM_PAIRS}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS keep FROM comp
+UNION ALL
+SELECT vec_id, vec_id AS cluster_id, TRUE AS keep
+FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM comp)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "pii_redact": q_pii_redact,
     "dedup_normalized": q_dedup_normalized,
     "ngram_jaccard": q_ngram_jaccard,
@@ -329,6 +379,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
     "pii_redact": O_PII_REDACT,
     "dedup_normalized": O_DEDUP_NORMALIZED,
     "ngram_jaccard": O_NGRAM_JACCARD,
