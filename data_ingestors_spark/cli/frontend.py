@@ -126,6 +126,7 @@ def resolve(raw: dict) -> ResolvedRun:
         time_column=raw.get("time_column"),
         processors=tuple(spec.get("processors") or ()),
         expectations=tuple(spec.get("expectations") or ()),
+        post_expectations=tuple(spec.get("post_expectations") or ()),
     )
 
     warehouse = raw.get("warehouse", "warehouse")
@@ -167,10 +168,11 @@ def main(argv: list[str] | None = None) -> int:
     import sys
 
     args = list(argv if argv is not None else sys.argv[1:])
-    if args and args[0] == "query":
+    if args and args[0] in ("query", "doctor"):
+        cmd = args[0]
         if len(args) != 3:
             print(
-                "usage: python -m data_ingestors_spark.cli query <warehouse_dir> <sql>",
+                f"usage: python -m data_ingestors_spark.cli {cmd} <warehouse_dir> <sql>",
                 file=sys.stderr,
             )
             return 2
@@ -178,10 +180,20 @@ def main(argv: list[str] | None = None) -> int:
         from data_ingestors_spark.session import get_spark
 
         try:
-            result = catalog.sql(get_spark("query-cli"), args[1], args[2])
+            result = catalog.sql(get_spark(f"{cmd}-cli"), args[1], args[2])
         except Exception as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
+        if cmd == "doctor":
+            from data_ingestors_spark.doctor import diagnose
+
+            findings = diagnose(result)
+            if findings:
+                for f in findings:
+                    print(f)
+                return 1
+            print("plan clean: no scale hazards found")
+            return 0
         result.show(100, truncate=False)
         return 0
     path = args[0] if args else os.environ.get("INGEST_CONFIG")

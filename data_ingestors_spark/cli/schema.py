@@ -10,6 +10,30 @@ texts/ sequences/ convention), and ``parquet`` is a first-class source
 format alongside csv/json.
 """
 
+_EXPECTATIONS_SCHEMA = {
+    "type": "array",
+    "items": {
+        "type": "object",
+        "additionalProperties": False,
+        "properties": {
+            "column": {"type": "string", "minLength": 1},
+            "checks": {
+                "type": "array",
+                "items": {"type": "string", "enum": ["not_null", "unique"]},
+            },
+            "accepted_values": {"type": "array", "minItems": 1},
+            "between": {
+                "type": "array",
+                "items": {"type": "number"},
+                "minItems": 2,
+                "maxItems": 2,
+            },
+            "matches": {"type": "string", "minLength": 1},
+            "expression": {"type": "string", "minLength": 1},
+        },
+    },
+}
+
 CATEGORIES = [
     "image_classification",
     "object_detection",
@@ -95,30 +119,12 @@ INGEST_V1 = {
                 "ingestor_id": {"type": "string", "minLength": 1},
                 "lock_dir": {"type": "string", "minLength": 1},
                 # declarative data expectations (dbt-test style);
-                # any violation fails the ingest with counts + samples
-                "expectations": {
-                    "type": "array",
-                    "items": {
-                        "type": "object",
-                        "additionalProperties": False,
-                        "properties": {
-                            "column": {"type": "string", "minLength": 1},
-                            "checks": {
-                                "type": "array",
-                                "items": {"type": "string", "enum": ["not_null", "unique"]},
-                            },
-                            "accepted_values": {"type": "array", "minItems": 1},
-                            "between": {
-                                "type": "array",
-                                "items": {"type": "number"},
-                                "minItems": 2,
-                                "maxItems": 2,
-                            },
-                            "matches": {"type": "string", "minLength": 1},
-                            "expression": {"type": "string", "minLength": 1},
-                        },
-                    },
-                },
+                # any violation fails the ingest with counts + samples.
+                # `expectations` run on the SOURCE frame;
+                # `post_expectations` on the transformed frame (post
+                # conformance/processors/label mapping).
+                "expectations": _EXPECTATIONS_SCHEMA,
+                "post_expectations": _EXPECTATIONS_SCHEMA,
                 # T8: declared processors, applied in order (unlike the
                 # reference, which accepts-but-skips them)
                 "processors": {

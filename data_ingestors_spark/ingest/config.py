@@ -87,6 +87,11 @@ class ResolvedConfig:
     # evaluated in one agg pass after the category battery; any
     # violation fails the ingest loudly with counts + samples.
     expectations: tuple = ()
+    # same machinery over the TRANSFORMED frame (post conformance /
+    # processors / label mapping / framework columns) — catches what
+    # source-level checks cannot, e.g. "label is never null after
+    # mapping" or invariants a processor must establish.
+    post_expectations: tuple = ()
 
     def validate(self) -> None:
         """Fail-fast plan guards — same error classes as the reference

@@ -257,6 +257,20 @@ class Ingestor:
             )
             augmented = augmented.select(keep)
 
+            # post-transform expectations: invariants the conformance /
+            # processor / label-mapping stages must establish
+            if cfg.post_expectations:
+                from data_ingestors_spark.validators.expectations import (
+                    evaluate_expectations,
+                )
+
+                post = evaluate_expectations(augmented, list(cfg.post_expectations))
+                if not post.is_valid:
+                    raise ValueError(
+                        "post-transform expectations failed:\n  "
+                        + "\n  ".join(post.errors())
+                    )
+
             # skipped: mapped data_id missing/blank ⇒ row dropped
             # (base.py:315-326)
             ok = augmented.filter(F.col("data_id").isNotNull() & (F.col("data_id") != ""))

@@ -102,3 +102,75 @@ def test_yaml_expectations_gate_ingest(spark, tmp_path):
     # fix the data -> same config ingests cleanly
     csv.write_text("age,target\n31,yes\n42,no\n")
     run_from_yaml(spark, str(yml))
+
+
+def test_post_expectations_see_transformed_frame(spark, tmp_path):
+    """post_expectations run on the transformed frame: framework
+    columns like data_id/label exist there (they don't in the source),
+    and violations fail the ingest loudly."""
+    from data_ingestors_spark.cli.frontend import run_from_yaml
+
+    csv = tmp_path / "m.csv"
+    csv.write_text("age,target\n31,yes\n42,\n")  # one row with NO label
+    base = f"""\
+apiVersion: spark-ingest/v1
+kind: IngestConfig
+category: tabular_classification
+table: t_postexp
+intent: train
+csv: {csv}
+schema:
+  age: INT
+label: target
+warehouse: {tmp_path / "wh"}
+spec:
+  post_expectations:
+    - column: label
+      checks: [not_null]
+    - column: data_id
+      checks: [not_null, unique]
+"""
+    yml = tmp_path / "ingest.yaml"
+    yml.write_text(base)
+    with pytest.raises(ValueError, match=r"post-transform expectations[\s\S]*label\.not_null"):
+        run_from_yaml(spark, str(yml))
+
+    csv.write_text("age,target\n31,yes\n42,no\n")
+    run_from_yaml(spark, str(yml))  # clean data passes
+
+
+def test_doctor_cli_subcommand(spark, tmp_path, capsys):
+    import textwrap
+
+    from data_ingestors_spark.cli.frontend import main, run_from_yaml
+
+    csv = tmp_path / "m.csv"
+    csv.write_text("age,target\n31,yes\n42,no\n")
+    yml = tmp_path / "ingest.yaml"
+    yml.write_text(
+        textwrap.dedent(
+            f"""\
+            apiVersion: spark-ingest/v1
+            kind: IngestConfig
+            category: tabular_classification
+            table: docti
+            intent: train
+            csv: {csv}
+            schema:
+              age: INT
+            label: target
+            warehouse: {tmp_path / "wh"}
+            """
+        )
+    )
+    run_from_yaml(spark, str(yml))
+    rc = main(["doctor", str(tmp_path / "wh"), "SELECT age FROM docti WHERE age > 30"])
+    assert rc == 0
+    assert "clean" in capsys.readouterr().out
+    # a cartesian self-join should be flagged (exit 1, D1 printed)
+    rc_bad = main([
+        "doctor", str(tmp_path / "wh"),
+        "SELECT a.age FROM docti a CROSS JOIN docti b",
+    ])
+    assert rc_bad == 1
+    assert "D1" in capsys.readouterr().out
