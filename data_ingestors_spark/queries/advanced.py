@@ -420,6 +420,61 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_recursive_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): day-over-day compounded
+    balance — balance(i) = balance(i-1) * 1.01 + revenue(i) — an
+    inherently sequential recurrence no windowed SQL can express.
+    UNION ALL recursion over an acyclic day index (Spark does not yet
+    support UNION-distinct recursion, so cyclic closures stay on the
+    iterative operator path; the 60-day bound keeps recursion under
+    Spark's default 100-level cap). Daily revenue uses the decimal
+    order-free sum; the recurrence itself is the identical sequential
+    double arithmetic in both engines."""
+    from data_ingestors_spark.queries.base import views
+
+    views(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        WITH RECURSIVE idx AS (
+          SELECT day, rev, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+          FROM (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+          )
+        ),
+        idx60 AS (SELECT * FROM idx WHERE i <= 60),
+        bal(i, day, balance) AS (
+          SELECT i, day, rev FROM idx60 WHERE i = 1
+          UNION ALL
+          SELECT idx60.i, idx60.day, bal.balance * 1.01 + idx60.rev
+          FROM bal JOIN idx60 ON idx60.i = bal.i + 1
+        )
+        SELECT day, CAST({o_fround('balance', 2)} AS DOUBLE) AS balance FROM bal
+    """)
+
+
+O_RECURSIVE_COMPOUND = f"""
+WITH RECURSIVE idx AS (
+  SELECT day, rev, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+  )
+),
+idx60 AS (SELECT * FROM idx WHERE i <= 60),
+bal(i, day, balance) AS (
+  SELECT i, day, rev FROM idx60 WHERE i = 1
+  UNION ALL
+  SELECT idx60.i, idx60.day, bal.balance * 1.01 + idx60.rev
+  FROM bal JOIN idx60 ON idx60.i = bal.i + 1
+)
+SELECT day, {o_fround('balance', 2)} AS balance FROM bal
+"""
+
+
+QUERIES["recursive_compound"] = q_recursive_compound
+ORACLES["recursive_compound"] = O_RECURSIVE_COMPOUND
 QUERIES["salted_join"] = q_salted_join
 ORACLES["salted_join"] = O_SALTED_JOIN
 QUERIES["regex_battery"] = q_regex_battery
