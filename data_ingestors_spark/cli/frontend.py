@@ -168,6 +168,26 @@ def main(argv: list[str] | None = None) -> int:
     import sys
 
     args = list(argv if argv is not None else sys.argv[1:])
+    if args and args[0] == "profile":
+        if len(args) != 3:
+            print(
+                "usage: python -m data_ingestors_spark.cli profile <warehouse_dir> <table>",
+                file=sys.stderr,
+            )
+            return 2
+        from data_ingestors_spark import catalog
+        from data_ingestors_spark.profile import profile
+        from data_ingestors_spark.session import get_spark
+
+        try:
+            spark = get_spark("profile-cli")
+            catalog.attach(spark, args[1])
+            result = profile(spark.table(args[2]))
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        result.show(500, truncate=False)
+        return 0
     if args and args[0] in ("query", "doctor"):
         cmd = args[0]
         if len(args) != 3:
