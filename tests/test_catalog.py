@@ -79,3 +79,61 @@ def test_cli_query_subcommand(spark, tmp_path, capsys):
     assert rc == 0
     assert "2" in capsys.readouterr().out
     assert main(["query", "just-one-arg"]) == 2
+
+
+def test_user_story_ingest_query_profile_export(spark, tmp_path):
+    """The full user journey in one flow: declarative ingest -> SQL
+    over the catalog -> profile -> doctor-clean -> sharded export."""
+    import os
+    import textwrap
+
+    from data_ingestors_spark.cli.frontend import run_from_yaml
+    from data_ingestors_spark.doctor import diagnose
+    from data_ingestors_spark.io.writers import export_table
+    from data_ingestors_spark.profile import profile
+
+    csv = tmp_path / "m.csv"
+    csv.write_text(
+        "age,plan,target\n31,basic,yes\n42,pro,no\n55,pro,yes\n23,basic,no\n"
+    )
+    yml = tmp_path / "ingest.yaml"
+    yml.write_text(
+        textwrap.dedent(
+            f"""\
+            apiVersion: spark-ingest/v1
+            kind: IngestConfig
+            category: tabular_classification
+            table: journey
+            intent: train
+            csv: {csv}
+            schema:
+              age: INT
+              plan: VARCHAR(20)
+            label: target
+            warehouse: {tmp_path / "wh"}
+            spec:
+              expectations:
+                - column: age
+                  between: [0, 120]
+              post_expectations:
+                - column: data_id
+                  checks: [not_null, unique]
+            """
+        )
+    )
+    run_from_yaml(spark, str(yml))
+
+    result = catalog.sql(
+        spark, str(tmp_path / "wh"),
+        "SELECT plan, count(*) AS n, avg(age) AS avg_age FROM journey GROUP BY plan",
+    )
+    assert {(r.plan, r.n) for r in result.collect()} == {("basic", 2), ("pro", 2)}
+    assert not [f for f in diagnose(result) if f.startswith(("D1", "D2", "D3"))]
+
+    prof = {(r.column, r.metric): r.value for r in profile(spark.table("journey")).collect()}
+    assert prof[("*", "rows")] == "4" and prof[("age", "nulls")] == "0"
+
+    out = str(tmp_path / "export")
+    export_table(spark.table("journey"), out, "parquet", partition_by=["label"])
+    shards = {d for d in os.listdir(out) if d.startswith("label=")}
+    assert shards == {"label=yes", "label=no"}
