@@ -189,6 +189,21 @@ def read_csv_source(
     return reader.csv(path)
 
 
+def _json_probe_file(path: str) -> str:
+    """The file whose first bytes decide the JSON parse strategy: the
+    path itself, or the first data file of a DIRECTORY source
+    (multi-file NDJSON exports; every file must share the form)."""
+    if not os.path.isdir(path):
+        return path
+    candidates = sorted(
+        f for f in os.listdir(path)
+        if not f.startswith((".", "_")) and os.path.isfile(os.path.join(path, f))
+    )
+    if not candidates:
+        raise ValueError(f"no data files in JSON source directory: {path}")
+    return os.path.join(path, candidates[0])
+
+
 def json_scalar_preflight(spark: SparkSession, path: str, columns: list[str]) -> None:
     """T7 non-scalar reject: a declared scalar column holding a JSON
     object/array is an ERROR, not a silently-stringified value
@@ -200,7 +215,7 @@ def json_scalar_preflight(spark: SparkSession, path: str, columns: list[str]) ->
     (one JVM-side pass, no Python) and counts per-column values whose
     variant type is OBJECT/ARRAY. Fails loud with counts + samples.
     """
-    with open(path, "rb") as f:
+    with open(_json_probe_file(path), "rb") as f:
         multiline = f.read(65536).lstrip().startswith(b"[")
     recs = spark.read.option("singleVariantColumn", "var").option(
         "multiLine", multiline
@@ -246,9 +261,11 @@ def read_json_source(spark: SparkSession, path: str, schema: T.StructType) -> Da
     The reference peeks the first non-whitespace byte to pick a parse
     strategy (json_ingestor.py:19-56); Spark's multiLine option covers
     the array form. We probe the same way, driver-side, on the first
-    bytes of the file.
+    bytes of the file — for a DIRECTORY source (multi-file NDJSON
+    exports), the first data file is probed and every file must share
+    the form.
     """
-    with open(path, "rb") as f:
+    with open(_json_probe_file(path), "rb") as f:
         head = f.read(65536).lstrip()
     multiline = head.startswith(b"[")
     return (

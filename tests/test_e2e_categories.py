@@ -480,3 +480,35 @@ def test_tabular_orc_source(spark, tmp_path):
         "label": "label",
     })
     assert_clean(s, t, 3)
+
+
+def test_tabular_csv_directory_source(spark, tmp_path):
+    """A directory of CSV part-files (the standard multi-file export
+    shape) ingests as one source: per-file headers are stripped and
+    all rows land."""
+    src = tmp_path / "csv_dir"
+    src.mkdir()
+    (src / "part-0.csv").write_text("f0,label\n1.5,1\n2.5,0\n")
+    (src / "part-1.csv").write_text("f0,label\n3.5,1\n")
+    (src / "part-2.csv").write_text("f0,label\n4.5,0\n5.5,1\n")
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_csvdir", "category": "tabular_classification",
+        "csv": str(src),
+        "schema": {"f0": "FLOAT", "label": "INT"},
+        "label": "label",
+    })
+    assert_clean(s, t, 5)
+
+
+def test_tabular_json_directory_source(spark, tmp_path):
+    src = tmp_path / "json_dir"
+    src.mkdir()
+    (src / "a.json").write_text('{"f0": 1.5, "label": 1}\n{"f0": 2.5, "label": 0}\n')
+    (src / "b.json").write_text('{"f0": 3.5, "label": 1}\n')
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_jsondir", "category": "tabular_classification",
+        "json": str(src),
+        "schema": {"f0": "FLOAT", "label": "INT"},
+        "label": "label",
+    })
+    assert_clean(s, t, 3)
