@@ -637,8 +637,27 @@ LIMIT 20
 """
 
 
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): customer nation-keys appearing
+    in BOTH the customer and supplier tables keep their multiplicity
+    up to the smaller side — the duplicate-preserving set op the
+    plain intersect erases."""
+    t = tables(spark, sf_dir, "customer", "supplier")
+    a = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersectAll(b)
+
+
+O_INTERSECT_ALL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
 QUERIES = {
     "shipping_priority": q_shipping_priority,
+    "intersect_all": q_intersect_all,
     "returned_items": q_returned_items,
     "pricing_summary": q_pricing_summary,
     "filter_project_case": q_filter_project_case,
@@ -667,6 +686,7 @@ QUERIES = {
 
 ORACLES = {
     "shipping_priority": O_SHIPPING_PRIORITY,
+    "intersect_all": O_INTERSECT_ALL,
     "returned_items": O_RETURNED_ITEMS,
     "pricing_summary": O_PRICING_SUMMARY,
     "filter_project_case": O_FILTER_PROJECT_CASE,
