@@ -154,6 +154,9 @@ INGEST_V1 = {
                         "escapechar": {"type": "string", "maxLength": 1},
                         "encoding": {"type": "string", "minLength": 1},
                         "decimal": {"type": "string", "enum": [".", ","]},
+                        # quoted embedded newlines; costs intra-file
+                        # split parallelism (one task per file)
+                        "multiline": {"type": "boolean"},
                     },
                 },
                 "api": {

@@ -186,6 +186,13 @@ def read_csv_source(
     )
     if opts["escapechar"]:
         reader = reader.option("escape", opts["escapechar"])
+    if opts.get("multiline"):
+        # quoted fields containing newlines (the reference's pandas
+        # reader handles them natively). COST: multiLine disables
+        # intra-file split parallelism — one task per file — so it is
+        # opt-in; without it such files fail loudly under FAILFAST
+        # instead of silently mis-parsing.
+        reader = reader.option("multiLine", True)
     return reader.csv(path)
 
 

@@ -268,3 +268,25 @@ def test_german_thousands_separator_no_decimal_part(spark, tmp_path):
         csv_options={"decimal": ","},
     )
     assert table_rows(spark, t)[0].x == 1234567.0
+
+
+def test_quoted_embedded_newlines_multiline_option(spark, tmp_path):
+    """A quoted field containing a newline (legal CSV; the reference's
+    pandas reader handles it natively): without the multiline option
+    the ingest FAILS LOUDLY (never mis-parses); with
+    csv_options.multiline it ingests faithfully."""
+    import pyspark.sql.types as T
+
+    from data_ingestors_spark.io.readers import read_csv_source
+
+    p = tmp_path / "m.csv"
+    p.write_text('id,note\n1,"line one\nline two"\n2,simple\n')
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("note", T.StringType())]
+    )
+    with pytest.raises(Exception, match="(?i)failed|malformed|read"):
+        read_csv_source(spark, str(p), schema).collect()
+
+    df = read_csv_source(spark, str(p), schema, options={"multiline": True})
+    rows = {r.id: r.note for r in df.collect()}
+    assert rows == {"1": "line one\nline two", "2": "simple"}
