@@ -151,3 +151,45 @@ def test_neardup_clusters_match_union_find(spark, edge_list):
         pairs = pairs.filter("id_a <> id_a")  # empty frame, same schema
     got = {r.doc_id: r.cluster_id for r in neardup_clusters(ids, pairs).collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_upsert_idempotent_and_deterministic(spark, tmp_path_factory, first, second):
+    """MERGE invariants under random batches: re-applying a batch is a
+    no-op (idempotence — the retry-safety the streaming sink leans
+    on), and duplicate keys inside a batch resolve to the same winner
+    every time (deterministic dedup)."""
+    from data_ingestors_spark.io.writers import read_table, upsert
+
+    target = str(tmp_path_factory.mktemp("ups") / "t")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(f"k{k}", v) for k, v in rows], "data_id string, v long"
+        )
+
+    upsert(spark, target, batch(first), n_buckets=4)
+    upsert(spark, target, batch(second), n_buckets=4)
+    state1 = sorted((r.data_id, r.v) for r in read_table(spark, target).collect())
+
+    # replay the second batch: nothing may change
+    upsert(spark, target, batch(second), n_buckets=4)
+    state2 = sorted((r.data_id, r.v) for r in read_table(spark, target).collect())
+    assert state2 == state1
+
+    # one row per key, and every key from both batches is present
+    keys = [k for k, _ in state1]
+    assert len(keys) == len(set(keys))
+    assert set(keys) == {f"k{k}" for k, _ in first + second}
