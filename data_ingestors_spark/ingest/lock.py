@@ -57,11 +57,31 @@ class TableLock:
         except FileExistsError:
             holder, age = self._read_holder()
             if age is not None and age > STALE_SECONDS:
+                # Atomic stale takeover. A bare remove() races: between
+                # our staleness read and the remove, another contender
+                # may have already taken over and created a FRESH lock —
+                # removing that runs two ingests concurrently. Instead:
+                # (a) re-stat so a just-replaced fresh lock is never
+                # touched, then (b) rename the stale file aside — rename
+                # is atomic, so exactly one contender wins; losers
+                # re-enter acquire() and meet the winner's fresh lock.
                 try:
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
-                return self.acquire()
+                    mtime_stale = time.time() - os.path.getmtime(self.path) > STALE_SECONDS
+                except OSError:
+                    return self.acquire()  # vanished meanwhile — retry
+                if mtime_stale:
+                    aside = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
+                    try:
+                        os.rename(self.path, aside)
+                    except OSError:
+                        return self.acquire()  # lost the rename race — re-evaluate
+                    try:
+                        os.remove(aside)
+                    except OSError:
+                        pass
+                    return self.acquire()
+                # metadata says stale but the file itself is fresh —
+                # treat as held (conservative) and fall through
             raise TableLockError(
                 f"another ingest is already running for table "
                 f"{self.table_name!r} (lock at {self.path}, holder: {holder!r}); "

@@ -299,6 +299,15 @@ class Ingestor:
                     # driver-side list
                     write_table(failed_recs, self.target_path + "__failed")
 
+            # in-batch duplicate data_ids collapse in the upsert's
+            # deterministic dedup; the reference treats duplicate keys
+            # as updates, never failures — count them separately so the
+            # failed arithmetic below stays honest (one agg, one job)
+            n_ok, n_keys = ok.agg(
+                F.count("*"), F.count_distinct("data_id")
+            ).collect()[0]
+            deduped = n_ok - n_keys
+
             updated, inserted = upsert(self.spark, self.target_path, ok, key="data_id")
             processed = updated + inserted
 
@@ -331,8 +340,9 @@ class Ingestor:
                 processed=processed,
                 inserted=processed,
                 api_sent=api_sent,
-                failed=total - skipped - ft_failures - processed,
+                failed=total - skipped - ft_failures - deduped - processed,
                 skipped=skipped,
+                deduped=deduped,
                 file_transfer_failures=ft_failures,
             )
         finally:

@@ -17,6 +17,10 @@ class IngestionSummary:
     api_sent: int = 0
     failed: int = 0
     skipped: int = 0
+    # in-batch duplicate data_ids collapsed by the upsert's dedup — the
+    # reference processes duplicate keys as updates (not failures), so
+    # they are accounted separately and never trip has_failures
+    deduped: int = 0
     file_transfer_failures: int = 0
 
     @property
@@ -24,7 +28,7 @@ class IngestionSummary:
         return (
             self.failed > 0
             or self.file_transfer_failures > 0
-            or self.inserted < self.total_records - self.skipped
+            or self.inserted < self.total_records - self.skipped - self.deduped
             or self.api_sent < self.inserted
         )
 
@@ -37,6 +41,7 @@ class IngestionSummary:
             f"  api sent:               {self.api_sent}",
             f"  failed:                 {self.failed}",
             f"  skipped:                {self.skipped}",
+            f"  deduplicated:           {self.deduped}",
             f"  file transfer failures: {self.file_transfer_failures}",
             f"  status:                 {'FAILED' if self.has_failures else 'SUCCESS'}",
         ]

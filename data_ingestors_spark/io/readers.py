@@ -82,6 +82,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if name == "events" and field.name == "ts" and isinstance(field.dataType, T.LongType):
             # integer division: ns epochs ~1.7e18 exceed double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ, which Spark won't cast to numeric and which
+            # diverges from DuckDB's naive-timestamp view. With the
+            # session tz pinned to UTC the cast is wall-clock-preserving.
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
@@ -120,11 +126,15 @@ def read_csv_header(
     opts = merge_csv_options(options)
     enc = opts["encoding"]
     read_enc = "utf-8-sig" if enc.upper().replace("-", "") == "UTF8" else enc
-    if os.path.isfile(path):
-        utf8_preflight(path, enc)
-        with open(path, encoding=read_enc, newline="") as f:
+    if os.path.isfile(path) or os.path.isdir(path):
+        # local file OR directory: probe the first data file directly so
+        # the configured encoding is honored (spark.read.text decodes
+        # UTF-8 only and would silently mangle e.g. Latin-1 headers)
+        probe = _probe_file(path, "CSV")
+        utf8_preflight(probe, enc)
+        with open(probe, encoding=read_enc, newline="") as f:
             line = f.readline()
-    else:  # directory/glob/remote: probe via Spark (text is UTF-8)
+    else:  # glob/remote store: probe via Spark (text is UTF-8)
         first = spark.read.text(path).limit(1).collect()
         line = first[0][0] if first else ""
     if not line.strip():
@@ -196,10 +206,10 @@ def read_csv_source(
     return reader.csv(path)
 
 
-def _json_probe_file(path: str) -> str:
-    """The file whose first bytes decide the JSON parse strategy: the
-    path itself, or the first data file of a DIRECTORY source
-    (multi-file NDJSON exports; every file must share the form)."""
+def _probe_file(path: str, what: str = "data") -> str:
+    """The file whose first bytes decide a parse strategy: the path
+    itself, or the first data file of a DIRECTORY source (multi-file
+    exports; every file must share the form)."""
     if not os.path.isdir(path):
         return path
     candidates = sorted(
@@ -207,8 +217,12 @@ def _json_probe_file(path: str) -> str:
         if not f.startswith((".", "_")) and os.path.isfile(os.path.join(path, f))
     )
     if not candidates:
-        raise ValueError(f"no data files in JSON source directory: {path}")
+        raise ValueError(f"no data files in {what} source directory: {path}")
     return os.path.join(path, candidates[0])
+
+
+def _json_probe_file(path: str) -> str:
+    return _probe_file(path, "JSON")
 
 
 def json_scalar_preflight(spark: SparkSession, path: str, columns: list[str]) -> None:

@@ -25,8 +25,20 @@ DEFAULT_BITS = 16
 def morton_key(cols: list["F.Column"], bits: int = DEFAULT_BITS) -> "F.Column":
     """Interleave the low ``bits`` bits of each (already-quantized,
     non-negative) column into one Z-order key: bit j of column i lands
-    at position j * n_cols + i."""
+    at position j * n_cols + i.
+
+    The interleaved key must fit a signed 64-bit long: Spark's
+    shiftleft wraps its shift count mod 64, so an out-of-range
+    position would silently fold high bits onto low ones and corrupt
+    the clustering — fail loud instead.
+    """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"morton_key: {n} columns x {bits} bits = {n * bits} key bits "
+            f"exceeds the 63 available in a signed long; lower bits to "
+            f"<= {63 // n} (e.g. bits=min(bits, 63 // n_cols)) or drop columns"
+        )
     key = F.lit(0).cast("long")
     for j in range(bits):
         for i, c in enumerate(cols):
@@ -64,6 +76,10 @@ def zorder_write(
     output files and sort within each, so every file covers a compact
     curve segment and per-file min-max stats are tight on EVERY
     participating column."""
+    # auto-cap so the interleaved key fits a signed long (5+ columns at
+    # the default 16 bits would overflow; fewer bits per column just
+    # means coarser clustering, still correct)
+    bits = min(bits, 63 // max(len(cols), 1))
     q = [quantize_minmax(df, c, bits) for c in cols]
     keyed = df.withColumn("__z", morton_key(q, bits))
     (

@@ -155,12 +155,16 @@ def stateful_sessions(
         for pdf in pdfs:
             ts_us.append(pdf["ts"].astype("int64"))  # ns → see below
             vals.append(pdf["value"])
-        ts = pd.concat(ts_us) // 1000  # ns → µs
-        vv = pd.concat(vals)
+        # ignore_index: per-chunk frames reuse labels 0..n, and label-based
+        # selection with duplicate labels returns every matching row (row
+        # inflation whenever a group spans >1 Arrow batch). Positional
+        # argsort ordering avoids label lookup entirely.
+        ts = pd.concat(ts_us, ignore_index=True) // 1000  # ns → µs
+        vv = pd.concat(vals, ignore_index=True)
         if ts.empty and not state.exists:
             return
-        order = ts.sort_values().index
-        ts, vv = ts[order], vv[order]
+        order = ts.argsort(kind="stable")
+        ts, vv = ts.iloc[order], vv.iloc[order]
 
         if state.exists:
             start_us, last_us, n, s = state.get

@@ -62,6 +62,23 @@ def test_latin1_with_correct_encoding_parses(spark, tmp_path):
     assert table_rows(spark, t)[0].name == "müller"
 
 
+def test_latin1_directory_source_header_honors_encoding(spark, tmp_path):
+    """Directory sources must probe the header with the CONFIGURED
+    encoding, not spark.read.text's UTF-8 (ADVICE r2: Latin-1 headers
+    in a directory source were silently mangled)."""
+    from data_ingestors_spark.io.readers import read_csv_header
+
+    d = tmp_path / "lat1dir"
+    d.mkdir()
+    (d / "part0.csv").write_bytes("straße,wert\na,1\n".encode("latin-1"))
+    (d / "part1.csv").write_bytes("straße,wert\nb,2\n".encode("latin-1"))
+    names = read_csv_header(spark, str(d), {"encoding": "ISO-8859-1"})
+    assert names == ["straße", "wert"]
+    # and the UTF-8 default still fails loud with the byte offset
+    with pytest.raises(ValueError, match="offset"):
+        read_csv_header(spark, str(d), None)
+
+
 def test_utf8_bom_header_not_mangled(spark, tmp_path):
     blob = "﻿name,age\nalice,3\n".encode("utf-8")
     s, t = run_csv(

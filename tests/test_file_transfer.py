@@ -196,8 +196,29 @@ def test_table_lock_conflict_and_stale(tmp_path):
     info["started_at"] = datetime.fromtimestamp(old, timezone.utc).isoformat()
     with open(b.path, "w") as f:
         json.dump(info, f)
+    os.utime(b.path, (old, old))  # a crashed run's lock has an old mtime too
     c = TableLock(str(tmp_path), "t1").acquire()  # steals the stale lock
+    # atomic takeover leaves no .stale rename-aside litter behind
+    assert not [p for p in os.listdir(tmp_path) if ".stale." in p]
     c.release()
+
+
+def test_table_lock_fresh_mtime_blocks_takeover(tmp_path):
+    """Race guard: metadata claims stale but the lock FILE is fresh —
+    exactly what a contender sees when another process replaced the
+    stale lock between its read and its takeover. Must treat as held,
+    never remove (ADVICE r2: stale-takeover race)."""
+    from datetime import datetime, timezone
+
+    lock = TableLock(str(tmp_path), "t4").acquire()
+    old = time.time() - (13 * 3600)
+    info = json.loads(open(lock.path).read())
+    info["started_at"] = datetime.fromtimestamp(old, timezone.utc).isoformat()
+    with open(lock.path, "w") as f:
+        json.dump(info, f)  # mtime stays NOW — file recently (re)written
+    with pytest.raises(TableLockError, match="already running"):
+        TableLock(str(tmp_path), "t4").acquire()
+    lock.release()
 
 
 def test_table_lock_corrupt_metadata_uses_mtime(tmp_path):

@@ -70,6 +70,31 @@ def test_reingest_idempotent(spark, tmp_path, csv_source):
     assert s2.processed == 4 and not s2.has_failures
 
 
+def test_inbatch_duplicate_keys_are_updates_not_failures(spark, tmp_path):
+    """Duplicate data_ids within one batch collapse in the upsert's
+    dedup; the reference processes duplicate keys as updates — the
+    summary must report them as deduplicated, exit SUCCESS, and the
+    failed arithmetic must not absorb them (ADVICE r2, medium)."""
+    p = tmp_path / "dups.csv"
+    p.write_text(
+        "age,score,name,target\n"
+        "1,1.0,a,y\n"
+        "2,2.0,a,y\n"   # same data_id key as row 1 (column strategy)
+        "3,3.0,b,n\n"
+    )
+    ing = make_ingestor(
+        spark, tmp_path, data_id_strategy="column", data_id_column="name"
+    )
+    s = ing.ingest(str(p))
+    assert s.total_records == 3
+    assert s.deduped == 1
+    assert s.processed == 2
+    assert s.failed == 0
+    assert not s.has_failures
+    out = spark.read.parquet(str(tmp_path / "table"))
+    assert out.count() == 2
+
+
 def test_validation_failure_fails_loud(spark, tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text("age,score,name,target\nnot_an_int,1.0,x,y\n")

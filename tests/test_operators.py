@@ -236,6 +236,55 @@ def test_stateful_sessions_matches_batch_gaps_and_islands(spark, sf_dir, tmp_pat
     )
 
 
+def test_stateful_sessions_multi_chunk_group(spark, tmp_path):
+    """Regression: a group spanning >1 Arrow chunk must not inflate rows.
+
+    The handler concatenates per-chunk pandas frames; with default
+    (non-ignored) indexes, label-based reordering selects every row
+    sharing a duplicate label — a 4-event group yielded 8 rows. Force
+    2-record Arrow batches so a single user's events arrive as many
+    chunks, and check n_events/sum_value exactly."""
+    import datetime as dt
+
+    from data_ingestors_spark.streaming import (
+        stream_events,
+        stateful_sessions,
+        run_stream_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # one user, 7 events 1 minute apart (single session), then a
+        # far-future closer event so the session emits without timeout
+        *[(1, base + dt.timedelta(minutes=i), "click", float(i)) for i in range(7)],
+        (1, base + dt.timedelta(hours=12), "click", 0.0),
+        (2, base + dt.timedelta(hours=13), "click", 0.0),
+    ]
+    src = str(tmp_path / "events_chunks")
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    ev.write.parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        out = run_stream_to_memory(
+            stateful_sessions(stream_events(spark, src), gap="30 minutes"),
+            "sessions_chunks",
+        )
+        got = [
+            (r.user_id, r.n_events, r.sum_value)
+            for r in out.collect()
+            if r.user_id == 1 and r.n_events > 1
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == [(1, 7, float(sum(range(7))))], got
+
+
 def test_cosine_numpy_matches_bruteforce_exactly(spark, sf_dir):
     """The GEMM fast path must be bit-identical to the HOF baseline
     after portable 6-dp rounding — same rows, same scores, same ranks."""
@@ -373,6 +422,29 @@ def test_approx_aggs_within_tolerance(spark):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+
+
+def test_morton_key_overflow_guard(spark, tmp_path):
+    """5 columns x 16 bits = 80 key bits > 63: Spark's shiftleft wraps
+    the shift count mod 64, silently corrupting the key — morton_key
+    must fail loud; zorder_write must auto-cap bits instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.layout import morton_key, zorder_write
+
+    cols = [F.lit(i) for i in range(5)]
+    with _pytest.raises(ValueError, match="63"):
+        morton_key(cols, bits=16)
+    # 12 bits x 5 cols = 60 <= 63: fine
+    morton_key(cols, bits=12)
+    # zorder_write caps automatically (63 // 5 = 12) and still writes
+    df = spark.range(200).select(
+        *[(F.col("id") * (i + 3) % 97).alias(f"c{i}") for i in range(5)]
+    )
+    p = str(tmp_path / "z5")
+    zorder_write(df, p, [f"c{i}" for i in range(5)], n_files=2)
+    assert spark.read.parquet(p).count() == 200
 
 
 def test_zorder_layout_tightens_file_stats(spark, tmp_path):
