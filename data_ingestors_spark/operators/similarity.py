@@ -304,8 +304,25 @@ def ivf_ann_topk(
     projection, no shuffle), then candidates come from an equi-join on
     ``cell`` — cost scales with n_probe/n_cells of the corpus, never
     all-pairs. Recall vs the exact path is asserted in tests.
+
+    The quantizer sample is a deterministic xxhash64 filter spread over
+    the WHOLE corpus — ``limit(n)`` takes the *first* rows in scan
+    order, so a corpus sorted/clustered on disk (by source, label,
+    time) would train centroids on one region of the space and recall
+    would collapse everywhere else. The count is parquet-metadata-cheap;
+    the hash filter is a projection-level scan, no shuffle.
     """
-    sample = corpus.select(vec_col).limit(sample_rows).collect()
+    n = corpus.count()
+    m = max(1, n // sample_rows)
+    sample = (
+        corpus.select(vec_col, F.col(id_col).alias("__sid"))
+        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
+        .select(vec_col)
+        .limit(sample_rows)  # hard bound on driver memory
+        .collect()
+    )
+    if not sample:  # degenerate tiny/empty-hash-stripe corpus
+        sample = corpus.select(vec_col).limit(sample_rows).collect()
     X = np.array([r[0] for r in sample], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     cents = _kmeans(Xn, n_cells, seed=seed)
