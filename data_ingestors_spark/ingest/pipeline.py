@@ -273,9 +273,14 @@ class Ingestor:
 
             # skipped: mapped data_id missing/blank ⇒ row dropped
             # (base.py:315-326)
-            ok = augmented.filter(F.col("data_id").isNotNull() & (F.col("data_id") != ""))
+            ok_pred = F.col("data_id").isNotNull() & (F.col("data_id") != "")
+            ok = augmented.filter(ok_pred)
             augmented.cache()
-            skipped = augmented.count() - ok.count()
+            # one agg for both counts (was two .count() jobs)
+            n_aug, n_ok = augmented.agg(
+                F.count("*"), F.count(F.when(ok_pred, 1))
+            ).collect()[0]
+            skipped = n_aug - n_ok
 
             # K5: sidecar copies for file-bearing categories. Records
             # missing a source file (or whose copy failed) are dropped
@@ -301,14 +306,13 @@ class Ingestor:
 
             # in-batch duplicate data_ids collapse in the upsert's
             # deterministic dedup; the reference treats duplicate keys
-            # as updates, never failures — count them separately so the
-            # failed arithmetic below stays honest (one agg, one job)
-            n_ok, n_keys = ok.agg(
-                F.count("*"), F.count_distinct("data_id")
-            ).collect()[0]
-            deduped = n_ok - n_keys
-
-            updated, inserted = upsert(self.spark, self.target_path, ok, key="data_id")
+            # as updates, never failures. The upsert reports the count
+            # from its own single merge-count aggregation — the r3
+            # standalone count_distinct job (the ingest throughput
+            # regression) is gone.
+            updated, inserted, deduped = upsert(
+                self.spark, self.target_path, ok, key="data_id"
+            )
             processed = updated + inserted
 
             # K3: per-batch metadata send — api_sent counts only ACKed

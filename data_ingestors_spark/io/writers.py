@@ -66,15 +66,27 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
+DUPS_COL = "__dups"
+
+
 def _dedup_deterministic(batch: DataFrame, key: str) -> DataFrame:
     """Keep exactly one row per key, chosen by a stable content hash —
-    same winner on every run/partitioning, unlike dropDuplicates."""
+    same winner on every run/partitioning, unlike dropDuplicates.
+
+    The kept row carries ``__dups`` = (group size − 1), computed in the
+    SAME window pass (count over the identical partition spec adds no
+    shuffle), so callers get the in-batch duplicate count for free from
+    whatever aggregation they already run — no standalone
+    count_distinct job over the key column (the round-3 ingest
+    throughput regression)."""
     tiebreak = F.sha2(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in batch.columns]), 256
     )
     w = Window.partitionBy(key).orderBy(tiebreak)
+    wg = Window.partitionBy(key)
     return (
         batch.withColumn("__rn", F.row_number().over(w))
+        .withColumn(DUPS_COL, F.count("*").over(wg) - F.lit(1))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -87,11 +99,14 @@ def upsert(
     key: str = "data_id",
     n_buckets: int = DEFAULT_N_BUCKETS,
     allow_evolution: bool = False,
-) -> tuple[int, int]:
+) -> tuple[int, int, int]:
     """Incremental MERGE-equivalent upsert into a bucketed parquet
     table. WHEN MATCHED → the batch row wins; WHEN NOT MATCHED →
-    insert. Returns (updated, inserted). Only the hash buckets present
-    in the batch are read, merged, and rewritten.
+    insert. Returns (updated, inserted, deduped) where ``deduped`` is
+    the number of in-batch rows collapsed by the deterministic key
+    dedup — all three come from the ONE merge-count aggregation, no
+    extra job. Only the hash buckets present in the batch are read,
+    merged, and rewritten.
 
     Schema drift is an ERROR, never silent: a batch missing table
     columns, or carrying new ones without ``allow_evolution=True``,
@@ -107,16 +122,22 @@ def upsert(
     )
 
     if not path_exists(spark, target_path):
-        n = batch.count()
-        write_table(batch, target_path, "overwrite", [BUCKET_COL])
-        return (0, n)
+        batch = batch.persist()
+        try:
+            row = batch.agg(
+                F.count("*").alias("n"), F.sum(DUPS_COL).alias("deduped")
+            ).collect()[0]
+            write_table(batch.drop(DUPS_COL), target_path, "overwrite", [BUCKET_COL])
+            return (0, int(row["n"]), int(row["deduped"] or 0))
+        finally:
+            batch.unpersist()
 
     batch = batch.persist()
     try:
         all_current = spark.read.parquet(target_path)
 
         current_cols = [c for c in all_current.columns if c != BUCKET_COL]
-        batch_cols = [c for c in batch.columns if c != BUCKET_COL]
+        batch_cols = [c for c in batch.columns if c not in (BUCKET_COL, DUPS_COL)]
         missing = [c for c in current_cols if c not in batch_cols]
         extra = [c for c in batch_cols if c not in current_cols]
         if missing:
@@ -138,15 +159,7 @@ def upsert(
                 )
             # evolution rewrites the WHOLE table so the on-disk schema is
             # uniform; fall through to the full-merge path
-            row = (
-                batch.select(key)
-                .join(all_current.select(key, F.lit(1).alias("__hit")), key, "left")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
-                )
-                .collect()[0]
-            )
+            row = _merge_counts(batch, all_current, key)
             keep = all_current.join(batch.select(key), on=key, how="left_anti")
             if BUCKET_COL not in keep.columns:  # legacy flat layout
                 keep = keep.withColumn(
@@ -156,20 +169,12 @@ def upsert(
             merged = keep.unionByName(batch.select(keep.columns)).localCheckpoint(eager=True)
             write_table(merged, target_path, "overwrite", [BUCKET_COL])
             updated = int(row["updated"] or 0)
-            return (updated, int(row["n"]) - updated)
+            return (updated, int(row["n"]) - updated, int(row["deduped"] or 0))
 
         if BUCKET_COL not in all_current.columns:
             # Legacy flat layout (pre-bucketing): one-time upgrade —
             # merge the full table and rewrite it bucketed.
-            row = (
-                batch.select(key)
-                .join(all_current.select(key, F.lit(1).alias("__hit")), key, "left")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
-                )
-                .collect()[0]
-            )
+            row = _merge_counts(batch, all_current, key)
             keep = all_current.join(batch.select(key), on=key, how="left_anti").withColumn(
                 BUCKET_COL,
                 F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
@@ -177,23 +182,16 @@ def upsert(
             merged = keep.unionByName(batch.select(keep.columns)).localCheckpoint(eager=True)
             write_table(merged, target_path, "overwrite", [BUCKET_COL])
             updated = int(row["updated"] or 0)
-            return (updated, int(row["n"]) - updated)
+            return (updated, int(row["n"]) - updated, int(row["deduped"] or 0))
 
         touched = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()]
         current = all_current.filter(F.col(BUCKET_COL).isin(touched))
 
-        # one job for both counts: left-join batch keys to current keys
-        row = (
-            batch.select(key)
-            .join(current.select(key, F.lit(1).alias("__hit")), key, "left")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
-            )
-            .collect()[0]
-        )
+        # one job for all three counts: left-join batch keys to current
+        row = _merge_counts(batch, current, key)
         updated = int(row["updated"] or 0)
         inserted = int(row["n"]) - updated
+        deduped = int(row["deduped"] or 0)
 
         keep = current.join(batch.select(key), on=key, how="left_anti")
         merged = keep.unionByName(batch.select(keep.columns))
@@ -212,9 +210,25 @@ def upsert(
             merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        return (updated, inserted)
+        return (updated, inserted, deduped)
     finally:
         batch.unpersist()
+
+
+def _merge_counts(batch: DataFrame, current: DataFrame, key: str):
+    """(n, updated, deduped) in ONE aggregation job: left-join batch
+    keys against current keys; ``__dups`` rides along from the dedup
+    window so the in-batch duplicate count costs nothing extra."""
+    return (
+        batch.select(key, DUPS_COL)
+        .join(current.select(key, F.lit(1).alias("__hit")), key, "left")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("updated"),
+            F.sum(DUPS_COL).alias("deduped"),
+        )
+        .collect()[0]
+    )
 
 
 def quarantine_split(df: DataFrame, valid_predicate) -> tuple[DataFrame, DataFrame]:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingestors_spark.functions.rounding import fround
 
@@ -371,68 +372,63 @@ def ngram_jaccard_pairs(
 # --- Cluster resolution -------------------------------------------------
 
 
-def neardup_clusters(ids: DataFrame, pairs: DataFrame, *, max_iter: int = 20) -> DataFrame:
+def neardup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    max_iter: int = 20,
+    broadcast_labels: bool | None = None,
+    smallgraph_edges: int = 2_000_000,
+) -> DataFrame:
     """Resolve near-duplicate PAIRS into cluster-level keep/drop
     decisions — the step real corpus dedup needs after any of the pair
     generators above (reference scope: dedup family, SURVEY.md §2.5
-    LLM-pipeline row). Connected components by iterative min-label
-    propagation (distributed union-find): every doc's label converges
-    to the smallest doc_id reachable from it; the keeper of each
-    cluster is the doc whose label is itself.
+    LLM-pipeline row). Connected components: every doc's label
+    converges to the smallest doc_id reachable from it; the keeper of
+    each cluster is the doc whose label is itself.
 
     ``ids``: one ``doc_id`` column (the full corpus). ``pairs``:
     ``(id_a, id_b)`` undirected near-dup edges.
 
-    Scale design: propagation runs only over docs that appear in at
-    least one edge (the near-dup subgraph — tiny vs the corpus);
-    singleton docs are appended at the end with keep=true and never
-    shuffle. Each iteration is one edge join + one label self-join
-    (pointer jumping) + one groupBy min, with ``localCheckpoint``
-    cutting lineage so the plan stays constant size. The jumping join
-    costs ~25% per round on shallow graphs but makes the round count
-    LOGARITHMIC in cluster diameter — a pathological chained-duplicate
-    corpus converges in ~log2(diameter) rounds instead of diameter
-    rounds, which is the property that matters at 100 TB.
-    """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
-    edges = edges.distinct().localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    Two physical strategies behind one contract:
 
-    for _ in range(max_iter):
-        prop = edges.join(
-            labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("doc_id"), "label")
-        # pointer jumping (shortcutting): label(label(d)) is also
-        # reachable from d — folding it in each round makes the round
-        # count logarithmic in cluster diameter instead of linear
-        jump = (
-            labels.alias("a")
-            .join(
-                labels.select(F.col("doc_id").alias("mid"), F.col("label").alias("jlabel")),
-                F.col("a.label") == F.col("mid"),
-            )
-            .select(F.col("a.doc_id").alias("doc_id"), F.col("jlabel").alias("label"))
-        )
-        new = (
-            labels.union(prop)
-            .union(jump)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    **Small subgraph (≤ ``smallgraph_edges`` edges)** — the common
+    case: even on a petabyte corpus the near-dup EDGE set is usually
+    millions, not billions. One ``mapInPandas`` task runs classic
+    union-find with path compression over the edge list (union-by-min
+    keeps each root the component minimum, so the result is identical
+    to label propagation, independent of edge order). One task, zero
+    iterations, zero shuffles beyond the coalesce.
+
+    **Large subgraph** — iterative min-label propagation (distributed
+    union-find). Each round: edge join + pointer-jumping self-join +
+    groupBy min, ``localCheckpoint`` cutting lineage. Pointer jumping
+    makes the round count LOGARITHMIC in cluster diameter. Per-round
+    job count is ONE (the eager checkpoint): the old label rides
+    through the min-aggregation in a ``__old`` column, so convergence
+    is a filter over the already-materialized checkpoint blocks — no
+    separate join-and-count job (that extra job roughly doubled round
+    latency in round 3). Duplicate edges are harmless to min-label, so
+    the bidirectional edge list is NOT ``distinct()``-ed — pair
+    generators emit unique ``id_a < id_b`` rows, and a full shuffle
+    just to dedupe them was pure overhead.
+
+    ``broadcast_labels``: the label frame is one row per subgraph
+    node — broadcasting it turns both per-round joins into map-side
+    hash joins (the big edge set is never shuffled; the only shuffle
+    left is the partial-aggregated groupBy min). Auto (None)
+    broadcasts when the subgraph has ≤ 2M nodes.
+    """
+    id_type = pairs.schema["id_a"].dataType
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    n_edges = p.count()  # on checkpointed blocks — no recompute
+
+    if n_edges <= smallgraph_edges:
+        labels = _unionfind_single_task(p, id_type)
+        nodes = labels.select("doc_id")
+    else:
+        labels = _minlabel_iterative(p, max_iter, broadcast_labels)
+        nodes = labels.select("doc_id")
 
     clustered = labels.select(
         "doc_id",
@@ -443,3 +439,90 @@ def neardup_clusters(ids: DataFrame, pairs: DataFrame, *, max_iter: int = 20) ->
         "doc_id", F.col("doc_id").alias("cluster_id"), F.lit(True).alias("keep")
     )
     return clustered.unionByName(singletons)
+
+
+def _unionfind_single_task(p: DataFrame, id_type) -> DataFrame:
+    """(doc_id, label) for every edge endpoint via one-task union-find
+    with path compression; union-by-min makes each root the component
+    minimum — bit-identical to min-label propagation."""
+    import pandas as pd
+
+    def uf(pdf_iter):
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in pdf_iter:
+            for a, b in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
+                seen.add(a)
+                seen.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        yield pd.DataFrame(
+            [(x, find(x)) for x in seen], columns=["doc_id", "label"]
+        )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("label", id_type)]
+    )
+    # localCheckpoint: downstream uses the labels twice (clustered +
+    # singleton anti-join) — never re-run the python task
+    return p.coalesce(1).mapInPandas(uf, schema).localCheckpoint(eager=True)
+
+
+def _minlabel_iterative(
+    p: DataFrame, max_iter: int, broadcast_labels: bool | None
+) -> DataFrame:
+    """Iterative min-label propagation with pointer jumping — the
+    arbitrarily-large-subgraph path (see neardup_clusters docstring)."""
+    edges = p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(eager=True)
+    if broadcast_labels is None:
+        broadcast_labels = labels.count() <= 2_000_000
+
+    for _ in range(max_iter):
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        prop = edges.join(
+            lab.select(F.col("doc_id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("doc_id"), "label")
+        # pointer jumping (shortcutting): label(label(d)) is also
+        # reachable from d — folding it in each round makes the round
+        # count logarithmic in cluster diameter instead of linear
+        jump = (
+            labels.alias("a")
+            .join(
+                lab.select(F.col("doc_id").alias("mid"), F.col("label").alias("jlabel")),
+                F.col("a.label") == F.col("mid"),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("jlabel").alias("label"))
+        )
+        # every subgraph node appears in `labels` exactly once, so
+        # min(__old) recovers its previous label through the union
+        nulled = F.lit(None).cast(labels.schema["label"].dataType).alias("__old")
+        new = (
+            labels.select("doc_id", "label", F.col("label").alias("__old"))
+            .unionByName(prop.select("doc_id", "label", nulled))
+            .unionByName(jump.select("doc_id", "label", nulled))
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            .withColumn("__changed", F.col("label") < F.col("__old"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter("__changed").limit(1).count()
+        labels = new.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels

@@ -294,31 +294,42 @@ FROM lineitem WHERE l_linenumber = 1
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: fraction of each candidate doc's
     distinct word 5-grams that appear anywhere in the benchmark set
-    (source = 'src0'). The join ships only (doc_id, gram) pairs and
-    the benchmark side is distinct-reduced before the join — at 100 TB
-    the benchmark gram set is small enough to broadcast."""
+    (source = 'src0').
+
+    Scale shape: per-doc gram de-duplication happens ROW-LOCALLY with
+    ``array_distinct`` inside codegen — the round-3 version shuffled
+    every (doc_id, gram) pair through a global ``distinct()`` (and
+    computed that exploded frame twice: once under the broadcast, once
+    for the candidate side), which was both the 2–4 s line item and
+    the high run-to-run variance. Now the candidate side is never
+    shuffled at gram granularity: ``n_grams`` is an array length, and
+    the only gram-keyed shuffle is the distinct over the (small)
+    benchmark set, which then broadcasts into a semi join — at 100 TB
+    the benchmark gram set is the dimension side, the corpus side
+    streams map-side."""
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
     ws = F.split("text", " ")
-    grams = (
-        docs.filter(F.size(ws) >= 5)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 4),
-                    lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
-                )
-            ).alias("gram"),
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 4),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
         )
+    )
+    base = docs.filter(F.size(ws) >= 5).select("doc_id", "source", gram_arr.alias("grams"))
+    bench = (
+        base.filter(F.col("source") == "src0")
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
-    cand = grams.filter(F.col("source") != "src0")
-    hits = cand.join(F.broadcast(bench), "gram", "left_semi")
-    total = cand.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
-    matched = hits.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_hit"))
+    cand = base.filter(F.col("source") != "src0")
+    total = cand.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    matched = (
+        cand.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
     return (
         total.join(matched, "doc_id", "left")
         .select(

@@ -124,7 +124,8 @@ def test_fround_half_boundary_cases(spark):
     )
 )
 def test_neardup_clusters_match_union_find(spark, edge_list):
-    """Min-label propagation must compute exactly the connected
+    """BOTH physical strategies (one-task union-find and iterative
+    min-label propagation) must compute exactly the connected
     components a reference union-find produces, for arbitrary random
     graphs over 25 nodes (including disconnected nodes and dense
     blobs)."""
@@ -151,6 +152,12 @@ def test_neardup_clusters_match_union_find(spark, edge_list):
         pairs = pairs.filter("id_a <> id_a")  # empty frame, same schema
     got = {r.doc_id: r.cluster_id for r in neardup_clusters(ids, pairs).collect()}
     assert got == expected
+    # force the distributed iterative path (smallgraph gate off)
+    got_iter = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(ids, pairs, smallgraph_edges=0).collect()
+    }
+    assert got_iter == expected
 
 
 @settings(max_examples=5, deadline=None)

@@ -32,9 +32,9 @@ def bucket_files(path):
 def test_upsert_counts_and_merge(spark, tmp_path):
     t = str(tmp_path / "t")
     df1 = spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"])
-    assert upsert(spark, t, df1) == (0, 2)
+    assert upsert(spark, t, df1) == (0, 2, 0)
     df2 = spark.createDataFrame([("b", 20), ("c", 3)], ["data_id", "v"])
-    assert upsert(spark, t, df2) == (1, 1)  # b updated, c inserted
+    assert upsert(spark, t, df2) == (1, 1, 0)  # b updated, c inserted
     rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
     assert rows == {"a": 1, "b": 20, "c": 3}
     # the internal bucket column never leaks to readers
@@ -87,7 +87,7 @@ def test_upsert_upgrades_legacy_flat_layout(spark, tmp_path):
     t = str(tmp_path / "t")
     spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"]).write.parquet(t)
     df = spark.createDataFrame([("b", 20), ("c", 3)], ["data_id", "v"])
-    assert upsert(spark, t, df, n_buckets=8) == (1, 1)
+    assert upsert(spark, t, df, n_buckets=8) == (1, 1, 0)
     rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
     assert rows == {"a": 1, "b": 20, "c": 3}
     # upgraded in place to the bucketed layout
@@ -98,7 +98,7 @@ def test_upsert_idempotent_reingest(spark, tmp_path):
     t = str(tmp_path / "t")
     df = spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"])
     upsert(spark, t, df)
-    assert upsert(spark, t, df) == (2, 0)  # same batch: all updates
+    assert upsert(spark, t, df) == (2, 0, 0)  # same batch: all updates
     assert read_table(spark, t).count() == 2
 
 
@@ -183,7 +183,7 @@ def test_upsert_schema_drift_is_loud_and_evolution_opt_in(spark, tmp_path):
         upsert(spark, target, extra)
 
     # opt-in evolution: column appended, old rows read NULL, counts right
-    updated, inserted = upsert(spark, target, extra, allow_evolution=True)
+    updated, inserted, _ = upsert(spark, target, extra, allow_evolution=True)
     assert (updated, inserted) == (0, 1)
     rows = {r.data_id: (r.v, r.tag) for r in read_table(spark, target).collect()}
     assert rows == {"a": (1, None), "b": (2, "x")}
