@@ -54,8 +54,22 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # warm the JVM + parquet footers with one trivial action
+    # Warm-up: JVM JIT + whole-stage-codegen cache. The first execution
+    # of an interpreted-HOF-heavy plan pays ~2-3 s of one-time JIT that
+    # has nothing to do with the query (measured: identical plan, 2.9 s
+    # first run at sf0.01 then 0.7 s at sf0.1). Run every headline
+    # query once UNTIMED at sf0.001 — a different data path, so no
+    # DataFrame/persist cache can leak into the timed section; only the
+    # process-level code caches (JIT, codegen) warm, which is what any
+    # steady-state latency benchmark does.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                all_queries()[name](spark, warm_dir).count()
+            except Exception as e:
+                print(f"# warmup {name} skipped: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -106,6 +120,18 @@ def main() -> None:
                 data_id_strategy="column",
                 data_id_column="okey",
             )
+            # untimed mini-ingest: JIT-warm the CSV-parse / window /
+            # parquet-write code paths (same rationale as the query
+            # warmup above; a separate tiny source + target, nothing
+            # the timed run can reuse)
+            warm_csv = os.path.join(tmp, "warm.csv")
+            with open(csv_file) as src, open(warm_csv, "w") as dst:
+                for i, line in enumerate(src):
+                    if i > 1000:
+                        break
+                    dst.write(line)
+            Ingestor(spark, cfg, target_path=os.path.join(tmp, "wh", "warm")).ingest(warm_csv)
+
             t0 = time.perf_counter()
             Ingestor(spark, cfg, target_path=os.path.join(tmp, "wh", "bench_ingest")).ingest(csv_file)
             ingest_rows_per_sec = round(n_file / (time.perf_counter() - t0), 1)

@@ -181,6 +181,14 @@ class Ingestor:
                         .otherwise(c)
                     )
                     raw = raw.withColumn(name, fixed)
+        # A single small source file arrives as ONE input split, which
+        # would run the whole validate/conform path single-threaded on
+        # the cached partition. Spread under-partitioned input across
+        # the cores; at scale a real batch has many splits and this is
+        # a no-op (same guard as queries/_spread).
+        par = self.spark.sparkContext.defaultParallelism
+        if raw.rdd.getNumPartitions() < par:
+            raw = raw.repartition(par)
         raw.cache()
         try:
             total = raw.count()

