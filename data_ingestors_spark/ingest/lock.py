@@ -61,20 +61,50 @@ class TableLock:
                 # our staleness read and the remove, another contender
                 # may have already taken over and created a FRESH lock —
                 # removing that runs two ingests concurrently. Instead:
-                # (a) re-stat so a just-replaced fresh lock is never
-                # touched, then (b) rename the stale file aside — rename
-                # is atomic, so exactly one contender wins; losers
-                # re-enter acquire() and meet the winner's fresh lock.
+                # (a) stat and capture (st_ino, st_mtime) of the file we
+                # believe is stale, (b) rename it aside — atomic, exactly
+                # one contender wins — then (c) VERIFY the aside file is
+                # the same inode we statted. If a full takeover slipped
+                # between (a) and (b) (rename-aside + O_EXCL recreate),
+                # the file we grabbed is the new holder's FRESH lock:
+                # restore it with an atomic link() (fails rather than
+                # clobbers if the path was re-created meanwhile) and
+                # report the table as held. The unrecoverable window is
+                # now two nested full takeovers inside one stat-rename
+                # gap, vs one takeover before.
                 try:
-                    mtime_stale = time.time() - os.path.getmtime(self.path) > STALE_SECONDS
+                    st = os.stat(self.path)
                 except OSError:
                     return self.acquire()  # vanished meanwhile — retry
-                if mtime_stale:
+                if time.time() - st.st_mtime > STALE_SECONDS:
                     aside = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
                     try:
                         os.rename(self.path, aside)
                     except OSError:
                         return self.acquire()  # lost the rename race — re-evaluate
+                    try:
+                        ast = os.stat(aside)
+                        grabbed_fresh = (
+                            ast.st_ino != st.st_ino or ast.st_mtime != st.st_mtime
+                        )
+                    except OSError:
+                        grabbed_fresh = False
+                    if grabbed_fresh:
+                        try:
+                            os.link(aside, self.path)  # restore same inode
+                        except OSError:
+                            pass  # path re-created meanwhile — holder exists either way
+                        try:
+                            os.remove(aside)
+                        except OSError:
+                            pass
+                        holder, _ = self._read_holder()
+                        raise TableLockError(
+                            f"another ingest is already running for table "
+                            f"{self.table_name!r} (lock at {self.path}, "
+                            f"holder: {holder!r}); a concurrent stale takeover "
+                            "was detected and its fresh lock preserved"
+                        )
                     try:
                         os.remove(aside)
                     except OSError:

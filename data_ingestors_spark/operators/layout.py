@@ -80,6 +80,14 @@ def zorder_write(
     # the default 16 bits would overflow; fewer bits per column just
     # means coarser clustering, still correct)
     bits = min(bits, 63 // max(len(cols), 1))
+    if bits == 0:
+        # >63 columns: per-column budget is zero — the Z-key would be a
+        # CONSTANT and the write would silently not cluster at all
+        raise ValueError(
+            f"too many z-order columns ({len(cols)}): the 63-bit key "
+            "budget leaves 0 bits per column. Pick the few columns "
+            "queries actually filter on."
+        )
     q = [quantize_minmax(df, c, bits) for c in cols]
     keyed = df.withColumn("__z", morton_key(q, bits))
     (

@@ -293,6 +293,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     sample_rows: int = 2048,
     seed: int = 42,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     → corpus partitioned into cells → queries probe only the
@@ -309,11 +310,19 @@ def ivf_ann_topk(
     the WHOLE corpus — ``limit(n)`` takes the *first* rows in scan
     order, so a corpus sorted/clustered on disk (by source, label,
     time) would train centroids on one region of the space and recall
-    would collapse everywhere else. The count is parquet-metadata-cheap;
-    the hash filter is a projection-level scan, no shuffle.
+    would collapse everywhere else. The count is parquet-metadata-cheap
+    for a plain scan; pass ``corpus_size`` (exact or approximate) when
+    the corpus sits behind a filter/join/UDF lineage or the operator is
+    called repeatedly, and the sizing job is skipped entirely. The hash
+    filter is a projection-level scan, no shuffle.
+
+    CEILING division picks the modulus: with floor, any corpus in
+    [sample_rows, 2·sample_rows) got m=1 — every row passed the filter
+    and ``limit()`` reintroduced the exact scan-order bias the hash
+    stripe exists to remove.
     """
-    n = corpus.count()
-    m = max(1, n // sample_rows)
+    n = corpus_size if corpus_size is not None else corpus.count()
+    m = max(1, -(-n // sample_rows))
     sample = (
         corpus.select(vec_col, F.col(id_col).alias("__sid"))
         .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)

@@ -203,6 +203,53 @@ def test_table_lock_conflict_and_stale(tmp_path):
     c.release()
 
 
+def test_table_lock_restores_fresh_lock_grabbed_mid_takeover(tmp_path, monkeypatch):
+    """Deepest takeover race (ADVICE r3): contender B completes a FULL
+    stale takeover (rename-aside + O_EXCL recreate) between OUR stat
+    and OUR rename — our rename then grabs B's FRESH lock. The inode
+    check must detect the swap, restore B's lock at the canonical
+    path, and report the table as held."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    import data_ingestors_spark.ingest.lock as L
+
+    lock = TableLock(str(tmp_path), "t5").acquire()
+    old = _time.time() - (13 * 3600)
+    info = _json.loads(open(lock.path).read())
+    info["started_at"] = datetime.fromtimestamp(old, timezone.utc).isoformat()
+    with open(lock.path, "w") as f:
+        _json.dump(info, f)
+    _os.utime(lock.path, (old, old))
+
+    real_rename = _os.rename
+    fired = {"done": False}
+
+    def racing_rename(src, dst):
+        if not fired["done"] and src == lock.path and ".stale." in dst:
+            fired["done"] = True
+            # contender B wins the takeover first: stale file gone,
+            # fresh O_EXCL lock in its place
+            real_rename(src, src + ".b-aside")
+            _os.remove(src + ".b-aside")
+            with open(src, "w") as f:
+                _json.dump(
+                    {"owner": "b-fresh",
+                     "started_at": datetime.now(timezone.utc).isoformat()},
+                    f,
+                )
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(L.os, "rename", racing_rename)
+    with pytest.raises(TableLockError, match="already running"):
+        TableLock(str(tmp_path), "t5").acquire()
+    # B's fresh lock survived at the canonical path, no litter left
+    assert _json.load(open(lock.path))["owner"] == "b-fresh"
+    assert not [p for p in _os.listdir(tmp_path) if ".stale." in p]
+
+
 def test_table_lock_fresh_mtime_blocks_takeover(tmp_path):
     """Race guard: metadata claims stale but the lock FILE is fresh —
     exactly what a contender sees when another process replaced the

@@ -332,6 +332,47 @@ def test_ivf_ann_recall_on_label_sorted_corpus(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed on sorted corpus: {recall}"
 
 
+def test_ivf_corpus_size_skips_sizing_job(spark, sf_dir):
+    """With corpus_size passed, ivf_ann_topk must not run the sizing
+    count() — callers with filtered/joined lineage can supply a cached
+    or approximate size (ADVICE r3). Also: mid-band corpus sizes
+    (sample_rows <= n < 2*sample_rows) must use ceiling division so
+    the hash stripe stays selective instead of passing every row."""
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame
+
+    from data_ingestors_spark.operators import ivf_ann_topk
+    from data_ingestors_spark.queries.base import tables
+
+    emb = tables(spark, sf_dir, "embeddings")["embeddings"]
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 3)
+    orig_count = DataFrame.count
+    calls = []
+
+    def spy(self):
+        calls.append(1)
+        return orig_count(self)
+
+    with patch.object(DataFrame, "count", spy):
+        res = ivf_ann_topk(emb, q, k=3, n_cells=8, n_probe=3, corpus_size=n)
+        rows = res.collect()
+    assert calls == [], "sizing count() ran despite corpus_size"
+    assert rows
+
+    # ceiling modulus: n in [sample_rows, 2*sample_rows) -> m == 2
+    assert max(1, -(-150 // 100)) == 2
+
+
+def test_zorder_write_rejects_zero_bit_budget(spark, tmp_path):
+    from data_ingestors_spark.operators.layout import zorder_write
+
+    df = spark.range(10).selectExpr(*[f"id AS c{i}" for i in range(70)])
+    with pytest.raises(ValueError, match="too many z-order columns"):
+        zorder_write(df, str(tmp_path / "z"), [f"c{i}" for i in range(70)])
+
+
 def test_neardup_clusters_union_find(spark):
     """Min-label propagation must agree with a reference union-find:
     chain {1-2,2-3}, pair {5-6}, singleton 9."""
