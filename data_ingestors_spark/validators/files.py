@@ -151,6 +151,80 @@ def validate_file_pairing(
 FAKE_MAGIC = b"FAKEIMG:"
 
 
+def _png_dims(b: bytes) -> tuple[int, int]:
+    # 8-byte signature, 4-byte length, b"IHDR", width/height as BE u32
+    if len(b) < 24 or b[12:16] != b"IHDR":
+        raise ValueError("truncated PNG: no IHDR chunk")
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    if not (0 < w <= 1 << 31 and 0 < h <= 1 << 31):
+        raise ValueError("invalid PNG dimensions")
+    return w, h
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int]:
+    # walk the marker segments to the first SOFn frame header
+    i, n = 2, len(b)
+    while i + 9 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            raise ValueError("corrupt JPEG segment length")
+        # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC) carry the frame dims
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                break
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            if w == 0 or h == 0:
+                raise ValueError("invalid JPEG dimensions")
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("truncated JPEG: no SOF frame header")
+
+
+def _gif_dims(b: bytes) -> tuple[int, int]:
+    if len(b) < 10:
+        raise ValueError("truncated GIF header")
+    # logical screen descriptor, LE u16
+    return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int]:
+    if len(b) < 26:
+        raise ValueError("truncated BMP header")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)  # negative = top-down
+    if w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    return w, abs(h)
+
+
+def _header_dims(content: bytes) -> tuple[int, int]:
+    """Pure-python dimension extraction from public image container
+    headers (PNG / JPEG / GIF / BMP) — restores fail-loud resolution
+    checks when no full decoder (PIL) is installed, matching the
+    reference's behavior (image_validator.py:73-382) without adding a
+    dependency. Raises ValueError for anything unrecognized/corrupt."""
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return _png_dims(content)
+    if content.startswith(b"\xff\xd8"):
+        return _jpeg_dims(content)
+    if content.startswith((b"GIF87a", b"GIF89a")):
+        return _gif_dims(content)
+    if content.startswith(b"BM"):
+        return _bmp_dims(content)
+    raise ValueError("unrecognized image format")
+
+
 def _decode_dims(content: bytes) -> tuple[int | None, int | None, str | None]:
     """(width, height, error) for one image payload."""
     if content is None or len(content) == 0:
@@ -169,7 +243,11 @@ def _decode_dims(content: bytes) -> tuple[int | None, int | None, str | None]:
                 return im.width, im.height, None
         except Exception as e:  # corrupt / truncated / bomb
             return None, None, f"undecodable image: {type(e).__name__}"
-    return None, None, "no image decoder available (PIL not installed)"
+    try:
+        w, h = _header_dims(bytes(content))
+        return w, h, None
+    except ValueError as e:
+        return None, None, f"undecodable image: {e}"
 
 
 def image_dimensions(spark: SparkSession, directory: str) -> DataFrame:
@@ -203,13 +281,6 @@ def validate_image_resolution(
         if target_size is None:
             first = dims.filter(F.col("error").isNull()).orderBy("path").limit(1).collect()
             if not first:
-                nodec = dims.filter(
-                    ~F.col("error").startswith("no image decoder")
-                ).limit(1).collect()
-                if dims.limit(1).collect() and not nodec:
-                    return ValidationResult(True, warnings=[
-                        "resolution check skipped: no image decoder available"
-                    ])
                 return ValidationResult(False, errors=["no decodable images found"])
             target_size = (first[0].width, first[0].height)
         w, h = int(target_size[0]), int(target_size[1])
@@ -217,31 +288,23 @@ def validate_image_resolution(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
             F.sum(
-                F.when(F.col("error").startswith("no image decoder"), 1).otherwise(0)
-            ).alias("n_nodec"),
-            F.sum(
                 F.when(
                     F.col("error").isNull() & ((F.col("width") != w) | (F.col("height") != h)), 1
                 ).otherwise(0)
             ).alias("n_wrong"),
             F.slice(F.array_sort(F.collect_set(F.when(F.col("error").isNotNull(), F.col("path")))), 1, 5).alias("err_samples"),
         ).collect()[0]
-        errors, warnings = [], []
+        errors = []
         if row.n_err:
-            if row.n_nodec == row.n_err:
-                # honest stub boundary: every "failure" is the absent
-                # codec, not bad data — resolution check degrades to a
-                # warning instead of blocking ingestion of real images.
-                warnings.append(
-                    f"resolution check skipped for {row.n_err} image(s): "
-                    "no image decoder available (PIL not installed)"
-                )
-            else:
-                errors.append(f"{row.n_err} undecodable image(s): {list(row.err_samples)}")
+            # fail-loud like the reference (image_validator.py:73-382):
+            # with PIL absent the pure-python header parsers still
+            # extract dimensions for PNG/JPEG/GIF/BMP, so an
+            # undecodable payload is bad data, never a missing codec
+            errors.append(f"{row.n_err} undecodable image(s): {list(row.err_samples)}")
         if row.n_wrong:
             errors.append(f"{row.n_wrong} image(s) not {w}x{h}")
         return ValidationResult(
-            not errors, errors=errors, warnings=warnings,
+            not errors, errors=errors,
             metadata={"n_images": row.n, "expected": [w, h]},
         )
     finally:

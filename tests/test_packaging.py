@@ -1,0 +1,71 @@
+"""Packaging contract: pyproject metadata, console entry point, and the
+``python -m data_ingestors_spark.cli`` module runner.
+
+The reference ships a ``tracebloc-ingest`` console script via setup.py
+entry_points (/root/reference/setup.py); this repo declares the
+equivalent ``spark-ingest`` script in pyproject.toml. A full
+``pip install -e .`` needs the ``wheel`` package, which this container
+deliberately lacks — the test validates everything validatable without
+it: metadata well-formedness, that the declared entry point resolves to
+a real callable, and that the module runner actually executes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tomllib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pyproject() -> dict:
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        return tomllib.load(f)
+
+
+def test_pyproject_declares_console_script():
+    meta = _pyproject()
+    scripts = meta["project"]["scripts"]
+    assert "spark-ingest" in scripts
+    target = scripts["spark-ingest"]
+    mod_name, func_name = target.split(":")
+    import importlib
+
+    fn = getattr(importlib.import_module(mod_name), func_name)
+    assert callable(fn)
+
+
+def test_pyproject_core_metadata():
+    meta = _pyproject()
+    proj = meta["project"]
+    assert proj["name"] == "data-ingestors-spark"
+    deps = " ".join(proj["dependencies"])
+    for need in ("pyspark", "pyarrow", "pandas", "numpy", "PyYAML"):
+        assert need in deps, f"missing core dependency {need}"
+    assert meta["build-system"]["build-backend"] == "setuptools.build_meta"
+
+
+def test_module_runner_prints_usage():
+    out = subprocess.run(
+        [sys.executable, "-m", "data_ingestors_spark.cli"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 2
+    assert "ingest.yaml" in out.stderr + out.stdout
+
+
+def test_console_script_if_installed():
+    """When the package IS pip-installed (deployment), the script must
+    answer; in the bare container this skips rather than lies."""
+    exe = shutil.which("spark-ingest")
+    if exe is None:
+        import pytest
+
+        pytest.skip("package not pip-installed in this environment")
+    out = subprocess.run([exe], capture_output=True, text=True)
+    assert out.returncode == 2
+    assert "ingest.yaml" in out.stderr + out.stdout

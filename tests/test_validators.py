@@ -87,6 +87,69 @@ def test_image_resolution(spark, tmp_path):
     assert any("undecodable" in e for e in res.errors)
 
 
+def _real_png(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def _real_jpeg(w, h):
+    # SOI + APP0(JFIF) + SOF0 carrying the frame dimensions
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _real_gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+
+
+def _real_bmp(w, h):
+    return (
+        b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+    )
+
+
+def test_image_resolution_real_headers_no_pil(spark, tmp_path):
+    """Fail-loud V10 without PIL (VERDICT r3 #3): real PNG/JPEG/GIF/BMP
+    byte headers must yield exact dimensions via the pure-python
+    parsers, and corrupt payloads must FAIL the battery, not warn."""
+    from data_ingestors_spark.validators.files import _header_dims
+
+    assert _header_dims(_real_png(640, 480)) == (640, 480)
+    assert _header_dims(_real_jpeg(1024, 768)) == (1024, 768)
+    assert _header_dims(_real_gif(320, 200)) == (320, 200)
+    assert _header_dims(_real_bmp(800, 600)) == (800, 600)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated PNG"):
+        _header_dims(b"\x89PNG\r\n\x1a\n\x00\x00")
+    with _pytest.raises(ValueError, match="no SOF"):
+        _header_dims(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")
+    with _pytest.raises(ValueError, match="unrecognized"):
+        _header_dims(b"not an image at all")
+
+    d = tmp_path / "images"
+    d.mkdir()
+    (d / "a.png").write_bytes(_real_png(32, 32))
+    (d / "b.jpg").write_bytes(_real_jpeg(32, 32))
+    (d / "c.gif").write_bytes(_real_gif(32, 32))
+    assert validate_image_resolution(spark, str(d), (32, 32)).is_valid
+    (d / "wrong.png").write_bytes(_real_png(16, 16))
+    res = validate_image_resolution(spark, str(d), (32, 32))
+    assert not res.is_valid and any("not 32x32" in e for e in res.errors)
+    (d / "corrupt.png").write_bytes(b"\x89PNG\r\n\x1a\ngarbage")
+    res = validate_image_resolution(spark, str(d), (32, 32))
+    assert not res.is_valid and any("undecodable" in e for e in res.errors)
+
+
 def test_voc_xml(spark, tmp_path):
     d = tmp_path / "annotations"
     d.mkdir()
