@@ -1,8 +1,14 @@
-"""As-of (backward) join — a native operator Spark lacks.
+"""As-of join (backward / forward / nearest) — a native operator Spark lacks.
 
-Semantics: for each left row, attach the right row with the largest
-``right_time <= left_time`` within the same key (inclusive), NULLs when
-no such row exists — i.e. DuckDB/pandas ``merge_asof`` backward.
+Semantics (per left row, within the same key, NULLs when no match):
+
+- ``backward`` (default): right row with the largest
+  ``right_time <= left_time`` (inclusive) — DuckDB/pandas
+  ``merge_asof`` backward;
+- ``forward``: right row with the smallest ``right_time >= left_time``;
+- ``nearest``: whichever of the two is closer in time; exact ties
+  resolve BACKWARD (pandas ``merge_asof(direction="nearest")``
+  tie rule).
 
 Implementation is the **union + window** plan, chosen over
 ``applyInPandas``/``merge_asof`` because it stays entirely JVM-side and
@@ -41,19 +47,26 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; returns all left columns + payload columns."""
+    """As-of join; returns all left columns + payload columns."""
     lk = left_on or on
     rk = right_on or on
     if lk is None or rk is None:
         raise ValueError("asof_join requires a join key (on= or left_on=/right_on=)")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
 
     # The payload travels as ONE struct so the matched right row is
     # picked atomically: carrying each column independently with
     # last(col, ignorenulls) would stitch values from *different* right
     # rows whenever a payload field is legitimately NULL, diverging
-    # from DuckDB/pandas ASOF semantics.
-    p_type = right.select(F.struct(*payload).alias("__p")).schema["__p"].dataType
+    # from DuckDB/pandas ASOF semantics. The struct also carries the
+    # matched right time (__mt) so `nearest` can compare distances.
+    r_p = F.struct(
+        F.col(right_time).alias("__mt"), F.struct(*payload).alias("__pay")
+    )
+    p_type = right.select(r_p.alias("__p")).schema["__p"].dataType
     l_tag = left.select(
         F.col(lk).alias("__k"),
         F.col(left_time).alias("__t"),
@@ -66,17 +79,50 @@ def asof_join(
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        F.struct(*payload).alias("__p"),
+        r_p.alias("__p"),
     )
     unioned = l_tag.unionByName(r_tag)
-    w = (
+    # backward pass: ascending time, right rows first at equal times
+    # (inclusive <=). forward pass: the exact mirror — descending time,
+    # right rows still first, giving the smallest right_time >= t.
+    # Both windows share the SAME hash partitioning on the key: one
+    # shuffle, at most two in-partition sorts.
+    wb = (
         Window.partitionBy("__k")
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "__is_left",
-        "__l",
-        F.last("__p", ignorenulls=True).over(w).alias("__p"),
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return carried.filter(F.col("__is_left") == 1).select("__l.*", "__p.*")
+    if direction == "backward":
+        carried = unioned.select(
+            "__is_left", "__l", F.last("__p", ignorenulls=True).over(wb).alias("__p")
+        )
+    elif direction == "forward":
+        carried = unioned.select(
+            "__is_left", "__l", F.last("__p", ignorenulls=True).over(wf).alias("__p")
+        )
+    else:  # nearest: both passes, pick the closer match (tie -> backward)
+        both = unioned.select(
+            "__is_left",
+            "__l",
+            "__t",
+            F.last("__p", ignorenulls=True).over(wb).alias("__b"),
+            F.last("__p", ignorenulls=True).over(wf).alias("__f"),
+        )
+        t_num = F.col("__t").cast("double")
+        b_dist = t_num - F.col("__b.__mt").cast("double")
+        f_dist = F.col("__f.__mt").cast("double") - t_num
+        carried = both.select(
+            "__is_left",
+            "__l",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(b_dist <= f_dist, F.col("__b"))
+            .otherwise(F.col("__f"))
+            .alias("__p"),
+        )
+    return carried.filter(F.col("__is_left") == 1).select("__l.*", "__p.__pay.*")

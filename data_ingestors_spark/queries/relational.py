@@ -655,7 +655,62 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 300, joined back to customer detail.
+
+    Scale shape: the HAVING subquery reduces lineitem to one row per
+    qualifying order BEFORE any join (map-side partial agg does most of
+    the work); the qualifying-key set is tiny (~0.05% of orders) and
+    broadcast into a semi join, so the big fact tables are never
+    shuffled against each other for non-qualifying rows."""
+    t = tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+O_LARGE_ORDERS = f"""
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice, {o_dsum("l_quantity")} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(30,10))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "large_orders": q_large_orders,
     "shipping_priority": q_shipping_priority,
     "intersect_all": q_intersect_all,
     "returned_items": q_returned_items,
@@ -685,6 +740,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "large_orders": O_LARGE_ORDERS,
     "shipping_priority": O_SHIPPING_PRIORITY,
     "intersect_all": O_INTERSECT_ALL,
     "returned_items": O_RETURNED_ITEMS,

@@ -141,17 +141,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregated to one row per (key, time) — required for
     deterministic as-of semantics under same-timestamp duplicates."""
     t = tables(spark, sf_dir, "events", "orders")
-    daily = (
-        t["orders"]
-        .groupBy(F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("od"))
-        .agg(
-            dsum(F.col("o_totalprice")).alias("day_spend"),
-            F.count("*").alias("day_orders"),
-        )
-    )
     joined = asof_join(
         t["events"].select("event_id", "user_id", "ts"),
-        daily,
+        _daily_orders(t),
         left_on="user_id",
         right_on="cust",
         left_time="ts",
@@ -181,12 +173,124 @@ ASOF LEFT JOIN (
 """
 
 
+def _daily_orders(t):
+    return (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("o_orderdate").alias("od"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("day_spend"),
+            F.count("*").alias("day_orders"),
+        )
+    )
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event picks up the NEXT order-day state of
+    the matching customer at-or-after event time (same union+window
+    single-shuffle plan, mirrored sort)."""
+    t = tables(spark, sf_dir, "events", "orders")
+    joined = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        _daily_orders(t),
+        left_on="user_id",
+        right_on="cust",
+        left_time="ts",
+        right_time="od",
+        payload=["od", "day_spend", "day_orders"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("od", "yyyy-MM-dd").alias("next_order_day"),
+        "day_spend",
+        "day_orders",
+    )
+
+
+O_ASOF_JOIN_FORWARD = """
+SELECT e.event_id, e.user_id,
+       strftime(d.od, '%Y-%m-%d') AS next_order_day,
+       d.day_spend, d.day_orders
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey AS cust, o_orderdate AS od,
+         floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS day_spend,
+         count(*) AS day_orders
+  FROM orders GROUP BY 1, 2
+) d ON e.user_id = d.cust AND e.ts <= d.od
+"""
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: closest order day in either direction, exact
+    ties resolving backward (pandas merge_asof nearest tie rule). The
+    oracle reconstructs it from DuckDB's backward+forward ASOF joins."""
+    t = tables(spark, sf_dir, "events", "orders")
+    joined = asof_join(
+        t["events"].select("event_id", "user_id", "ts"),
+        _daily_orders(t),
+        left_on="user_id",
+        right_on="cust",
+        left_time="ts",
+        right_time="od",
+        payload=["od", "day_spend", "day_orders"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("od", "yyyy-MM-dd").alias("nearest_order_day"),
+        "day_spend",
+        "day_orders",
+    )
+
+
+O_ASOF_JOIN_NEAREST = """
+WITH d AS (
+  SELECT o_custkey AS cust, o_orderdate AS od,
+         floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS day_spend,
+         count(*) AS day_orders
+  FROM orders GROUP BY 1, 2
+),
+b AS (
+  SELECT e.event_id, d.od, d.day_spend, d.day_orders
+  FROM events e ASOF LEFT JOIN d ON e.user_id = d.cust AND e.ts >= d.od
+),
+f AS (
+  SELECT e.event_id, d.od, d.day_spend, d.day_orders
+  FROM events e ASOF LEFT JOIN d ON e.user_id = d.cust AND e.ts <= d.od
+)
+SELECT e.event_id, e.user_id,
+       strftime(CASE
+         WHEN b.od IS NULL THEN f.od
+         WHEN f.od IS NULL THEN b.od
+         WHEN epoch_us(e.ts) - epoch_us(b.od) <= epoch_us(f.od) - epoch_us(e.ts) THEN b.od
+         ELSE f.od END, '%Y-%m-%d') AS nearest_order_day,
+       CASE
+         WHEN b.od IS NULL THEN f.day_spend
+         WHEN f.od IS NULL THEN b.day_spend
+         WHEN epoch_us(e.ts) - epoch_us(b.od) <= epoch_us(f.od) - epoch_us(e.ts) THEN b.day_spend
+         ELSE f.day_spend END AS day_spend,
+       CASE
+         WHEN b.od IS NULL THEN f.day_orders
+         WHEN f.od IS NULL THEN b.day_orders
+         WHEN epoch_us(e.ts) - epoch_us(b.od) <= epoch_us(f.od) - epoch_us(e.ts) THEN b.day_orders
+         ELSE f.day_orders END AS day_orders
+FROM events e
+JOIN b ON e.event_id = b.event_id
+JOIN f ON e.event_id = f.event_id
+"""
+
+
 QUERIES = {
     "topk_per_group": q_topk_per_group,
     "running_sum": q_running_sum,
     "lag_lead_rank": q_lag_lead_rank,
     "range_frame": q_range_frame,
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_nearest": q_asof_join_nearest,
 }
 
 ORACLES = {
@@ -195,4 +299,6 @@ ORACLES = {
     "lag_lead_rank": O_LAG_LEAD_RANK,
     "range_frame": O_RANGE_FRAME,
     "asof_join": O_ASOF_JOIN,
+    "asof_join_forward": O_ASOF_JOIN_FORWARD,
+    "asof_join_nearest": O_ASOF_JOIN_NEAREST,
 }

@@ -61,6 +61,47 @@ def test_asof_join_payload_is_atomic(spark):
     assert out[0].tag == "partial" and out[0].px is None
 
 
+def test_asof_join_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "e1"),   # exact hit both directions
+         (1, ts("2024-01-01 10:20"), "e2"),   # back 20min vs fwd 40min -> backward
+         (1, ts("2024-01-01 10:40"), "e3"),   # back 40min vs fwd 20min -> forward
+         (1, ts("2024-01-01 10:30"), "e4"),   # exact tie -> backward (pandas rule)
+         (1, ts("2024-01-01 12:00"), "e5"),   # nothing after -> nearest falls back
+         (2, ts("2024-01-01 09:00"), "e6")],  # nothing before -> nearest falls fwd
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), 100.0),
+         (1, ts("2024-01-01 11:00"), 200.0),
+         (2, ts("2024-01-01 09:30"), 300.0)],
+        ["k", "rt", "px"],
+    )
+    fwd = {
+        r.ev: r.px
+        for r in asof_join(
+            left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+            payload=["px"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {"e1": 100.0, "e2": 200.0, "e3": 200.0, "e4": 200.0,
+                   "e5": None, "e6": 300.0}
+    near = {
+        r.ev: r.px
+        for r in asof_join(
+            left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+            payload=["px"], direction="nearest",
+        ).collect()
+    }
+    assert near == {"e1": 100.0, "e2": 100.0, "e3": 200.0, "e4": 100.0,
+                    "e5": 200.0, "e6": 300.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, left_on="k", right_on="k", left_time="t",
+                  right_time="rt", payload=["px"], direction="sideways")
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
