@@ -185,10 +185,18 @@ class Ingestor:
         # would run the whole validate/conform path single-threaded on
         # the cached partition. Spread under-partitioned input across
         # the cores; at scale a real batch has many splits and this is
-        # a no-op (same guard as queries/_spread).
-        par = self.spark.sparkContext.defaultParallelism
-        if raw.rdd.getNumPartitions() < par:
-            raw = raw.repartition(par)
+        # a no-op (same guard as queries/_spread). NEVER for categories
+        # whose battery validates source row order (V4 time-ordered
+        # reads scan-partition arrival order — a round-robin shuffle
+        # would erase exactly the signal it checks).
+        from data_ingestors_spark.validators.mapping import (
+            ORDER_SENSITIVE_CATEGORIES,
+        )
+
+        if cfg.category not in ORDER_SENSITIVE_CATEGORIES:
+            par = self.spark.sparkContext.defaultParallelism
+            if raw.rdd.getNumPartitions() < par:
+                raw = raw.repartition(par)
         raw.cache()
         try:
             total = raw.count()

@@ -214,6 +214,12 @@ CATEGORY_VALIDATORS: dict[str, list[Validator]] = {
     "masked_language_modeling": [_files("sequences", "txt"), _tokenizer(mandatory=True)],
 }
 
+# Categories whose battery validates SOURCE ROW ORDER (V4 time-ordered
+# runs over scan-partition arrival order): the ingest pipeline must NOT
+# repartition the raw frame before this battery, or the order signal is
+# destroyed.
+ORDER_SENSITIVE_CATEGORIES = frozenset({"time_series_forecasting"})
+
 # Categories whose battery already includes the full column battery —
 # for the rest, a declared schema still gets the single-pass check.
 _COLUMN_COVERED = frozenset(

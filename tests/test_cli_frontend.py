@@ -183,7 +183,15 @@ def test_template_equivalence(spark, tmp_path, csv_source):
 def test_image_category_yaml_with_files(spark, tmp_path):
     src = tmp_path / "src"
     (src / "images").mkdir(parents=True)
-    (src / "images" / "a.jpg").write_bytes(b"A")
+    # a minimal real JPEG header: the image battery is fail-loud now
+    # (pure-python header parse), so fixtures must be decodable
+    (src / "images" / "a.jpg").write_bytes(
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (32).to_bytes(2, "big") + (32).to_bytes(2, "big") + b"\x01\x11\x00"
+    )
     dest = tmp_path / "dest"
     dest.mkdir()
     csv = tmp_path / "m.csv"

@@ -32,7 +32,9 @@ def tree(tmp_path):
     for sub in ("images", "annotations", "masks", "texts", "sequences"):
         (src / sub).mkdir(parents=True)
     for i in range(3):
-        (src / "images" / f"img{i}.jpg").write_bytes(b"JPG" + bytes([i]))
+        # FAKEIMG fixture format: decodable by the image battery (the
+        # battery is fail-loud since the pure-python header parsers)
+        (src / "images" / f"img{i}.jpg").write_bytes(b"FAKEIMG:32x32:" + bytes([i]))
         (src / "annotations" / f"img{i}.xml").write_text(f"<a>{i}</a>")
         (src / "texts" / f"doc{i}.txt").write_text(f"text {i}")
     # mask only for img0/img1 (img2's is missing), mixed extensions
@@ -64,7 +66,7 @@ def test_image_classification_copies_and_t5_columns(spark, tree):
     assert stats.missing == 1 and stats.copy_failed == 0
     assert stats.failures == 1
     # files landed
-    assert (dest / "img0.jpg").read_bytes() == b"JPG\x00"
+    assert (dest / "img0.jpg").read_bytes() == b"FAKEIMG:32x32:\x00"
     assert (dest / "img1.jpg").exists()
     # T5: filename is the stem, extension the resolved suffix
     assert got["a"].filename == "img0" and got["a"].extension == ".jpg"
