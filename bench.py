@@ -46,6 +46,10 @@ HEADLINE = [
     "tfidf_topk",
     "gap_fill",
     "attribution_join",
+    # r4 additions: as-of direction variants + TPC-H Q18 shape
+    "asof_join_forward",
+    "asof_join_nearest",
+    "large_orders",
 ]
 
 
