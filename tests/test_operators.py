@@ -373,6 +373,29 @@ def test_ivf_ann_recall_on_label_sorted_corpus(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed on sorted corpus: {recall}"
 
 
+def test_ngram_jaccard_strategies_agree(spark, sf_dir):
+    """The bitmask fast path must produce EXACTLY the inverted-index
+    result (pairs and rounded jaccard values) — it is a physical
+    strategy choice, not a different operator."""
+    from data_ingestors_spark.operators.dedup import ngram_jaccard_pairs
+    from data_ingestors_spark.queries.base import tables
+
+    docs = tables(spark, sf_dir, "documents")["documents"]
+    idx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", 0.5, strategy="index"
+        ).collect()
+    }
+    bm = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", "source", 0.5, strategy="bitmask"
+        ).collect()
+    }
+    assert idx == bm and idx
+
+
 def test_ivf_corpus_size_skips_sizing_job(spark, sf_dir):
     """With corpus_size passed, ivf_ann_topk must not run the sizing
     count() — callers with filtered/joined lineage can supply a cached
