@@ -22,6 +22,7 @@ from data_ingestors_spark.operators.similarity import (  # noqa: F401
     lsh_ann_topk,
 )
 from data_ingestors_spark.operators.text import (  # noqa: F401
+    chunk_documents,
     text_stats,
     language_id,
     token_count,

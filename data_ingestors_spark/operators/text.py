@@ -136,3 +136,51 @@ def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ],
         red.alias("redacted"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document's word sequence into overlapping fixed-size
+    chunks — the context-window preparation step every LLM training /
+    RAG-indexing pipeline runs before tokenization proper.
+
+    Chunk k covers words [1 + k·stride, 1 + k·stride + chunk_size) with
+    stride = chunk_size − overlap; the last chunk is the (possibly
+    short) tail, and a doc shorter than chunk_size yields exactly one
+    chunk. Entirely row-local array expressions (sequence → transform →
+    inline): ZERO shuffles, scales as a projection over the corpus
+    scan. Output: (doc_id, chunk_id, n_words, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    stride = chunk_size - overlap
+
+    def build(ws):
+        n_chunks = F.lit(1) + F.ceil(
+            F.greatest(F.size(ws) - chunk_size, F.lit(0)) / F.lit(stride)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda k: F.struct(
+                k.cast("long").alias("chunk_id"),
+                F.least(
+                    F.size(ws) - k * stride, F.lit(chunk_size)
+                ).cast("long").alias("n_words"),
+                F.concat_ws(" ", F.slice(ws, k * stride + 1, chunk_size)).alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    from data_ingestors_spark.operators.dedup import let_bound
+
+    chunks = let_bound(F.split(F.col(text_col), " "), build)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.inline(chunks)
+    )

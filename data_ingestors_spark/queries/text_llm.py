@@ -426,3 +426,32 @@ FROM s GROUP BY 1
 
 QUERIES["quality_score"] = q_quality_score
 ORACLES["quality_score"] = O_QUALITY_SCORE
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-word chunks, 16-word overlap) —
+    zero-shuffle row-local array expressions (operators/text.py
+    chunk_documents)."""
+    from data_ingestors_spark.operators.text import chunk_documents
+
+    t = tables(spark, sf_dir, "documents")
+    return chunk_documents(t["documents"], "text", "doc_id", chunk_size=64, overlap=16)
+
+
+O_CHUNK_DOCUMENTS = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id, w, len(w) AS nw,
+         1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS BIGINT) AS n_chunks
+  FROM ws
+)
+SELECT doc_id,
+       k AS chunk_id,
+       least(nw - k * 48, 64) AS n_words,
+       array_to_string(w[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(k)
+"""
+
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = O_CHUNK_DOCUMENTS

@@ -373,6 +373,29 @@ def test_ivf_ann_recall_on_label_sorted_corpus(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed on sorted corpus: {recall}"
 
 
+def test_chunk_documents_overlap_and_tail(spark):
+    from data_ingestors_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11))),  # 11 words -> real tail
+         (2, "a b")],                                 # shorter than chunk
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_size=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_id): (r.n_words, r.chunk_text) for r in out}
+    # doc 1: stride 3 -> starts 0,3,6,9; last chunk is the 2-word tail
+    assert got[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert got[(1, 3)] == (2, "w9 w10")
+    assert got[(2, 0)] == (2, "a b")
+    assert len(got) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "text", "doc_id", chunk_size=4, overlap=4)
+
+
 def test_ngram_jaccard_strategies_agree(spark, sf_dir):
     """The bitmask fast path must produce EXACTLY the inverted-index
     result (pairs and rounded jaccard values) — it is a physical
