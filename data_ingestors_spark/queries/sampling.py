@@ -146,11 +146,69 @@ GROUP BY source
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the data-mixing step of
+    multilingual/multi-source LLM training (sampling weight ∝
+    n_s^(1/T), T=2 here): big sources are down-weighted, small sources
+    up-weighted, then each source contributes its quota of docs chosen
+    by md5 order (deterministic, engine-portable).
+
+    Scale shape: per-source counts are one partial-aggregated groupBy;
+    quotas are computed on that tiny frame and broadcast back; the
+    per-source pick is a bounded window (rank ≤ quota). No global
+    sort, no driver-side data rows.
+    """
+    total_n = 1000
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    # w_s = n^(1/2) / sum(n^(1/2)); quota = floor(N * w_s)
+    counts = counts.withColumn("wraw", F.sqrt(F.col("n").cast("double")))
+    # scalar normalizer via broadcast cross join — NOT an empty-partition
+    # window (single-partition window is exactly what doctor.py flags)
+    wsum = counts.agg(F.sum("wraw").alias("wsum"))
+    quotas = (
+        counts.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "quota", F.floor(F.lit(total_n) * F.col("wraw") / F.col("wsum")).cast("long")
+        )
+        .select("source", "quota")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+O_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT source, count(*) AS n, sqrt(CAST(count(*) AS DOUBLE)) AS wraw
+  FROM documents GROUP BY source
+), quotas AS (
+  SELECT source, CAST(floor(1000 * wraw / sum(wraw) OVER ()) AS BIGINT) AS quota
+  FROM counts
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, ranked.source, CAST(rk AS BIGINT) AS rk
+FROM ranked JOIN quotas ON ranked.source = quotas.source
+WHERE rk <= quota
+"""
+
+
 QUERIES = {
     "hash_split": q_hash_split,
     "deterministic_sample": q_deterministic_sample,
     "stratified_quota": q_stratified_quota,
     "corpus_prep": q_corpus_prep,
+    "temperature_mix": q_temperature_mix,
 }
 
 ORACLES = {
@@ -158,4 +216,5 @@ ORACLES = {
     "deterministic_sample": O_DETERMINISTIC_SAMPLE,
     "stratified_quota": O_STRATIFIED_QUOTA,
     "corpus_prep": O_CORPUS_PREP,
+    "temperature_mix": O_TEMPERATURE_MIX,
 }
