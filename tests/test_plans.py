@@ -255,3 +255,39 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_chunk_documents_zero_shuffle(spark, queries):
+    # row-local array expressions: a projection over the scan, nothing
+    # to shuffle (operators/text.py chunk_documents)
+    plan = plan_of(queries["chunk_documents"](spark, SF_DIR), "simple")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the inline() explode
+
+
+def test_asof_direction_variants_same_shape(spark, queries):
+    # forward/nearest share the backward plan's shape: union + window
+    # over ONE key partitioning, never a range probe
+    for name in ("asof_join_forward", "asof_join_nearest"):
+        plan = plan_of(queries[name](spark, SF_DIR), "simple")
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_orders_broadcasts_qualifying_keys(spark, queries):
+    # TPC-H Q18 shape: the tiny HAVING key set broadcasts into a semi
+    # join; the fact tables never sort-merge against each other over
+    # non-qualifying rows
+    plan = plan_of(queries["large_orders"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_quota_broadcasts(spark, queries):
+    # quotas come from the tiny counts frame and broadcast back; the
+    # only wide shuffle is the per-source window rank
+    plan = plan_of(queries["temperature_mix"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" in plan
