@@ -380,13 +380,14 @@ def ngram_jaccard_pairs(
             )
             .collect()[0]
         )
-        strategy = (
-            "bitmask"
-            if stats["max_vocab"] is not None
+        if (
+            stats["max_vocab"] is not None
             and stats["max_vocab"] <= 1024
             and (stats["pairs"] or 0) <= 50_000_000
-            else "index"
-        )
+        ):
+            # reuse the stats job's max vocab — no second sizing job
+            return _jaccard_pairs_bitmask(tok, threshold, max_vocab=int(stats["max_vocab"]))
+        strategy = "index"
     if strategy == "bitmask":
         return _jaccard_pairs_bitmask(tok, threshold)
     return _jaccard_pairs_index(base, tok, threshold)
@@ -421,7 +422,9 @@ def _jaccard_pairs_index(base: DataFrame, tok: DataFrame, threshold: float) -> D
     )
 
 
-def _jaccard_pairs_bitmask(tok: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs_bitmask(
+    tok: DataFrame, threshold: float, max_vocab: int | None = None
+) -> DataFrame:
     from pyspark.sql import Window
 
     vocab = (
@@ -429,7 +432,9 @@ def _jaccard_pairs_bitmask(tok: DataFrame, threshold: float) -> DataFrame:
         .distinct()
         .withColumn("wid", F.row_number().over(Window.partitionBy("block").orderBy("w")) - 1)
     )
-    maxv = vocab.groupBy("block").count().agg(F.max("count")).collect()[0][0] or 1
+    maxv = max_vocab
+    if maxv is None:
+        maxv = vocab.groupBy("block").count().agg(F.max("count")).collect()[0][0] or 1
     nw = int((maxv + 63) // 64)
     ids = (
         tok.join(F.broadcast(vocab), ["block", "w"])
