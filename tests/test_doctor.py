@@ -60,6 +60,48 @@ def test_headline_queries_clean(spark):
         assert not findings, (name, findings)
 
 
+# Queries whose plan legitimately trips a doctor rule — each with the
+# reason the hazard is bounded (doctor is a heuristic for USER queries;
+# the library's own deliberate exceptions are documented here).
+_DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
+    # deliberate bounded cartesians: broadcast 1-row scalar frames /
+    # broadcast-sized dims / fixed tiny query sets
+    "cross_join": ("D1",),          # the cross-join operator itself (dim x dim)
+    "scalar_subquery": ("D1",),     # 1-row aggregate cross join
+    "funnel_analysis": ("D1",),     # 1x1 stage-count joins
+    "range_join": ("D1",),          # BNLJ against a broadcast-sized dim
+    "embedding_topk": ("D1",),      # broadcast fixed query set
+    # D2 here is a heuristic conjunction false-positive: the 1-row
+    # normalizer agg's SinglePartition exchange and the per-source
+    # window are UNRELATED plan nodes
+    "temperature_mix": ("D1", "D2"),
+}
+
+
+def test_full_registry_no_unexplained_hazards(spark):
+    """Doctor self-audit: every registered query's FINAL plan is free
+    of scale hazards (D1 cartesian / D2 single-partition window),
+    except the documented bounded exceptions above. Keeps new queries
+    honest by default: an undocumented cartesian fails this test."""
+    from data_ingestors_spark.queries import all_queries
+
+    bad = {}
+    for name, fn in all_queries().items():
+        try:
+            findings = diagnose(fn(spark, SF))
+        except Exception:
+            continue  # iterative/python-stage queries may need actions
+        exempt = _DOCTOR_EXEMPT.get(name, ())
+        hard = [
+            f for f in findings
+            if (f.startswith("D1") or f.startswith("D2"))
+            and not any(f.startswith(p) for p in exempt)
+        ]
+        if hard:
+            bad[name] = hard
+    assert not bad, bad
+
+
 def test_broadcastable_side_flagged(spark):
     """A sort-merge join against a tiny scanned file should suggest
     broadcasting; with broadcast applied the suggestion disappears."""
