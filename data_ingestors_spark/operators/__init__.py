@@ -23,6 +23,7 @@ from data_ingestors_spark.operators.similarity import (  # noqa: F401
 )
 from data_ingestors_spark.operators.text import (  # noqa: F401
     chunk_documents,
+    winnowing_fingerprints,
     text_stats,
     language_id,
     token_count,

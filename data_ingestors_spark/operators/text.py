@@ -184,3 +184,49 @@ def chunk_documents(
     return df.select(
         F.col(id_col).alias("doc_id"), F.inline(chunks)
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every k-word gram, slide a
+    window of ``window`` consecutive gram hashes, keep each window's
+    minimum; the distinct minima are the document's fingerprint set.
+    Guarantees every match of length >= window+k-1 words shares at
+    least one fingerprint, at ~2/(window+1) sampling density.
+
+    Engine-portable determinism: gram "hashes" are md5 hex strings and
+    the window minimum is the LEXICOGRAPHIC min — identical in any
+    SQL engine, no seeded integer hash needed. Entirely row-local
+    array expressions; output is (doc_id, fp) exploded rows, ready for
+    an inverted-index self-join (same shape as ngram_jaccard_pairs)
+    to find cross-document overlap.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_grams = F.greatest(F.size(ws) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+    )
+
+    def build(g):
+        n_win = F.greatest(F.size(g) - (window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(g, i, window)),
+            )
+        )
+
+    from data_ingestors_spark.operators.dedup import let_bound
+
+    fps = let_bound(grams, build)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
+    )

@@ -455,3 +455,41 @@ FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(k)
 
 QUERIES["chunk_documents"] = q_chunk_documents
 ORACLES["chunk_documents"] = O_CHUNK_DOCUMENTS
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints: per-doc distinct
+    window-minimum k-gram hashes (operators/text.py
+    winnowing_fingerprints), reduced to a per-doc fingerprint count +
+    the lexicographically smallest fingerprint so the oracle row is
+    compact but pins the actual selected hashes."""
+    from data_ingestors_spark.operators.text import winnowing_fingerprints
+
+    t = tables(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(t["documents"], "text", "doc_id", k=5, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+O_WINNOWING = """
+WITH g AS (
+  SELECT doc_id,
+         [md5(array_to_string(ws[i:i+4], ' '))
+          for i in generate_series(1, greatest(len(ws) - 4, 1))] AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+), f AS (
+  SELECT doc_id,
+         list_distinct([list_min(grams[i:i+3])
+                        for i in generate_series(1, greatest(len(grams) - 3, 1))]) AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       list_min(fps) AS min_fp
+FROM f
+"""
+
+QUERIES["winnowing"] = q_winnowing
+ORACLES["winnowing"] = O_WINNOWING

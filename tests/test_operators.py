@@ -373,6 +373,31 @@ def test_ivf_ann_recall_on_label_sorted_corpus(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall collapsed on sorted corpus: {recall}"
 
 
+def test_winnowing_shared_passage_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a passage of >=
+    window+k-1 words must share at least one fingerprint; disjoint
+    docs share none."""
+    from data_ingestors_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "intro words here " + shared + " trailing words"),
+         (2, shared + " completely different ending tokens"),
+         (3, "nothing in common with either of the others at all ok")],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 10-word passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # sampling: fingerprints are a strict subset of all gram hashes
+    n_words = len(("intro words here " + shared + " trailing words").split())
+    assert len(by_doc[1]) < n_words - 4
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from data_ingestors_spark.operators.text import chunk_documents
 
