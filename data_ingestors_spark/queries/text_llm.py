@@ -493,3 +493,55 @@ FROM f
 
 QUERIES["winnowing"] = q_winnowing
 ORACLES["winnowing"] = O_WINNOWING
+
+
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap via winnowing fingerprints: docs sharing
+    >= 3 selected fingerprints, with the shared count as the overlap
+    score. The fingerprint inverted-index join is the MOSS match step:
+    candidates are only pairs sharing a sampled hash — never all
+    pairs. Restricted to same-source pairs (the blocked shape every
+    plagiarism/contamination scan runs per shard)."""
+    from data_ingestors_spark.operators.text import winnowing_fingerprints
+
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    src = docs.select("doc_id", "source")
+    fps = fps.join(src, "doc_id")
+    right = fps.select(
+        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_r"), F.col("source").alias("src_r")
+    )
+    return (
+        fps.join(
+            right,
+            (F.col("fp") == F.col("fp_r"))
+            & (F.col("source") == F.col("src_r"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .groupBy(F.col("doc_id").alias("id_a"), "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+O_WINNOWING_OVERLAP = """
+WITH g AS (
+  SELECT doc_id, source,
+         [md5(array_to_string(ws[i:i+4], ' '))
+          for i in generate_series(1, greatest(len(ws) - 4, 1))] AS grams
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+), f AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([list_min(grams[i:i+3])
+                 for i in generate_series(1, greatest(len(grams) - 3, 1))])) AS fp
+  FROM g
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+FROM f a JOIN f b ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+QUERIES["winnowing_overlap"] = q_winnowing_overlap
+ORACLES["winnowing_overlap"] = O_WINNOWING_OVERLAP
