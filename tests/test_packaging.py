@@ -58,6 +58,23 @@ def test_module_runner_prints_usage():
     assert "ingest.yaml" in out.stderr + out.stdout
 
 
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE entry must resolve in the query
+    registry — a rename that breaks the driver's bench run should fail
+    here first."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    from data_ingestors_spark.queries import all_oracles, all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench HEADLINE names not registered: {missing}"
+    # every oracle key must have a query (no orphan oracles)
+    orphans = [n for n in all_oracles() if n not in qs]
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
 def test_console_script_if_installed():
     """When the package IS pip-installed (deployment), the script must
     answer; in the bare container this skips rather than lies."""
