@@ -154,9 +154,16 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     by md5 order (deterministic, engine-portable).
 
     Scale shape: per-source counts are one partial-aggregated groupBy;
-    quotas are computed on that tiny frame and broadcast back; the
-    per-source pick is a bounded window (rank ≤ quota). No global
-    sort, no driver-side data rows.
+    quotas are computed on that tiny frame and broadcast back. The
+    per-source pick is EXACT two-phase top-k: md5 hex order equals the
+    numeric order of the hash value, so a uniform pre-filter on the
+    first 32 hash bits (threshold = 4× the expected quota rate) shrinks
+    the window-sort input from the whole corpus to ~4×N rows before
+    ranking — the 100 TB shape, where sorting every doc per source
+    just to keep the first thousand would dominate the job. Exactness
+    is verified, not assumed: if any source undershoots its quota
+    inside the filtered set (binomially negligible, but possible), the
+    rank falls back to the unfiltered frame.
     """
     total_n = 1000
     t = tables(spark, sf_dir, "documents")
@@ -172,15 +179,36 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "quota", F.floor(F.lit(total_n) * F.col("wraw") / F.col("wsum")).cast("long")
         )
-        .select("source", "quota")
+        .withColumn(
+            # pre-filter threshold on the first 32 hash bits: pass rate
+            # ≈ 4 × quota/n (md5 is uniform); min() caps at "keep all"
+            "h32_max",
+            F.least(
+                F.lit(float(2**32)),
+                F.ceil(F.lit(float(2**32)) * 4 * F.col("quota") / F.col("n")).cast("double"),
+            ),
+        )
+        .select("source", "quota", "h32_max")
     )
     h = F.md5(F.col("doc_id").cast("string"))
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    tagged = docs.join(F.broadcast(quotas), "source")
+    pre = tagged.filter(h32 < F.col("h32_max"))
+    # exactness check: every source must retain >= quota rows after the
+    # filter (md5 order is monotone in h32, so >= quota survivors imply
+    # the true top-quota set survived intact)
+    short = (
+        pre.groupBy("source", "quota")
+        .agg(F.count("*").alias("kept"))
+        .filter(F.col("kept") < F.col("quota"))
+        .limit(1)
+        .count()
+    )
+    pick_from = tagged if short else pre
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    ranked = docs.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.join(F.broadcast(quotas), "source")
-        .filter(F.col("rk") <= F.col("quota"))
-        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    ranked = pick_from.withColumn("rk", F.row_number().over(w))
+    return ranked.filter(F.col("rk") <= F.col("quota")).select(
+        "doc_id", "source", F.col("rk").cast("long").alias("rk")
     )
 
 
