@@ -10,7 +10,7 @@ scale factor (region/nation/supplier), so the plan holds at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.queries.base import tables, views, DEC, dsum, davg, fround, o_fround, o_dsum, o_davg
@@ -709,8 +709,127 @@ LIMIT 100
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly-averaged
+    revenue from lineitems whose quantity is below 20% of their part's
+    average quantity, for one brand.
+
+    Scale shape: the correlated scalar subquery (per-part avg
+    quantity) decorrelates into a groupBy on the filtered part set —
+    brand filter pushes to BOTH scans, the per-part averages are a
+    broadcast-sized frame joined map-side, and the final result is a
+    partial-aggregated single row. No repeated subquery execution per
+    outer row, which is how the correlated form degenerates in naive
+    engines."""
+    t = tables(spark, sf_dir, "part", "lineitem")
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        F.avg(F.col("l_quantity").cast(DEC)).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("ap_key"), "avg_qty")
+    return (
+        li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity").cast(DEC) < F.lit(0.2).cast(DEC) * F.col("avg_qty"))
+        .agg(
+            fround(
+                (F.sum(F.col("l_extendedprice").cast(DEC)) / F.lit(7.0).cast(DEC)).cast("double"),
+                2,
+            ).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+O_SMALL_QTY_REVENUE = f"""
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#4'
+), pa AS (
+  SELECT l_partkey, avg(CAST(l_quantity AS DECIMAL(30,10))) AS avg_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT {o_fround("CAST(sum(CAST(li.l_extendedprice AS DECIMAL(30,10))) / CAST(7.0 AS DECIMAL(30,10)) AS DOUBLE)", 2)} AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+WHERE CAST(li.l_quantity AS DECIMAL(30,10)) < CAST(0.2 AS DECIMAL(30,10)) * pa.avg_qty
+"""
+
+
+def q_bottleneck_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the EXISTS + NOT-EXISTS pair, decorrelated):
+    suppliers who were the UNIQUE last shipper in multi-supplier
+    orders — there EXISTS another supplier in the order, and there does
+    NOT EXIST another supplier who shipped as late. Top 10 by count.
+
+    Scale shape: both correlated subqueries decorrelate into ONE
+    window pass over the per-(order, supplier) aggregate — max ship
+    date, supplier count, and count-at-max are computed over the same
+    order partitioning (one shuffle), instead of two correlated
+    re-scans of lineitem per outer row. The final top-k is
+    TakeOrderedAndProject over the small per-supplier counts."""
+    t = tables(spark, sf_dir, "lineitem", "supplier")
+    per_os = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("o_last", F.max("s_last").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("s_last") == F.col("o_last"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_supp") >= 2)                      # EXISTS another supplier
+            & (F.col("s_last") == F.col("o_last"))      # this one shipped last
+            & (F.col("n_at_max") == 1)                  # NOT EXISTS an equally-late one
+        )
+    )
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_bottleneck_orders"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "n_bottleneck_orders")
+        .orderBy(F.desc("n_bottleneck_orders"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+O_BOTTLENECK_SUPPLIER = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_last
+  FROM lineitem GROUP BY 1, 2
+), win1 AS (
+  SELECT l_orderkey, l_suppkey, s_last,
+         max(s_last) OVER (PARTITION BY l_orderkey) AS o_last,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+  FROM per_os
+), flagged AS (
+  SELECT l_suppkey
+  FROM (
+    SELECT l_suppkey, s_last, o_last, n_supp,
+           sum(CASE WHEN s_last = o_last THEN 1 ELSE 0 END)
+             OVER (PARTITION BY l_orderkey) AS n_at_max
+    FROM win1
+  )
+  WHERE n_supp >= 2 AND s_last = o_last AND n_at_max = 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS n_bottleneck_orders
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY n_bottleneck_orders DESC, s_suppkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "large_orders": q_large_orders,
+    "small_qty_revenue": q_small_qty_revenue,
+    "bottleneck_supplier": q_bottleneck_supplier,
     "shipping_priority": q_shipping_priority,
     "intersect_all": q_intersect_all,
     "returned_items": q_returned_items,
@@ -741,6 +860,8 @@ QUERIES = {
 
 ORACLES = {
     "large_orders": O_LARGE_ORDERS,
+    "small_qty_revenue": O_SMALL_QTY_REVENUE,
+    "bottleneck_supplier": O_BOTTLENECK_SUPPLIER,
     "shipping_priority": O_SHIPPING_PRIORITY,
     "intersect_all": O_INTERSECT_ALL,
     "returned_items": O_RETURNED_ITEMS,
