@@ -200,3 +200,63 @@ def test_upsert_idempotent_and_deterministic(spark, tmp_path_factory, first, sec
     keys = [k for k, _ in state1]
     assert len(keys) == len(set(keys))
     assert set(keys) == {f"k{k}" for k, _ in first + second}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(1, 60),   # doc length in words
+    st.integers(2, 12),   # chunk size
+    st.integers(0, 6),    # overlap (clamped below chunk size)
+)
+def test_chunk_documents_covers_every_word(spark, n_words, chunk_size, overlap):
+    """Chunking invariants for arbitrary (length, size, overlap):
+    every word index is covered by >= 1 chunk, chunk 0 starts at word
+    0, consecutive chunks advance by exactly stride, and no chunk is
+    empty."""
+    from data_ingestors_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk_size - 1)
+    stride = chunk_size - overlap
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "text", "doc_id", chunk_size=chunk_size, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert toks, "empty chunk"
+        assert len(toks) == r.n_words
+        start = r.chunk_id * stride
+        assert toks == words[start : start + chunk_size]
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n_words))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 1000), st.integers(8, 14))
+def test_winnowing_guarantee_randomized(spark, seed, passage_len):
+    """Randomized winnowing guarantee (k=5, window=4): two docs built
+    from DISJOINT vocabularies except for one shared passage of
+    >= window+k-1 = 8 words must share >= 1 fingerprint."""
+    import random
+
+    from data_ingestors_spark.operators.text import winnowing_fingerprints
+
+    rng = random.Random(seed)
+    shared = [f"s{seed}_{i}" for i in range(passage_len)]
+    doc_a = [f"a{rng.randint(0, 99)}" for _ in range(rng.randint(0, 10))] + shared + [
+        f"a{rng.randint(100, 199)}" for _ in range(rng.randint(0, 10))
+    ]
+    doc_b = [f"b{rng.randint(0, 99)}" for _ in range(rng.randint(0, 10))] + shared + [
+        f"b{rng.randint(100, 199)}" for _ in range(rng.randint(0, 10))
+    ]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], ["doc_id", "text"]
+    )
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=5, window=4).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]
