@@ -24,6 +24,7 @@ from data_ingestors_spark.operators.similarity import (  # noqa: F401
 from data_ingestors_spark.operators.text import (  # noqa: F401
     chunk_documents,
     winnowing_fingerprints,
+    unigram_logprob,
     text_stats,
     language_id,
     token_count,

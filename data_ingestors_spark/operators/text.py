@@ -230,3 +230,52 @@ def winnowing_fingerprints(
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model score per document — the cheap
+    perplexity proxy corpus curation uses to rank fluency before any
+    neural scoring (documents full of rare/garbage tokens score low,
+    i.e. high negative log-probability per word).
+
+    Model: corpus unigram frequencies with add-``smoothing`` Laplace
+    smoothing; score = mean over the doc's words of
+    −log₂ p(word). Returns (doc_id, n_words, bits_per_word).
+
+    Scale shape: the model is ONE groupBy over exploded words
+    (map-side partial agg), joined back by word — the frequency table
+    is vocabulary-sized, which Spark's AQE broadcasts when it fits and
+    shuffle-joins when it does not; the per-doc score is then a single
+    reaggregation by doc. Nothing is collected to the driver.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w")).filter(
+        F.col("w") != ""
+    )
+    stats = base.groupBy("w").agg(F.count("*").alias("cnt"))
+    totals = stats.agg(
+        F.sum("cnt").alias("n_tokens"), F.count("*").alias("n_vocab")
+    )
+    model = stats.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            -F.log2(
+                (F.col("cnt") + F.lit(smoothing))
+                / (F.col("n_tokens") + F.lit(smoothing) * F.col("n_vocab"))
+            )
+        ).alias("bits"),
+    )
+    return (
+        base.join(model, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.avg("bits").alias("bits_per_word"),
+        )
+    )

@@ -545,3 +545,41 @@ HAVING count(*) >= 3
 
 QUERIES["winnowing_overlap"] = q_winnowing_overlap
 ORACLES["winnowing_overlap"] = O_WINNOWING_OVERLAP
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM fluency score (bits/word, Laplace-smoothed) — the
+    cheap perplexity proxy for corpus quality ranking
+    (operators/text.py unigram_logprob). fround(4) on the float for
+    engine-stable comparison."""
+    from data_ingestors_spark.operators.text import unigram_logprob
+
+    t = tables(spark, sf_dir, "documents")
+    out = unigram_logprob(t["documents"], "text", "doc_id")
+    return out.select(
+        "doc_id", "n_words", fround(F.col("bits_per_word"), 4).alias("bits_per_word")
+    )
+
+
+O_UNIGRAM_LOGPROB = f"""
+WITH base AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), base_f AS (
+  SELECT doc_id, w FROM base WHERE w <> ''
+), stats AS (
+  SELECT w, count(*) AS cnt FROM base_f GROUP BY w
+), totals AS (
+  SELECT sum(cnt) AS n_tokens, count(*) AS n_vocab FROM stats
+), model AS (
+  SELECT w, -log2((cnt + 0.5) / (n_tokens + 0.5 * n_vocab)) AS bits
+  FROM stats, totals
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       {o_fround("avg(bits)", 4)} AS bits_per_word
+FROM base_f JOIN model USING (w)
+GROUP BY doc_id
+"""
+
+QUERIES["unigram_logprob"] = q_unigram_logprob
+ORACLES["unigram_logprob"] = O_UNIGRAM_LOGPROB
