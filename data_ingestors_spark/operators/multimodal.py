@@ -45,8 +45,41 @@ IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FAKEIMG:", b"FAKEAUD:", b"FAKEVID:"
 # --- codec layer (stub boundary) ---------------------------------------
 
 
+def _decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for uncompressed 8/24/32-bit BMP — a public
+    container simple enough that numpy alone decodes it: BITMAPINFOHEADER
+    dims, bottom-up rows padded to 4 bytes, grayscale = mean of BGR."""
+    if len(content) < 54:
+        raise ValueError("truncated BMP")
+    off = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h_raw = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    row_len = ((w * bytes_pp + 3) // 4) * 4
+    need = off + row_len * h
+    if len(content) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(content, dtype=np.uint8, count=row_len * h, offset=off)
+    rows = rows.reshape(h, row_len)[:, : w * bytes_pp]
+    if bpp == 8:
+        gray = rows.astype(np.float64)
+    else:
+        px = rows.reshape(h, w, bytes_pp)[:, :, :3]  # BGR(A) -> BGR
+        gray = px.mean(axis=2)
+    if h_raw > 0:  # bottom-up storage
+        gray = gray[::-1]
+    return w, h, gray.astype(np.uint8)
+
+
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, grayscale ndarray). Stub boundary."""
+    """(width, height, grayscale ndarray). Stub boundary — but BMP is
+    decoded for REAL (pure numpy; see _decode_bmp) and PIL, when
+    installed, covers the compressed formats."""
     if content.startswith(IMG_MAGIC):
         head, pixels = content[len(IMG_MAGIC):].split(b":", 1)
         w, h = (int(x) for x in head.decode().split("x"))
@@ -58,16 +91,43 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         with Image.open(io.BytesIO(content)) as im:
             g = im.convert("L")
             return im.width, im.height, np.asarray(g)
+    if content.startswith(b"BM"):
+        return _decode_bmp(content)
     raise NotImplementedError("no image codec available for this payload")
 
 
 def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, float samples). Stub boundary."""
+    """(sample_rate, float samples in [-1, 1)). WAV/PCM is decoded for
+    REAL — stdlib ``wave`` + numpy, no external codec needed (8/16/32-bit
+    PCM, multi-channel averaged to mono); the FAKEAUD fixture format
+    remains for deterministic tests. Compressed formats (mp3/ogg/flac)
+    stay behind the honest stub boundary."""
     if content.startswith(AUD_MAGIC):
         head, payload = content[len(AUD_MAGIC):].split(b":", 1)
         sr = int(head.decode())
         samples = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
         return sr, samples
+    if content.startswith(b"RIFF") and content[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(content)) as wf:
+            sr = wf.getframerate()
+            sw = wf.getsampwidth()
+            nch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+        if sw == 1:  # 8-bit PCM is unsigned
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width: {sw}")
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return sr, x
     raise NotImplementedError("no audio codec available for this payload")
 
 
