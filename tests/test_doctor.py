@@ -71,6 +71,7 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "funnel_analysis": ("D1",),     # 1x1 stage-count joins
     "range_join": ("D1",),          # BNLJ against a broadcast-sized dim
     "embedding_topk": ("D1",),      # broadcast fixed query set
+    "unigram_logprob": ("D1",),     # 1-row (n_tokens, n_vocab) scalar cross join
     # D2 here is a heuristic conjunction false-positive: the 1-row
     # normalizer agg's SinglePartition exchange and the per-source
     # window are UNRELATED plan nodes
