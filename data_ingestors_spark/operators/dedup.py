@@ -376,6 +376,7 @@ def ngram_jaccard_pairs(
             .agg(F.count_distinct("w").alias("v"), F.count_distinct("doc_id").alias("n"))
             .agg(
                 F.max("v").alias("max_vocab"),
+                F.sum("v").alias("total_vocab"),
                 F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
             )
             .collect()[0]
@@ -385,8 +386,18 @@ def ngram_jaccard_pairs(
             and stats["max_vocab"] <= 1024
             and (stats["pairs"] or 0) <= 50_000_000
         ):
-            # reuse the stats job's max vocab — no second sizing job
-            return _jaccard_pairs_bitmask(tok, threshold, max_vocab=int(stats["max_vocab"]))
+            # reuse the stats job's max vocab — no second sizing job.
+            # The *per-block* vocab bound says nothing about the TOTAL
+            # (block, word) row count — millions of small blocks would
+            # blow a forced broadcast — so the explicit hint is gated on
+            # the total from the same stats job; past it, AQE picks the
+            # join strategy from runtime sizes.
+            return _jaccard_pairs_bitmask(
+                tok,
+                threshold,
+                max_vocab=int(stats["max_vocab"]),
+                broadcast_vocab=(stats["total_vocab"] or 0) <= 2_000_000,
+            )
         strategy = "index"
     if strategy == "bitmask":
         return _jaccard_pairs_bitmask(tok, threshold)
@@ -423,7 +434,10 @@ def _jaccard_pairs_index(base: DataFrame, tok: DataFrame, threshold: float) -> D
 
 
 def _jaccard_pairs_bitmask(
-    tok: DataFrame, threshold: float, max_vocab: int | None = None
+    tok: DataFrame,
+    threshold: float,
+    max_vocab: int | None = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     from pyspark.sql import Window
 
@@ -437,7 +451,7 @@ def _jaccard_pairs_bitmask(
         maxv = vocab.groupBy("block").count().agg(F.max("count")).collect()[0][0] or 1
     nw = int((maxv + 63) // 64)
     ids = (
-        tok.join(F.broadcast(vocab), ["block", "w"])
+        tok.join(F.broadcast(vocab) if broadcast_vocab else vocab, ["block", "w"])
         .groupBy("doc_id", "block")
         .agg(F.collect_list("wid").alias("ids"), F.count("*").alias("sz"))
     )

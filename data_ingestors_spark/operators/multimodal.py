@@ -51,6 +51,12 @@ def _decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
     dims, bottom-up rows padded to 4 bytes, grayscale = mean of BGR."""
     if len(content) < 54:
         raise ValueError("truncated BMP")
+    dib_size = int.from_bytes(content[14:18], "little")
+    if dib_size not in (40, 52, 56, 108, 124):
+        # the 12-byte BITMAPCOREHEADER stores 16-bit dims at different
+        # offsets — reading it with INFOHEADER offsets would return
+        # silently wrong dimensions, so fail loud instead
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
     off = int.from_bytes(content[10:14], "little")
     w = int.from_bytes(content[18:22], "little", signed=True)
     h_raw = int.from_bytes(content[22:26], "little", signed=True)

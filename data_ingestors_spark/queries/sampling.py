@@ -196,11 +196,16 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = tagged.filter(h32 < F.col("h32_max"))
     # exactness check: every source must retain >= quota rows after the
     # filter (md5 order is monotone in h32, so >= quota survivors imply
-    # the true top-quota set survived intact)
+    # the true top-quota set survived intact). Anchored on `quotas`, not
+    # `pre`: a source whose rows ALL fail the pre-filter has no group in
+    # `pre` at all, so grouping `pre` alone would silently drop it from
+    # the output instead of triggering the fallback (P ≈ e^-4q per
+    # source — rare, but the exactness contract admits no "rare").
+    kept = pre.groupBy("source").agg(F.count("*").alias("kept"))
     short = (
-        pre.groupBy("source", "quota")
-        .agg(F.count("*").alias("kept"))
-        .filter(F.col("kept") < F.col("quota"))
+        quotas.filter(F.col("quota") > 0)
+        .join(kept, "source", "left")
+        .filter(F.coalesce(F.col("kept"), F.lit(0)) < F.col("quota"))
         .limit(1)
         .count()
     )

@@ -157,7 +157,8 @@ def _png_dims(b: bytes) -> tuple[int, int]:
         raise ValueError("truncated PNG: no IHDR chunk")
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
-    if not (0 < w <= 1 << 31 and 0 < h <= 1 << 31):
+    # PNG spec caps dimensions at 2^31 - 1 (signed-int range, strictly)
+    if not (0 < w < 1 << 31 and 0 < h < 1 << 31):
         raise ValueError("invalid PNG dimensions")
     return w, h
 
@@ -199,10 +200,22 @@ def _gif_dims(b: bytes) -> tuple[int, int]:
 
 
 def _bmp_dims(b: bytes) -> tuple[int, int]:
+    """Dimensions from the DIB header, dispatched on its declared size:
+    the legacy 12-byte BITMAPCOREHEADER stores 16-bit dims at 18/20,
+    the BITMAPINFOHEADER family (40/52/56/108/124) 32-bit dims at
+    18/22. Anything else fails loud — guessing offsets on an unknown
+    layout silently returns garbage dimensions."""
     if len(b) < 26:
         raise ValueError("truncated BMP header")
-    w = int.from_bytes(b[18:22], "little", signed=True)
-    h = int.from_bytes(b[22:26], "little", signed=True)  # negative = top-down
+    dib_size = int.from_bytes(b[14:18], "little")
+    if dib_size == 12:  # BITMAPCOREHEADER: unsigned 16-bit w/h
+        w = int.from_bytes(b[18:20], "little")
+        h = int.from_bytes(b[20:22], "little")
+    elif dib_size in (40, 52, 56, 108, 124):  # INFOHEADER family
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)  # negative = top-down
+    else:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
     if w <= 0 or h == 0:
         raise ValueError("invalid BMP dimensions")
     return w, abs(h)

@@ -710,3 +710,42 @@ def test_hll_sketch_rollup_merges_accurately(spark):
     ).collect()[0].d
     via_merge = merge_sketch_rollup(daily, []).collect()[0].approx_distinct
     assert via_merge == direct
+
+
+def test_temperature_mix_zero_survivor_source_falls_back(spark, tmp_path):
+    """A source whose rows ALL fail the h32 pre-filter must still
+    contribute its full quota via the unfiltered fallback (ADVICE r4:
+    the old exactness check grouped only surviving sources, so a
+    zero-survivor source silently vanished from the mix).
+
+    Construction: two sources of 2500 docs each -> quota 500 each,
+    h32_max = 0.8 * 2^32. Source "hi" is built exclusively from doc_ids
+    whose md5 first-32-bits fall ABOVE that threshold, so its pre-filter
+    keeps 0 rows.
+    """
+    import hashlib
+
+    from data_ingestors_spark.queries.sampling import q_temperature_mix
+
+    def h32(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    cut = int(0.8 * 2**32)
+    hi_ids = [i for i in range(100_000, 200_000) if h32(i) >= cut][:2500]
+    lo_ids = list(range(1, 2501))
+    assert len(hi_ids) == 2500
+    rows = [(i, "hi") for i in hi_ids] + [(i, "lo") for i in lo_ids]
+    spark.createDataFrame(rows, ["doc_id", "source"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = q_temperature_mix(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # both sources hit their exact quota — "hi" only via the fallback
+    assert len(by_src["hi"]) == 500
+    assert len(by_src["lo"]) == 500
+    # and "hi" picked exactly the true md5-order head, not an approximation
+    expect_hi = sorted(hi_ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:500]
+    assert sorted(by_src["hi"]) == sorted(expect_hi)

@@ -110,11 +110,25 @@ def _real_gif(w, h):
 
 
 def _real_bmp(w, h):
-    return (
-        b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00"
-        + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+    # valid BITMAPINFOHEADER (DIB size 40, 32-bit dims); the r4 fixture
+    # declared size 12 but wrote 32-bit dims — an invalid hybrid
+    dib = (
+        (40).to_bytes(4, "little")
         + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
     )
+    return b"BM" + (54).to_bytes(4, "little") + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little") + dib
+
+
+def _core_bmp(w, h):
+    # legacy BITMAPCOREHEADER: DIB size 12, unsigned 16-bit dims
+    dib = (
+        (12).to_bytes(4, "little")
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    )
+    return b"BM" + (26).to_bytes(4, "little") + b"\x00\x00\x00\x00" + (26).to_bytes(4, "little") + dib
 
 
 def test_image_resolution_real_headers_no_pil(spark, tmp_path):
@@ -127,7 +141,18 @@ def test_image_resolution_real_headers_no_pil(spark, tmp_path):
     assert _header_dims(_real_jpeg(1024, 768)) == (1024, 768)
     assert _header_dims(_real_gif(320, 200)) == (320, 200)
     assert _header_dims(_real_bmp(800, 600)) == (800, 600)
+    # legacy CORE-header layout decodes via its own 16-bit offsets
+    assert _header_dims(_core_bmp(320, 240)) == (320, 240)
     import pytest as _pytest
+
+    # PNG spec: dims are capped at 2^31 - 1, so exactly 2^31 must fail
+    with _pytest.raises(ValueError, match="invalid PNG dimensions"):
+        _header_dims(_real_png(1 << 31, 32))
+    # unknown DIB header size: fail loud, never guess offsets
+    bad_dib = bytearray(_real_bmp(8, 8))
+    bad_dib[14:18] = (64).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="unsupported BMP DIB header size"):
+        _header_dims(bytes(bad_dib))
 
     with _pytest.raises(ValueError, match="truncated PNG"):
         _header_dims(b"\x89PNG\r\n\x1a\n\x00\x00")
