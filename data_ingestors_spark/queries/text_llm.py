@@ -147,16 +147,17 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a label block."""
+    """Embedding-cosine near-dup pairs within a label block.
+
+    At t=0.9 the analytic gate picks LSH-bucketed candidates + exact
+    verify (8 planes × 27 tables → per-pair miss ≤ 1e-4, ~10× pruning
+    on random pairs); the pair join is keyed on (block, tbl, bucket),
+    so its per-task input is bounded by bucket occupancy, not label
+    block size (the r4 all-pairs block join this replaces)."""
     t = tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"]
-    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    b = e.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
-    pairs = a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-    sim = fround(S.cosine_similarity_col(F.col("v_a"), F.col("v_b")), 6)
-    return (
-        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.9)
+    return S.blocked_cosine_pairs(
+        t["embeddings"], id_col="vec_id", vec_col="embedding",
+        threshold=0.9, block_col="label",
     )
 
 
@@ -312,17 +313,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine pairs (>= 0.35 at this corpus's similarity scale) resolved
     into cluster keep/drop decisions with the same connected-components
     operator as the textual dedup path. Oracle: recursive-CTE closure
-    over the identical pair SQL."""
+    over the identical pair SQL.
+
+    At t=0.35 a qualifying pair sits at ~69.5° — close enough to the
+    ~90° of a random pair that NO recall-safe bucketing prunes
+    (measured: LSH and multi-probe IVF both leave ≥ 95% of all pairs
+    as candidates). The gate in blocked_cosine_pairs therefore runs
+    the exact chunked-grid join: semantics stay exact (the closure
+    oracle below is the proof) and the pair scan's per-task input is
+    bounded by chunk_rows, not label block size — the scale fix for
+    the r4 all-pairs block join."""
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
-    a = e.select(F.col("label").alias("blk"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    b = e.select(F.col("label").alias("blk_b"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
-    sim = S.cosine_similarity_col(F.col("v_a"), F.col("v_b"))
-    pairs = (
-        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(fround(sim, 6) >= 0.35)
-        .select("id_a", "id_b")
-    )
+    pairs = S.blocked_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        threshold=0.35, block_col="label",
+    ).select("id_a", "id_b")
     return D.neardup_clusters(
         e.select(F.col("vec_id").alias("doc_id")), pairs
     ).select(F.col("doc_id").alias("vec_id"), "cluster_id", "keep")
