@@ -507,12 +507,28 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     score. The fingerprint inverted-index join is the MOSS match step:
     candidates are only pairs sharing a sampled hash — never all
     pairs. Restricted to same-source pairs (the blocked shape every
-    plagiarism/contamination scan runs per shard)."""
+    plagiarism/contamination scan runs per shard).
+
+    MOSS noise filter: fingerprints appearing in more than ``max_df``
+    documents are dropped BEFORE the self-join. Without it one
+    boilerplate n-gram shared by d documents costs O(d²) join rows —
+    the same density trap documented for the Jaccard index path
+    (operators/dedup.py) — and its matches are noise, not copied
+    passages. The hot set is tiny by definition, so it anti-joins as a
+    broadcast."""
     from data_ingestors_spark.operators.text import winnowing_fingerprints
 
+    max_df = 10
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
     fps = winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     src = docs.select("doc_id", "source")
     fps = fps.join(src, "doc_id")
     right = fps.select(
@@ -542,9 +558,13 @@ WITH g AS (
          unnest(list_distinct([list_min(grams[i:i+3])
                  for i in generate_series(1, greatest(len(grams) - 3, 1))])) AS fp
   FROM g
+), ff AS (
+  -- MOSS noise filter: drop fingerprints shared by > 10 documents
+  SELECT * FROM f
+  WHERE fp NOT IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 10)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
-FROM f a JOIN f b ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 3
 """

@@ -837,3 +837,35 @@ def test_blocked_cosine_pairs_gate_routes_by_threshold(spark, sf_dir):
         got = blocked_cosine_pairs(emb, threshold=t, block_col="label").collect()
         want = _brute_pairs(spark, emb, t).collect()
         assert _pairset(got) == _pairset(want)
+
+
+def test_winnowing_overlap_hot_fingerprint_bounded(spark, tmp_path):
+    """MOSS noise filter: a boilerplate passage shared by EVERY doc
+    must not explode the inverted-index join into all-pairs matches.
+    Its fingerprints have df = n_docs > max_df and are dropped, so the
+    output contains exactly the one genuinely copied pair (which
+    shares >= 3 RARE fingerprints), not the C(50,2) boilerplate
+    pairs."""
+    import random
+
+    from data_ingestors_spark.queries.text_llm import q_winnowing_overlap
+
+    rng = random.Random(11)
+
+    def words(n):
+        return " ".join(f"w{rng.randrange(10**9)}" for _ in range(n))
+
+    boiler = "all rights reserved this document is provided as is without warranty of any kind express or implied"
+    passage = words(30)
+    rows = []
+    for i in range(50):
+        rows.append((i, f"{words(6)} {boiler} {words(6)}", "web"))
+    rows.append((100, f"{words(5)} {passage}", "web"))
+    rows.append((101, f"{passage} {words(5)}", "web"))
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    out = q_winnowing_overlap(spark, str(tmp_path)).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert got == {(100, 101)}
