@@ -50,6 +50,16 @@ HEADLINE = [
     "asof_join_forward",
     "asof_join_nearest",
     "large_orders",
+    # r5 additions: the heavy text/LLM-pipeline ops landed since r3 —
+    # without them here, a regression on any of these plans is
+    # invisible to the per-round bench artifact
+    "chunk_documents",
+    "winnowing",
+    "winnowing_overlap",
+    "temperature_mix",
+    "unigram_logprob",
+    "semantic_dedup",
+    "embedding_neardup",
 ]
 
 
@@ -74,6 +84,8 @@ def main() -> None:
                 all_queries()[name](spark, warm_dir).count()
             except Exception as e:
                 print(f"# warmup {name} skipped: {e}", file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -82,6 +94,11 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop frames the query persisted (minhash shingles, union-find
+        # rounds): 60+ back-to-back executions otherwise accumulate
+        # storage-memory residue that degrades later queries' timings
+        # (measured: 2-3x jitter on late-list queries before this)
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
