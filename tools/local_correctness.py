@@ -25,8 +25,101 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 ROWS_ONLY_EVIDENCE = {
     "minhash_neardup": "jaccard math oracle-paired via ngram_jaccard; recall in tests/test_operators.py::test_minhash_finds_neardups",
     "simhash_neardup": "hamming verify in tests/test_operators.py::test_simhash_stable_and_neardup",
-    "lsh_ann_topk": "recall vs exact asserted in tests/test_operators.py::test_lsh_ann_recall",
-    "ivf_ann_topk": "recall vs exact asserted in tests/test_operators.py::test_ivf_ann_recall (+ sorted-corpus adversarial)",
+    "embedding_ann": "recall vs exact asserted in tests/test_operators.py::test_lsh_ann_recall",
+    "embedding_ann_ivf": "recall vs exact asserted in tests/test_operators.py::test_ivf_ann_recall (+ sorted-corpus adversarial); documented bound 0.4 at n_probe=4/16 (random embeddings are IVF's worst case)",
+}
+
+
+# --- measured recall probes (VERDICT r4 next-round #6) ------------------
+# For each hash-seeded rows-only query, compute NUMERIC recall at the
+# sweep's sf_dir against the exact ground truth its oracle-checked
+# sibling defines — so the driver's `no_oracle` rows carry quantitative
+# evidence, not just a pointer to a test.
+
+
+def _recall_minhash(spark, sf_dir: str) -> float | None:
+    """Recall of minhash_neardup's (exact-verified) pairs vs brute-force
+    exact shingle-Jaccard >= 0.7 over ALL pairs (ground truth includes
+    pairs the band join may have missed)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.dedup import _materialize, shingle_docs
+    from data_ingestors_spark.queries import all_queries
+    from data_ingestors_spark.queries.base import tables
+
+    docs = tables(spark, sf_dir, "documents")["documents"]
+    sh = _materialize(shingle_docs(docs, "text", "doc_id", 3))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.7)
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.count()
+    if n_truth == 0:
+        return None
+    found = all_queries()["minhash_neardup"](spark, sf_dir).select("id_a", "id_b")
+    return truth.join(found, ["id_a", "id_b"]).count() / n_truth
+
+
+def _recall_simhash(spark, sf_dir: str) -> float | None:
+    """Recall vs brute-force Hamming <= 3 over all sketch pairs. The
+    4x16-bit pigeonhole bands are exhaustive for <= 3 bit flips, so
+    this measures 1.0 by construction — recorded so the artifact shows
+    the measurement, not the argument."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.dedup import simhash
+    from data_ingestors_spark.queries import all_queries
+    from data_ingestors_spark.queries.base import tables
+
+    docs = tables(spark, sf_dir, "documents")["documents"]
+    rows = simhash(docs, "text", "doc_id").collect()
+    ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+    h = np.array([r.simhash for r in rows], dtype=np.int64).view(np.uint64)
+    x = h[:, None] ^ h[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
+    iu = np.triu_indices(len(ids), 1)
+    mask = ham[iu] <= 3
+    truth = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    if not truth:
+        return None
+    found = {
+        (r.id_a, r.id_b)
+        for r in all_queries()["simhash_neardup"](spark, sf_dir).collect()
+    }
+    return len(truth & found) / len(truth)
+
+
+def _recall_ann(query_name: str):
+    """recall@5 of an ANN query vs the oracle-checked exact top-k."""
+
+    def probe(spark, sf_dir: str) -> float | None:
+        from data_ingestors_spark.queries import all_queries
+
+        q = all_queries()
+        exact = {
+            (r.query_id, r.neighbor_id) for r in q["embedding_topk"](spark, sf_dir).collect()
+        }
+        if not exact:
+            return None
+        got = {(r.query_id, r.neighbor_id) for r in q[query_name](spark, sf_dir).collect()}
+        return len(exact & got) / len(exact)
+
+    return probe
+
+
+RECALL_PROBES = {
+    "minhash_neardup": _recall_minhash,
+    "simhash_neardup": _recall_simhash,
+    "embedding_ann": _recall_ann("embedding_ann"),
+    "embedding_ann_ivf": _recall_ann("embedding_ann_ivf"),
 }
 
 
@@ -75,6 +168,13 @@ def main() -> int:
                 entry["verified_by"] = ROWS_ONLY_EVIDENCE.get(
                     name, "in-repo unit tests (tests/)"
                 )
+                probe = RECALL_PROBES.get(name)
+                if probe is not None:
+                    try:
+                        r = probe(spark, sf_dir)
+                        entry["recall"] = round(r, 4) if r is not None else None
+                    except Exception as e:  # noqa: BLE001
+                        entry["recall_err"] = f"{type(e).__name__}: {e}"
                 n_rows_only += 1
         except Exception as e:  # noqa: BLE001 — record, don't abort the sweep
             entry["err"] = f"{type(e).__name__}: {e}"
