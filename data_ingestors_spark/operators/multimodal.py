@@ -268,3 +268,24 @@ def video_frame_sample(
         run,
         "id long, frame_idx int, width int, height int, mean_intensity double, error string",
     )
+
+
+def decode_error_summary(features_df: DataFrame, error_col: str = "error") -> DataFrame:
+    """One-agg decode outcome counter for any multimodal feature frame
+    (image_metadata / image_features / audio_features output): rows
+    per outcome, where NULL error = 'ok' and NotImplementedError rows
+    surface as their codec-stub message.
+
+    This is the loud-partial contract: a PIL-less run over a JPEG
+    corpus produces feature rows with per-row errors — this summary
+    makes the skew VISIBLE in one tiny frame ('ok' count vs
+    'no image codec...' count) instead of silently yielding a corpus
+    whose features cover only the decodable formats. Wire it next to
+    any batch feature job and alert on non-ok counts.
+    """
+    outcome = F.coalesce(F.col(error_col), F.lit("ok")).alias("outcome")
+    return (
+        features_df.groupBy(outcome)
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col("outcome"))
+    )

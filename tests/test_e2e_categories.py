@@ -512,3 +512,32 @@ def test_tabular_json_directory_source(spark, tmp_path):
         "label": "label",
     })
     assert_clean(s, t, 3)
+
+
+def test_custom_processor_yaml(spark, tmp_path):
+    """examples/custom_processor.yaml's shape end-to-end: declared
+    processors run against the conformed frame in order (reference
+    ships the YAML but defers execution; here the clip is visible in
+    the landed table)."""
+    csv = tmp_path / "data.csv"
+    csv.write_text(
+        "account_id,monthly_spend,outcome\n"
+        "a1,50.0,kept\n"
+        "a2,-10.0,churned\n"     # clipped up to 0
+        "a3,9999999.0,kept\n"    # clipped down to 1e6
+    )
+    s, t = run_yaml(spark, tmp_path, {
+        "table": "e2e_custom_proc", "category": "tabular_classification",
+        "csv": str(csv),
+        "schema": {"account_id": "VARCHAR(64)", "monthly_spend": "FLOAT",
+                   "outcome": "VARCHAR(64)"},
+        "label": "outcome",
+        "spec": {"processors": [
+            "data_ingestors_spark.ingest.processors:drop_full_null_rows",
+            {"function": "data_ingestors_spark.ingest.processors:clip_column",
+             "args": {"column": "monthly_spend", "lo": 0.0, "hi": 1.0e6}},
+        ]},
+    })
+    assert_clean(s, t, 3)
+    spend = {r.account_id: r.monthly_spend for r in t.collect()}
+    assert spend["a2"] == 0.0 and spend["a3"] == 1.0e6 and spend["a1"] == 50.0

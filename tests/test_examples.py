@@ -17,11 +17,17 @@ EXAMPLES = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "examp
 
 def test_examples_exist_for_every_category():
     names = {os.path.splitext(os.path.basename(p))[0] for p in EXAMPLES}
-    assert names == set(CATEGORIES)
+    # every category has its example; feature-showcase examples
+    # (e.g. custom_processor) may exist beyond the category set
+    assert set(CATEGORIES) <= names
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES])
 def test_example_validates(path):
     raw = load_ingest_yaml(path)
     validate_config(raw)  # raises IngestConfigError on any violation
-    assert raw["category"] == os.path.splitext(os.path.basename(path))[0]
+    base = os.path.splitext(os.path.basename(path))[0]
+    if base in CATEGORIES:
+        assert raw["category"] == base
+    else:
+        assert raw["category"] in CATEGORIES

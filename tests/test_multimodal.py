@@ -138,3 +138,28 @@ def test_real_bmp_decode(spark):
     df = spark.createDataFrame([(1, bytearray(bmp))], "id long, img binary")
     row = image_metadata(df, "id", "img").collect()[0]
     assert (row.width, row.height, row.error) == (2, 2, None)
+
+
+def test_decode_error_summary_loud_partial(spark):
+    """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
+    must show the split in one summary frame — the PIL-less JPEG run
+    is loudly partial, never silently skewed."""
+    from data_ingestors_spark.operators.multimodal import (
+        decode_error_summary,
+        image_features,
+    )
+
+    rows = [
+        (1, bytearray(b"FAKEIMG:4x4:" + bytes(range(16)))),
+        (2, bytearray(b"FAKEIMG:4x4:" + bytes(range(16)))),
+        (3, bytearray(b"\xff\xd8\xff\xe0 not decodable without a codec")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    feats = image_features(df, "id", "content")
+    summary = {r.outcome: r.n_rows for r in decode_error_summary(feats).collect()}
+    assert summary.get("ok") == 2
+    bad = {k: v for k, v in summary.items() if k != "ok"}
+    # without PIL this is the codec-stub NotImplementedError; with PIL
+    # installed the payload is junk and fails its decoder instead —
+    # either way the non-ok outcome is visible, which is the contract
+    assert sum(bad.values()) == 1
