@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestors_spark.queries import (
     relational,
+    tpch,
     windows,
     text_llm,
     events,
@@ -32,7 +33,7 @@ from data_ingestors_spark.queries import (
     analytics,
 )
 
-_MODULES = (relational, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics)
+_MODULES = (relational, tpch, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
