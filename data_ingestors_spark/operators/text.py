@@ -279,3 +279,68 @@ def unigram_logprob(
             F.avg("bits").alias("bits_per_word"),
         )
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of each document to a bag of query terms —
+    the standard lexical ranking function (Robertson/Spärck Jones; the
+    Lucene +1 idf variant keeps scores non-negative when a term appears
+    in more than half the corpus).
+
+    Returns (doc_id, bm25_dec) with the score accumulated in DECIMAL:
+    each per-(doc, term) contribution is a pure scalar of (tf, df, dl,
+    avgdl, N), so quantizing to 1e-10 before the cross-term sum makes
+    the total independent of reduction order (and bit-identical to any
+    engine evaluating the same expression tree).
+
+    Scale shape: doc lengths and per-(doc, term) term frequencies are
+    ONE explode + two groupBys (map-side partials); the term filter
+    prunes the exploded stream to query terms before any shuffle; df
+    and the (N, avgdl) scalar are term-count / 1-row frames, broadcast.
+    Nothing is collected to the driver.
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w")).filter(
+        F.col("w") != ""
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(30,10)")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score.cast("decimal(30,10)")).alias("bm25_dec"))
+    )

@@ -555,6 +555,63 @@ SELECT doc_id, word, tfidf, rk FROM ranked WHERE rk <= 3
 """
 
 
+# ------------------------------------------------------------------ BM25
+
+def q_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 relevance to a fixed term set —
+    the lexical retrieval baseline of a RAG / similarity-search stack
+    (operators/text.py bm25_score). The top-k orders on the exact
+    DECIMAL score (identical quantized values in both engines) with
+    doc_id as tiebreaker, then rounds for output."""
+    from data_ingestors_spark.operators.text import bm25_score
+
+    t = tables(spark, sf_dir, "documents")
+    scored = bm25_score(t["documents"], "text", "doc_id", ["vector", "merge", "window"])
+    return (
+        scored.orderBy(F.desc("bm25_dec"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", fround(F.col("bm25_dec").cast("double"), 6).alias("bm25"))
+    )
+
+
+O_BM25_RELEVANCE = f"""
+WITH toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE w IN ('vector', 'merge', 'window') GROUP BY 1, 2
+), dfreq AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         sum(CAST(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+         AS DECIMAL(30,10))) AS bm25_dec
+  FROM tf
+  JOIN dfreq ON tf.w = dfreq.w
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       {o_fround("CAST(bm25_dec AS DOUBLE)", 6)} AS bm25
+FROM scored
+ORDER BY bm25_dec DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+
 # --------------------------------------------------- repetition stats
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,6 +840,7 @@ QUERIES = {
     "map_hof": q_map_hof,
     "contamination_check": q_contamination_check,
     "tfidf_topk": q_tfidf_topk,
+    "bm25_relevance": q_bm25_relevance,
     "corpus_packing": q_corpus_packing,
     "rolling_anomaly": q_rolling_anomaly,
     "time_weighted_avg": q_time_weighted_avg,
@@ -804,6 +862,7 @@ ORACLES = {
     "map_hof": O_MAP_HOF,
     "contamination_check": O_CONTAMINATION_CHECK,
     "tfidf_topk": O_TFIDF_TOPK,
+    "bm25_relevance": O_BM25_RELEVANCE,
     "corpus_packing": O_CORPUS_PACKING,
     "rolling_anomaly": O_ROLLING_ANOMALY,
     "time_weighted_avg": O_TIME_WEIGHTED_AVG,

@@ -75,6 +75,7 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "important_parts": ("D1",),     # 1-row global-total scalar subquery (Q11 HAVING)
     "top_supplier": ("D1",),        # 1-row max-revenue scalar subquery (Q15)
     "global_sales_opportunity": ("D1",),  # 1-row avg-acctbal scalar subquery (Q22)
+    "bm25_relevance": ("D1",),      # 1-row (n_docs, avgdl) scalar cross join
     # D2 here is a heuristic conjunction false-positive: the 1-row
     # normalizer agg's SinglePartition exchange and the per-source
     # window are UNRELATED plan nodes
