@@ -201,18 +201,25 @@ def winnowing_fingerprints(
     Guarantees every match of length >= window+k-1 words shares at
     least one fingerprint, at ~2/(window+1) sampling density.
 
-    Engine-portable determinism: gram "hashes" are md5 hex strings and
-    the window minimum is the LEXICOGRAPHIC min — identical in any
-    SQL engine, no seeded integer hash needed. Entirely row-local
-    array expressions; output is (doc_id, fp) exploded rows, ready for
-    an inverted-index self-join (same shape as ngram_jaccard_pairs)
-    to find cross-document overlap.
+    Engine-portable determinism: gram hashes are the first 60 bits of
+    md5 as a BIGINT (Spark ``conv(substr(md5, 1, 15), 16, 10)`` ==
+    DuckDB ``CAST('0x' || substr(md5, 1, 15) AS BIGINT)``) and the
+    window minimum is the numeric min — identical in any SQL engine,
+    no seeded integer hash needed. Longs compare ~10x cheaper than the
+    32-char hex strings they replace (the window-min is O(n·window)
+    comparisons per doc) and shrink the exploded (doc_id, fp) rows the
+    inverted-index self-join shuffles. Entirely row-local array
+    expressions; output is (doc_id, fp) exploded rows, ready for an
+    inverted-index self-join (same shape as ngram_jaccard_pairs) to
+    find cross-document overlap.
     """
     ws = F.split(F.col(text_col), " ")
     n_grams = F.greatest(F.size(ws) - (k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, k))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(ws, i, k))), 1, 15), 16, 10
+        ).cast("long"),
     )
 
     def build(g):

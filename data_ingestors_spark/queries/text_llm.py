@@ -467,7 +467,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash fingerprints: per-doc distinct
     window-minimum k-gram hashes (operators/text.py
     winnowing_fingerprints), reduced to a per-doc fingerprint count +
-    the lexicographically smallest fingerprint so the oracle row is
+    the numerically smallest fingerprint so the oracle row is
     compact but pins the actual selected hashes."""
     from data_ingestors_spark.operators.text import winnowing_fingerprints
 
@@ -482,7 +482,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_WINNOWING = """
 WITH g AS (
   SELECT doc_id,
-         [md5(array_to_string(ws[i:i+4], ' '))
+         [CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)
           for i in generate_series(1, greatest(len(ws) - 4, 1))] AS grams
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 ), f AS (
@@ -521,7 +521,11 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df = 10
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    fps = winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4)
+    # both the hot-df filter branch and the pair join read the
+    # fingerprint frame — persist it so the window-min expression tree
+    # (the expensive part) evaluates once, not twice; the broadcast
+    # subjob materializes the cache before the main join reads it
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=5, window=4).persist()
     hot = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -550,7 +554,7 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_WINNOWING_OVERLAP = """
 WITH g AS (
   SELECT doc_id, source,
-         [md5(array_to_string(ws[i:i+4], ' '))
+         [CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)
           for i in generate_series(1, greatest(len(ws) - 4, 1))] AS grams
   FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
 ), f AS (
