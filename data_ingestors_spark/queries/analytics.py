@@ -511,21 +511,28 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. Term and document frequencies
     are integer-exact; the only double is ln(N/df), rounded engine-
     portably BEFORE ranking so the selected set is identical across
-    engines; word is the tiebreaker."""
+    engines; word is the tiebreaker. N rides a broadcast 1-row frame
+    (doctor-exempt) instead of a driver count() — one corpus scan
+    total, not two."""
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    n_docs = docs.count()  # scalar; one tiny job, constant-folded into the plan
+    # corpus size as a broadcast 1-row frame folded into the vocab-sized
+    # df table — NOT a driver-side docs.count(), which would be a second
+    # full scan of the corpus at scale
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df")).crossJoin(
+        F.broadcast(n_docs)
+    )
     scored = tf.join(F.broadcast(df_), "word").select(
         "doc_id",
         "word",
-        fround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        fround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (

@@ -76,10 +76,11 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "top_supplier": ("D1",),        # 1-row max-revenue scalar subquery (Q15)
     "global_sales_opportunity": ("D1",),  # 1-row avg-acctbal scalar subquery (Q22)
     "bm25_relevance": ("D1",),      # 1-row (n_docs, avgdl) scalar cross join
-    # D2 here is a heuristic conjunction false-positive: the 1-row
-    # normalizer agg's SinglePartition exchange and the per-source
-    # window are UNRELATED plan nodes
+    # D2 on these two is a heuristic conjunction false-positive: the
+    # 1-row scalar agg's SinglePartition exchange and the per-group
+    # (source / doc_id) window are UNRELATED plan nodes
     "temperature_mix": ("D1", "D2"),
+    "tfidf_topk": ("D1", "D2"),     # 1-row corpus-count scalar cross join
 }
 
 
