@@ -291,3 +291,56 @@ def test_temperature_mix_quota_broadcasts(spark, queries):
     plan = plan_of(queries["temperature_mix"](spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "Window" in plan
+
+
+# --- r5 TPC-H shape audits ----------------------------------------------
+
+def test_forecast_revenue_predicates_push_and_prune(spark, queries):
+    """Q6 is the canonical scan-side query: all three predicates reach
+    the parquet scan and only the 4 touched columns are read."""
+    plan = plan_of(queries["forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    for col in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
+        assert col not in scan, scan
+
+
+def test_volume_shipping_broadcasts_both_nation_roles(spark, queries):
+    """Q7 joins the nation dim twice under different aliases — both
+    must broadcast; the fact side never shuffles for them."""
+    plan = plan_of(queries["volume_shipping"](spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_potential_promotion_semi_joins_broadcast(spark, queries):
+    """Q20's nested INs decorrelate to two broadcast LEFT SEMI joins —
+    the pruned part-key set into lineitem, the heavy-supplier set into
+    supplier. Neither fact table shuffles for them."""
+    plan = plan_of(queries["potential_promotion"](spark, SF_DIR), "simple")
+    assert plan.count("LeftSemi") >= 2
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only suppkey exchange is the HAVING aggregate's own shuffle —
+    # neither semi join repartitions a fact side
+    assert plan.count("Exchange hashpartitioning(l_suppkey") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_late_order_priority_semi_join_keeps_equi_key(spark, queries):
+    """Q4's EXISTS with a non-equi date correlate must stay a hash
+    semi join on the orderkey (the date residual evaluated post-match),
+    never a nested-loop over the fact table."""
+    plan = plan_of(queries["late_order_priority"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_decorrelates(spark, queries):
+    """Q2's correlated scalar-min subquery must decorrelate into an
+    aggregate + join — no per-row re-execution artifacts (no nested
+    loop, no cartesian) in the physical plan."""
+    plan = plan_of(queries["min_cost_supplier"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
