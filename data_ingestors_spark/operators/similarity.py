@@ -641,3 +641,156 @@ def blocked_cosine_pairs(
         "chunk", F.pmod(F.xxhash64(F.col("pid")), F.lit(chunks)).cast("int")
     )
     return _grid_cosine_pairs(base, threshold, chunks)
+
+
+# --- product quantization (PQ) ------------------------------------------
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    refine: int = 10,
+    sample_rows: int = 2048,
+    seed: int = 42,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou/Douze/Schmid,
+    PAMI 2011): split each normalized vector into ``m_subspaces``
+    sub-vectors, k-means each subspace into ``n_codes`` centroids, and
+    represent every corpus vector by its m code bytes. Queries score
+    codes by ADC (asymmetric distance computation): one (m × n_codes)
+    lookup table of exact sub-dot-products per query, so a vector's
+    approximate inner product is m table gathers + a sum — no float
+    vector is touched at scan time.
+
+    This is the memory-bound tier of the ANN stack: IVF prunes WHICH
+    vectors to look at (``ivf_ann_topk``); PQ shrinks WHAT is stored
+    and scanned per vector (m bytes vs 4·dim — 8 vs 256 here), which
+    is what keeps a 10⁹-vector index in cluster memory. Composable in
+    principle (IVF-PQ); kept separate so each path is independently
+    testable.
+
+    Pipeline: codebooks train on the same deterministic hash-stripe
+    sample as IVF (scan-order-bias-proof — see ivf_ann_topk); encoding
+    is one Arrow-batched projection, no shuffle; ADC keeps the
+    batch-local top ``k·refine`` per query (candidates ≤
+    k·refine·n_batches·n_queries rows, never the corpus); survivors are
+    exactly re-ranked with true cosine, so the ADC error only costs
+    recall (measured in tests), never precision of the reported
+    similarities. Deterministic end to end: seeded sample, seeded
+    Lloyd's, ADC ties broken by neighbor id.
+    """
+    n = corpus_size if corpus_size is not None else corpus.count()
+    m = max(1, -(-n // sample_rows))
+    sample = (
+        corpus.select(vec_col, F.col(id_col).alias("__sid"))
+        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample:
+        sample = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"pq_ann_topk: dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    books = np.stack(
+        [
+            _kmeans(Xn[:, s * dsub : (s + 1) * dsub], n_codes, seed=seed + s)
+            for s in range(m_subspaces)
+        ]
+    )  # (m, n_codes, dsub)
+    sq_norms = (books**2).sum(axis=2)  # (m, n_codes)
+
+    def encode(s):
+        import pandas as pd
+
+        if len(s) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(list(s), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        codes = np.empty((len(Vn), m_subspaces), dtype=np.int32)
+        for sub in range(m_subspaces):
+            sv = Vn[:, sub * dsub : (sub + 1) * dsub]
+            # argmin ||x - c||^2 == argmax 2 x·c - ||c||^2
+            codes[:, sub] = (2.0 * sv @ books[sub].T - sq_norms[sub]).argmax(axis=1)
+        return pd.Series(list(codes))
+
+    encode_udf = F.pandas_udf(encode, "array<int>")
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("pq_ann_topk: empty query set")
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.q_vec for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # per-query ADC tables: lut[q, sub, code] = q_sub · centroid
+    lut = np.einsum("qsd,scd->qsc", Qn.reshape(len(Qn), m_subspaces, dsub), books)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+        ]
+    )
+    keep = k * refine
+
+    def adc_candidates(batches):
+        import pandas as pd
+
+        sub_idx = np.arange(m_subspaces)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (batch, m)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                sims = lut[j][sub_idx[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                cand_ids, cand = ids[mask], sims[mask]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand))[:keep]
+                frames.append(
+                    pd.DataFrame({"query_id": qid, "neighbor_id": cand_ids[order]})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode_udf(F.col(vec_col)).alias("codes")
+    )
+    cand = encoded.mapInPandas(adc_candidates, cand_schema).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(q_vecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )

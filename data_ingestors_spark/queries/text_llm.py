@@ -146,6 +146,17 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, _queries_subset(emb), k=5, n_cells=16, n_probe=4)
 
 
+def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5: 8x 8-dim codebooks, ADC
+    lookup-table scoring over byte codes, exact re-rank of survivors
+    (rows-only; recall vs brute force asserted in tests — the
+    memory-bound tier of the ANN stack, m bytes scanned per vector
+    instead of the float vector)."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.pq_ann_topk(emb, _queries_subset(emb), k=5, m_subspaces=8, n_codes=32, refine=10)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label block.
 
@@ -375,6 +386,7 @@ QUERIES = {
     "embedding_topk_fast": q_embedding_topk_fast,
     "embedding_ann": q_embedding_ann,
     "embedding_ann_ivf": q_embedding_ann_ivf,
+    "embedding_ann_pq": q_embedding_ann_pq,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,

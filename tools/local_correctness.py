@@ -27,6 +27,7 @@ ROWS_ONLY_EVIDENCE = {
     "simhash_neardup": "hamming verify in tests/test_operators.py::test_simhash_stable_and_neardup",
     "embedding_ann": "recall vs exact asserted in tests/test_operators.py::test_lsh_ann_recall",
     "embedding_ann_ivf": "recall vs exact asserted in tests/test_operators.py::test_ivf_ann_recall (+ sorted-corpus adversarial); documented bound 0.4 at n_probe=4/16 (random embeddings are IVF's worst case)",
+    "embedding_ann_pq": "recall vs exact asserted in tests/test_operators.py::test_pq_ann_recall; ADC candidates exactly re-ranked, so reported sims are true cosines",
 }
 
 
@@ -120,6 +121,7 @@ RECALL_PROBES = {
     "simhash_neardup": _recall_simhash,
     "embedding_ann": _recall_ann("embedding_ann"),
     "embedding_ann_ivf": _recall_ann("embedding_ann_ivf"),
+    "embedding_ann_pq": _recall_ann("embedding_ann_pq"),
 }
 
 
