@@ -619,6 +619,67 @@ LIMIT 20
 
 
 
+def q_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram character fraction (Rae et al.
+    2021 repetition filters): per document, the fraction of characters
+    covered by occurrences of trigrams that appear more than once in
+    the doc. Complements repetition_stats' word/bigram signals with
+    the char-weighted measure the published filters threshold on
+    (docs failing dup_3gram_char_frac > ~0.18 are dropped).
+
+    Shape: one explode bounded by words-per-doc, a per-(doc, trigram)
+    count, and a char-weighted conditional sum — all map-side partials
+    on the doc_id key; the trigram text itself never shuffles beyond
+    the per-doc agg."""
+    t = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    base = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+            )
+        ).alias("tri"),
+    ).filter(F.size(F.split(F.col("tri"), " ")) == 3)
+    per_tri = base.groupBy("doc_id", "tri").agg(
+        F.count("*").cast("long").alias("c"), F.length("tri").cast("long").alias("chars")
+    )
+    return per_tri.groupBy("doc_id").agg(
+        fround(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars")).otherwise(0))
+            / F.sum(F.col("c") * F.col("chars")),
+            6,
+        ).alias("dup_3gram_char_frac"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("long").alias("dup_tri_n"),
+        F.sum("c").cast("long").alias("tri_n"),
+    )
+
+
+O_DUP_NGRAM_CHARS = f"""
+WITH base AS (
+  SELECT doc_id, tri
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws) - 2, 1))]) AS tri
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+  WHERE len(string_split(tri, ' ')) = 3
+), per_tri AS (
+  SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS c,
+         CAST(length(tri) AS BIGINT) AS chars
+  FROM base GROUP BY 1, 2
+)
+SELECT doc_id,
+       {o_fround("CAST(sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END) AS DOUBLE) / sum(c * chars)", 6)} AS dup_3gram_char_frac,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri_n,
+       CAST(sum(c) AS BIGINT) AS tri_n
+FROM per_tri GROUP BY doc_id
+"""
+
+
+
 # --------------------------------------------------- repetition stats
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,6 +909,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "tfidf_topk": q_tfidf_topk,
     "bm25_relevance": q_bm25_relevance,
+    "dup_ngram_chars": q_dup_ngram_chars,
     "corpus_packing": q_corpus_packing,
     "rolling_anomaly": q_rolling_anomaly,
     "time_weighted_avg": q_time_weighted_avg,
@@ -870,6 +932,7 @@ ORACLES = {
     "contamination_check": O_CONTAMINATION_CHECK,
     "tfidf_topk": O_TFIDF_TOPK,
     "bm25_relevance": O_BM25_RELEVANCE,
+    "dup_ngram_chars": O_DUP_NGRAM_CHARS,
     "corpus_packing": O_CORPUS_PACKING,
     "rolling_anomaly": O_ROLLING_ANOMALY,
     "time_weighted_avg": O_TIME_WEIGHTED_AVG,
