@@ -20,6 +20,7 @@ from data_ingestors_spark.operators.similarity import (  # noqa: F401
     cosine_topk_numpy,
     ivf_ann_topk,
     pq_ann_topk,
+    ivfpq_ann_topk,
     lsh_ann_topk,
 )
 from data_ingestors_spark.operators.text import (  # noqa: F401

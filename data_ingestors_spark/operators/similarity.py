@@ -794,3 +794,169 @@ def pq_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= k
     )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 32,
+    refine: int = 10,
+    sample_rows: int = 2048,
+    seed: int = 42,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN index (the FAISS
+    ``IVFx,PQy`` recipe). The coarse quantizer routes each vector to a
+    k-means cell (WHICH vectors a query looks at — same pruning as
+    ``ivf_ann_topk``); within cells, vectors are stored as PQ codes of
+    their RESIDUAL from the cell centroid (WHAT is scanned — m bytes,
+    same compression as ``pq_ann_topk``). Residual encoding is the
+    standard refinement: residual magnitudes are much smaller than raw
+    vectors, so the same codebook budget quantizes them more finely.
+
+    Approximate inner product for query q against (cell c, codes):
+    q·centroid_c + Σ_sub LUT[sub, code] where LUT[sub, code] =
+    q_sub · residual_codebook[sub][code] — one (m × n_codes) table per
+    query, shared across cells because the residual codebook is global
+    (per-cell codebooks would be n_cells× the broadcast for marginal
+    gain at this scale).
+
+    Plan shape: ONE bounded hash-stripe sample trains both quantizers;
+    encoding is one Arrow projection (no shuffle); the candidate scan
+    touches only rows whose cell is probed by some query (np.isin mask
+    per batch) and emits ≤ k·refine·n_batches·n_queries id pairs;
+    survivors re-rank with exact cosine. Deterministic: seeded sample,
+    seeded Lloyd's, ties by neighbor id.
+    """
+    n = corpus_size if corpus_size is not None else corpus.count()
+    m = max(1, -(-n // sample_rows))
+    sample = (
+        corpus.select(vec_col, F.col(id_col).alias("__sid"))
+        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
+        .select(vec_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample:
+        sample = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"ivfpq_ann_topk: dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    cents = _kmeans(Xn, n_cells, seed=seed)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    # residuals of the training sample w.r.t. their own cells train the
+    # shared residual codebooks
+    assign = (Xn @ cents.T).argmax(axis=1)
+    R = Xn - cents[assign]
+    books = np.stack(
+        [
+            _kmeans(R[:, s * dsub : (s + 1) * dsub], n_codes, seed=seed + 100 + s)
+            for s in range(m_subspaces)
+        ]
+    )
+    sq_norms = (books**2).sum(axis=2)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = (Vn @ cents.T).argmax(axis=1)
+            R = Vn - cents[cell]
+            codes = np.empty((len(Vn), m_subspaces), dtype=np.int32)
+            for sub in range(m_subspaces):
+                rs = R[:, sub * dsub : (sub + 1) * dsub]
+                codes[:, sub] = (2.0 * rs @ books[sub].T - sq_norms[sub]).argmax(axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": ids, "cell": cell.astype(np.int32), "codes": list(codes)}
+            )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("ivfpq_ann_topk: empty query set")
+    q_ids = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.q_vec for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    cell_sims = Qn @ cents.T  # (nq, n_cells): q·centroid base terms
+    probed = np.argsort(-cell_sims, axis=1)[:, :n_probe]  # (nq, n_probe)
+    lut = np.einsum("qsd,scd->qsc", Qn.reshape(len(Qn), m_subspaces, dsub), books)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+        ]
+    )
+    keep = k * refine
+
+    def adc_candidates(batches):
+        import pandas as pd
+
+        sub_idx = np.arange(m_subspaces)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            frames = []
+            for j, qid in enumerate(q_ids):
+                mask = np.isin(cells, probed[j]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cids, ccells, ccodes = ids[mask], cells[mask], codes[mask]
+                sims = cell_sims[j][ccells] + lut[j][sub_idx[None, :], ccodes].sum(axis=1)
+                order = np.lexsort((cids, -sims))[:keep]
+                frames.append(pd.DataFrame({"query_id": qid, "neighbor_id": cids[order]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(encode, enc_schema)
+    cand = encoded.mapInPandas(adc_candidates, cand_schema).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(q_vecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )

@@ -157,6 +157,16 @@ def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_ann_topk(emb, _queries_subset(emb), k=5, m_subspaces=8, n_codes=32, refine=10)
 
 
+def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (FAISS IVFx,PQy recipe): coarse cells
+    route the probe, residual PQ codes bound the bytes scanned, exact
+    re-rank of survivors (rows-only; recall vs brute force asserted in
+    tests — the billion-scale configuration of the ANN stack)."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.ivfpq_ann_topk(emb, _queries_subset(emb), k=5, n_cells=16, n_probe=4)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label block.
 
@@ -387,6 +397,7 @@ QUERIES = {
     "embedding_ann": q_embedding_ann,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "embedding_ann_pq": q_embedding_ann_pq,
+    "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
     "language_id": q_language_id,

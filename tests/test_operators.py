@@ -890,3 +890,23 @@ def test_pq_ann_recall(spark, sf_dir):
     assert recall >= 0.5, f"PQ recall too low: {recall}"
     for pair in exact.keys() & got.keys():
         assert got[pair] == exact[pair], (pair, got[pair], exact[pair])
+
+
+def test_ivfpq_ann_recall(spark, sf_dir):
+    """Composed IVF-PQ: recall floor is set by the IVF probe pruning
+    (n_probe/n_cells of a random corpus — the documented worst case),
+    with PQ error absorbed by the exact re-rank. Measured 0.6 at both
+    test scales; reported sims are true cosines."""
+    from data_ingestors_spark.operators import cosine_topk_bruteforce, ivfpq_ann_topk
+    from data_ingestors_spark.queries.base import tables
+
+    emb = tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id): r.cos_sim
+             for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id): r.cos_sim
+           for r in ivfpq_ann_topk(emb, q, k=5).collect()}
+    recall = len(exact.keys() & got.keys()) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+    for pair in exact.keys() & got.keys():
+        assert got[pair] == exact[pair], (pair, got[pair], exact[pair])

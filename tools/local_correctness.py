@@ -28,6 +28,7 @@ ROWS_ONLY_EVIDENCE = {
     "embedding_ann": "recall vs exact asserted in tests/test_operators.py::test_lsh_ann_recall",
     "embedding_ann_ivf": "recall vs exact asserted in tests/test_operators.py::test_ivf_ann_recall (+ sorted-corpus adversarial); documented bound 0.4 at n_probe=4/16 (random embeddings are IVF's worst case)",
     "embedding_ann_pq": "recall vs exact asserted in tests/test_operators.py::test_pq_ann_recall; ADC candidates exactly re-ranked, so reported sims are true cosines",
+    "embedding_ann_ivfpq": "recall vs exact asserted in tests/test_operators.py::test_ivfpq_ann_recall; bounded below by IVF probe pruning (random corpus is the worst case)",
 }
 
 
@@ -122,6 +123,7 @@ RECALL_PROBES = {
     "embedding_ann": _recall_ann("embedding_ann"),
     "embedding_ann_ivf": _recall_ann("embedding_ann_ivf"),
     "embedding_ann_pq": _recall_ann("embedding_ann_pq"),
+    "embedding_ann_ivfpq": _recall_ann("embedding_ann_ivfpq"),
 }
 
 
