@@ -62,6 +62,29 @@ HEADLINE = [
     "embedding_neardup",
 ]
 
+# Secondary suite (separate totals, NOT in the headline metric so the
+# 32-query round-over-round comparison stays stable): the r5 TPC-H
+# shapes and the new text measures.
+TPCH_SUITE = [
+    "min_cost_supplier",
+    "late_order_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "important_parts",
+    "late_line_priority",
+    "promo_revenue",
+    "top_supplier",
+    "parts_supplier_cnt",
+    "discounted_revenue",
+    "potential_promotion",
+    "global_sales_opportunity",
+    "bm25_relevance",
+    "dup_ngram_chars",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +102,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + TPCH_SUITE:
             try:
                 all_queries()[name](spark, warm_dir).count()
             except Exception as e:
@@ -103,6 +126,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    extra: dict[str, float] = {}
+    for name in TPCH_SUITE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        extra[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        print(f"# {name}: {extra[name]}s", file=sys.stderr)
+    extra_total = round(sum(extra.values()), 3)
 
     # ingest throughput: the reference's core function (CSV -> validate
     # -> conform -> upsert). Measured over an orders-derived CSV at the
@@ -169,6 +202,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
+    out["tpch_suite_total"] = extra_total
+    out["tpch_suite"] = extra
     if ingest_rows_per_sec is not None:
         out["ingest_rows_per_sec"] = ingest_rows_per_sec
     print(json.dumps(out))

@@ -68,8 +68,8 @@ def test_bench_headline_names_are_registered():
     from data_ingestors_spark.queries import all_oracles, all_queries
 
     qs = all_queries()
-    missing = [n for n in bench.HEADLINE if n not in qs]
-    assert not missing, f"bench HEADLINE names not registered: {missing}"
+    missing = [n for n in bench.HEADLINE + bench.TPCH_SUITE if n not in qs]
+    assert not missing, f"bench HEADLINE/TPCH_SUITE names not registered: {missing}"
     # every oracle key must have a query (no orphan oracles)
     orphans = [n for n in all_oracles() if n not in qs]
     assert not orphans, f"oracles without queries: {orphans}"
