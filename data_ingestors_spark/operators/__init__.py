@@ -23,6 +23,10 @@ from data_ingestors_spark.operators.similarity import (  # noqa: F401
     ivfpq_ann_topk,
     lsh_ann_topk,
 )
+from data_ingestors_spark.operators.rollup import (  # noqa: F401
+    read_rollup,
+    rollup_upsert,
+)
 from data_ingestors_spark.operators.text import (  # noqa: F401
     chunk_documents,
     winnowing_fingerprints,

@@ -910,3 +910,63 @@ def test_ivfpq_ann_recall(spark, sf_dir):
     assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
     for pair in exact.keys() & got.keys():
         assert got[pair] == exact[pair], (pair, got[pair], exact[pair])
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """Continuous-aggregate contract: folding batches in (with late
+    data overlapping earlier buckets) must equal a full recompute over
+    the union, and an untouched bucket's files must not be rewritten
+    by a refresh that does not touch it."""
+    import os
+    import time as _time
+
+    from data_ingestors_spark.operators.rollup import (
+        BUCKET_PART_COL,
+        read_rollup,
+        rollup_upsert,
+    )
+    from data_ingestors_spark.io.readers import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    cut = events.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    b1 = events.filter(F.col("ts") <= F.lit(cut))
+    b2 = events.filter(F.col("ts") > F.lit(cut))  # overlaps the cut hour = late data
+
+    store = str(tmp_path / "rollup")
+    rollup_upsert(spark, b1, store)
+    # mtime snapshot of a bucket b2 cannot touch (earliest bucket)
+    first_bucket = sorted(
+        d for d in os.listdir(store) if d.startswith(BUCKET_PART_COL + "=")
+    )[0]
+    files = lambda: {
+        f: os.path.getmtime(os.path.join(store, first_bucket, f))
+        for f in os.listdir(os.path.join(store, first_bucket))
+        if f.endswith(".parquet")
+    }
+    before = files()
+    _time.sleep(1.1)
+    touched, _ = rollup_upsert(spark, b2, store)
+    assert touched >= 1
+    assert files() == before, "refresh rewrote an untouched bucket partition"
+
+    got = {
+        (r.bucket, r.event_type): (r.n_events, float(r.sum_value), r.min_value, r.max_value)
+        for r in read_rollup(spark, store).collect()
+    }
+    full = {
+        (r.b, r.event_type): (r.n, float(r.s), r.mn, r.mx)
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd-HH").alias("b"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("decimal(30,10)").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == full
