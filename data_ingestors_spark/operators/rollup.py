@@ -123,8 +123,18 @@ def rollup_upsert(
 
 def read_rollup(spark: SparkSession, store_path: str, *, bucket_alias: str = "bucket") -> DataFrame:
     """Finalized view of the store: derived measures (avg) computed
-    from the additive partials at read time."""
+    from the additive partials at read time. Handles both layouts —
+    merged bucket rows (rollup_upsert) and per-batch partials
+    (rollup_append_partials), merging the latter first."""
     df = spark.read.parquet(store_path)
+    if BATCH_PART_COL in df.columns:
+        key_cols = tuple(
+            c
+            for c in df.columns
+            if c
+            not in (BUCKET_PART_COL, BATCH_PART_COL, "n_events", "sum_value", "min_value", "max_value")
+        )
+        df = _merge(df.drop(BATCH_PART_COL), key_cols)
     return df.select(
         F.col(BUCKET_PART_COL).cast("string").alias(bucket_alias),
         *[c for c in df.columns if c not in (BUCKET_PART_COL,)],
@@ -132,3 +142,59 @@ def read_rollup(spark: SparkSession, store_path: str, *, bucket_alias: str = "bu
         "avg_value",
         (F.col("sum_value").cast("double") / F.col("n_events")),
     )
+
+
+BATCH_PART_COL = "__batch"
+
+
+def rollup_append_partials(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    val_col: str = "value",
+    bucket: str = "hour",
+) -> None:
+    """Exactly-once-effect rollup refresh for at-least-once upstreams
+    (Structured Streaming ``foreachBatch`` replays the in-flight batch
+    after a crash): instead of merging into the bucket rows — where a
+    replay would double-count the additive partials — each batch's
+    partials land in partitions keyed by (bucket, batch_id). A replay
+    dynamically overwrites ITS OWN partitions with identical content,
+    so the refresh is idempotent by construction, no transaction or
+    marker protocol needed. Readers merge partials at read time
+    (``read_rollup`` detects the layout); ``compact_rollup`` folds
+    accumulated partials offline so read cost stays bounded.
+    """
+    parts = _partials(batch, ts_col, key_cols, val_col, bucket).withColumn(
+        BATCH_PART_COL, F.lit(int(batch_id)).cast("long")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        parts.repartition(BUCKET_PART_COL).write.mode(
+            "overwrite" if path_exists(spark, store_path) else "errorifexists"
+        ).partitionBy(BUCKET_PART_COL, BATCH_PART_COL).parquet(store_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_rollup(
+    spark: SparkSession, store_path: str, *, key_cols: tuple[str, ...] = ("event_type",)
+) -> None:
+    """Fold all per-batch partials into a single __batch=-1 layer.
+    Offline maintenance: run while no refresh is active (the same
+    single-writer discipline as writers.upsert's table lock)."""
+    df = spark.read.parquet(store_path)
+    if BATCH_PART_COL not in df.columns:
+        return
+    merged = _merge(df.drop(BATCH_PART_COL), key_cols).withColumn(
+        BATCH_PART_COL, F.lit(-1).cast("long")
+    )
+    # materialize before the full-store overwrite reads-under-write
+    merged.localCheckpoint(eager=True).repartition(BUCKET_PART_COL).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_PART_COL, BATCH_PART_COL).parquet(store_path)

@@ -6,6 +6,7 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
     attribution_stream,
     enrich_stream,
     stream_upsert,
+    stream_rollup,
     stateful_sessions,
     run_stream_to_memory,
 )

@@ -274,6 +274,50 @@ def stream_upsert(
     return writer.start()
 
 
+def stream_rollup(
+    df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    val_col: str = "value",
+    bucket: str = "hour",
+    available_now: bool = False,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming continuous aggregate: each micro-batch appends its
+    rollup PARTIALS into partitions keyed by (bucket, batch_id)
+    (operators/rollup.py rollup_append_partials). Exactly-once EFFECT
+    by construction: foreachBatch replays a crashed batch with the
+    SAME batch_id, which dynamically overwrites its own partitions with
+    identical content — additive merges never double-count. Readers
+    merge partials at read time; compact_rollup folds them offline."""
+    from data_ingestors_spark.operators.rollup import rollup_append_partials
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup_append_partials(
+            batch_df.sparkSession,
+            batch_df,
+            store_path,
+            batch_id,
+            ts_col=ts_col,
+            key_cols=key_cols,
+            val_col=val_col,
+            bucket=bucket,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming frame to completion against the memory sink;
     returns the materialized result as a batch DataFrame."""

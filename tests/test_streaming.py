@@ -275,3 +275,39 @@ def test_enrich_stream_static_join(spark, tmp_path):
     tiers = {r.user_id: r.tier for r in rows}
     # users derive from id % 3 -> 100,101,102; 102 has no dim row (left join)
     assert tiers[100] == "gold" and tiers[101] == "silver" and tiers[102] is None
+
+
+def test_stream_rollup_exactly_once_effect(spark, tmp_path):
+    """Streaming continuous aggregate: per-batch partials partitioned
+    by (bucket, batch_id) make the foreachBatch refresh idempotent —
+    restarting from the checkpoint with new data must not double-count
+    earlier batches, and compaction must not change the answer."""
+    from data_ingestors_spark.operators.rollup import compact_rollup, read_rollup
+    from data_ingestors_spark.streaming import stream_events, stream_rollup
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(spark, src, [_ev(i, hour=i % 3) for i in range(12)])
+    q = stream_rollup(stream_events(spark, src), store, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    # restart with late data for an existing hour + a new hour
+    _write_events(spark, src, [_ev(100, hour=1, minute=30), _ev(101, hour=7)])
+    q2 = stream_rollup(stream_events(spark, src), store, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    def snapshot():
+        return {
+            (r.bucket, r.event_type): (r.n_events, float(r.sum_value))
+            for r in read_rollup(spark, store).collect()
+        }
+
+    got = snapshot()
+    # exactly the 14 events, each counted once
+    assert sum(n for n, _ in got.values()) == 14
+    assert ("2024-01-01-07", "view") in got
+
+    compact_rollup(spark, store)
+    assert snapshot() == got
