@@ -85,12 +85,13 @@ def rollup_upsert(
     key_cols: tuple[str, ...] = ("event_type",),
     val_col: str = "value",
     bucket: str = "hour",
-) -> tuple[int, int]:
-    """Fold one batch into the rollup store. Returns
-    ``(touched_buckets, rows_written)``. Idempotence is the caller's
-    concern (at-least-once upstreams should dedup first — see
-    writers.upsert); the merge itself is associative and
-    commutative, so refresh ORDER never changes the result.
+) -> int:
+    """Fold one batch into the rollup store. Returns the number of
+    touched buckets. Idempotence is the caller's concern
+    (at-least-once upstreams should dedup first — see writers.upsert,
+    or use rollup_append_partials which is idempotent by batch id);
+    the merge itself is associative and commutative, so refresh ORDER
+    never changes the result.
     """
     parts = _partials(batch, ts_col, key_cols, val_col, bucket)
 
@@ -98,8 +99,7 @@ def rollup_upsert(
         parts.repartition(BUCKET_PART_COL).write.partitionBy(BUCKET_PART_COL).parquet(
             store_path
         )
-        n = parts.select(BUCKET_PART_COL).distinct().count()
-        return n, -1
+        return parts.select(BUCKET_PART_COL).distinct().count()
 
     touched = [r[0] for r in parts.select(BUCKET_PART_COL).distinct().collect()]
     existing = (
@@ -118,7 +118,7 @@ def rollup_upsert(
         ).parquet(store_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return len(touched), -1
+    return len(touched)
 
 
 def read_rollup(spark: SparkSession, store_path: str, *, bucket_alias: str = "bucket") -> DataFrame:
@@ -194,7 +194,17 @@ def compact_rollup(
     merged = _merge(df.drop(BATCH_PART_COL), key_cols).withColumn(
         BATCH_PART_COL, F.lit(-1).cast("long")
     )
-    # materialize before the full-store overwrite reads-under-write
-    merged.localCheckpoint(eager=True).repartition(BUCKET_PART_COL).write.mode(
-        "overwrite"
-    ).partitionBy(BUCKET_PART_COL, BATCH_PART_COL).parquet(store_path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        # STATIC overwrite is load-bearing: under dynamic mode (which
+        # rollup_upsert/append set, and clusters often default to) the
+        # write would replace only the __batch=-1 partitions and leave
+        # every stale per-batch partial in place — read_rollup would
+        # then double-count all measures
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        # materialize before the full-store overwrite reads-under-write
+        merged.localCheckpoint(eager=True).repartition(BUCKET_PART_COL).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_PART_COL, BATCH_PART_COL).parquet(store_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

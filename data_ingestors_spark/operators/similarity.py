@@ -282,6 +282,59 @@ def _kmeans(X: "np.ndarray", n_cells: int, *, iters: int = 10, seed: int = 42) -
     return cents
 
 
+def _stripe_sample_normalized(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int,
+    corpus_size: int | None,
+) -> "np.ndarray":
+    """Deterministic hash-stripe training sample, L2-normalized.
+    Shared by the IVF / PQ / IVF-PQ quantizer trainers — see
+    ivf_ann_topk's docstring for why limit()-only sampling is unsafe
+    (scan-order bias) and why the modulus uses ceiling division."""
+    n = corpus_size if corpus_size is not None else corpus.count()
+    m = max(1, -(-n // sample_rows))
+    sample = (
+        corpus.select(vec_col, F.col(id_col).alias("__sid"))
+        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
+        .select(vec_col)
+        .limit(sample_rows)  # hard bound on driver memory
+        .collect()
+    )
+    if not sample:  # degenerate tiny/empty-hash-stripe corpus
+        sample = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def _exact_rerank(
+    cand: DataFrame, corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Re-rank (query_id, neighbor_id) candidates with TRUE cosine and
+    keep the global top-k per query — the shared tail of every
+    candidate-generating ANN path."""
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(q_vecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= k
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -321,19 +374,7 @@ def ivf_ann_topk(
     and ``limit()`` reintroduced the exact scan-order bias the hash
     stripe exists to remove.
     """
-    n = corpus_size if corpus_size is not None else corpus.count()
-    m = max(1, -(-n // sample_rows))
-    sample = (
-        corpus.select(vec_col, F.col(id_col).alias("__sid"))
-        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
-        .select(vec_col)
-        .limit(sample_rows)  # hard bound on driver memory
-        .collect()
-    )
-    if not sample:  # degenerate tiny/empty-hash-stripe corpus
-        sample = corpus.select(vec_col).limit(sample_rows).collect()
-    X = np.array([r[0] for r in sample], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = _stripe_sample_normalized(corpus, id_col, vec_col, sample_rows, corpus_size)
     cents = _kmeans(Xn, n_cells, seed=seed)
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -609,6 +650,10 @@ def blocked_cosine_pairs(
         F.col(id_col).alias("pid"),
         F.col(vec_col).alias("vec"),
     )
+    if strategy not in ("auto", "lsh", "grid"):
+        raise ValueError(
+            f"blocked_cosine_pairs: unknown strategy {strategy!r} (use 'auto', 'lsh', or 'grid')"
+        )
     params = _lsh_pair_params(threshold, recall_eps=recall_eps)
     if strategy == "lsh" or (strategy == "auto" and params is not None):
         if params is None:
@@ -624,19 +669,9 @@ def blocked_cosine_pairs(
         )
         maxb = int(row["m"] or 1)
     chunks = max(1, -(-maxb // chunk_rows))
-    if chunks == 1:
-        # blocks already fit the per-task bound — the grid degenerates
-        # to a single-cell join with no replication overhead
-        a = base.select("block", F.col("pid").alias("id_a"), F.col("vec").alias("v_a"))
-        b = base.select(
-            F.col("block").alias("block_b"), F.col("pid").alias("id_b"), F.col("vec").alias("v_b")
-        )
-        sim = _pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
-        return (
-            a.join(b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b")))
-            .select("id_a", "id_b", sim.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold)
-        )
+    # at chunks == 1 the grid degenerates naturally to a single-cell
+    # join (each side explodes to exactly one (0, 0) cell), so no
+    # special case is needed
     base = base.withColumn(
         "chunk", F.pmod(F.xxhash64(F.col("pid")), F.lit(chunks)).cast("int")
     )
@@ -683,22 +718,15 @@ def pq_ann_topk(
     k·refine·n_batches·n_queries rows, never the corpus); survivors are
     exactly re-ranked with true cosine, so the ADC error only costs
     recall (measured in tests), never precision of the reported
-    similarities. Deterministic end to end: seeded sample, seeded
-    Lloyd's, ADC ties broken by neighbor id.
+    similarities. Codebooks and ADC scores are deterministic (seeded
+    sample, seeded Lloyd's, ties by neighbor id); the CANDIDATE union
+    depends on Arrow batch boundaries (the per-batch cut uses ADC
+    order while the final rank uses exact cosine), so the top-k is
+    reproducible for a fixed corpus partitioning, not across
+    repartitions — the usual ANN contract, hence rows-only + recall
+    evidence rather than a hash oracle.
     """
-    n = corpus_size if corpus_size is not None else corpus.count()
-    m = max(1, -(-n // sample_rows))
-    sample = (
-        corpus.select(vec_col, F.col(id_col).alias("__sid"))
-        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
-        .select(vec_col)
-        .limit(sample_rows)
-        .collect()
-    )
-    if not sample:
-        sample = corpus.select(vec_col).limit(sample_rows).collect()
-    X = np.array([r[0] for r in sample], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = _stripe_sample_normalized(corpus, id_col, vec_col, sample_rows, corpus_size)
     dim = Xn.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"pq_ann_topk: dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -775,25 +803,7 @@ def pq_ann_topk(
     cand = encoded.mapInPandas(adc_candidates, cand_schema).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
-    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q_vecs = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    )
-    scored = (
-        cand.join(c_vecs, "neighbor_id")
-        .join(q_vecs, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
-        F.col("rnk") <= k
-    )
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)
 
 
 def ivfpq_ann_topk(
@@ -832,22 +842,11 @@ def ivfpq_ann_topk(
     encoding is one Arrow projection (no shuffle); the candidate scan
     touches only rows whose cell is probed by some query (np.isin mask
     per batch) and emits ≤ k·refine·n_batches·n_queries id pairs;
-    survivors re-rank with exact cosine. Deterministic: seeded sample,
-    seeded Lloyd's, ties by neighbor id.
+    survivors re-rank with exact cosine. Same determinism contract as
+    pq_ann_topk: codebooks/scores are seeded-deterministic, the
+    candidate union is fixed for a given corpus partitioning.
     """
-    n = corpus_size if corpus_size is not None else corpus.count()
-    m = max(1, -(-n // sample_rows))
-    sample = (
-        corpus.select(vec_col, F.col(id_col).alias("__sid"))
-        .filter(F.pmod(F.xxhash64(F.col("__sid")), F.lit(m)) == 0)
-        .select(vec_col)
-        .limit(sample_rows)
-        .collect()
-    )
-    if not sample:
-        sample = corpus.select(vec_col).limit(sample_rows).collect()
-    X = np.array([r[0] for r in sample], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = _stripe_sample_normalized(corpus, id_col, vec_col, sample_rows, corpus_size)
     dim = Xn.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"ivfpq_ann_topk: dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -941,22 +940,4 @@ def ivfpq_ann_topk(
     cand = encoded.mapInPandas(adc_candidates, cand_schema).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
-    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q_vecs = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    )
-    scored = (
-        cand.join(c_vecs, "neighbor_id")
-        .join(q_vecs, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            fround(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
-        F.col("rnk") <= k
-    )
+    return _exact_rerank(cand, corpus, queries, id_col, vec_col, k)

@@ -947,7 +947,7 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     }
     before = files()
     _time.sleep(1.1)
-    touched, _ = rollup_upsert(spark, b2, store)
+    touched = rollup_upsert(spark, b2, store)
     assert touched >= 1
     assert files() == before, "refresh rewrote an untouched bucket partition"
 
@@ -970,3 +970,41 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_compact_rollup_immune_to_dynamic_overwrite_mode(spark, tmp_path):
+    """Regression: with session partitionOverwriteMode=dynamic (which
+    rollup_upsert itself sets, and clusters commonly default to), the
+    compaction's full-store overwrite used to replace only the
+    __batch=-1 partitions, leaving stale per-batch partials that
+    read_rollup then double-counted."""
+    import datetime as dt
+
+    from data_ingestors_spark.operators.rollup import (
+        compact_rollup,
+        read_rollup,
+        rollup_append_partials,
+    )
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 2), 1, "view", float(i), "{}") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    store = str(tmp_path / "r")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        rollup_append_partials(spark, df.filter("event_id < 2"), store, 0)
+        rollup_append_partials(spark, df.filter("event_id >= 2"), store, 1)
+        before = sorted(
+            (r.bucket, r.event_type, r.n_events, float(r.sum_value))
+            for r in read_rollup(spark, store).collect()
+        )
+        compact_rollup(spark, store)
+        after = sorted(
+            (r.bucket, r.event_type, r.n_events, float(r.sum_value))
+            for r in read_rollup(spark, store).collect()
+        )
+        assert after == before
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
