@@ -304,6 +304,8 @@ def _stripe_sample_normalized(
     )
     if not sample:  # degenerate tiny/empty-hash-stripe corpus
         sample = corpus.select(vec_col).limit(sample_rows).collect()
+    if not sample:
+        raise ValueError("ANN quantizer training: corpus is empty")
     X = np.array([r[0] for r in sample], dtype=np.float64)
     return X / np.linalg.norm(X, axis=1, keepdims=True)
 
