@@ -260,3 +260,45 @@ def test_winnowing_guarantee_randomized(spark, seed, passage_len):
     for r in fps:
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 4))
+def test_rollup_refresh_order_invariance(spark, tmp_path_factory, seed, n_splits):
+    """Property: folding a fixed event set into the rollup store in
+    ANY batch partitioning and ANY order yields the same finalized
+    answer as one full refresh — the associativity/commutativity the
+    additive-partial design claims."""
+    import random
+
+    from data_ingestors_spark.operators.rollup import read_rollup, rollup_upsert
+
+    rng = random.Random(seed)
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, rng.randrange(4), rng.randrange(60)),
+         rng.randrange(3), rng.choice(["view", "click"]), float(rng.randrange(100)), "{}")
+        for i in range(60)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    df = spark.createDataFrame(rows, schema)
+
+    assignment = [rng.randrange(n_splits) for _ in range(60)]
+    batches = [
+        [r for r, a in zip(rows, assignment) if a == b] for b in range(n_splits)
+    ]
+    batches = [b for b in batches if b]
+    rng.shuffle(batches)
+
+    base = tmp_path_factory.mktemp("rollup_prop")
+    split_store, full_store = str(base / "split"), str(base / "full")
+    for b in batches:
+        rollup_upsert(spark, spark.createDataFrame(b, schema), split_store)
+    rollup_upsert(spark, df, full_store)
+
+    canon = lambda p: sorted(
+        (r.bucket, r.event_type, r.n_events, float(r.sum_value), r.min_value, r.max_value)
+        for r in read_rollup(spark, p).collect()
+    )
+    assert canon(split_store) == canon(full_store)
