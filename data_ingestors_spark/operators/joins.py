@@ -40,3 +40,60 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
     return fact_s.join(dim_s, [key, SALT_COL], how).drop(SALT_COL)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    start_col: str = "s",
+    end_col: str = "e",
+    bin_size: int = 256,
+    block_cols: tuple[str, ...] = (),
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Overlap join of two LARGE interval sets — the binned equi-join
+    form of ``l.start <= r.end AND r.start <= l.end``.
+
+    The existing range_join broadcasts one side (fine for a dim table,
+    impossible when both sides are fact-scale). Here each interval
+    explodes to the ``bin_size``-wide buckets it covers, the join is a
+    plain shuffled EQUI-join on (block, bin) — Catalyst gets hash
+    partitioning, AQE gets skew splitting — and the true overlap
+    predicate is a residual filter.
+
+    Duplicate-free by construction, no dropDuplicates shuffle: a pair
+    overlapping across several shared bins is kept only in the bin
+    containing the LATER of the two starts (that instant lies inside
+    both intervals, so both sides exploded it; any other shared bin
+    fails the guard). Cost scales with Σ interval_len/bin_size rows
+    per side and per-bin occupancy — never |L|·|R|.
+
+    Columns come back prefixed (``l_``/``r_``); intervals must be
+    integers (epoch seconds or any monotone unit).
+    """
+    lb = F.floor(F.col(start_col) / bin_size)
+    ub = F.floor(F.col(end_col) / bin_size)
+    def binned(df: DataFrame, prefix: str) -> DataFrame:
+        out = df.select(
+            *[F.col(c).alias(prefix + c) for c in df.columns],
+            F.explode(F.sequence(lb.cast("long"), ub.cast("long"))).alias("__bin"),
+        )
+        return out
+
+    l = binned(left, left_prefix)
+    r = binned(right, right_prefix)
+    ls, le = F.col(left_prefix + start_col), F.col(left_prefix + end_col)
+    rs, re_ = F.col(right_prefix + start_col), F.col(right_prefix + end_col)
+    cond = F.col("__bin") == F.col("__bin_r")
+    for c in block_cols:
+        cond = cond & (F.col(left_prefix + c) == F.col(right_prefix + c))
+    r = r.withColumnRenamed("__bin", "__bin_r")
+    later_start_bin = F.floor(F.greatest(ls, rs) / bin_size).cast("long")
+    return (
+        l.join(r, cond)
+        .filter((ls <= re_) & (rs <= le))
+        .filter(F.col("__bin") == later_start_bin)  # exactly-once bin guard
+        .drop("__bin", "__bin_r")
+    )

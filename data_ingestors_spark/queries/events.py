@@ -240,6 +240,51 @@ FROM counts
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact interval overlap join: events become intervals
+    [ts, ts + 10·value seconds]; pairs of the SAME user whose
+    intervals overlap, with the overlap duration. Runs through the
+    binned equi-join (operators/joins.py interval_overlap_join) — both
+    sides are corpus-scale, so neither broadcasts; the bin guard makes
+    each pair match exactly once with no dropDuplicates shuffle."""
+    from data_ingestors_spark.operators.joins import interval_overlap_join
+
+    t = tables(spark, sf_dir, "events")
+    iv = t["events"].select(
+        F.col("event_id").alias("eid"),
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + F.floor(F.col("value") * 10).cast("long")).alias("e"),
+    )
+    joined = interval_overlap_join(
+        iv, iv, start_col="s", end_col="e", bin_size=256, block_cols=("user_id",)
+    ).filter(F.col("l_eid") < F.col("r_eid"))
+    return joined.select(
+        F.col("l_eid").alias("id_a"),
+        F.col("r_eid").alias("id_b"),
+        F.col("l_user_id").cast("long").alias("user_id"),
+        (F.least(F.col("l_e"), F.col("r_e")) - F.greatest(F.col("l_s"), F.col("r_s")))
+        .cast("long")
+        .alias("overlap_s"),
+    )
+
+
+O_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT event_id AS eid, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 10) AS BIGINT) AS e
+  FROM events
+)
+SELECT a.eid AS id_a, b.eid AS id_b, CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.eid < b.eid
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+
 QUERIES = {
     "attribution_join": q_attribution_join,
     "event_transitions": q_event_transitions,
@@ -248,6 +293,7 @@ QUERIES = {
     "session_window": q_session_window,
     "json_extract": q_json_extract,
     "event_dedup": q_event_dedup,
+    "interval_join": q_interval_join,
 }
 
 ORACLES = {
@@ -258,4 +304,5 @@ ORACLES = {
     "session_window": O_SESSION_WINDOW,
     "json_extract": O_JSON_EXTRACT,
     "event_dedup": O_EVENT_DEDUP,
+    "interval_join": O_INTERVAL_JOIN,
 }

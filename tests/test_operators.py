@@ -1008,3 +1008,25 @@ def test_compact_rollup_immune_to_dynamic_overwrite_mode(spark, tmp_path):
         assert after == before
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_interval_overlap_join_exactly_once_across_bins(spark):
+    """A pair overlapping across MANY shared bins must appear exactly
+    once (the later-start bin guard), and touching endpoints count as
+    overlap (closed intervals)."""
+    from data_ingestors_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10_000), (2, 500, 600), (3, 20_000, 20_100)], "id long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 9_000), (11, 600, 650), (12, 30_000, 30_001)], "id long, s long, e long"
+    )
+    rows = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(left, right, bin_size=256).collect()
+    )
+    # (1,10): overlap spanning ~35 shared bins -> once; (1,11) inside 1;
+    # (2,10) overlap; (2,11) touching at 600 -> closed-interval match;
+    # nothing matches 3 or 12
+    assert rows == [(1, 10), (1, 11), (2, 10), (2, 11)]

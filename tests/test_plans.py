@@ -344,3 +344,19 @@ def test_min_cost_supplier_decorrelates(spark, queries):
     plan = plan_of(queries["min_cost_supplier"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_binned_equi_join(spark, queries):
+    """Fact-to-fact interval overlap must run as a shuffled EQUI-join
+    on the (block, bin) key — never a nested-loop or cartesian, which
+    is what a naive non-equi overlap condition degenerates to when
+    neither side broadcasts."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(queries["interval_join"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
