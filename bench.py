@@ -83,6 +83,8 @@ TPCH_SUITE = [
     "global_sales_opportunity",
     "bm25_relevance",
     "dup_ngram_chars",
+    "interval_join",
+    "weighted_sample",
 ]
 
 

@@ -236,9 +236,51 @@ WHERE rk <= quota
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED k-sample (Efraimidis–Spirakis A-ES):
+    each doc draws u ∈ (0,1] from the portable 60-bit md5 hash and is
+    ranked by ln(u)/w — the top-k by that key is an exact weighted
+    sample without replacement, inclusion probability ∝ weight (here
+    n_chars: longer docs proportionally more likely). Deterministic in
+    both engines (same hash → same u → same IEEE ln/divide), so unlike
+    a seeded rand() this is oracle-checkable and replay-stable across
+    partitionings. Same TakeOrderedAndProject shape as
+    deterministic_sample — per-partition k-heaps, no global sort."""
+    t = tables(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+O_WEIGHTED_SAMPLE = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+            / CAST(1152921504606846976 AS DOUBLE))
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0
+  ORDER BY k DESC, doc_id ASC LIMIT 100
+)
+"""
+
+
+
 QUERIES = {
     "hash_split": q_hash_split,
     "deterministic_sample": q_deterministic_sample,
+    "weighted_sample": q_weighted_sample,
     "stratified_quota": q_stratified_quota,
     "corpus_prep": q_corpus_prep,
     "temperature_mix": q_temperature_mix,
@@ -247,6 +289,7 @@ QUERIES = {
 ORACLES = {
     "hash_split": O_HASH_SPLIT,
     "deterministic_sample": O_DETERMINISTIC_SAMPLE,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
     "stratified_quota": O_STRATIFIED_QUOTA,
     "corpus_prep": O_CORPUS_PREP,
     "temperature_mix": O_TEMPERATURE_MIX,
