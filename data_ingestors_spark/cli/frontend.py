@@ -188,6 +188,44 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         result.show(500, truncate=False)
         return 0
+    if args and args[0] == "rollup":
+        usage = (
+            "usage: python -m data_ingestors_spark.cli rollup "
+            "refresh <events_parquet> <store> | compact <store> | read <store>"
+        )
+        if len(args) < 3:
+            print(usage, file=sys.stderr)
+            return 2
+        sub = args[1]
+        from data_ingestors_spark.operators.rollup import (
+            compact_rollup,
+            read_rollup,
+            rollup_upsert,
+        )
+        from data_ingestors_spark.session import get_spark
+
+        try:
+            spark = get_spark("rollup-cli")
+            if sub == "refresh":
+                if len(args) != 4:
+                    print(usage, file=sys.stderr)
+                    return 2
+                batch = spark.read.parquet(args[2])
+                touched = rollup_upsert(spark, batch, args[3])
+                print(f"refreshed {touched} bucket(s)")
+                return 0
+            if sub == "compact":
+                compact_rollup(spark, args[2])
+                print("compacted")
+                return 0
+            if sub == "read":
+                read_rollup(spark, args[2]).orderBy("bucket").show(100, truncate=False)
+                return 0
+            print(usage, file=sys.stderr)
+            return 2
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
     if args and args[0] in ("query", "doctor"):
         cmd = args[0]
         if len(args) != 3:

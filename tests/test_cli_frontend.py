@@ -214,3 +214,27 @@ def test_image_category_yaml_with_files(spark, tmp_path):
     s = run_from_yaml(spark, write_yaml(tmp_path, body))
     assert s.inserted == 1 and s.file_transfer_failures == 1
     assert (dest / "a.jpg").exists()
+
+
+def test_cli_rollup_refresh_and_read(spark, tmp_path, capsys):
+    """`cli rollup refresh/compact/read` drives the continuous
+    aggregate from the command surface."""
+    import datetime as dt
+
+    from data_ingestors_spark.cli.frontend import main
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 2), 1, "view", float(i), "{}") for i in range(6)]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(src)
+    store = str(tmp_path / "store")
+
+    assert main(["rollup", "refresh", src, store]) == 0
+    assert "refreshed 2 bucket(s)" in capsys.readouterr().out
+    assert main(["rollup", "compact", store]) == 0
+    capsys.readouterr()
+    assert main(["rollup", "read", store]) == 0
+    out = capsys.readouterr().out
+    assert "2024-01-01-00" in out and "avg_value" in out
+    assert main(["rollup", "refresh", src]) == 2  # bad arity -> usage
