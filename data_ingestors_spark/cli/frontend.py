@@ -197,6 +197,13 @@ def main(argv: list[str] | None = None) -> int:
             print(usage, file=sys.stderr)
             return 2
         sub = args[1]
+        # validate arity BEFORE booting a SparkSession (same pattern
+        # as profile/query/doctor)
+        if (sub == "refresh" and len(args) != 4) or (
+            sub in ("compact", "read") and len(args) != 3
+        ):
+            print(usage, file=sys.stderr)
+            return 2
         from data_ingestors_spark.operators.rollup import (
             compact_rollup,
             read_rollup,
@@ -207,9 +214,6 @@ def main(argv: list[str] | None = None) -> int:
         try:
             spark = get_spark("rollup-cli")
             if sub == "refresh":
-                if len(args) != 4:
-                    print(usage, file=sys.stderr)
-                    return 2
                 batch = spark.read.parquet(args[2])
                 touched = rollup_upsert(spark, batch, args[3])
                 print(f"refreshed {touched} bucket(s)")

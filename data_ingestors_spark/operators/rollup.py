@@ -101,9 +101,21 @@ def rollup_upsert(
         )
         return parts.select(BUCKET_PART_COL).distinct().count()
 
+    store = spark.read.parquet(store_path)
+    if BATCH_PART_COL in store.columns:
+        # a partials-layout store ((bucket, batch_id) partitions, from
+        # rollup_append_partials / stream_rollup): merging flat bucket
+        # rows into it would leave mixed-depth partition directories
+        # that fail on the NEXT read (CONFLICTING_PARTITION_COLUMN_NAMES)
+        # — silent corruption; refuse loudly instead
+        raise ValueError(
+            f"rollup_upsert: {store_path} uses the per-batch partials layout; "
+            "refresh it with rollup_append_partials (or stream_rollup), or "
+            "compact_rollup it and keep using the partials API"
+        )
     touched = [r[0] for r in parts.select(BUCKET_PART_COL).distinct().collect()]
     existing = (
-        spark.read.parquet(store_path)
+        store
         .filter(F.col(BUCKET_PART_COL).isin(touched))  # partition-pruned read
         .select(parts.columns)
     )

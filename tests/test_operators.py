@@ -1030,3 +1030,29 @@ def test_interval_overlap_join_exactly_once_across_bins(spark):
     # (2,10) overlap; (2,11) touching at 600 -> closed-interval match;
     # nothing matches 3 or 12
     assert rows == [(1, 10), (1, 11), (2, 10), (2, 11)]
+
+
+def test_rollup_upsert_refuses_partials_layout_store(spark, tmp_path):
+    """Regression: merging flat bucket rows into a (bucket, batch_id)
+    partials store left mixed-depth partition dirs that broke the NEXT
+    read — refuse loudly at write time instead."""
+    import datetime as dt
+
+    import pytest
+
+    from data_ingestors_spark.operators.rollup import (
+        read_rollup,
+        rollup_append_partials,
+        rollup_upsert,
+    )
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 2), 1, "view", float(i), "{}") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    store = str(tmp_path / "r")
+    rollup_append_partials(spark, df, store, 0)
+    with pytest.raises(ValueError, match="partials layout"):
+        rollup_upsert(spark, df, store)
+    # the store must still be readable after the refusal
+    assert read_rollup(spark, store).count() > 0
