@@ -360,3 +360,52 @@ def test_interval_join_is_binned_equi_join(spark, queries):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cbo_table_statistics_feed_the_optimizer(spark, tmp_path):
+    """SURVEY §4: ANALYZE TABLE statistics reach the cost-based
+    optimizer — the optimized plan carries real rowCount/sizeInBytes
+    estimates (what join reordering and broadcast decisions consume at
+    scale), not unknowns."""
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbo LOCATION '{tmp_path}/cbo'")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for t in ("orders", "customer"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode("overwrite").saveAsTable(
+                f"cbo.{t}"
+            )
+            spark.sql(f"ANALYZE TABLE cbo.{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+        n_orders = spark.table("cbo.orders").count()
+        stats = spark.sql("DESC EXTENDED cbo.orders").filter(
+            "col_name = 'Statistics'"
+        ).collect()
+        # ANALYZE recorded the exact row count in the catalog
+        assert stats and f"{n_orders} rows" in stats[0].data_type, stats
+
+        df = spark.sql(
+            """
+            SELECT c_mktsegment, count(*) AS n
+            FROM cbo.orders o JOIN cbo.customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment
+            """
+        )
+        plan = plan_of(df, "cost")
+        # every relation node carries a rowCount estimate (the filters
+        # adjust it below the raw count — that adjustment IS the CBO
+        # working), and nothing is left at the unknown default
+        import re
+
+        counts = [int(m) for m in re.findall(r"rowCount=(\d+)", plan)]
+        assert counts, "CBO estimates missing from the optimized plan"
+        assert all(0 < c <= n_orders * 100 for c in counts), counts
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP DATABASE IF EXISTS cbo CASCADE")
