@@ -302,3 +302,35 @@ def test_rollup_refresh_order_invariance(spark, tmp_path_factory, seed, n_splits
         for r in read_rollup(spark, p).collect()
     )
     assert canon(split_store) == canon(full_store)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 64), st.sampled_from([7, 64, 256]))
+def test_interval_overlap_join_matches_bruteforce(spark, seed, n, bin_size):
+    """Property: the binned equi-join form returns EXACTLY the pairs a
+    brute-force quadratic scan finds — for random interval sets, any
+    bin size, including intervals far longer than a bin and touching
+    endpoints."""
+    import random
+
+    from data_ingestors_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(seed)
+    left = [(i, rng.randrange(0, 2000), 0) for i in range(n)]
+    left = [(i, s, s + rng.randrange(0, 900)) for i, s, _ in left]
+    right = [(1000 + i, rng.randrange(0, 2000), 0) for i in range(n)]
+    right = [(i, s, s + rng.randrange(0, 900)) for i, s, _ in right]
+
+    expect = sorted(
+        (l[0], r[0])
+        for l in left
+        for r in right
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+    ldf = spark.createDataFrame(left, "id long, s long, e long")
+    rdf = spark.createDataFrame(right, "id long, s long, e long")
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(ldf, rdf, bin_size=bin_size).collect()
+    )
+    assert got == expect
