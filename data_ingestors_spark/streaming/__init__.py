@@ -10,3 +10,7 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
     stateful_sessions,
     run_stream_to_memory,
 )
+from data_ingestors_spark.streaming.neardup import (  # noqa: F401
+    neardup_fold_batch,
+    stream_neardup,
+)

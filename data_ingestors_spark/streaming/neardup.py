@@ -1,0 +1,216 @@
+"""Streaming MinHash-LSH near-duplicate detection — the incremental
+form of operators/dedup.py minhash_near_duplicates for document
+streams (the shape a training-data pipeline actually ingests: batches
+arrive forever; a new document must be checked against EVERYTHING seen
+so far without re-scanning the corpus).
+
+Per micro-batch:
+
+1. shingle + MinHash the batch (the same JVM-side expressions as the
+   batch operator — one persisted shingle frame per batch);
+2. candidate pairs = batch band rows equi-joined against the
+   ACCUMULATED band index (old ∪ this batch) on (band, bucket) — the
+   index holds (doc_id, band, bucket) longs only, never text;
+3. exact-Jaccard verify against the accumulated shingle store;
+4. append this batch's bands/shingles to the index and its verified
+   pairs to the output — ALL writes partitioned by batch_id, so a
+   crash-replayed batch dynamically overwrites its own partitions with
+   identical content (the same exactly-once-effect construction as
+   stream_rollup; no transactional sink needed).
+
+Coverage argument: a pair (a, b) is checked exactly when the LATER of
+the two arrives (or both in one batch, guarded by id order), so after
+any prefix of batches the emitted pair set equals the batch operator's
+output over the union of those batches — asserted in tests.
+
+At scale the per-batch cost is |batch| x bands index probes (an
+equi-join against a bucket-partitioned store) plus verification of
+collisions only; the stream never joins old-vs-old again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BATCH_PART_COL = "__batch"
+
+
+def _batch_index_frames(
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(band_rows, shingle_rows) for one batch, reusing the batch
+    operator's shingle/signature/band expressions."""
+    from data_ingestors_spark.operators.dedup import (
+        _materialize,
+        _minhash_sig_expr,
+        shingle_docs,
+    )
+
+    r = num_hashes // bands
+    shingled = _materialize(shingle_docs(batch, text_col, id_col, shingle_n))
+    sigs = shingled.select("doc_id", _minhash_sig_expr(num_hashes).alias("signature"))
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(*[F.col("signature")[b * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return band_rows, shingled.select("doc_id", "shingles")
+
+
+def neardup_fold_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> None:
+    """Fold one batch into the near-dup index and emit its pairs.
+    Idempotent by batch id (dynamic overwrite of own partitions)."""
+    from data_ingestors_spark.functions.rounding import fround
+    from data_ingestors_spark.io.writers import path_exists
+
+    bands_dir = f"{index_path}/bands"
+    sh_dir = f"{index_path}/shingles"
+    new_bands, new_sh = _batch_index_frames(
+        batch, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    new_bands = new_bands.persist()
+    new_sh = new_sh.persist()
+    new_bands.count(), new_sh.count()  # materialize once
+
+    have_index = path_exists(spark, bands_dir)
+    all_bands = new_bands
+    all_sh = new_sh
+    if have_index:
+        # a replayed batch's own earlier partitions may be present;
+        # exclude them so its pairs come out identical, not doubled
+        old_bands = (
+            spark.read.parquet(bands_dir)
+            .filter(F.col(BATCH_PART_COL) != int(batch_id))
+            .select("doc_id", "band", "bucket")
+        )
+        old_sh = (
+            spark.read.parquet(sh_dir)
+            .filter(F.col(BATCH_PART_COL) != int(batch_id))
+            .select("doc_id", "shingles")
+        )
+        all_bands = new_bands.unionByName(old_bands)
+        all_sh = new_sh.unionByName(old_sh)
+
+    other = all_bands.select(
+        F.col("band").alias("band_r"),
+        F.col("bucket").alias("bucket_r"),
+        F.col("doc_id").alias("id_o"),
+    )
+    cand = (
+        new_bands.join(
+            other,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("doc_id") != F.col("id_o")),
+        )
+        .select(
+            F.least("doc_id", "id_o").alias("id_a"),
+            F.greatest("doc_id", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(all_sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(all_sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    verified = (
+        pairs.select("id_a", "id_b", (inter / union).alias("j"))
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b", fround(F.col("j"), 6).alias("jaccard"))
+        .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        verified.write.mode(
+            "overwrite" if path_exists(spark, pairs_path) else "errorifexists"
+        ).partitionBy(BATCH_PART_COL).parquet(pairs_path)
+        for frame, path in (
+            (new_bands, bands_dir),
+            (new_sh, sh_dir),
+        ):
+            frame.withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long")).write.mode(
+                "overwrite" if path_exists(spark, path) else "errorifexists"
+            ).partitionBy(BATCH_PART_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        new_bands.unpersist()
+        new_sh.unpersist()
+
+
+def stream_neardup(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    available_now: bool = False,
+):
+    """Streaming near-dup query over a document stream. Read the
+    cumulative verified pairs with
+    ``spark.read.parquet(pairs_path).drop("__batch")``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        neardup_fold_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_path,
+            pairs_path,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

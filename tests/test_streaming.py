@@ -311,3 +311,56 @@ def test_stream_rollup_exactly_once_effect(spark, tmp_path):
 
     compact_rollup(spark, store)
     assert snapshot() == got
+
+
+def test_stream_neardup_matches_batch_operator(spark, tmp_path):
+    """Streaming MinHash-LSH: after folding batches in (near-dup pairs
+    split ACROSS batches), the cumulative pair set must equal the
+    batch operator run over the union corpus, and a restart-replay
+    must not duplicate pairs."""
+    from data_ingestors_spark.operators.dedup import minhash_near_duplicates
+    from data_ingestors_spark.streaming import stream_neardup
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    docs = [
+        (0, base),
+        (1, base + " extra"),                       # near-dup of 0, batch 1
+        (2, "completely different words about spark shuffles and parquet row groups here"),
+        (3, base.replace("quick", "swift")),        # near-dup of 0/1, batch 2
+        (4, "completely different words about spark shuffles and parquet row group sizes"),  # near-dup of 2
+        (5, "unrelated text mentioning neither foxes nor shuffles just filler tokens everywhere"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(docs[:3], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = lambda: stream_neardup(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+        available_now=True,
+    )
+    q = stream()
+    q.awaitTermination(120)
+    spark.createDataFrame(docs[3:], schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream()
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    expect = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_duplicates(
+            spark.createDataFrame(docs, schema), "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == expect and expect, (got, expect)
+    # pairs must span batches (doc 3 arrived after doc 0/1)
+    assert any(a in (0, 1) and b == 3 for a, b, _ in got)
+    # no duplicate (id_a, id_b) rows across batch partitions
+    ids = [(r.id_a, r.id_b) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()]
+    assert len(ids) == len(set(ids))
