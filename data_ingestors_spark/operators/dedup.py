@@ -115,12 +115,17 @@ def _minhash_sig_expr(num_hashes: int) -> "F.Column":
     cannot inline through — otherwise Catalyst re-inlines the shingle
     regex/split construction into every seed's array_min and each doc
     is re-tokenized num_hashes× (a measured 150× blow-up)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.hash(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+    def seed_min(i: int) -> "F.Column":
+        # NB: the lambda must take exactly ONE parameter. PySpark picks
+        # the (element, index) HOF form by lambda ARITY, so the
+        # once-tempting `lambda s, i=i:` default-arg closure silently
+        # rebinds i to the element-index variable — every seed then
+        # computes hash(s, position) and all 32 signature components
+        # collapse to the seed-0 value (found via the streaming
+        # near-dup index; regression-tested below).
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.hash(s, F.lit(i))))
+
+    return F.array(*[seed_min(i) for i in range(num_hashes)])
 
 
 def minhash_signatures(

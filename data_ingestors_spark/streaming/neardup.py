@@ -43,9 +43,11 @@ def _batch_index_frames(
     num_hashes: int,
     bands: int,
     shingle_n: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(band_rows, shingle_rows) for one batch, reusing the batch
-    operator's shingle/signature/band expressions."""
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """(band_rows, shingle_rows, cached_intermediates) for one batch,
+    reusing the batch operator's shingle/signature/band expressions.
+    The caller unpersists the intermediates once its outputs are
+    materialized."""
     from data_ingestors_spark.operators.dedup import (
         _materialize,
         _minhash_sig_expr,
@@ -54,7 +56,15 @@ def _batch_index_frames(
 
     r = num_hashes // bands
     shingled = _materialize(shingle_docs(batch, text_col, id_col, shingle_n))
-    sigs = shingled.select("doc_id", _minhash_sig_expr(num_hashes).alias("signature"))
+    # the sig frame MUST materialize before per-band element extraction
+    # — same load-bearing cache boundary as the batch operator
+    # (operators/dedup.py _minhash_sig_expr): inlining the 32-way
+    # signature expression into the 8 bucket hashes mis-collapses the
+    # per-seed lambdas and every band hashes the same components
+    # (observed: one bucket repeated across all bands)
+    sigs = _materialize(
+        shingled.select("doc_id", _minhash_sig_expr(num_hashes).alias("signature"))
+    )
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -71,7 +81,7 @@ def _batch_index_frames(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    return band_rows, shingled.select("doc_id", "shingles")
+    return band_rows, shingled.select("doc_id", "shingles"), [shingled, sigs]
 
 
 def neardup_fold_batch(
@@ -95,12 +105,16 @@ def neardup_fold_batch(
 
     bands_dir = f"{index_path}/bands"
     sh_dir = f"{index_path}/shingles"
-    new_bands, new_sh = _batch_index_frames(
+    new_bands, new_sh, intermediates = _batch_index_frames(
         batch, text_col, id_col, num_hashes, bands, shingle_n
     )
     new_bands = new_bands.persist()
     new_sh = new_sh.persist()
     new_bands.count(), new_sh.count()  # materialize once
+    # the helper's shingle/signature caches served their purpose; free
+    # them so long streams don't accumulate storage memory
+    for frame in intermediates:
+        frame.unpersist()
 
     have_index = path_exists(spark, bands_dir)
     all_bands = new_bands
@@ -214,3 +228,30 @@ def stream_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_neardup_index(spark, index_path: str) -> None:
+    """Fold the accumulated per-batch band/shingle partitions into a
+    single __batch=-1 layer so partition counts stay bounded as the
+    stream ages. Offline maintenance (single-writer discipline, same
+    contract as operators/rollup.py compact_rollup); folding is pure
+    row movement — band rows and shingle rows are immutable facts, so
+    no merge math is involved and emitted pairs are unaffected."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        # STATIC overwrite: under dynamic mode only the __batch=-1
+        # partitions would be replaced and the stale per-batch layers
+        # would survive, doubling every index row (the compact_rollup
+        # bug class — regression-tested there and here)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        for sub in ("bands", "shingles"):
+            path = f"{index_path}/{sub}"
+            df = spark.read.parquet(path)
+            folded = df.drop(BATCH_PART_COL).withColumn(
+                BATCH_PART_COL, F.lit(-1).cast("long")
+            )
+            folded.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                BATCH_PART_COL
+            ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1056,3 +1056,19 @@ def test_rollup_upsert_refuses_partials_layout_store(spark, tmp_path):
         rollup_upsert(spark, df, store)
     # the store must still be readable after the refusal
     assert read_rollup(spark, store).count() > 0
+
+
+def test_minhash_signature_seeds_are_independent(spark):
+    """Regression: the 32-seed fan-out must produce 32 DIFFERENT
+    min-hashes. A two-parameter lambda in the transform made PySpark
+    use the (element, index) HOF form, silently rebinding the seed to
+    the element position — every component collapsed to the seed-0
+    value and LSH banding degenerated to a single-hash index."""
+    from data_ingestors_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog and runs far away home tonight")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, "text", "doc_id").collect()[0].signature
+    assert len(set(sig)) >= 30, f"seed fan-out collapsed: {len(set(sig))} distinct of {len(sig)}"

@@ -364,3 +364,31 @@ def test_stream_neardup_matches_batch_operator(spark, tmp_path):
     # no duplicate (id_a, id_b) rows across batch partitions
     ids = [(r.id_a, r.id_b) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_compact_neardup_index_preserves_future_detection(spark, tmp_path):
+    """Compacting the band/shingle index must not change what later
+    batches detect: a near-dup arriving AFTER compaction still pairs
+    with a pre-compaction document."""
+    from data_ingestors_spark.streaming import (
+        compact_neardup_index,
+        neardup_fold_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    schema = "doc_id long, text string"
+    index, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    neardup_fold_batch(
+        spark, spark.createDataFrame([(0, base)], schema), 0, index, pairs, threshold=0.5
+    )
+    compact_neardup_index(spark, index)
+    neardup_fold_batch(
+        spark,
+        spark.createDataFrame([(1, base + " extra")], schema),
+        1,
+        index,
+        pairs,
+        threshold=0.5,
+    )
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
+    assert got == {(0, 1)}
