@@ -1,0 +1,119 @@
+"""Approximate string joins (record linkage) at scale.
+
+FastSS deletion-neighborhood blocking (Bocek et al., "Fast Similarity
+Search in Large Dictionaries", 2007): two strings within edit distance
+1 of each other necessarily share a key in their 1-deletion
+neighborhoods (the string itself plus every single-character
+deletion). Candidate generation is therefore an *equi-join* on those
+keys — per-row fan-out is O(len), candidates are bounded by key
+collisions, and no all-pairs comparison ever happens. A final exact
+``levenshtein`` verification on the candidates removes the (rare)
+distance-2 pairs that share a deletion key.
+
+Why this shape survives 100 TB: the join key space is as large as the
+string space, so buckets stay small for natural-language identifiers;
+the shuffle payload is (key_hash, id) only — names are re-attached
+after the candidate pairs are distinct-ed. A degenerate hot key (the
+empty string from 1-char inputs, or a mass-duplicated identifier)
+is the same density trap documented for the Jaccard inverted index
+(operators/dedup.py): callers with adversarial data can cap key
+document-frequency via ``max_key_df``.
+
+Reference scope note: the reference validates destination-duplicate
+mappings exactly (tracebloc_ingestor/validators, V7); fuzzy matching
+is an extension for entity resolution over 100 TB-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_keys(col: str) -> F.Column:
+    """Array of the 1-deletion neighborhood of ``col`` (the string
+    itself first, then each single-char deletion), deduplicated.
+
+    Runs entirely in whole-stage codegen: sequence + transform +
+    substring, no Python. For a string of length n this yields at most
+    n+1 distinct keys.
+    """
+    s = F.col(col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - F.lit(1)),
+            s.substr(i + F.lit(1), F.length(s)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(s), deletions))
+
+
+def fastss_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose ``col`` values are at edit
+    distance exactly 1, via FastSS 1-deletion blocking.
+
+    Returns columns (id_a, id_b, dist) with dist == 1. Identical
+    strings (distance 0) are excluded — exact duplicates belong to
+    exact_dedup, not fuzzy matching.
+
+    ``max_key_df``: optionally drop blocking keys shared by more than
+    this many rows before the self-join (density cap — such keys
+    generate df² candidates and, for natural data, only arise from
+    mass-duplicated values that exact dedup should have removed).
+    """
+    keyed = (
+        df.select(F.col(id_col).alias("_fid"), F.col(col).alias("_fval"))
+        .select("_fid", F.explode(_deletion_keys("_fval")).alias("_fkey"))
+        # shuffle ids + 64-bit key hashes, never the strings themselves
+        .select("_fid", F.xxhash64("_fkey").alias("_fkey"))
+    )
+    if max_key_df is not None:
+        hot = keyed.groupBy("_fkey").count().filter(F.col("count") > max_key_df)
+        keyed = keyed.join(F.broadcast(hot.select("_fkey")), "_fkey", "left_anti")
+
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cands = (
+        a.join(b, F.col("a._fkey") == F.col("b._fkey"))
+        .filter(F.col("a._fid") < F.col("b._fid"))
+        .select(F.col("a._fid").alias("id_a"), F.col("b._fid").alias("id_b"))
+        .distinct()
+    )
+
+    names = df.select(F.col(id_col).alias("_nid"), F.col(col).alias("_nval"))
+    verified = (
+        cands.join(names.withColumnRenamed("_nid", "id_a"), "id_a")
+        .withColumnRenamed("_nval", "_val_a")
+        .join(names.withColumnRenamed("_nid", "id_b"), "id_b")
+        .withColumnRenamed("_nval", "_val_b")
+        .withColumn("dist", F.levenshtein("_val_a", "_val_b"))
+        .filter(F.col("dist") == 1)
+    )
+    return verified.select("id_a", "id_b", "dist")
+
+
+def fuzzy_match_stats(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """Per-row fuzzy-match summary: for every row with at least one
+    edit-distance-1 neighbor, the neighbor count and the smallest
+    neighboring id. Output: (id, n_matches, min_match_id)."""
+    pairs = fastss_pairs(df, col, id_col, max_key_df=max_key_df)
+    both = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("match_id")
+    ).unionAll(pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("match_id")))
+    return both.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("match_id").alias("min_match_id"),
+    )

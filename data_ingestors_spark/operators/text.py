@@ -351,3 +351,56 @@ def bm25_score(
         .groupBy("doc_id")
         .agg(F.sum(score.cast("decimal(30,10)")).alias("bm25_dec"))
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span: int = 30,
+) -> DataFrame:
+    """Exact duplicated-substring detection: per document, the fraction
+    of its length-``span`` character windows (stride 1) that occur more
+    than once anywhere in the corpus — the substring-dedup primitive of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), as a DataFrame program instead of a suffix
+    array.
+
+    Plan shape: one zero-shuffle projection explodes each doc into its
+    windows (sequence → transform → posexplode, all codegen), one
+    groupBy counts global occurrences per window string, one join back
+    tags each window, one groupBy(doc) folds the flags. Window *counts*
+    shuffle, never documents; at 100 TB the window column can be
+    replaced by ``xxhash64(window)`` to shuffle 8-byte keys (collision
+    odds ~n²/2⁶⁴) — kept as the raw string here so the DuckDB oracle is
+    bit-exact.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac). Documents
+    shorter than ``span`` have no windows and are absent.
+    """
+    s = F.col(text_col)
+    n_wins = F.greatest(F.length(s) - F.lit(span - 1), F.lit(0))
+    windows = F.when(n_wins > 0, F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.substring(s, i, F.lit(span)),
+    )).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    spans = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(windows).alias("w")
+    )
+    freq = spans.groupBy("w").agg(F.count("*").alias("n_occ"))
+    return (
+        spans.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            fround(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )

@@ -636,3 +636,67 @@ GROUP BY doc_id
 
 QUERIES["unigram_logprob"] = q_unigram_logprob
 ORACLES["unigram_logprob"] = O_UNIGRAM_LOGPROB
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring windows per document (Lee et al.,
+    ACL 2022 substring-dedup primitive; operators/text.py
+    dup_span_stats). One explode + one window-count groupBy + one
+    fold-back groupBy; window counts shuffle, documents never do."""
+    from data_ingestors_spark.operators.text import dup_span_stats
+
+    t = tables(spark, sf_dir, "documents")
+    return dup_span_stats(_spread(t["documents"]), "text", "doc_id", span=30)
+
+
+O_DUP_SPAN_STATS = f"""
+WITH spans AS (
+  SELECT doc_id, substr(text, i, 30) AS w
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+), freq AS (
+  SELECT w, count(*) AS n_occ FROM spans GROUP BY w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       {o_fround("sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)", 6)} AS dup_frac
+FROM spans JOIN freq USING (w)
+GROUP BY doc_id
+"""
+
+QUERIES["dup_span_stats"] = q_dup_span_stats
+ORACLES["dup_span_stats"] = O_DUP_SPAN_STATS
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: per customer name, the
+    count of other names at edit distance exactly 1 (operators/
+    fuzzy.py FastSS deletion-neighborhood blocking — candidates come
+    from an equi-join on 1-deletion keys, never an all-pairs compare;
+    the DuckDB oracle IS the all-pairs compare, so a hash match proves
+    the blocking is lossless on this corpus)."""
+    from data_ingestors_spark.operators.fuzzy import fuzzy_match_stats
+
+    t = tables(spark, sf_dir, "customer")
+    return fuzzy_match_stats(_spread(t["customer"]), "c_name", "c_custkey")
+
+
+O_FUZZY_MATCH = """
+WITH pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) = 1
+), sides AS (
+  SELECT id_a AS id, id_b AS match_id FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS match_id FROM pairs
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_matches, min(match_id) AS min_match_id
+FROM sides GROUP BY id
+"""
+
+QUERIES["fuzzy_match"] = q_fuzzy_match
+ORACLES["fuzzy_match"] = O_FUZZY_MATCH

@@ -1072,3 +1072,98 @@ def test_minhash_signature_seeds_are_independent(spark):
     )
     sig = minhash_signatures(df, "text", "doc_id").collect()[0].signature
     assert len(set(sig)) >= 30, f"seed fan-out collapsed: {len(set(sig))} distinct of {len(sig)}"
+
+
+# --- FastSS fuzzy join ------------------------------------------------
+
+
+def _brute_dist1_pairs(spark, rows):
+    """Ground truth: all-pairs levenshtein == 1 via a cross join."""
+    df = spark.createDataFrame(rows, ["id", "s"])
+    a = df.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = df.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("sa", "sb") == 1)
+        .collect()
+    }
+
+
+def test_fastss_pairs_equal_bruteforce(spark):
+    """Deletion-neighborhood blocking is complete for edit distance 1:
+    substitutions, insertions, deletions all found; distance-2 pairs
+    that share a deletion key are rejected by the verify step; exact
+    duplicates (distance 0) are excluded."""
+    from data_ingestors_spark.operators.fuzzy import fastss_pairs
+
+    rows = [
+        (1, "matrix"),
+        (2, "motrix"),   # substitution of 1
+        (3, "matrixx"),  # insertion into 1
+        (4, "atrix"),    # deletion from 1 (also distance 2 from 2)
+        (5, "mxtrxx"),   # distance 2 from 1 — shares no single edit
+        (6, "ab"),
+        (7, "ba"),       # transposition = distance 2 in Levenshtein
+        (8, "b"),        # distance 1 from both 6 and 7
+        (9, "matrix"),   # exact duplicate of 1 — must NOT pair
+        (10, "zzzzz"),   # isolated
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in fastss_pairs(df, "s", "id").collect()
+    }
+    want = _brute_dist1_pairs(spark, rows)
+    # duplicate strings are distance 0, not 1 — both sides must agree
+    assert (1, 9) not in want
+    assert got == want and want, want
+
+
+def test_fastss_hot_key_cap(spark):
+    """max_key_df drops blocking keys shared by too many rows; with a
+    cap of 1 every shared key dies and no pairs survive."""
+    from data_ingestors_spark.operators.fuzzy import fastss_pairs
+
+    rows = [(i, f"item{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    uncapped = fastss_pairs(df, "s", "id").count()
+    capped = fastss_pairs(df, "s", "id", max_key_df=1).count()
+    assert uncapped > 0
+    assert capped == 0
+
+
+def test_fuzzy_match_stats_counts(spark):
+    from data_ingestors_spark.operators.fuzzy import fuzzy_match_stats
+
+    rows = [(1, "cat"), (2, "cap"), (3, "cut"), (4, "dog")]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = {r.id: (r.n_matches, r.min_match_id)
+           for r in fuzzy_match_stats(df, "s", "id").collect()}
+    # cat~cap, cat~cut; cap~cut is distance 2; dog isolated
+    assert out == {1: (2, 2), 2: (1, 1), 3: (1, 1)}
+
+
+# --- duplicated-substring windows ------------------------------------
+
+
+def test_dup_span_stats_windows(spark):
+    from data_ingestors_spark.operators.text import dup_span_stats
+
+    rows = [
+        (1, "abcdefgh"),   # all 4 windows duplicated (copy in doc 2)
+        (2, "abcdefgh"),
+        (3, "qrstuvwxyz"),  # unique: 6 windows, 0 dup
+        (4, "abc"),         # shorter than span — absent
+        (5, "aaaaaaa"),     # intra-doc repeats: 3 windows of "aaaaa"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+           for r in dup_span_stats(df, "text", "doc_id", span=5).collect()}
+    assert 4 not in out
+    assert out[1] == (4, 4, 1.0)
+    assert out[2] == (4, 4, 1.0)
+    assert out[3] == (6, 0, 0.0)
+    # "aaaaaaa" -> windows at 3 offsets, all the same string: global
+    # occurrence count 3 > 1, so every window is a duplicate
+    assert out[5] == (3, 3, 1.0)
