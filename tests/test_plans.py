@@ -409,3 +409,42 @@ def test_cbo_table_statistics_feed_the_optimizer(spark, tmp_path):
         for k, v in prev.items():
             spark.conf.set(k, v)
         spark.sql("DROP DATABASE IF EXISTS cbo CASCADE")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: when a selective non-broadcast
+    join's build side is small, the optimizer injects a bloom filter
+    (bloom_filter_might_contain) on the probe side so fact rows that
+    cannot match die at the scan instead of riding the shuffle — the
+    10 TB-fact-vs-selective-dim shape. Thresholds are lowered so the
+    rule fires at test scale; at real scale the defaults (10 MB build /
+    10 GB probe) gate it the same way."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        from data_ingestors_spark.queries.base import tables
+
+        t = tables(spark, SF_DIR, "lineitem", "orders")
+        sel = t["orders"].filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+        joined = t["lineitem"].join(sel, t["lineitem"].l_orderkey == sel.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
