@@ -60,6 +60,10 @@ HEADLINE = [
     "unigram_logprob",
     "semantic_dedup",
     "embedding_neardup",
+    # late-r5 additions: new corpus ops join the headline on arrival
+    "dup_span_stats",
+    "fuzzy_match",
+    "winsorized_stats",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

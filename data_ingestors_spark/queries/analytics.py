@@ -937,3 +937,54 @@ ORACLES = {
     "rolling_anomaly": O_ROLLING_ANOMALY,
     "time_weighted_avg": O_TIME_WEIGHTED_AVG,
 }
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust corpus statistics: per source, the document
+    length distribution winsorized at [p05, p95] — exact interpolated
+    percentiles (one groupBy), then every doc's length clamped to the
+    band and averaged decimal-exact. The robust mean a corpus-quality
+    dashboard reports instead of the raw mean a few megadocs skew.
+
+    Scale: percentile pass is one shuffle on source; the stats frame is
+    |sources| rows and broadcasts back onto the fact scan, so the
+    second pass is shuffle-free until its own groupBy — two narrow aggs
+    total, no sort, no window over the corpus."""
+    t = tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    stats = d.groupBy("source").agg(
+        F.percentile("n_chars", 0.05).alias("_p05"),
+        F.percentile("n_chars", 0.95).alias("_p95"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    clamped = d.join(F.broadcast(stats), "source").withColumn(
+        "_clamped",
+        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("_p05")), F.col("_p95")),
+    )
+    return clamped.groupBy("source").agg(
+        F.min("_n").alias("n_docs"),
+        fround(F.min("_p05"), 4).alias("p05"),
+        fround(F.min("_p95"), 4).alias("p95"),
+        davg(F.col("_clamped"), 4).alias("win_mean"),
+    )
+
+
+O_WINSORIZED_STATS = f"""
+WITH stats AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS _p05,
+         quantile_cont(n_chars, 0.95) AS _p95,
+         CAST(count(*) AS BIGINT) AS _n
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       min(_n) AS n_docs,
+       {o_fround("min(_p05)", 4)} AS p05,
+       {o_fround("min(_p95)", 4)} AS p95,
+       {o_davg("least(greatest(CAST(n_chars AS DOUBLE), _p05), _p95)", 4)} AS win_mean
+FROM documents d JOIN stats USING (source)
+GROUP BY d.source
+"""
+
+QUERIES["winsorized_stats"] = q_winsorized_stats
+ORACLES["winsorized_stats"] = O_WINSORIZED_STATS
