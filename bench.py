@@ -64,6 +64,8 @@ HEADLINE = [
     "dup_span_stats",
     "fuzzy_match",
     "winsorized_stats",
+    "copurchase_pairs",
+    "source_entropy",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -988,3 +988,147 @@ GROUP BY d.source
 
 QUERIES["winsorized_stats"] = q_winsorized_stats
 ORACLES["winsorized_stats"] = O_WINSORIZED_STATS
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: the 20 part pairs most
+    often ordered together, with support and lift. Per-order distinct
+    items self-join on the order key — fan-out is O(k²) in basket size
+    (k ≈ 4-7 here), never corpus-quadratic — then one groupBy counts
+    pair support. Lift joins the tiny per-part support frame
+    (broadcast) onto the already-limited top-k only.
+
+    Ranked by (support desc, part_a, part_b) — the unique tiebreaker
+    chain makes the selected set deterministic across engines."""
+    t = tables(spark, sf_dir, "lineitem")
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    top = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(20)
+    )
+    support = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_part"))
+    # corpus total as a 1-row broadcast scalar frame, not a driver action
+    total = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        top.join(
+            F.broadcast(support.withColumnRenamed("l_partkey", "part_a")), "part_a"
+        )
+        .withColumnRenamed("n_part", "n_a")
+        .join(F.broadcast(support.withColumnRenamed("l_partkey", "part_b")), "part_b")
+        .withColumnRenamed("n_part", "n_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            fround(
+                F.col("n_both")
+                * F.col("n_orders").cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+O_COPURCHASE_PAIRS = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), top AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY n_both DESC, part_a, part_b
+  LIMIT 20
+), support AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1
+), total AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+)
+SELECT part_a, part_b, n_both,
+       {o_fround("n_both * CAST(n_orders AS DOUBLE) / (sa.n_part * sb.n_part)", 6)} AS lift
+FROM top
+JOIN support sa ON sa.l_partkey = part_a
+JOIN support sb ON sb.l_partkey = part_b
+CROSS JOIN total
+"""
+
+QUERIES["copurchase_pairs"] = q_copurchase_pairs
+ORACLES["copurchase_pairs"] = O_COPURCHASE_PAIRS
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's word distribution — the
+    corpus-diversity signal that separates a template farm (low
+    entropy) from organic text. Two shuffles: word counts per
+    (source, word), then a decimal-exact fold of -p·log2(p) per
+    source. Nothing is collected; the per-source vocabulary rides the
+    same agg."""
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    term = -p * F.log2(p)
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_vocab"),
+            F.max("t").cast("long").alias("n_tokens"),
+            fround(F.sum(term.cast("decimal(30,10)")).cast("double"), 6).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+O_SOURCE_ENTROPY = f"""
+WITH words AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), words_f AS (
+  SELECT source, w FROM words WHERE w <> ''
+), counts AS (
+  SELECT source, w, count(*) AS c FROM words_f GROUP BY 1, 2
+), totals AS (
+  SELECT source, sum(c) AS t FROM counts GROUP BY 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(max(t) AS BIGINT) AS n_tokens,
+       {o_fround("CAST(sum(CAST(-(c / CAST(t AS DOUBLE)) * log2(c / CAST(t AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS entropy_bits
+FROM counts JOIN totals USING (source)
+GROUP BY source
+"""
+
+QUERIES["source_entropy"] = q_source_entropy
+ORACLES["source_entropy"] = O_SOURCE_ENTROPY

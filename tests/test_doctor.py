@@ -81,6 +81,7 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     # (source / doc_id) window are UNRELATED plan nodes
     "temperature_mix": ("D1", "D2"),
     "tfidf_topk": ("D1", "D2"),     # 1-row corpus-count scalar cross join
+    "copurchase_pairs": ("D1",),    # 1-row n_orders scalar cross join onto top-20
 }
 
 
