@@ -117,3 +117,41 @@ def fuzzy_match_stats(
         F.count("*").cast("long").alias("n_matches"),
         F.min("match_id").alias("min_match_id"),
     )
+
+
+def fastss_match(
+    df: DataFrame,
+    reference: DataFrame,
+    col: str,
+    id_col: str,
+    ref_col: str,
+    ref_id_col: str,
+) -> DataFrame:
+    """Match every row of ``df`` against a reference dictionary at
+    edit distance <= 1 (0 = exact hit), via the same 1-deletion
+    blocking as :func:`fastss_pairs` — an equi-join of the two sides'
+    deletion-key sets, then exact levenshtein verification.
+
+    Output: (id, ref_id, dist). The reference's keyed form is a pure
+    projection, so callers joining many batches against one reference
+    should persist ``reference`` once; the key join broadcasts the
+    smaller side automatically (AQE)."""
+    probe = (
+        df.select(F.col(id_col).alias("id"), F.col(col).alias("_pval"))
+        .select("id", "_pval", F.explode(_deletion_keys("_pval")).alias("_k"))
+        .withColumn("_k", F.xxhash64("_k"))
+    )
+    ref = (
+        reference.select(
+            F.col(ref_id_col).alias("ref_id"), F.col(ref_col).alias("_rval")
+        )
+        .select("ref_id", "_rval", F.explode(_deletion_keys("_rval")).alias("_k"))
+        .withColumn("_k", F.xxhash64("_k"))
+    )
+    return (
+        probe.join(ref, "_k")
+        .withColumn("dist", F.levenshtein("_pval", "_rval"))
+        .filter(F.col("dist") <= 1)
+        .select("id", "ref_id", "dist")
+        .distinct()
+    )

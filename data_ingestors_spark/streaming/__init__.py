@@ -15,3 +15,7 @@ from data_ingestors_spark.streaming.neardup import (  # noqa: F401
     neardup_fold_batch,
     stream_neardup,
 )
+from data_ingestors_spark.streaming.fuzzy import (  # noqa: F401
+    fuzzy_match_fold_batch,
+    stream_fuzzy_match,
+)

@@ -392,3 +392,61 @@ def test_compact_neardup_index_preserves_future_detection(spark, tmp_path):
     )
     got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
     assert got == {(0, 1)}
+
+
+def test_stream_fuzzy_match_matches_batch_operator(spark, tmp_path):
+    """Streaming FastSS: records arriving across two micro-batch waves
+    match the static reference exactly as the batch operator does, and
+    the batch-partitioned sink holds no duplicate matches."""
+    from data_ingestors_spark.operators.fuzzy import fastss_match
+    from data_ingestors_spark.streaming import stream_fuzzy_match
+
+    reference = spark.createDataFrame(
+        [(100, "alpha"), (101, "bravo"), (102, "charlie")],
+        "ref_id long, name string",
+    )
+    records = [
+        (1, "alpha"),    # exact hit (dist 0)
+        (2, "alpya"),    # substitution -> alpha
+        (3, "bravoo"),   # insertion -> bravo
+        (4, "charli"),   # deletion -> charlie
+        (5, "delta"),    # no match
+    ]
+    schema = "rec_id long, name string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(records[:2], schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: stream_fuzzy_match(
+        spark.readStream.schema(schema).parquet(src),
+        reference,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        col="name",
+        id_col="rec_id",
+        ref_col="name",
+        ref_id_col="ref_id",
+        available_now=True,
+    )
+    q = run()
+    q.awaitTermination(120)
+    spark.createDataFrame(records[2:], schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id, r.ref_id, r.dist)
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+    expect = {
+        (r.id, r.ref_id, r.dist)
+        for r in fastss_match(
+            spark.createDataFrame(records, schema),
+            reference, "name", "rec_id", "name", "ref_id",
+        ).collect()
+    }
+    assert got == expect and expect, (got, expect)
+    assert (1, 100, 0) in got and (2, 100, 1) in got
+    assert (3, 101, 1) in got and (4, 102, 1) in got
+    assert not any(rid == 5 for rid, _, _ in got)
+    rows = [(r.id, r.ref_id) for r in spark.read.parquet(str(tmp_path / "matches")).collect()]
+    assert len(rows) == len(set(rows))
