@@ -66,6 +66,7 @@ HEADLINE = [
     "winsorized_stats",
     "copurchase_pairs",
     "source_entropy",
+    "bigram_logprob",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

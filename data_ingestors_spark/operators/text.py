@@ -389,18 +389,87 @@ def dup_span_stats(
     spans = df.select(
         F.col(id_col).alias("doc_id"), F.explode(windows).alias("w")
     )
-    freq = spans.groupBy("w").agg(F.count("*").alias("n_occ"))
+    # Pre-aggregate to (window, doc) counts so the raw span stream is
+    # shuffled ONCE (with map-side combine); the global occurrence
+    # count then rides a window over the reduced frame instead of a
+    # second full-width shuffle + join back.
+    from pyspark.sql import Window
+
+    per = spans.groupBy("w", "doc_id").agg(F.count("*").alias("c"))
+    tagged = per.withColumn("n_occ", F.sum("c").over(Window.partitionBy("w")))
     return (
-        spans.join(freq, "w")
-        .groupBy("doc_id")
+        tagged.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_dup_windows"),
         )
         .withColumn(
             "dup_frac",
             fround(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model score per document: mean over the doc's
+    adjacent word pairs of −log₂ p(wᵢ | wᵢ₋₁), with add-``smoothing``
+    Laplace smoothing — p = (c(prev,w)+s) / (c(prev)+s·V). The
+    standard n-gram step up from :func:`unigram_logprob`: repeated
+    unlikely transitions (template spam, shuffled text) score high
+    bits even when every individual word is common.
+
+    Scale shape mirrors the unigram op: bigram extraction is a
+    zero-shuffle row-local array expression; the model is two groupBys
+    (pair counts, context counts) plus a 1-row vocab scalar; scoring
+    joins the model back by pair — AQE broadcasts the model when it
+    fits. Docs with fewer than 2 words have no bigrams and are absent.
+
+    Returns (doc_id, n_bigrams, bits_per_bigram).
+    """
+    ws0 = F.split(normalize_text(F.col(text_col)), " ")
+    ws = F.filter(ws0, lambda w: w != "")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("prev"),
+                F.element_at(ws, i + F.lit(1)).alias("w"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<prev:string,w:string>>)"))
+    base = df.select(F.col(id_col).alias("doc_id"), F.inline(pairs))
+
+    bg = base.groupBy("prev", "w").agg(F.count("*").alias("c_bg"))
+    ctx = base.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    vocab = base.agg(F.countDistinct("w").alias("v"))
+    model = (
+        bg.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "w",
+            (
+                -F.log2(
+                    (F.col("c_bg") + F.lit(smoothing))
+                    / (F.col("c_ctx") + F.lit(smoothing) * F.col("v"))
+                )
+            ).alias("bits"),
+        )
+    )
+    return (
+        base.join(model, ["prev", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg("bits").alias("bits_per_bigram"),
         )
     )

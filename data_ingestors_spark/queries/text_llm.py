@@ -700,3 +700,49 @@ FROM sides GROUP BY id
 
 QUERIES["fuzzy_match"] = q_fuzzy_match
 ORACLES["fuzzy_match"] = O_FUZZY_MATCH
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency (bits per adjacent word pair, Laplace
+    smoothed) — the n-gram step up from unigram_logprob; template spam
+    with common words but unlikely transitions scores high
+    (operators/text.py bigram_logprob)."""
+    from data_ingestors_spark.operators.text import bigram_logprob
+
+    t = tables(spark, sf_dir, "documents")
+    out = bigram_logprob(t["documents"], "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        fround(F.col("bits_per_bigram"), 4).alias("bits_per_bigram"),
+    )
+
+
+O_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
+), bg AS (
+  SELECT prev, w, count(*) AS c_bg FROM base GROUP BY 1, 2
+), ctx AS (
+  SELECT prev, count(*) AS c_ctx FROM base GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v FROM base
+), model AS (
+  SELECT prev, w, -log2((c_bg + 0.5) / (c_ctx + 0.5 * v)) AS bits
+  FROM bg JOIN ctx USING (prev) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {o_fround("avg(bits)", 4)} AS bits_per_bigram
+FROM base JOIN model USING (prev, w)
+GROUP BY doc_id
+"""
+
+QUERIES["bigram_logprob"] = q_bigram_logprob
+ORACLES["bigram_logprob"] = O_BIGRAM_LOGPROB

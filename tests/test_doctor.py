@@ -72,6 +72,7 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "range_join": ("D1",),          # BNLJ against a broadcast-sized dim
     "embedding_topk": ("D1",),      # broadcast fixed query set
     "unigram_logprob": ("D1",),     # 1-row (n_tokens, n_vocab) scalar cross join
+    "bigram_logprob": ("D1",),      # 1-row vocab-size scalar cross join
     "important_parts": ("D1",),     # 1-row global-total scalar subquery (Q11 HAVING)
     "top_supplier": ("D1",),        # 1-row max-revenue scalar subquery (Q15)
     "global_sales_opportunity": ("D1",),  # 1-row avg-acctbal scalar subquery (Q22)
