@@ -434,18 +434,27 @@ def bigram_logprob(
 
     Returns (doc_id, n_bigrams, bits_per_bigram).
     """
+    from data_ingestors_spark.operators.dedup import let_bound
+
     ws0 = F.split(normalize_text(F.col(text_col)), " ")
-    ws = F.filter(ws0, lambda w: w != "")
-    pairs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(
-                F.element_at(ws, i).alias("prev"),
-                F.element_at(ws, i + F.lit(1)).alias("w"),
+
+    # let-bind the filtered word array: referencing it directly inside
+    # the transform lambda re-evaluates normalize+split+filter per
+    # bigram position (O(words^2) per row — Catalyst does no
+    # subexpression elimination in interpreted lambdas)
+    def build(ws):
+        return F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("prev"),
+                    F.element_at(ws, i + F.lit(1)).alias("w"),
+                ),
             ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<struct<prev:string,w:string>>)"))
+        ).otherwise(F.expr("CAST(array() AS array<struct<prev:string,w:string>>)"))
+
+    pairs = let_bound(F.filter(ws0, lambda w: w != ""), build)
     base = df.select(F.col(id_col).alias("doc_id"), F.inline(pairs))
 
     bg = base.groupBy("prev", "w").agg(F.count("*").alias("c_bg"))
