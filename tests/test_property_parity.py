@@ -334,3 +334,44 @@ def test_interval_overlap_join_matches_bruteforce(spark, seed, n, bin_size):
         for r in interval_overlap_join(ldf, rdf, bin_size=bin_size).collect()
     )
     assert got == expect
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_fastss_complete_on_random_strings(spark, strings):
+    """FastSS 1-deletion blocking finds EXACTLY the edit-distance-1
+    pairs a brute-force scan finds, over random strings from a tiny
+    alphabet (maximal deletion-key collisions — the adversarial case
+    for both false positives, killed by the verify step, and false
+    negatives, impossible per the FastSS theorem)."""
+    from data_ingestors_spark.operators.fuzzy import fastss_pairs
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {(r.id_a, r.id_b) for r in fastss_pairs(df, "s", "id").collect()}
+    want = {
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and _py_lev(a, b) == 1
+    }
+    assert got == want, (sorted(got ^ want), strings)
