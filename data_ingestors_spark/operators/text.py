@@ -367,14 +367,21 @@ def dup_span_stats(
     Better" (ACL 2022), as a DataFrame program instead of a suffix
     array.
 
-    Plan shape: one zero-shuffle projection explodes each doc into its
-    windows (sequence → transform → posexplode, all codegen), one
-    groupBy counts global occurrences per window string, one join back
-    tags each window, one groupBy(doc) folds the flags. Window *counts*
-    shuffle, never documents; at 100 TB the window column can be
-    replaced by ``xxhash64(window)`` to shuffle 8-byte keys (collision
-    odds ~n²/2⁶⁴) — kept as the raw string here so the DuckDB oracle is
-    bit-exact.
+    Plan shape — every shuffle is a combiner-friendly groupBy; there is
+    no window function and no join keyed on the window string. One
+    zero-shuffle projection explodes each doc into its windows
+    (sequence → transform → explode, all codegen); groupBy(w, doc_id)
+    reduces the raw span stream once with map-side combine;
+    groupBy(w) folds those to global counts — a corpus-hot span (a
+    license header, a whitespace run) shared by d documents collapses
+    map-side to at most one partial row per task, so no reducer ever
+    sees d rows for one key. The fold back to documents needs no join
+    on "w": a globally-UNIQUE window (n_occ == 1) lives in exactly one
+    document, so its owner is recoverable as max(doc_id), and
+    n_dup_windows(doc) = n_windows(doc) − n_unique(doc). At 100 TB the
+    window column can be replaced by ``xxhash64(window)`` to shuffle
+    8-byte keys (collision odds ~n²/2⁶⁴) — kept as the raw string here
+    so the DuckDB oracle is bit-exact.
 
     Output: (doc_id, n_windows, n_dup_windows, dup_frac). Documents
     shorter than ``span`` have no windows and are absent.
@@ -389,19 +396,24 @@ def dup_span_stats(
     spans = df.select(
         F.col(id_col).alias("doc_id"), F.explode(windows).alias("w")
     )
-    # Pre-aggregate to (window, doc) counts so the raw span stream is
-    # shuffled ONCE (with map-side combine); the global occurrence
-    # count then rides a window over the reduced frame instead of a
-    # second full-width shuffle + join back.
-    from pyspark.sql import Window
-
     per = spans.groupBy("w", "doc_id").agg(F.count("*").alias("c"))
-    tagged = per.withColumn("n_occ", F.sum("c").over(Window.partitionBy("w")))
+    # Unique-window attribution: n_occ == 1 implies exactly one
+    # (doc, c=1) row for that window, so max(doc_id) IS the owning
+    # document — no join back on "w", hence no skew on hot spans.
+    uniq = (
+        per.groupBy("w")
+        .agg(F.sum("c").alias("n_occ"), F.max("doc_id").alias("doc_id"))
+        .filter(F.col("n_occ") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_uniq"))
+    )
+    totals = per.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n_windows"))
     return (
-        tagged.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("n_occ") > 1, F.col("c")).otherwise(0))
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            (F.col("n_windows") - F.coalesce(F.col("n_uniq"), F.lit(0)))
             .cast("long")
             .alias("n_dup_windows"),
         )

@@ -999,7 +999,12 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast) onto the already-limited top-k only.
 
     Ranked by (support desc, part_a, part_b) — the unique tiebreaker
-    chain makes the selected set deterministic across engines."""
+    chain makes the selected set deterministic across engines.
+
+    Broadcast side: ``top`` is the 20-row frame, so IT is the broadcast
+    side of the lift joins and the O(|parts|) ``support`` frame streams
+    — at 100 TB ``support`` has one row per distinct part (hundreds of
+    millions) and broadcasting it would OOM the driver."""
     t = tables(spark, sf_dir, "lineitem")
     items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
     a = items.alias("a")
@@ -1021,12 +1026,14 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     support = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_part"))
     # corpus total as a 1-row broadcast scalar frame, not a driver action
     total = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    return (
-        top.join(
-            F.broadcast(support.withColumnRenamed("l_partkey", "part_a")), "part_a"
-        )
+    with_a = (
+        support.withColumnRenamed("l_partkey", "part_a")
+        .join(F.broadcast(top), "part_a")
         .withColumnRenamed("n_part", "n_a")
-        .join(F.broadcast(support.withColumnRenamed("l_partkey", "part_b")), "part_b")
+    )
+    return (
+        support.withColumnRenamed("l_partkey", "part_b")
+        .join(F.broadcast(with_a), "part_b")
         .withColumnRenamed("n_part", "n_b")
         .crossJoin(F.broadcast(total))
         .select(

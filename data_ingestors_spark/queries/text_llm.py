@@ -641,8 +641,10 @@ ORACLES["unigram_logprob"] = O_UNIGRAM_LOGPROB
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring windows per document (Lee et al.,
     ACL 2022 substring-dedup primitive; operators/text.py
-    dup_span_stats). One explode + one window-count groupBy + one
-    fold-back groupBy; window counts shuffle, documents never do."""
+    dup_span_stats). All shuffles are combiner-friendly groupBys —
+    unique-window attribution via max(doc_id) replaces any join or
+    window keyed on the span string, so a corpus-hot span cannot skew
+    a reducer."""
     from data_ingestors_spark.operators.text import dup_span_stats
 
     t = tables(spark, sf_dir, "documents")

@@ -7,7 +7,11 @@ stream_neardup: each batch's matches land in a ``__batch=<id>``
 partition under dynamic overwrite, so a replayed batch overwrites its
 own partition with identical content instead of duplicating matches.
 Read the cumulative matches with
-``spark.read.parquet(matches_path).drop("__batch")``.
+``spark.read.parquet(matches_path).drop("__batch")``. The sink
+directory is only created once some batch produces at least one match
+(an all-empty prefix of batches writes nothing — an empty partitioned
+parquet dir would break readers' schema inference), so readers should
+treat a missing path as "no matches yet".
 """
 
 from __future__ import annotations
@@ -39,11 +43,21 @@ def fuzzy_match_fold_batch(
         batch, reference, col, id_col, ref_col, ref_id_col
     ).withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
 
+    exists = path_exists(spark, matches_path)
+    # First creation with zero matches would leave an empty partitioned
+    # directory that spark.read.parquet() cannot infer a schema from —
+    # skip the write until some batch produces rows (idempotent: a
+    # replay of this batch also produces zero rows). Once the sink
+    # exists, empty batches write nothing under dynamic overwrite
+    # anyway, so only the creation path needs the guard.
+    if not exists and matched.isEmpty():
+        return
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         matched.write.mode(
-            "overwrite" if path_exists(spark, matches_path) else "errorifexists"
+            "overwrite" if exists else "errorifexists"
         ).partitionBy(BATCH_PART_COL).parquet(matches_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

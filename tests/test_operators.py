@@ -1167,3 +1167,34 @@ def test_dup_span_stats_windows(spark):
     # "aaaaaaa" -> windows at 3 offsets, all the same string: global
     # occurrence count 3 > 1, so every window is a duplicate
     assert out[5] == (3, 3, 1.0)
+
+
+def test_dup_span_stats_hot_span(spark):
+    """Pathological corpus: ONE boilerplate span shared by every
+    document (license-header shape). Correctness must hold, and the
+    plan must contain no window function and no join keyed on the span
+    string — all reductions over "w" are partial-aggregated groupBys,
+    so the hot key collapses map-side instead of landing d rows on one
+    reducer."""
+    from data_ingestors_spark.operators.text import dup_span_stats
+
+    boiler = "SPDX-License-Identifier: MIT"  # shared prefix, len > span
+    rows = [(i, boiler + f" unique tail {i:06d}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = dup_span_stats(df, "text", "doc_id", span=5)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only join is the per-doc fold (totals ⋈ uniq on doc_id)
+    assert plan.lower().count("join") <= 2, plan
+
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows) for r in out.collect()}
+    assert len(got) == 500
+    # every doc: the boilerplate's span-5 windows are corpus-global
+    # duplicates; doc 499's "00499" digit window is globally unique.
+    n_win, n_dup = got[499]
+    assert n_win == len(rows[499][1]) - 4
+    assert 0 < n_dup < n_win
+    # all docs have identical text length and boilerplate, so counts
+    # are uniform except the digits region
+    assert all(v[0] == n_win for v in got.values())
