@@ -16,8 +16,9 @@ the shuffle payload is (key_hash, id) only — names are re-attached
 after the candidate pairs are distinct-ed. A degenerate hot key (the
 empty string from 1-char inputs, or a mass-duplicated identifier)
 is the same density trap documented for the Jaccard inverted index
-(operators/dedup.py): callers with adversarial data can cap key
-document-frequency via ``max_key_df``.
+(operators/dedup.py): a per-key document-frequency cap
+(:data:`DEFAULT_MAX_KEY_DF`, on by default) drops such keys before
+the join; ``max_key_df=None`` restores exact FastSS.
 
 Reference scope note: the reference validates destination-duplicate
 mappings exactly (tracebloc_ingestor/validators, V7); fuzzy matching
@@ -28,6 +29,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Default document-frequency cap on blocking keys. A key shared by df
+#: rows generates df² candidate pairs, so an uncapped degenerate key —
+#: the empty string from 1-char values, or a value duplicated millions
+#: of times — turns the equi-join quadratic. Natural-language
+#: identifiers never approach this df (every value sharing a key is
+#: within edit distance 2 of every other), so the default only fires
+#: on corpora that exact dedup should have cleaned first. Pass
+#: ``max_key_df=None`` to disable, or a smaller value to tighten.
+DEFAULT_MAX_KEY_DF = 1000
 
 
 def _deletion_keys(col: str) -> F.Column:
@@ -54,7 +65,7 @@ def fastss_pairs(
     col: str,
     id_col: str,
     *,
-    max_key_df: int | None = None,
+    max_key_df: int | None = DEFAULT_MAX_KEY_DF,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose ``col`` values are at edit
     distance exactly 1, via FastSS 1-deletion blocking.
@@ -63,10 +74,16 @@ def fastss_pairs(
     strings (distance 0) are excluded — exact duplicates belong to
     exact_dedup, not fuzzy matching.
 
-    ``max_key_df``: optionally drop blocking keys shared by more than
-    this many rows before the self-join (density cap — such keys
-    generate df² candidates and, for natural data, only arise from
-    mass-duplicated values that exact dedup should have removed).
+    ``max_key_df``: drop blocking keys shared by more than this many
+    rows before the self-join (density cap — such keys generate df²
+    candidates and, for natural data, only arise from mass-duplicated
+    values that exact dedup should have removed). Defaults to
+    :data:`DEFAULT_MAX_KEY_DF`; the cost of the guard is one
+    combiner-friendly count over (key, id) pairs plus a broadcast
+    anti-join of the (normally empty) hot-key set. Semantics under the
+    cap: distance-1 pairs are missed ONLY if every key they share is
+    hot — i.e. among values duplicated > max_key_df times. ``None``
+    disables the cap (exact FastSS).
     """
     keyed = (
         df.select(F.col(id_col).alias("_fid"), F.col(col).alias("_fval"))
@@ -104,7 +121,7 @@ def fuzzy_match_stats(
     col: str,
     id_col: str,
     *,
-    max_key_df: int | None = None,
+    max_key_df: int | None = DEFAULT_MAX_KEY_DF,
 ) -> DataFrame:
     """Per-row fuzzy-match summary: for every row with at least one
     edit-distance-1 neighbor, the neighbor count and the smallest
@@ -126,6 +143,8 @@ def fastss_match(
     id_col: str,
     ref_col: str,
     ref_id_col: str,
+    *,
+    max_key_df: int | None = DEFAULT_MAX_KEY_DF,
 ) -> DataFrame:
     """Match every row of ``df`` against a reference dictionary at
     edit distance <= 1 (0 = exact hit), via the same 1-deletion
@@ -135,7 +154,13 @@ def fastss_match(
     Output: (id, ref_id, dist). The reference's keyed form is a pure
     projection, so callers joining many batches against one reference
     should persist ``reference`` once; the key join broadcasts the
-    smaller side automatically (AQE)."""
+    smaller side automatically (AQE).
+
+    ``max_key_df`` (default :data:`DEFAULT_MAX_KEY_DF`): a key hot on
+    BOTH sides produces probe_df × ref_df candidates, so keys whose df
+    exceeds the cap on either side are dropped before the join — the
+    same density guard, and the same miss semantics, as
+    :func:`fastss_pairs`. ``None`` disables."""
     probe = (
         df.select(F.col(id_col).alias("id"), F.col(col).alias("_pval"))
         .select("id", "_pval", F.explode(_deletion_keys("_pval")).alias("_k"))
@@ -148,6 +173,18 @@ def fastss_match(
         .select("ref_id", "_rval", F.explode(_deletion_keys("_rval")).alias("_k"))
         .withColumn("_k", F.xxhash64("_k"))
     )
+    if max_key_df is not None:
+        hot = (
+            probe.groupBy("_k").count().filter(F.col("count") > max_key_df)
+            .select("_k")
+            .unionAll(
+                ref.groupBy("_k").count().filter(F.col("count") > max_key_df)
+                .select("_k")
+            )
+            .distinct()
+        )
+        probe = probe.join(F.broadcast(hot), "_k", "left_anti")
+        ref = ref.join(F.broadcast(hot), "_k", "left_anti")
     return (
         probe.join(ref, "_k")
         .withColumn("dist", F.levenshtein("_pval", "_rval"))

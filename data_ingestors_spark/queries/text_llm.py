@@ -678,7 +678,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy.py FastSS deletion-neighborhood blocking — candidates come
     from an equi-join on 1-deletion keys, never an all-pairs compare;
     the DuckDB oracle IS the all-pairs compare, so a hash match proves
-    the blocking is lossless on this corpus)."""
+    the blocking is lossless on this corpus). Runs with the default
+    hot-key density cap (DEFAULT_MAX_KEY_DF) — no c_name key comes
+    near it, so the oracle match also proves the cap is a no-op on
+    natural identifiers."""
     from data_ingestors_spark.operators.fuzzy import fuzzy_match_stats
 
     t = tables(spark, sf_dir, "customer")

@@ -1133,6 +1133,53 @@ def test_fastss_hot_key_cap(spark):
     assert capped == 0
 
 
+def test_fastss_default_cap_pathological(spark):
+    """The documented df² traps: (a) 1-char values all share the
+    empty-string deletion key, (b) a mass-duplicated value makes every
+    one of its keys hot. With the default cap both complete with the
+    hot keys dropped; the healthy tail of the corpus still matches."""
+    from data_ingestors_spark.operators.fuzzy import fastss_match, fastss_pairs
+
+    # 3000 single-char rows (all "x") + 3000 copies of one name + two
+    # normal distance-1 names. Uncapped, the empty-string key alone
+    # would be a 3000² = 9M-candidate join.
+    rows = (
+        [(i, "x") for i in range(3000)]
+        + [(10_000 + i, "massdup") for i in range(3000)]
+        + [(99_991, "alice"), (99_992, "alicia")]  # distance 2 — no pair
+        + [(99_993, "bob"), (99_994, "rob")]       # distance 1
+    )
+    df = spark.createDataFrame(rows, ["id", "s"])
+    pairs = fastss_pairs(df, "s", "id").collect()
+    # every "x"~"x" and "massdup"~"massdup" pair is distance 0 anyway;
+    # the cap drops their keys before the join rather than generating
+    # 18M candidates for levenshtein to discard
+    assert {(r.id_a, r.id_b, r.dist) for r in pairs} == {(99_993, 99_994, 1)}
+
+    ref = spark.createDataFrame(
+        [(1, "x"), (2, "massdup"), (3, "bob")], ["rid", "rs"]
+    )
+    got = {
+        (r.id, r.ref_id, r.dist)
+        for r in fastss_match(df, ref, "s", "id", "rs", "rid").collect()
+    }
+    # hot keys dropped on the probe side kill the degenerate matches;
+    # healthy rows still hit the reference (bob exact, rob distance 1)
+    assert (99_993, 3, 0) in got and (99_994, 3, 1) in got
+    assert not any(r[1] == 1 for r in got)  # "x" matches capped away
+
+
+def test_fastss_cap_noop_on_natural_data(spark):
+    """Default cap result == uncapped result when no key is hot."""
+    from data_ingestors_spark.operators.fuzzy import fastss_pairs
+
+    rows = [(i, f"customer#{i:05d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    capped = {tuple(r) for r in fastss_pairs(df, "s", "id").collect()}
+    exact = {tuple(r) for r in fastss_pairs(df, "s", "id", max_key_df=None).collect()}
+    assert capped == exact
+
+
 def test_fuzzy_match_stats_counts(spark):
     from data_ingestors_spark.operators.fuzzy import fuzzy_match_stats
 
