@@ -350,7 +350,37 @@ def test_ivf_ann_recall(spark, sf_dir):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # r6 adaptive probe depth: the flat-similarity corpus widens to
+    # 2*n_probe cells, measured 0.8 here (was 0.6 fixed-depth)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_adaptive_probe_counts_shape():
+    """The mass rule's two regimes: a dominant own-cluster centroid
+    collapses the probe depth to the n_probe floor; flat similarities
+    (the random-corpus worst case) widen it to the cap. Monotone in
+    probe_mass; always within [n_probe, n_probe_max]."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.similarity import _adaptive_probe_counts
+
+    # row 0: one cell at sim 0.9, rest at 0.0 -> concentrated
+    # row 1: all cells equal -> perfectly flat
+    sims = np.vstack([
+        np.array([0.9] + [0.0] * 15),
+        np.full(16, 0.2),
+    ])
+    order = np.argsort(-sims, axis=1)
+    c = _adaptive_probe_counts(
+        sims, order, n_probe=4, n_probe_max=8, probe_mass=0.75, probe_tau=0.2
+    )
+    assert c[0] == 4, c      # floor: top cell alone holds >= 0.75 mass
+    assert c[1] == 8, c      # cap: uniform mass needs 12 cells, clamped
+    for lo, hi in ((1, 16), (2, 10)):
+        cc = _adaptive_probe_counts(
+            sims, order, n_probe=lo, n_probe_max=hi, probe_mass=0.75, probe_tau=0.2
+        )
+        assert (cc >= lo).all() and (cc <= hi).all()
 
 
 def test_ivf_ann_recall_on_label_sorted_corpus(spark, sf_dir):
@@ -370,7 +400,7 @@ def test_ivf_ann_recall_on_label_sorted_corpus(spark, sf_dir):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.4, f"IVF recall collapsed on sorted corpus: {recall}"
+    assert recall >= 0.7, f"IVF recall collapsed on sorted corpus: {recall}"
 
 
 def test_winnowing_shared_passage_shares_fingerprint(spark):
@@ -893,10 +923,10 @@ def test_pq_ann_recall(spark, sf_dir):
 
 
 def test_ivfpq_ann_recall(spark, sf_dir):
-    """Composed IVF-PQ: recall floor is set by the IVF probe pruning
-    (n_probe/n_cells of a random corpus — the documented worst case),
-    with PQ error absorbed by the exact re-rank. Measured 0.6 at both
-    test scales; reported sims are true cosines."""
+    """Composed IVF-PQ: recall floor is set by the IVF probe pruning,
+    with PQ error absorbed by the exact re-rank. r6 adaptive probing +
+    refine=20/n_codes=64 defaults measure 0.8 at both test scales on
+    the random-corpus worst case; reported sims are true cosines."""
     from data_ingestors_spark.operators import cosine_topk_bruteforce, ivfpq_ann_topk
     from data_ingestors_spark.queries.base import tables
 
@@ -907,7 +937,7 @@ def test_ivfpq_ann_recall(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id): r.cos_sim
            for r in ivfpq_ann_topk(emb, q, k=5).collect()}
     recall = len(exact.keys() & got.keys()) / len(exact)
-    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+    assert recall >= 0.7, f"IVF-PQ recall too low: {recall}"
     for pair in exact.keys() & got.keys():
         assert got[pair] == exact[pair], (pair, got[pair], exact[pair])
 

@@ -26,9 +26,9 @@ ROWS_ONLY_EVIDENCE = {
     "minhash_neardup": "jaccard math oracle-paired via ngram_jaccard; recall in tests/test_operators.py::test_minhash_finds_neardups",
     "simhash_neardup": "hamming verify in tests/test_operators.py::test_simhash_stable_and_neardup",
     "embedding_ann": "recall vs exact asserted in tests/test_operators.py::test_lsh_ann_recall",
-    "embedding_ann_ivf": "recall vs exact asserted in tests/test_operators.py::test_ivf_ann_recall (+ sorted-corpus adversarial); documented bound 0.4 at n_probe=4/16 (random embeddings are IVF's worst case)",
+    "embedding_ann_ivf": "recall vs exact asserted in tests/test_operators.py::test_ivf_ann_recall (+ sorted-corpus adversarial); r6 adaptive probe depth (mass-based, <=2*n_probe cells) lifts the random-corpus worst case from 0.6 to >=0.8 measured",
     "embedding_ann_pq": "recall vs exact asserted in tests/test_operators.py::test_pq_ann_recall; ADC candidates exactly re-ranked, so reported sims are true cosines",
-    "embedding_ann_ivfpq": "recall vs exact asserted in tests/test_operators.py::test_ivfpq_ann_recall; bounded below by IVF probe pruning (random corpus is the worst case)",
+    "embedding_ann_ivfpq": "recall vs exact asserted in tests/test_operators.py::test_ivfpq_ann_recall; r6 adaptive probing + refine=20/n_codes=64 defaults reach the IVF probing ceiling (>=0.8 measured) on the random-corpus worst case",
 }
 
 
