@@ -73,6 +73,8 @@ HEADLINE = [
     # late-r5 additions: new corpus ops join the headline on arrival
     "dup_span_stats",
     "fuzzy_match",
+    # r6 addition: maximal duplicated spans (variable-length merge)
+    "dup_span_merge",
     "winsorized_stats",
     "copurchase_pairs",
     "source_entropy",

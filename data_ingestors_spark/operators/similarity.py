@@ -659,6 +659,161 @@ def _lsh_cosine_pairs(
     )
 
 
+def _cell_pruned_cosine_pairs(
+    base: DataFrame,
+    threshold: float,
+    *,
+    chunk_rows: int,
+    n_cells: int,
+    sample_rows: int,
+    seed: int,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Exact qualifying pairs with PROVABLE k-means cell-pair pruning
+    (the SemDeDup refinement of the chunked grid): partition the unit
+    sphere into ``n_cells`` k-means cells, measure each cell's exact
+    angular radius r_i = max angle(member, centroid_i) over the FULL
+    corpus (not the training sample — the bound must hold for every
+    member), and skip any cell pair whose best-case angle
+    θ(c_i, c_j) − r_i − r_j still exceeds arccos(threshold): by the
+    spherical triangle inequality no pair across those cells can reach
+    the threshold, so dropping them keeps the result EXACT.
+
+    Geometry decides the payoff: on clustered corpora most cell pairs
+    prune and the quadratic grid shrinks to the near-diagonal blocks;
+    on the random-vector worst case radii approach 90°, nothing
+    prunes, and the operator degenerates to the plain chunked grid
+    plus one assignment projection — never a wrong answer, only
+    bounded overhead.
+
+    Within each surviving cell pair the chunk-grid discipline is kept:
+    same-cell pairs use the triangular (ci ≤ cj) grid with the id
+    guard; cross-cell pairs use the rectangular grid (left explodes
+    all cj, right all ci, the pair meets at exactly (chunk_l,
+    chunk_r)). Per-task input stays bounded by ``chunk_rows``
+    regardless of cell sizes. The pruning margin subtracts 1e-5 from
+    the threshold so the 6-dp floor-rounding applied to reported
+    similarities can never round a pruned pair back over the line.
+    """
+    import math
+
+    Xn = _stripe_sample_normalized(base, "pid", "vec", sample_rows, corpus_size)
+    cents = _kmeans(Xn, n_cells, seed=seed)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ cents.T
+            cell = sims.argmax(axis=1)
+            theta = np.arccos(np.clip(sims[np.arange(len(V)), cell], -1.0, 1.0))
+            out = pdf[["block", "pid", "vec"]].copy()
+            out["cell"] = cell.astype(np.int32)
+            out["theta"] = theta
+            yield out
+
+    from data_ingestors_spark.operators.dedup import _materialize
+
+    a_schema = T.StructType(
+        base.schema.fields
+        + [T.StructField("cell", T.IntegerType()), T.StructField("theta", T.DoubleType())]
+    )
+    # materialized once: the radius agg, the chunk sizing agg, and both
+    # join sides all read the assignment
+    assigned = _materialize(base.mapInPandas(assign, a_schema))
+
+    # exact per-cell radius over the full corpus — n_cells rows
+    rad = {
+        int(r["cell"]): float(r["r"])
+        for r in assigned.groupBy("cell").agg(F.max("theta").alias("r")).collect()
+    }
+    theta_t = math.acos(max(-1.0, min(1.0, threshold - 1e-5)))
+    cos_cc = np.clip(cents @ cents.T, -1.0, 1.0)
+    pair_rows = []
+    pid_counter = 0
+    n_total = 0
+    for i in sorted(rad):
+        for j in sorted(rad):
+            if j < i:
+                continue
+            n_total += 1
+            gap = math.acos(cos_cc[i, j]) - rad[i] - rad[j]
+            if max(0.0, gap) <= theta_t:
+                pair_rows.append((pid_counter, i, j, i == j))
+                pid_counter += 1
+    spark = base.sparkSession
+    pairs_df = spark.createDataFrame(
+        pair_rows, "pair_id INT, cell_l INT, cell_r INT, same BOOLEAN"
+    )
+
+    # chunk count from the largest (block, cell) population so each
+    # grid cell task stays within chunk_rows on both sides; cells split
+    # blocks, so C here is ~n_cells x smaller than the plain grid's and
+    # total row replication (pair roles x C) stays invariant
+    row = (
+        assigned.groupBy("block", "cell").count().agg(F.max("count").alias("m")).collect()[0]
+    )
+    chunks = max(1, -(-int(row["m"] or 1) // chunk_rows))
+    assigned = assigned.withColumn(
+        "chunk", F.pmod(F.xxhash64(F.col("pid")), F.lit(chunks)).cast("int")
+    )
+
+    left = (
+        assigned.join(F.broadcast(pairs_df), assigned["cell"] == pairs_df["cell_l"])
+        .select(
+            "block",
+            "pair_id",
+            "same",
+            F.col("pid").alias("id_l"),
+            F.col("vec").alias("v_l"),
+            F.col("chunk").alias("ci"),
+            F.explode(
+                F.when(
+                    F.col("same"), F.sequence(F.col("chunk"), F.lit(chunks - 1))
+                ).otherwise(F.sequence(F.lit(0), F.lit(chunks - 1)))
+            ).alias("cj"),
+        )
+    )
+    right = (
+        assigned.join(F.broadcast(pairs_df), assigned["cell"] == pairs_df["cell_r"])
+        .select(
+            F.col("block").alias("block_r"),
+            F.col("pair_id").alias("pair_id_r"),
+            F.col("pid").alias("id_r"),
+            F.col("vec").alias("v_r"),
+            F.explode(
+                F.when(
+                    F.col("same"), F.sequence(F.lit(0), F.col("chunk"))
+                ).otherwise(F.sequence(F.lit(0), F.lit(chunks - 1)))
+            ).alias("ci_r"),
+            F.col("chunk").alias("cj_r"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("block") == F.col("block_r"))
+        & (F.col("pair_id") == F.col("pair_id_r"))
+        & (F.col("ci") == F.col("ci_r"))
+        & (F.col("cj") == F.col("cj_r")),
+    ).filter(
+        (~F.col("same")) | (F.col("ci") < F.col("cj")) | (F.col("id_l") < F.col("id_r"))
+    )
+    sim = _pair_cosine_udf()(F.col("v_l"), F.col("v_r"))
+    return (
+        joined.select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     *,
@@ -671,12 +826,18 @@ def blocked_cosine_pairs(
     max_block_hint: int | None = None,
     recall_eps: float = 1e-4,
     strategy: str = "auto",
+    n_cells: int = 32,
+    sample_rows: int = 2048,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``
     with ``cos_sim ≥ threshold``, optionally restricted to pairs
-    sharing ``block_col``. Two physical strategies behind one contract,
-    chosen ANALYTICALLY from the threshold (``strategy="auto"``; force
-    with "lsh" / "grid"):
+    sharing ``block_col``. Three physical strategies behind one
+    contract, chosen ANALYTICALLY from the threshold
+    (``strategy="auto"``; force with "lsh" / "grid" / "cells" — the
+    last is the SemDeDup k-means cell-pair pruning variant of the
+    exact grid, opt-in because its payoff depends on the corpus being
+    clustered, not on the threshold):
 
     **LSH candidates + exact verify** — for high thresholds, where
     sign-hyperplane sketches genuinely separate qualifying pairs from
@@ -705,9 +866,20 @@ def blocked_cosine_pairs(
         F.col(id_col).alias("pid"),
         F.col(vec_col).alias("vec"),
     )
-    if strategy not in ("auto", "lsh", "grid"):
+    if strategy not in ("auto", "lsh", "grid", "cells"):
         raise ValueError(
-            f"blocked_cosine_pairs: unknown strategy {strategy!r} (use 'auto', 'lsh', or 'grid')"
+            f"blocked_cosine_pairs: unknown strategy {strategy!r} "
+            "(use 'auto', 'lsh', 'grid', or 'cells')"
+        )
+    if strategy == "cells":
+        # SemDeDup cell pruning: exact like the grid, but provably-
+        # below-threshold k-means cell PAIRS are skipped entirely —
+        # see _cell_pruned_cosine_pairs. Opt-in because the payoff is
+        # geometric (clustered corpora prune, random ones don't).
+        return _cell_pruned_cosine_pairs(
+            base, threshold,
+            chunk_rows=chunk_rows, n_cells=n_cells,
+            sample_rows=sample_rows, seed=seed,
         )
     params = _lsh_pair_params(threshold, recall_eps=recall_eps)
     if strategy == "lsh" or (strategy == "auto" and params is not None):

@@ -424,6 +424,90 @@ def dup_span_stats(
     )
 
 
+def dup_span_merge(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span: int = 30,
+) -> DataFrame:
+    """MAXIMAL duplicated spans per document: merge the fixed-length
+    duplicated windows of :func:`dup_span_stats` into variable-length
+    regions — the two-pass approximation of the maximal-duplicated-
+    substring primitive (Lee et al., ACL 2022: a suffix array yields
+    maximal spans directly; here fixed-span seeds + interval merging
+    recover them as a DataFrame program).
+
+    Two duplicated windows at character positions p and q (p < q)
+    merge when q − p ≤ span — overlap (< span) or exact adjacency
+    (= span) — so each output region is a contiguous run of characters
+    covered by duplicated windows. Per document this is the classic
+    gaps-and-islands: break when the gap exceeds ``span``, then
+    min/max positions per island.
+
+    Scale shape: the global window-frequency groupBy is the same
+    combiner-friendly reduction as dup_span_stats (hot spans collapse
+    map-side); duplicated POSITIONS are recovered without any join
+    keyed on the window string — globally-unique windows attribute
+    their (doc, pos) via max() on the single surviving row, and an
+    anti-join on the uniformly-distributed (doc_id, pos) key removes
+    them from the position stream. The islands window partitions by
+    doc_id, bounded by document length, never by corpus frequency.
+
+    Output: (doc_id, n_spans, dup_chars, max_span_chars) — documents
+    with no duplicated window are absent. ``dup_chars`` can exceed the
+    n_dup_windows of dup_span_stats because merged regions count
+    covered characters, not windows.
+    """
+    s = F.col(text_col)
+    n_wins = F.greatest(F.length(s) - F.lit(span - 1), F.lit(0))
+    windows = F.when(n_wins > 0, F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda i: F.substring(s, i, F.lit(span)),
+    )).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    spans = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(windows).alias("pos", "w")
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based, matches substring
+
+    # (doc, pos) of every globally-unique window — exactly one row
+    # survives the n_occ == 1 filter per window, so max() attributes
+    # both coordinates without a join back on "w".
+    uniq_pos = (
+        spans.groupBy("w")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.max("doc_id").alias("doc_id"),
+            F.max("pos").alias("pos"),
+        )
+        .filter(F.col("n_occ") == 1)
+        .select("doc_id", "pos")
+    )
+    dup_pos = spans.select("doc_id", "pos").join(
+        uniq_pos, ["doc_id", "pos"], "left_anti"
+    )
+
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_doc) <= span, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = (
+        dup_pos.withColumn("brk", brk)
+        .withColumn(
+            "grp", F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "grp")
+        .agg((F.max("pos") - F.min("pos") + span).alias("chars"))
+    )
+    return islands.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("chars").cast("long").alias("dup_chars"),
+        F.max("chars").cast("long").alias("max_span_chars"),
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str,

@@ -355,6 +355,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").alias("vec_id"), "cluster_id", "keep")
 
 
+def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup through the SemDeDup cell-pruning strategy
+    (operators/similarity.py _cell_pruned_cosine_pairs): k-means cells
+    whose pairwise angular gap provably exceeds arccos(threshold) are
+    skipped; surviving cell pairs run the same bounded chunk grid.
+    EXACT by the spherical triangle inequality — it shares this
+    closure oracle with semantic_dedup, so the hash match is the
+    proof. On this corpus (random vectors, radii near 90°) nothing
+    prunes and the run degenerates to grid + one assignment pass; on
+    clustered embeddings the quadratic shrinks to near-diagonal cell
+    blocks."""
+    t = tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    pairs = S.blocked_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        threshold=0.35, block_col="label", strategy="cells", n_cells=8,
+    ).select("id_a", "id_b")
+    return D.neardup_clusters(
+        e.select(F.col("vec_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id", "keep")
+
+
 _O_SEM_PAIRS = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b
@@ -387,6 +409,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_cells": q_semantic_dedup_cells,
     "pii_redact": q_pii_redact,
     "dedup_normalized": q_dedup_normalized,
     "ngram_jaccard": q_ngram_jaccard,
@@ -409,6 +432,7 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "semantic_dedup": O_SEMANTIC_DEDUP,
+    "semantic_dedup_cells": O_SEMANTIC_DEDUP,
     "pii_redact": O_PII_REDACT,
     "dedup_normalized": O_DEDUP_NORMALIZED,
     "ngram_jaccard": O_NGRAM_JACCARD,
@@ -670,6 +694,54 @@ GROUP BY doc_id
 
 QUERIES["dup_span_stats"] = q_dup_span_stats
 ORACLES["dup_span_stats"] = O_DUP_SPAN_STATS
+
+
+def q_dup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans: fixed-span duplicated windows merged
+    into variable-length contiguous regions per document (the Lee et
+    al. maximal-substring primitive via seeds + interval merge;
+    operators/text.py dup_span_merge). The global frequency groupBy is
+    hot-span-safe; duplicated positions come from an anti-join on the
+    uniform (doc_id, pos) key, never a join on the span string."""
+    from data_ingestors_spark.operators.text import dup_span_merge
+
+    t = tables(spark, sf_dir, "documents")
+    return dup_span_merge(_spread(t["documents"]), "text", "doc_id", span=30)
+
+
+O_DUP_SPAN_MERGE = """
+WITH spans AS (
+  SELECT doc_id, i AS pos, substr(text, i, 30) AS w
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+), freq AS (
+  SELECT w, count(*) AS n_occ FROM spans GROUP BY w
+), dup AS (
+  SELECT doc_id, pos FROM spans JOIN freq USING (w) WHERE n_occ > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), sp AS (
+  SELECT doc_id, g, max(pos) - min(pos) + 30 AS chars
+  FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(chars) AS BIGINT) AS dup_chars,
+       CAST(max(chars) AS BIGINT) AS max_span_chars
+FROM sp GROUP BY doc_id
+"""
+
+QUERIES["dup_span_merge"] = q_dup_span_merge
+ORACLES["dup_span_merge"] = O_DUP_SPAN_MERGE
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:

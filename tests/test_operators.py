@@ -922,6 +922,99 @@ def test_pq_ann_recall(spark, sf_dir):
         assert got[pair] == exact[pair], (pair, got[pair], exact[pair])
 
 
+def _clustered_vec_df(spark, n_clusters=3, per_cluster=40, dim=16, noise=0.05):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + noise * rng.randn(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+
+
+def test_cell_pruned_pairs_exact_on_clustered(spark):
+    """The SemDeDup cells strategy must return EXACTLY the grid
+    strategy's pairs (ids and similarities) — cell-pair pruning is a
+    provable skip, never an approximation. Clustered fixture so the
+    pruning path actually exercises (cross-cluster cell pairs are
+    provably below threshold)."""
+    from data_ingestors_spark.operators.similarity import blocked_cosine_pairs
+
+    df = _clustered_vec_df(spark)
+    grid = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in blocked_cosine_pairs(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.6, strategy="grid", chunk_rows=16,
+        ).collect()
+    }
+    cells = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in blocked_cosine_pairs(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.6, strategy="cells", n_cells=6, chunk_rows=16,
+        ).collect()
+    }
+    assert grid, "fixture produced no qualifying pairs"
+    assert cells == grid
+
+
+def test_cell_pruning_geometry_prunes_clustered_fixture(spark):
+    """Driver-side replica of the cell-pair bound on the clustered
+    fixture: with tight clusters at wide mutual angles, at least one
+    cell PAIR must be provably below threshold (the pruning payoff),
+    while every same-cell pair survives (the bound can never prune
+    the diagonal)."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.similarity import (
+        _kmeans,
+        _stripe_sample_normalized,
+    )
+
+    df = _clustered_vec_df(spark)
+    base = df.select(
+        F.lit(0).alias("block"),
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("vec"),
+    )
+    Xn = _stripe_sample_normalized(base, "pid", "vec", 2048, None)
+    cents = _kmeans(Xn, 6, seed=42)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    V = np.array([r.vec for r in base.select("vec").collect()])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ cents.T
+    cell = sims.argmax(axis=1)
+    theta = np.arccos(np.clip(sims[np.arange(len(V)), cell], -1, 1))
+    rad = {c: theta[cell == c].max() for c in set(cell)}
+    theta_t = math.acos(0.6 - 1e-5)
+    cc = np.clip(cents @ cents.T, -1, 1)
+    pruned = kept = 0
+    for i in sorted(rad):
+        for j in sorted(rad):
+            if j < i:
+                continue
+            gap = math.acos(cc[i, j]) - rad[i] - rad[j]
+            if max(0.0, gap) <= theta_t:
+                kept += 1
+                continue
+            pruned += 1
+            assert i != j, "diagonal cell pair must never prune"
+    assert pruned > 0, "clustered fixture should prune at least one cell pair"
+    assert kept > 0
+
+
 def test_ivfpq_ann_recall(spark, sf_dir):
     """Composed IVF-PQ: recall floor is set by the IVF probe pruning,
     with PQ error absorbed by the exact re-rank. r6 adaptive probing +
@@ -1244,6 +1337,51 @@ def test_dup_span_stats_windows(spark):
     # "aaaaaaa" -> windows at 3 offsets, all the same string: global
     # occurrence count 3 > 1, so every window is a duplicate
     assert out[5] == (3, 3, 1.0)
+
+
+def test_dup_span_merge_islands(spark):
+    """Maximal-span merging: a fully-duplicated doc collapses to one
+    region; two duplicated blocks separated by unique text stay two
+    regions; intra-doc repeats merge into one overlapping run."""
+    from data_ingestors_spark.operators.text import dup_span_merge
+
+    rows = [
+        (1, "abcdefgh"),                  # all 4 windows dup (copy in 2)
+        (2, "abcdefgh"),
+        (3, "qrstuvwxyz"),                # unique -> absent
+        (5, "aaaaaaa"),                   # intra-doc repeats, one run
+        (6, "zzzzz0123456789zzzzz"),      # two dup blocks, gap 15 > span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_spans, r.dup_chars, r.max_span_chars)
+           for r in dup_span_merge(df, "text", "doc_id", span=5).collect()}
+    assert 3 not in out
+    # docs 1/2: dup positions 1..4 -> one island, chars = 4-1+5 = 8
+    assert out[1] == (1, 8, 8)
+    assert out[2] == (1, 8, 8)
+    # doc 5: "aaaaa" at positions 1..3 (n_occ 3) -> one island of 7
+    assert out[5] == (1, 7, 7)
+    # doc 6: "zzzzz" dup at pos 1 and 16; gap 15 > span -> two islands
+    assert out[6] == (2, 10, 5)
+
+
+def test_dup_span_merge_adjacency(spark):
+    """Positions exactly `span` apart produce contiguous character
+    coverage and must merge into one region."""
+    from data_ingestors_spark.operators.text import dup_span_merge
+
+    # "alpha" at pos 1 and "bravo" at pos 6 in doc 1; both duplicated
+    # via docs 2/3. Positions 1 and 6 differ by exactly span=5.
+    rows = [
+        (1, "alphabravo"),
+        (2, "alpha00000000"),
+        (3, "11111111bravo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_spans, r.dup_chars, r.max_span_chars)
+           for r in dup_span_merge(df, "text", "doc_id", span=5).collect()}
+    n_spans, dup_chars, _ = out[1]
+    assert n_spans == 1 and dup_chars == 10, out[1]
 
 
 def test_dup_span_stats_hot_span(spark):
