@@ -73,8 +73,10 @@ HEADLINE = [
     # late-r5 additions: new corpus ops join the headline on arrival
     "dup_span_stats",
     "fuzzy_match",
-    # r6 addition: maximal duplicated spans (variable-length merge)
+    # r6 additions: maximal duplicated spans (variable-length merge)
+    # and the boilerplate-scrub rewrite built on them
     "dup_span_merge",
+    "strip_dup_spans",
     "winsorized_stats",
     "copurchase_pairs",
     "source_entropy",

@@ -92,6 +92,12 @@ def fastss_pairs(
         .select("_fid", F.xxhash64("_fkey").alias("_fkey"))
     )
     if max_key_df is not None:
+        # NOT persisted: the keyed frame is a pure explode+hash
+        # projection, and measured at sf0.1 a persist+count barrier
+        # costs more than recomputing it for the hot-key count
+        # (3.6-3.9 s vs 2.6-2.7 s for the registered query). At
+        # cluster scale a caller amortizing many probes can persist
+        # the input df itself.
         hot = keyed.groupBy("_fkey").count().filter(F.col("count") > max_key_df)
         keyed = keyed.join(F.broadcast(hot.select("_fkey")), "_fkey", "left_anti")
 
@@ -174,6 +180,11 @@ def fastss_match(
         .withColumn("_k", F.xxhash64("_k"))
     )
     if max_key_df is not None:
+        # deliberately NOT persisted: this path runs once per streaming
+        # micro-batch, where a persist with no unpersist would
+        # accumulate cache forever; the double-computed side is a pure
+        # explode+hash projection (cheap), unlike fastss_pairs' where
+        # the keyed frame feeds a self-join and IS materialized.
         hot = (
             probe.groupBy("_k").count().filter(F.col("count") > max_key_df)
             .select("_k")

@@ -459,6 +459,26 @@ def dup_span_merge(
     n_dup_windows of dup_span_stats because merged regions count
     covered characters, not windows.
     """
+    islands = _dup_islands(df, text_col, id_col, span)
+    return islands.select(
+        "doc_id", (F.col("end") - F.col("start") + 1).alias("chars")
+    ).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("chars").cast("long").alias("dup_chars"),
+        F.max("chars").cast("long").alias("max_span_chars"),
+    )
+
+
+def _dup_islands(
+    df: DataFrame, text_col: str, id_col: str, span: int
+) -> DataFrame:
+    """Maximal duplicated regions per document as 1-based inclusive
+    character intervals (doc_id, start, end) — the shared core of
+    :func:`dup_span_merge` (statistics) and :func:`strip_dup_spans`
+    (rewrite). See dup_span_merge for the merge semantics and the
+    hot-span-safe plan shape. Consecutive islands are separated by at
+    least one uncovered character (the break condition is a position
+    gap > span), so the intervals are disjoint and non-adjacent."""
     s = F.col(text_col)
     n_wins = F.greatest(F.length(s) - F.lit(span - 1), F.lit(0))
     windows = F.when(n_wins > 0, F.transform(
@@ -493,18 +513,79 @@ def dup_span_merge(
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w_doc) <= span, F.lit(0)
     ).otherwise(F.lit(1))
-    islands = (
+    return (
         dup_pos.withColumn("brk", brk)
         .withColumn(
             "grp", F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
         )
         .groupBy("doc_id", "grp")
-        .agg((F.max("pos") - F.min("pos") + span).alias("chars"))
+        .agg(
+            F.min("pos").cast("int").alias("start"),
+            (F.max("pos") + span - 1).cast("int").alias("end"),
+        )
+        .select("doc_id", "start", "end")
     )
-    return islands.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_spans"),
-        F.sum("chars").cast("long").alias("dup_chars"),
-        F.max("chars").cast("long").alias("max_span_chars"),
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span: int = 30,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Boilerplate scrub: rewrite each document with its maximal
+    duplicated regions (per :func:`dup_span_merge`, optionally only
+    those of at least ``min_len`` characters) CUT OUT — the action
+    step after measuring duplication. This variant removes a
+    duplicated region from EVERY document containing it (the
+    boilerplate interpretation: text that also occurs elsewhere is
+    noise); the keep-one-canonical-copy variant of Lee et al. needs a
+    global canonical assignment per span and is intentionally not
+    conflated with this operator.
+
+    The rewrite is row-local after the region computation: regions
+    collect into a sorted per-doc array (bounded by doc length /
+    span), join back to the document by doc_id (uniform key), and one
+    codegen ``aggregate`` fold stitches the kept segments — no UDF,
+    no per-character shuffle.
+
+    Output: (doc_id, cleaned_text, n_regions, removed_chars) for
+    EVERY input document (unchanged docs pass through with 0 / 0).
+    """
+    min_len = span if min_len is None else min_len
+    regions = _dup_islands(df, text_col, id_col, span).filter(
+        F.col("end") - F.col("start") + 1 >= min_len
+    )
+    regs = regions.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("regs")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    t = F.col("_t")
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("last"), F.lit("").alias("acc")
+    )
+    stitched = F.aggregate(
+        F.col("regs"),
+        acc0,
+        lambda acc, r: F.struct(
+            r["end"].alias("last"),
+            F.concat(
+                acc["acc"], t.substr(acc["last"] + 1, r["start"] - 1 - acc["last"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], t.substr(acc["last"] + 1, F.length(t) - acc["last"])
+        ),
+    )
+    joined = base.join(regs, "doc_id", "left")
+    cleaned = F.when(F.col("regs").isNull(), t).otherwise(stitched)
+    return joined.select(
+        "doc_id",
+        cleaned.alias("cleaned_text"),
+        F.coalesce(F.size("regs"), F.lit(0)).cast("long").alias("n_regions"),
+        (F.length(t) - F.length(cleaned)).cast("long").alias("removed_chars"),
     )
 
 

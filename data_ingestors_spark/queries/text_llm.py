@@ -744,6 +744,78 @@ QUERIES["dup_span_merge"] = q_dup_span_merge
 ORACLES["dup_span_merge"] = O_DUP_SPAN_MERGE
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scrub: every document rewritten with its maximal
+    duplicated regions (>= 30 chars) cut out (operators/text.py
+    strip_dup_spans) — the action step after dup_span_merge. Region
+    computation shares the hot-span-safe plan; the rewrite itself is
+    one codegen aggregate fold over the per-doc sorted region array,
+    no UDF."""
+    from data_ingestors_spark.operators.text import strip_dup_spans
+
+    t = tables(spark, sf_dir, "documents")
+    return strip_dup_spans(_spread(t["documents"]), "text", "doc_id", span=30)
+
+
+O_STRIP_DUP_SPANS = """
+WITH spans AS (
+  SELECT doc_id, i AS pos, substr(text, i, 30) AS w
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 29, 0) + 1)) AS i
+        FROM documents)
+), freq AS (
+  SELECT w, count(*) AS n_occ FROM spans GROUP BY w
+), dup AS (
+  SELECT doc_id, pos FROM spans JOIN freq USING (w) WHERE n_occ > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), regf AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+  FROM grp GROUP BY doc_id, g
+  HAVING max(pos) + 29 - min(pos) + 1 >= 30
+), gaps AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+         s - 1 AS ge
+  FROM regf
+), kept AS (
+  SELECT g.doc_id,
+         string_agg(substr(d.text, gs, greatest(ge - gs + 1, 0)), '' ORDER BY gs) AS head
+  FROM gaps g JOIN documents d USING (doc_id)
+  GROUP BY g.doc_id
+), tails AS (
+  SELECT r.doc_id, substr(d.text, max(r.e) + 1) AS tail
+  FROM regf r JOIN documents d USING (doc_id)
+  GROUP BY r.doc_id, d.text
+), stats AS (
+  SELECT doc_id, count(*) AS n_regions FROM regf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN s.n_regions IS NULL THEN d.text
+            ELSE coalesce(k.head, '') || t.tail END AS cleaned_text,
+       CAST(coalesce(s.n_regions, 0) AS BIGINT) AS n_regions,
+       CAST(length(d.text) -
+            length(CASE WHEN s.n_regions IS NULL THEN d.text
+                        ELSE coalesce(k.head, '') || t.tail END) AS BIGINT)
+         AS removed_chars
+FROM documents d
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+LEFT JOIN tails t ON t.doc_id = d.doc_id
+"""
+
+QUERIES["strip_dup_spans"] = q_strip_dup_spans
+ORACLES["strip_dup_spans"] = O_STRIP_DUP_SPANS
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by edit distance: per customer name, the
     count of other names at edit distance exactly 1 (operators/

@@ -1384,6 +1384,60 @@ def test_dup_span_merge_adjacency(spark):
     assert n_spans == 1 and dup_chars == 10, out[1]
 
 
+def test_strip_dup_spans_rewrite(spark):
+    """The rewrite step: duplicated regions cut, unique text kept,
+    min_len filters short regions back into the text."""
+    from data_ingestors_spark.operators.text import strip_dup_spans
+
+    rows = [
+        (1, "abcdefgh"),
+        (2, "abcdefgh"),
+        (3, "qrstuvwxyz"),
+        (6, "zzzzz0123456789zzzzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.cleaned_text, r.n_regions, r.removed_chars)
+           for r in strip_dup_spans(df, "text", "doc_id", span=5).collect()}
+    assert out[1] == ("", 1, 8)           # fully duplicated -> empty
+    assert out[2] == ("", 1, 8)
+    assert out[3] == ("qrstuvwxyz", 0, 0)  # untouched passthrough
+    assert out[6] == ("0123456789", 2, 10)  # both flanks cut
+
+    # raising min_len above the flank size keeps doc 6 intact while
+    # doc 1's 8-char region still cuts
+    out2 = {r.doc_id: (r.cleaned_text, r.n_regions)
+            for r in strip_dup_spans(df, "text", "doc_id", span=5, min_len=6).collect()}
+    assert out2[6] == ("zzzzz0123456789zzzzz", 0)
+    assert out2[1] == ("", 1)
+
+
+def test_dup_span_merge_consistent_with_stats(spark, sf_dir):
+    """Cross-operator invariants on real corpus data: the two
+    substring-dedup ops must agree on WHICH documents contain
+    duplicated windows, and each doc's merged regions must satisfy
+    the counting relations (>=1 position per island, >= span chars
+    per island, islands can't outnumber dup windows)."""
+    from data_ingestors_spark.operators.text import dup_span_merge, dup_span_stats
+    from data_ingestors_spark.queries.base import tables
+
+    docs = tables(spark, sf_dir, "documents")["documents"]
+    stats = {
+        r.doc_id: r.n_dup_windows
+        for r in dup_span_stats(docs, "text", "doc_id", span=30).collect()
+    }
+    merged = {
+        r.doc_id: (r.n_spans, r.dup_chars, r.max_span_chars)
+        for r in dup_span_merge(docs, "text", "doc_id", span=30).collect()
+    }
+    assert set(merged) == {d for d, n in stats.items() if n > 0}
+    assert merged, "fixture corpus contains no duplicated windows"
+    for doc_id, (n_spans, dup_chars, max_chars) in merged.items():
+        assert n_spans >= 1
+        assert n_spans <= stats[doc_id]          # each island needs a window
+        assert dup_chars >= n_spans * 30         # each island covers >= span
+        assert 30 <= max_chars <= dup_chars
+
+
 def test_dup_span_stats_hot_span(spark):
     """Pathological corpus: ONE boilerplate span shared by every
     document (license-header shape). Correctness must hold, and the
