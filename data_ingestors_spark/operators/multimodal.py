@@ -82,10 +82,112 @@ def _decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, gray.astype(np.uint8)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (RFC 2083 §6): each scanline is
+    one filter-type byte + ``stride`` filtered bytes. None/Up/Sub are
+    vectorized (Sub via per-channel cumsum mod 256); Average and Paeth
+    carry an in-row left dependency and run as per-byte loops — exact,
+    and bounded per image, but the slow path for large Paeth-heavy
+    files (the honest perf note for this codec tier)."""
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else zero
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: cumulative per channel
+            for c in range(bpp):
+                ch = line[c::bpp].astype(np.int64)
+                line[c::bpp] = (np.cumsum(ch) % 256).astype(np.uint8)
+        elif ft == 2:  # Up
+            line += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = line
+    return out
+
+
+def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for 8-bit non-interlaced PNG — stdlib zlib
+    inflates IDAT, numpy reverses the scanline filters. Covers color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
+    grayscale output is the channel mean (same rule as _decode_bmp),
+    alpha ignored. 16-bit depth and Adam7 interlace stay behind the
+    fail-loud NotImplementedError boundary (README codec matrix)."""
+    import struct
+    import zlib
+
+    if not content.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    w = h = depth = ct = interlace = None
+    palette: bytes | None = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            w, h, depth, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if depth != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ct} interlace={interlace} "
+            "not decodable without PIL (supported: 8-bit non-interlaced)"
+        )
+    channels = _PNG_CHANNELS[ct]
+    stride = w * channels
+    px = _png_unfilter(zlib.decompress(bytes(idat)), h, stride, channels)
+    if ct == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        gray = pal[px].mean(axis=2)
+    elif ct == 0:
+        gray = px.astype(np.float64)
+    else:
+        gray = px.reshape(h, w, channels)[:, :, : 3 if ct in (2, 6) else 1].mean(axis=2)
+    return w, h, gray.astype(np.uint8)
+
+
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, grayscale ndarray). Stub boundary — but BMP is
-    decoded for REAL (pure numpy; see _decode_bmp) and PIL, when
-    installed, covers the compressed formats."""
+    """(width, height, grayscale ndarray). Stub boundary — but BMP and
+    8-bit non-interlaced PNG are decoded for REAL (pure numpy/zlib;
+    see _decode_bmp/_decode_png) and PIL, when installed, covers the
+    remaining compressed formats (JPEG, GIF, 16-bit/interlaced PNG)."""
     if content.startswith(IMG_MAGIC):
         head, pixels = content[len(IMG_MAGIC):].split(b":", 1)
         w, h = (int(x) for x in head.decode().split("x"))
@@ -99,6 +201,8 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
             return im.width, im.height, np.asarray(g)
     if content.startswith(b"BM"):
         return _decode_bmp(content)
+    if content.startswith(PNG_SIG):
+        return _decode_png(content)
     raise NotImplementedError("no image codec available for this payload")
 
 

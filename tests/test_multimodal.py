@@ -140,6 +140,139 @@ def test_real_bmp_decode(spark):
     assert (row.width, row.height, row.error) == (2, 2, None)
 
 
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _encode_png(arr, color_type, filters, palette=None):
+    """Reference PNG encoder for the decoder tests: 8-bit
+    non-interlaced, one chosen filter type per row (forward transform
+    of RFC 2083 §6), so every unfilter branch is exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        ch = 1
+        flat = a
+    else:
+        h, w, ch = a.shape
+        flat = a.reshape(h, w * ch)
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=int)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = flat[y].astype(int)
+        out = np.empty(stride, dtype=int)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            upleft = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                out[i] = line[i]
+            elif ft == 1:
+                out[i] = line[i] - left
+            elif ft == 2:
+                out[i] = line[i] - up
+            elif ft == 3:
+                out[i] = line[i] - (left + up) // 2
+            else:
+                out[i] = line[i] - _paeth(left, up, upleft)
+        raw.append(ft)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", bytes(palette))
+    png += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return png
+
+
+def test_real_png_decode_all_filters(spark):
+    """8-bit non-interlaced PNG decodes for REAL (stdlib zlib + numpy)
+    across every scanline filter type; grayscale must round-trip
+    exactly and RGB reduce by channel mean like BMP."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        _HAVE_PIL,
+        _decode_png,
+        image_metadata,
+    )
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(7, 5), dtype=np.uint8)
+    png = _encode_png(gray, 0, filters=[0, 1, 2, 3, 4])
+    gw, gh, arr = _decode_png(png)
+    assert (gw, gh) == (5, 7)
+    assert np.array_equal(arr, gray)
+
+    rgb = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    png = _encode_png(rgb, 2, filters=[4])  # all-Paeth
+    gw, gh, arr = _decode_png(png)
+    assert (gw, gh) == (4, 6)
+    assert np.array_equal(arr, rgb.mean(axis=2).astype(np.uint8))
+
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    png = _encode_png(rgba, 6, filters=[1, 3])
+    _, _, arr = _decode_png(png)
+    assert np.array_equal(arr, rgba[:, :, :3].mean(axis=2).astype(np.uint8))
+
+    # palette: indices resolve through PLTE then gray by mean
+    pal = [0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 255, 255]
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    png = _encode_png(idx, 3, filters=[0], palette=pal)
+    _, _, arr = _decode_png(png)
+    assert arr.tolist() == [[0, 85], [85, 255]]
+
+    # the Spark path accepts the real PNG end-to-end
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_png(gray, 0, filters=[2])))], "id long, img binary"
+    )
+    row = image_metadata(df, "id", "img").collect()[0]
+    assert (row.width, row.height, row.error) == (5, 7, None)
+
+
+def test_png_unsupported_stays_fail_loud():
+    """16-bit depth and interlaced PNGs stay behind the documented
+    NotImplementedError boundary."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from data_ingestors_spark.operators.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        png = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            _decode_png(png)
+
+
 def test_decode_error_summary_loud_partial(spark):
     """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
     must show the split in one summary frame — the PIL-less JPEG run

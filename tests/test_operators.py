@@ -1411,6 +1411,26 @@ def test_strip_dup_spans_rewrite(spark):
     assert out2[1] == ("", 1)
 
 
+def test_strip_matches_merge_accounting(spark, sf_dir):
+    """With min_len == span, the rewrite must remove EXACTLY the
+    regions dup_span_merge reports: removed_chars == dup_chars,
+    n_regions == n_spans per doc, and untouched docs remove 0."""
+    from data_ingestors_spark.operators.text import dup_span_merge, strip_dup_spans
+    from data_ingestors_spark.queries.base import tables
+
+    docs = tables(spark, sf_dir, "documents")["documents"]
+    merge = {r.doc_id: (r.n_spans, r.dup_chars)
+             for r in dup_span_merge(docs, "text", "doc_id", span=30).collect()}
+    strip = {r.doc_id: (r.n_regions, r.removed_chars)
+             for r in strip_dup_spans(docs, "text", "doc_id", span=30).collect()}
+    assert merge, "fixture corpus contains no duplicated regions"
+    for doc_id, (n_regions, removed) in strip.items():
+        if doc_id in merge:
+            assert (n_regions, removed) == merge[doc_id], doc_id
+        else:
+            assert (n_regions, removed) == (0, 0), doc_id
+
+
 def test_dup_span_merge_consistent_with_stats(spark, sf_dir):
     """Cross-operator invariants on real corpus data: the two
     substring-dedup ops must agree on WHICH documents contain
