@@ -183,11 +183,140 @@ def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, gray.astype(np.uint8)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first packed codes, clear/end
+    codes, growing code width capped at 12 bits, deferred-clear table
+    freeze at 4096 entries). Pure python ints — bounded by the frame's
+    pixel count."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> dict[int, bytes]:
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for the first frame of a GIF87a/89a —
+    pure-python LZW + numpy palette lookup, Adam-less GIF interlace
+    deinterlaced. Grayscale is the palette-RGB channel mean (same
+    rule as BMP/PNG). Sub-frame compositing (first frame smaller than
+    the logical screen) and later frames stay behind the fail-loud
+    boundary — animation semantics need a real codec."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+
+    def le16(o: int) -> int:
+        return int.from_bytes(content[o : o + 2], "little")
+
+    w, h = le16(6), le16(8)
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed >> 7 & 1:
+        n = 2 ** ((packed & 7) + 1)
+        gct = content[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:  # extension block: label byte + sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, iw, ih = le16(pos + 1), le16(pos + 3), le16(pos + 5), le16(pos + 7)
+            ipacked = content[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked >> 7 & 1:
+                n = 2 ** ((ipacked & 7) + 1)
+                ct = content[pos : pos + 3 * n]
+                pos += 3 * n
+            interlace = ipacked >> 6 & 1
+            if ct is None:
+                raise ValueError("GIF image without any color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                ln = content[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += content[pos : pos + ln]
+                pos += ln
+            if (iw, ih) != (w, h) or (left, top) != (0, 0):
+                raise NotImplementedError(
+                    "GIF sub-frame compositing not decodable without PIL"
+                )
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.uint8
+            ).reshape(ih, iw)
+            if interlace:
+                de = np.empty_like(idx)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, ih, step):
+                        de[y] = idx[src]
+                        src += 1
+                idx = de
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside the color table")
+            return w, h, pal[idx].mean(axis=2).astype(np.uint8)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, grayscale ndarray). Stub boundary — but BMP and
-    8-bit non-interlaced PNG are decoded for REAL (pure numpy/zlib;
-    see _decode_bmp/_decode_png) and PIL, when installed, covers the
-    remaining compressed formats (JPEG, GIF, 16-bit/interlaced PNG)."""
+    """(width, height, grayscale ndarray). Stub boundary — but BMP,
+    8-bit non-interlaced PNG, and first-frame GIF are decoded for
+    REAL (pure numpy/zlib/LZW; see _decode_bmp/_decode_png/
+    _decode_gif) and PIL, when installed, covers the remaining
+    compressed formats (JPEG, 16-bit/interlaced PNG, animated GIF
+    compositing)."""
     if content.startswith(IMG_MAGIC):
         head, pixels = content[len(IMG_MAGIC):].split(b":", 1)
         w, h = (int(x) for x in head.decode().split("x"))
@@ -203,6 +332,8 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_bmp(content)
     if content.startswith(PNG_SIG):
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError("no image codec available for this payload")
 
 

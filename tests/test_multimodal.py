@@ -273,6 +273,116 @@ def test_png_unsupported_stays_fail_loud():
             _decode_png(png)
 
 
+def _gif_lzw_encode(indices, mcs):
+    """Reference GIF-LZW compressor (real dictionary growth, the
+    late width-bump rule `next_code == 2^width + 1` that keeps the
+    encoder in sync with the decoder's post-add bump)."""
+    clear = 1 << mcs
+    end = clear + 1
+    emitted = []  # (code, width)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emitted.append((clear, width))
+    s = b""
+    for px in indices:
+        c = s + bytes([px])
+        if c in table:
+            s = c
+            continue
+        emitted.append((table[s], width))
+        if next_code < 4096:
+            table[c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = bytes([px])
+    if s:
+        emitted.append((table[s], width))
+    emitted.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in emitted:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(idx, palette, mcs, interlace=False):
+    import numpy as np
+
+    a = np.asarray(idx, dtype=np.uint8)
+    h, w = a.shape
+    if interlace:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, h, step)]
+        a = a[order]
+    stream = _gif_lzw_encode(a.reshape(-1).tolist(), mcs)
+    n = len(palette) // 3
+    gct_bits = max(1, (n - 1).bit_length()) - 1
+    head = (
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | gct_bits, 0, 0]) + bytes(palette)
+        + bytes(3 * ((1 << (gct_bits + 1)) - n))  # pad table to 2^(b+1)
+    )
+    desc = (
+        b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little") + bytes([0x40 if interlace else 0])
+    )
+    body = bytes([mcs])
+    for i in range(0, len(stream), 255):
+        part = stream[i : i + 255]
+        body += bytes([len(part)]) + part
+    return head + desc + body + b"\x00" + b"\x3b"
+
+
+def test_real_gif_decode(spark):
+    """First-frame GIF decodes for REAL (pure-python LZW + numpy):
+    plain and interlaced frames round-trip through a reference LZW
+    compressor with true dictionary growth; grayscale is the palette
+    channel mean; sub-frames stay fail-loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestors_spark.operators.multimodal import _decode_gif, image_metadata
+
+    pal = [0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 255, 255]
+    idx = np.array([[0, 1, 2, 3]] * 3, dtype=np.uint8)
+    gif = _encode_gif(idx, pal, mcs=2)
+    w, h, arr = _decode_gif(gif)
+    assert (w, h) == (4, 3)
+    assert arr.tolist() == [[0, 85, 85, 255]] * 3
+
+    # dictionary growth across width bumps: 16x16 random 4-color
+    rng = np.random.RandomState(11)
+    big = rng.randint(0, 4, size=(16, 16), dtype=np.uint8)
+    _, _, arr = _decode_gif(_encode_gif(big, pal, mcs=2))
+    pal_np = np.array(pal, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(arr, pal_np[big].mean(axis=2).astype(np.uint8))
+
+    # interlaced storage must deinterlace back to the original
+    inter = rng.randint(0, 4, size=(13, 5), dtype=np.uint8)
+    _, _, arr = _decode_gif(_encode_gif(inter, pal, mcs=2, interlace=True))
+    assert np.array_equal(arr, pal_np[inter].mean(axis=2).astype(np.uint8))
+
+    # Spark path end-to-end
+    df = spark.createDataFrame([(1, bytearray(gif))], "id long, img binary")
+    row = image_metadata(df, "id", "img").collect()[0]
+    assert (row.width, row.height, row.error) == (4, 3, None)
+
+    # sub-frame compositing stays behind the fail-loud boundary
+    sub = bytearray(_encode_gif(idx, pal, mcs=2))
+    sub[6:8] = (8).to_bytes(2, "little")  # lie: screen wider than frame
+    with _pytest.raises(NotImplementedError):
+        _decode_gif(bytes(sub))
+
+
 def test_decode_error_summary_loud_partial(spark):
     """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
     must show the split in one summary frame — the PIL-less JPEG run
