@@ -310,13 +310,251 @@ def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("GIF contains no image data")
 
 
+# zigzag scan order: zigzag position -> (row, col) of the 8x8 block
+JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A with A[u, x] = c(u)/2 ·
+    cos((2x+1)uπ/16); spatial block = Aᵀ · coeffs · A."""
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    return A
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (code length, code value) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    byte-unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/coefficient magnitude decode (ITU T.81 F.2.2.1)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for baseline sequential JPEG (SOF0, 8-bit,
+    single interleaved scan, optional restart markers, any sampling
+    where luma carries the max factors — 4:4:4 / 4:2:2 / 4:2:0):
+    pure-python Huffman + numpy dequantize/IDCT. Grayscale output IS
+    the luma (Y) plane — chroma blocks are entropy-decoded (the
+    bitstream interleaves them) and discarded, so no color convert
+    and no upsample. Progressive (SOF2), arithmetic coding, 12-bit,
+    multi-scan and DNL files stay behind the fail-loud boundary."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    w = h = None
+    restart = 0
+    scan: list[tuple[int, int, int]] | None = None  # (comp index, dc tbl, ac tbl)
+    entropy = None
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            pos += 2
+            continue
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        data = content[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.zeros((8, 8))
+                for z, (r, c) in enumerate(JPEG_ZIGZAG):
+                    tbl[r, c] = data[i + 1 + z]
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                counts = data[i + 1 : i + 17]
+                n = sum(counts)
+                symbols = data[i + 17 : i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if data[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            comps = [
+                (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended) not decodable without PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(data[:2], "big")
+        elif marker == 0xDA:  # SOS — single interleaved scan supported
+            ns = data[0]
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG not decodable without PIL")
+            scan = []
+            for i in range(ns):
+                cid, tables = data[1 + 2 * i], data[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps) if c[0] == cid)
+                scan.append((idx, tables >> 4, tables & 0xF))
+            # entropy-coded data runs from here to the next real marker
+            entropy = content[pos:]
+            break
+    if w is None or scan is None or entropy is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split on restart markers, unstuff 0xFF00, stop at EOI
+    segments: list[bytearray] = [bytearray()]
+    i = 0
+    while i < len(entropy):
+        b = entropy[i]
+        if b == 0xFF:
+            m = entropy[i + 1] if i + 1 < len(entropy) else 0xD9
+            if m == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or next marker
+        segments[-1].append(b)
+        i += 1
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    y_comp = scan[0][0]
+    if comps[y_comp][1] != hmax or comps[y_comp][2] != vmax:
+        raise NotImplementedError("JPEG luma without max sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    if restart == 0 and len(segments) > 1:
+        raise ValueError("restart markers without DRI")
+
+    A = _jpeg_idct_matrix()
+    yh, yv = comps[y_comp][1], comps[y_comp][2]
+    Y = np.zeros((mcus_y * yv * 8, mcus_x * yh * 8), dtype=np.float64)
+
+    mcu = 0
+    for seg in segments:
+        bits = _JpegBits(bytes(seg))
+        preds = [0] * len(comps)
+        limit = min(mcu + restart, n_mcus) if restart else n_mcus
+        while mcu < limit:
+            my, mx = divmod(mcu, mcus_x)
+            for ci, tdc, tac in scan:
+                _cid, chf, cvf, tq = comps[ci]
+                for by in range(cvf):
+                    for bx in range(chf):
+                        coeffs = np.zeros((8, 8))
+                        t = bits.huff(huff_dc[tdc])
+                        preds[ci] += _jpeg_extend(bits.bits(t), t)
+                        coeffs[0, 0] = preds[ci]
+                        z = 1
+                        while z < 64:
+                            rs = bits.huff(huff_ac[tac])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    z += 16
+                                    continue
+                                break  # EOB
+                            z += r
+                            if z > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            rr, cc = JPEG_ZIGZAG[z]
+                            coeffs[rr, cc] = _jpeg_extend(bits.bits(s), s)
+                            z += 1
+                        if ci == y_comp:
+                            block = A.T @ (coeffs * qt[tq]) @ A + 128.0
+                            r0 = (my * cvf + by) * 8
+                            c0 = (mx * chf + bx) * 8
+                            Y[r0 : r0 + 8, c0 : c0 + 8] = block
+            mcu += 1
+        if mcu >= n_mcus:
+            break
+    if mcu < n_mcus:
+        raise ValueError("JPEG entropy data ended before the last MCU")
+    return w, h, np.clip(Y[:h, :w], 0, 255).astype(np.uint8)
+
+
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
     """(width, height, grayscale ndarray). Stub boundary — but BMP,
-    8-bit non-interlaced PNG, and first-frame GIF are decoded for
-    REAL (pure numpy/zlib/LZW; see _decode_bmp/_decode_png/
-    _decode_gif) and PIL, when installed, covers the remaining
-    compressed formats (JPEG, 16-bit/interlaced PNG, animated GIF
-    compositing)."""
+    8-bit non-interlaced PNG, first-frame GIF, and baseline JPEG are
+    decoded for REAL (pure numpy/zlib/LZW/Huffman+IDCT; see
+    _decode_bmp/_decode_png/_decode_gif/_decode_jpeg) and PIL, when
+    installed, covers the rest (progressive JPEG, 16-bit/interlaced
+    PNG, animated GIF compositing)."""
     if content.startswith(IMG_MAGIC):
         head, pixels = content[len(IMG_MAGIC):].split(b":", 1)
         w, h = (int(x) for x in head.decode().split("x"))
@@ -334,6 +572,8 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        return _decode_jpeg(content)
     raise NotImplementedError("no image codec available for this payload")
 
 

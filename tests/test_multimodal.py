@@ -383,6 +383,285 @@ def test_real_gif_decode(spark):
         _decode_gif(bytes(sub))
 
 
+# --- reference baseline-JPEG encoder for the decoder tests ------------
+
+_JPEG_DC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)         # 12 syms @ len 4
+_JPEG_DC_SYMBOLS = bytes(range(12))
+_JPEG_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_COUNTS = bytes([0] * 7 + [len(_JPEG_AC_SYMBOLS)] + [0] * 8)  # @ len 8
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, width):
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_canonical(counts, symbols):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _encode_jpeg_420(gray, chroma):
+    """4:2:0 variant: Y at 2x2 sampling (4 blocks per MCU), chroma
+    decimated 2x and one block each per MCU — the common real-world
+    JPEG layout, exercising the decoder's multi-block-per-component
+    path and Y-plane MCU placement."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _jpeg_idct_matrix,
+    )
+
+    A = _jpeg_idct_matrix()
+    dc = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    h, w = gray.shape
+    H, W = -(-h // 16) * 16, -(-w // 16) * 16
+    y_p = np.pad(gray.astype(np.float64) - 128, ((0, H - h), (0, W - w)), mode="edge")
+    c_small = chroma[::2, ::2]
+    ch, cw = c_small.shape
+    c_p = np.pad(
+        c_small.astype(np.float64) - 128,
+        ((0, H // 2 - ch), (0, W // 2 - cw)),
+        mode="edge",
+    )
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def valbits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    wr = _JpegWriter()
+    preds = [0, 0, 0]
+
+    def put_block(plane, r0, c0, ci):
+        block = plane[r0 : r0 + 8, c0 : c0 + 8]
+        F = np.rint(A @ block @ A.T).astype(int)
+        zz = [F[r, c] for (r, c) in JPEG_ZIGZAG]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        s = cat(diff)
+        code, width = dc[s]
+        wr.put(code, width)
+        if s:
+            wr.put(valbits(diff, s), s)
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, width = ac[0xF0]
+                wr.put(code, width)
+                run -= 16
+            s = cat(v)
+            code, width = ac[(run << 4) | s]
+            wr.put(code, width)
+            wr.put(valbits(v, s), s)
+            run = 0
+        if run:
+            code, width = ac[0x00]
+            wr.put(code, width)
+
+    for my in range(H // 16):
+        for mx in range(W // 16):
+            for by in range(2):
+                for bx in range(2):
+                    put_block(y_p, my * 16 + by * 8, mx * 16 + bx * 8, 0)
+            put_block(c_p, my * 8, mx * 8, 1)
+            put_block(c_p, my * 8, mx * 8, 2)
+    wr.align()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    dht = (
+        bytes([0x00]) + _JPEG_DC_COUNTS + _JPEG_DC_SYMBOLS
+        + bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMBOLS
+    )
+    sos = bytes([3]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(3)) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + bytes(wr.out) + b"\xff\xd9"
+    )
+
+
+def _encode_jpeg(gray, *, restart=0, chroma=None):
+    """Reference baseline JPEG encoder: flat quant table (all ones),
+    single-length Huffman tables, 1 component (or 3 at 4:4:4 when
+    ``chroma`` is given), optional restart interval."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _jpeg_idct_matrix,
+    )
+
+    A = _jpeg_idct_matrix()
+    dc = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    h, w = gray.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [gray] if chroma is None else [gray, chroma, chroma]
+    padded = [
+        np.pad(p.astype(np.float64) - 128, ((0, H - h), (0, W - w)), mode="edge")
+        for p in planes
+    ]
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def valbits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    wr = _JpegWriter()
+    preds = [0] * len(planes)
+    mcus = [(y, x) for y in range(H // 8) for x in range(W // 8)]
+    rst = 0
+    for k, (my, mx) in enumerate(mcus):
+        if restart and k and k % restart == 0:
+            wr.align()
+            wr.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(planes)
+        for ci, plane in enumerate(padded):
+            block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            F = np.rint(A @ block @ A.T).astype(int)  # quant = all ones
+            zz = [F[r, c] for (r, c) in JPEG_ZIGZAG]
+            diff = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+            s = cat(diff)
+            code, width = dc[s]
+            wr.put(code, width)
+            if s:
+                wr.put(valbits(diff, s), s)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, width = ac[0xF0]
+                    wr.put(code, width)
+                    run -= 16
+                s = cat(v)
+                code, width = ac[(run << 4) | s]
+                wr.put(code, width)
+                wr.put(valbits(v, s), s)
+                run = 0
+            if run:
+                code, width = ac[0x00]
+                wr.put(code, width)
+    wr.align()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + _JPEG_DC_COUNTS + _JPEG_DC_SYMBOLS
+        + bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMBOLS
+    )
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + bytes([0, 63, 0])
+    out = b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC0, sof) + seg(0xC4, dht)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    out += seg(0xDA, sos) + bytes(wr.out) + b"\xff\xd9"
+    return out
+
+
+def test_real_jpeg_decode(spark):
+    """Baseline JPEG decodes for REAL (pure-python Huffman + numpy
+    IDCT): with a flat quant table the only loss is coefficient
+    rounding, analytically bounded below 3 gray levels. Covers
+    grayscale, 4:4:4 color (luma extracted, chroma consumed and
+    discarded), restart markers, and the progressive fail-loud path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg, image_metadata
+
+    rng = np.random.RandomState(5)
+    # smooth-ish image: random low-frequency mix, exercises many ACs
+    yy, xx = np.mgrid[0:17, 0:24]
+    gray = (
+        128 + 60 * np.sin(xx / 3.0) * np.cos(yy / 2.0) + rng.randint(-20, 20, (17, 24))
+    ).clip(0, 255).astype(np.uint8)
+
+    w, h, arr = _decode_jpeg(_encode_jpeg(gray))
+    assert (w, h) == (24, 17)
+    assert arr.shape == (17, 24)
+    assert np.abs(arr.astype(int) - gray.astype(int)).max() <= 3
+
+    # restart markers: same pixels, segmented entropy stream
+    _, _, arr_rst = _decode_jpeg(_encode_jpeg(gray, restart=2))
+    assert np.array_equal(arr_rst, arr)
+
+    # 4:4:4 color: returned grayscale is the LUMA, not the chroma
+    chroma = rng.randint(0, 256, size=gray.shape).astype(np.uint8)
+    _, _, arr_color = _decode_jpeg(_encode_jpeg(gray, chroma=chroma))
+    assert np.abs(arr_color.astype(int) - gray.astype(int)).max() <= 3
+
+    # 4:2:0 — the common camera layout: 4 Y blocks + 2 chroma per MCU
+    _, _, arr_420 = _decode_jpeg(_encode_jpeg_420(gray, chroma))
+    assert arr_420.shape == (17, 24)
+    assert np.abs(arr_420.astype(int) - gray.astype(int)).max() <= 3
+
+    # Spark path end-to-end
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_jpeg(gray)))], "id long, img binary"
+    )
+    row = image_metadata(df, "id", "img").collect()[0]
+    assert (row.width, row.height, row.error) == (24, 17, None)
+
+    # progressive (SOF2) stays fail-loud
+    prog = bytearray(_encode_jpeg(gray))
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        _decode_jpeg(bytes(prog))
+
+
 def test_decode_error_summary_loud_partial(spark):
     """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
     must show the split in one summary frame — the PIL-less JPEG run
