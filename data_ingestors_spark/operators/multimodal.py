@@ -592,6 +592,14 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
         import io
         import wave
 
+        fmt_code, sr_, nch_, data = _wav_chunks(content)
+        if fmt_code in (6, 7):  # G.711 A-law / mu-law — stdlib wave
+            # refuses non-PCM, but the expansion is a 256-entry table
+            table = _alaw_table() if fmt_code == 6 else _mulaw_table()
+            x = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
+            if nch_ > 1:
+                x = x.reshape(-1, nch_).mean(axis=1)
+            return sr_, x
         with wave.open(io.BytesIO(content)) as wf:
             sr = wf.getframerate()
             sw = wf.getsampwidth()
@@ -612,13 +620,93 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
     raise NotImplementedError("no audio codec available for this payload")
 
 
+def _wav_chunks(content: bytes) -> tuple[int, int, int, bytes]:
+    """Raw RIFF/WAVE walk: (format code, sample rate, channels, data
+    bytes) — needed because stdlib ``wave`` rejects non-PCM formats
+    before we can see the G.711 payload."""
+    pos = 12
+    fmt_code = sr = nch = None
+    data = b""
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt_code is None:
+        raise ValueError("WAV missing fmt chunk")
+    return fmt_code, sr, nch, data
+
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 expansion table."""
+    u = np.arange(256)
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.float64)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> linear int16 expansion table."""
+    a = np.arange(256) ^ 0x55
+    sign = a & 0x80  # NB: in A-law the set sign bit means POSITIVE
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.float64)
+
+
+def _decode_mjpeg_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL frame decode for Motion-JPEG AVI: walk the RIFF chunk
+    tree (no index needed), decode every video chunk (``..dc`` /
+    ``..db``) whose payload starts with a JPEG SOI through
+    :func:`_decode_jpeg`. All frames must agree on dimensions.
+    Inter-frame codecs (h264 etc.) keep the fail-loud boundary —
+    MJPEG is the one container format whose frames are just JPEGs."""
+    payloads: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid in (b"RIFF", b"LIST"):
+                walk(body + 4, min(body + sz, end))
+            elif cid[2:4] in (b"dc", b"db") and content[body : body + 2] == b"\xff\xd8":
+                payloads.append(content[body : body + sz])
+            pos = body + sz + (sz & 1)
+
+    walk(0, len(content))
+    if not payloads:
+        raise NotImplementedError(
+            "AVI contains no MJPEG frames — inter-frame codecs need a real decoder"
+        )
+    frames = [_decode_jpeg(p) for p in payloads]
+    w, h = frames[0][0], frames[0][1]
+    if any((f[0], f[1]) != (w, h) for f in frames):
+        raise ValueError("MJPEG frames disagree on dimensions")
+    return w, h, len(frames), np.stack([f[2] for f in frames])
+
+
 def _decode_video(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """(width, height, n_frames, frames[h,w,n]). Stub boundary."""
+    """(width, height, n_frames, frames[n,h,w]). Stub boundary — but
+    Motion-JPEG AVI decodes for REAL via the baseline-JPEG decoder
+    (see _decode_mjpeg_avi); inter-frame codecs stay stubbed."""
     if content.startswith(VID_MAGIC):
         head, payload = content[len(VID_MAGIC):].split(b":", 1)
         w, h, n = (int(x) for x in head.decode().split("x"))
         arr = np.frombuffer(payload[: w * h * n], dtype=np.uint8).reshape(n, h, w)
         return w, h, n, arr
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return _decode_mjpeg_avi(content)
     raise NotImplementedError("no video codec available for this payload")
 
 
@@ -720,8 +808,10 @@ def video_frame_sample(
     df: DataFrame, id_col: str, bin_col: str, every_nth: int = 2
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame with per-frame
-    stats — the explode-shaped op a video pipeline needs (decode stays
-    stubbed; the fan-out and batching are the real machinery)."""
+    stats — the explode-shaped op a video pipeline needs. Motion-JPEG
+    AVI decodes for REAL (_decode_mjpeg_avi); inter-frame codecs stay
+    behind the fail-loud stub, with the fan-out and batching real
+    either way."""
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -662,6 +662,71 @@ def test_real_jpeg_decode(spark):
         _decode_jpeg(bytes(prog))
 
 
+def test_g711_wav_decode():
+    """mu-law / A-law WAV expand through the G.711 tables (stdlib wave
+    refuses non-PCM, so the RIFF walk is manual). Spot values pinned to
+    the ITU tables: mu-law 0x00 -> -32124, 0xFF -> 0; A-law 0xD5 -> +8,
+    0x2A -> -32256."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_audio
+
+    def wav(fmt_code, payload, sr=8000):
+        fmt = (
+            fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sr.to_bytes(4, "little") + sr.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        )
+        body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        body += b"data" + len(payload).to_bytes(4, "little") + payload
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    sr, x = _decode_audio(wav(7, bytes([0x00, 0xFF, 0x80])))
+    assert sr == 8000
+    assert [round(v * 32768) for v in x] == [-32124, 0, 32124]
+
+    sr, x = _decode_audio(wav(6, bytes([0xD5, 0x55, 0x2A, 0xAA])))
+    assert [round(v * 32768) for v in x] == [8, -8, -32256, 32256]
+
+
+def test_real_mjpeg_avi_decode(spark):
+    """Motion-JPEG AVI: frames are plain JPEGs in '..dc' RIFF chunks —
+    the decoder must walk the chunk tree, decode each frame via the
+    baseline JPEG path, and agree with decoding the JPEGs directly."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_video,
+        video_frame_sample,
+    )
+
+    rng = np.random.RandomState(9)
+    yy, xx = np.mgrid[0:16, 0:16]
+    f1 = (128 + 50 * np.sin(xx / 2.0)).clip(0, 255).astype(np.uint8)
+    f2 = (128 + 50 * np.cos(yy / 2.0)).clip(0, 255).astype(np.uint8)
+    j1, j2 = _encode_jpeg(f1), _encode_jpeg(f2)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    movi = b"movi" + chunk(b"00dc", j1) + chunk(b"00dc", j2)
+    avi = chunk(b"RIFF", b"AVI " + chunk(b"LIST", movi))
+
+    w, h, n, frames = _decode_video(avi)
+    assert (w, h, n) == (16, 16, 2)
+    assert np.array_equal(frames[0], _decode_jpeg(j1)[2])
+    assert np.array_equal(frames[1], _decode_jpeg(j2)[2])
+
+    df = spark.createDataFrame([(1, bytearray(avi))], "id long, vid binary")
+    rows = video_frame_sample(df, "id", "vid", every_nth=1).collect()
+    assert [(r.frame_idx, r.width, r.height, r.error) for r in rows] == [
+        (0, 16, 16, None),
+        (1, 16, 16, None),
+    ]
+
+
 def test_decode_error_summary_loud_partial(spark):
     """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
     must show the split in one summary frame — the PIL-less JPEG run
