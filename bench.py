@@ -77,6 +77,7 @@ HEADLINE = [
     # and the boilerplate-scrub rewrite built on them
     "dup_span_merge",
     "strip_dup_spans",
+    "gopher_quality",
     "winsorized_stats",
     "copurchase_pairs",
     "source_entropy",

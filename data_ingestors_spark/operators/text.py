@@ -110,6 +110,92 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return stats.select("doc_id", score.cast("long").alias("quality"))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    A1.1 — the filter set reused by Dolma/RedPajama/DataTrove) as
+    per-rule boolean flags plus the conjunction, so downstream
+    pipelines can both filter and audit WHICH rule fired:
+
+    - ``f_word_count``     — 50 ≤ words ≤ 100 000
+    - ``f_mean_word_len``  — 3 ≤ mean word length ≤ 10
+    - ``f_symbol_ratio``   — (# + ellipsis occurrences) / words ≤ 0.1
+    - ``f_bullet_lines``   — < 90% of lines start with a bullet
+    - ``f_ellipsis_lines`` — < 30% of lines end with an ellipsis
+    - ``f_alpha_words``    — ≥ 80% of words contain a letter
+    - ``f_stopwords``      — ≥ 2 of the 8 required stop words occur
+
+    Everything is a row-local codegen expression over ONE let-bound
+    word array and ONE line array (no shuffle, no UDF); the repetition
+    rules of the same appendix live in ``dup_ngram_chars`` /
+    ``repetition_stats``. Empty documents fail the count rules and
+    ratio rules are guarded against /0.
+    """
+    from data_ingestors_spark.operators.dedup import let_bound
+
+    t = F.col(text_col)
+
+    def build(ws):
+        n_words = F.size(ws)
+        nw = F.greatest(n_words, F.lit(1)).cast("double")
+        mean_wl = (
+            F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            .cast("double") / nw
+        )
+        n_sym = (
+            F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0)).cast("double")
+        )
+        lines0 = F.split(t, r"\n")
+        lines = F.transform(lines0, lambda l: F.trim(l))
+        nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        bullet = F.size(
+            F.filter(lines, lambda l: l.rlike(r"^[•‣▪◦*-]"))
+        ).cast("double")
+        ell = F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        low = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+        n_stop = sum(
+            F.when(
+                low.rlike(r"[^a-z]" + s + r"[^a-z]"), F.lit(1)
+            ).otherwise(F.lit(0))
+            for s in GOPHER_STOPWORDS
+        )
+        return F.struct(
+            n_words.cast("long").alias("n_words"),
+            fround(mean_wl, 4).alias("mean_word_len"),
+            n_words.between(50, 100_000).alias("f_word_count"),
+            mean_wl.between(3.0, 10.0).alias("f_mean_word_len"),
+            ((n_sym / nw) <= 0.1).alias("f_symbol_ratio"),
+            ((bullet / nl) < 0.9).alias("f_bullet_lines"),
+            ((ell / nl) < 0.3).alias("f_ellipsis_lines"),
+            ((alpha / nw) >= 0.8).alias("f_alpha_words"),
+            (n_stop >= 2).alias("f_stopwords"),
+        )
+
+    ws0 = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    s = let_bound(ws0, build)
+    out = df.select(F.col(id_col).alias("doc_id"), s.alias("_g"))
+    flags = [
+        "f_word_count", "f_mean_word_len", "f_symbol_ratio", "f_bullet_lines",
+        "f_ellipsis_lines", "f_alpha_words", "f_stopwords",
+    ]
+    passes = None
+    for f in flags:
+        c = F.col(f"_g.{f}")
+        passes = c if passes is None else (passes & c)
+    return out.select(
+        "doc_id",
+        F.col("_g.n_words").alias("n_words"),
+        F.col("_g.mean_word_len").alias("mean_word_len"),
+        *[F.col(f"_g.{f}").alias(f) for f in flags],
+        passes.alias("passes_gopher"),
+    )
+
+
 PII_PATTERNS = {
     # syntax subset Java regex and RE2 agree on (no lookaround/backrefs)
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

@@ -816,6 +816,62 @@ QUERIES["strip_dup_spans"] = q_strip_dup_spans
 ORACLES["strip_dup_spans"] = O_STRIP_DUP_SPANS
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021 A1.1) as
+    per-rule audit flags + the conjunction (operators/text.py
+    gopher_quality_flags). One let-bound word array + one line array,
+    all row-local codegen — no shuffle, no UDF."""
+    from data_ingestors_spark.operators.text import gopher_quality_flags
+
+    t = tables(spark, sf_dir, "documents")
+    return gopher_quality_flags(t["documents"], "text", "doc_id")
+
+
+_O_STOP_SUM = " + ".join(
+    f"CASE WHEN regexp_matches(' ' || lower(text) || ' ', '[^a-z]{s}[^a-z]') THEN 1 ELSE 0 END"
+    for s in ["the", "be", "to", "of", "and", "that", "have", "with"]
+)
+
+O_GOPHER_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws,
+         list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, ws, lines,
+         len(ws) AS n_words,
+         greatest(len(ws), 1)::DOUBLE AS nw,
+         coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0)::DOUBLE AS total_wl,
+         len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE AS n_sym,
+         greatest(len(lines), 1)::DOUBLE AS nl,
+         len(list_filter(lines, l -> regexp_matches(l, '^[•‣▪◦*-]')))::DOUBLE AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE AS n_ell,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS n_alpha,
+         ({_O_STOP_SUM}) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       {o_fround("total_wl / nw", 4)} AS mean_word_len,
+       n_words BETWEEN 50 AND 100000 AS f_word_count,
+       total_wl / nw BETWEEN 3.0 AND 10.0 AS f_mean_word_len,
+       n_sym / nw <= 0.1 AS f_symbol_ratio,
+       n_bullet / nl < 0.9 AS f_bullet_lines,
+       n_ell / nl < 0.3 AS f_ellipsis_lines,
+       n_alpha / nw >= 0.8 AS f_alpha_words,
+       n_stop >= 2 AS f_stopwords,
+       (n_words BETWEEN 50 AND 100000) AND (total_wl / nw BETWEEN 3.0 AND 10.0)
+         AND (n_sym / nw <= 0.1) AND (n_bullet / nl < 0.9)
+         AND (n_ell / nl < 0.3) AND (n_alpha / nw >= 0.8) AND (n_stop >= 2)
+         AS passes_gopher
+FROM m
+"""
+
+QUERIES["gopher_quality"] = q_gopher_quality
+ORACLES["gopher_quality"] = O_GOPHER_QUALITY
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by edit distance: per customer name, the
     count of other names at edit distance exactly 1 (operators/

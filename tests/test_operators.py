@@ -1384,6 +1384,40 @@ def test_dup_span_merge_adjacency(spark):
     assert n_spans == 1 and dup_chars == 10, out[1]
 
 
+def test_gopher_quality_flags_rules(spark):
+    """Each published Gopher rule fires on a crafted violator and
+    passes on a healthy doc."""
+    from data_ingestors_spark.operators.text import gopher_quality_flags
+
+    healthy = (
+        "The quick brown fox jumps over the lazy dog and then it sits down "
+        "to rest with some friends that have been waiting nearby today. "
+    ) * 4  # ~96 words, stopwords present, normal lengths
+    rows = [
+        (1, healthy),
+        (2, "too few words here"),                          # word count
+        (3, " ".join(["ab"] * 60)),                         # mean word len < 3
+        (4, " ".join(["the", "of", "and"] * 20 + ["#"] * 10)),  # symbol ratio
+        (5, "\n".join(["• bullet line the and of"] * 10)),  # bullets >= 90%
+        (6, "\n".join(["the and of words..."] * 10)),       # ellipsis >= 30%
+        (7, " ".join(["the", "and"] * 30 + ["123"] * 40)),  # alpha < 80%
+        (8, " ".join(["alpha", "bravo", "tango"] * 25)),    # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in
+           gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["f_word_count"] is False
+    assert out[3]["f_mean_word_len"] is False
+    assert out[4]["f_symbol_ratio"] is False
+    assert out[5]["f_bullet_lines"] is False
+    assert out[6]["f_ellipsis_lines"] is False
+    assert out[7]["f_alpha_words"] is False
+    assert out[8]["f_stopwords"] is False
+    for d in range(2, 9):
+        assert out[d]["passes_gopher"] is False
+
+
 def test_strip_dup_spans_rewrite(spark):
     """The rewrite step: duplicated regions cut, unique text kept,
     min_len filters short regions back into the text."""
