@@ -78,6 +78,7 @@ HEADLINE = [
     "dup_span_merge",
     "strip_dup_spans",
     "gopher_quality",
+    "dup_line_stats",
     "winsorized_stats",
     "copurchase_pairs",
     "source_entropy",

@@ -1139,3 +1139,79 @@ GROUP BY source
 
 QUERIES["source_entropy"] = q_source_entropy
 ORACLES["source_entropy"] = O_SOURCE_ENTROPY
+
+
+def q_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The line/paragraph half of Gopher's repetition table (Rae et
+    al. 2021 A1.1; dup_ngram_chars + repetition_stats cover the
+    n-gram half): per document, the fraction of line occurrences that
+    are duplicates of another line IN THE SAME DOC, the char-weighted
+    variant the published thresholds use, and the same two measures
+    over paragraphs (blank-line-separated). Empty lines are ignored;
+    documents with no non-empty line are absent.
+
+    Shape: two bounded explodes (lines, paragraphs), each reduced by
+    a combiner-friendly groupBy keyed on doc_id — per-doc work never
+    leaves the doc key, so there is no hot-text skew by construction
+    — then one tiny per-doc join (AQE broadcasts)."""
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+
+    def side(pattern: str, prefix: str) -> DataFrame:
+        parts = F.filter(
+            F.transform(F.split("text", pattern), lambda p: F.trim(p)),
+            lambda p: p != "",
+        )
+        per = (
+            docs.select("doc_id", F.explode(parts).alias("p"))
+            .groupBy("doc_id", "p")
+            .agg(F.count("*").alias("c"), F.length("p").alias("chars"))
+        )
+        return per.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"n_{prefix}"),
+            fround(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                / F.sum("c"),
+                6,
+            ).alias(f"dup_{prefix}_frac"),
+            fround(
+                F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars")).otherwise(0))
+                / F.sum(F.col("c") * F.col("chars")),
+                6,
+            ).alias(f"dup_{prefix}_char_frac"),
+        )
+
+    return side(r"\n", "line").join(side(r"\n{2,}", "para"), "doc_id")
+
+
+O_DUP_LINE_STATS = f"""
+WITH lines AS (
+  SELECT doc_id, trim(p) AS p
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS p FROM documents)
+  WHERE trim(p) <> ''
+), per_l AS (
+  SELECT doc_id, p, count(*) AS c, length(p) AS chars FROM lines GROUP BY 1, 2
+), agg_l AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_line,
+         {o_fround("CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)", 6)} AS dup_line_frac,
+         {o_fround("CAST(sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END) AS DOUBLE) / sum(c * chars)", 6)} AS dup_line_char_frac
+  FROM per_l GROUP BY doc_id
+), paras AS (
+  SELECT doc_id, trim(p) AS p
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\n{{2,}}')) AS p FROM documents)
+  WHERE trim(p) <> ''
+), per_p AS (
+  SELECT doc_id, p, count(*) AS c, length(p) AS chars FROM paras GROUP BY 1, 2
+), agg_p AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_para,
+         {o_fround("CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)", 6)} AS dup_para_frac,
+         {o_fround("CAST(sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END) AS DOUBLE) / sum(c * chars)", 6)} AS dup_para_char_frac
+  FROM per_p GROUP BY doc_id
+)
+SELECT doc_id, n_line, dup_line_frac, dup_line_char_frac,
+       n_para, dup_para_frac, dup_para_char_frac
+FROM agg_l JOIN agg_p USING (doc_id)
+"""
+
+QUERIES["dup_line_stats"] = q_dup_line_stats
+ORACLES["dup_line_stats"] = O_DUP_LINE_STATS

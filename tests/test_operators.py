@@ -1384,6 +1384,21 @@ def test_dup_span_merge_adjacency(spark):
     assert n_spans == 1 and dup_chars == 10, out[1]
 
 
+def test_dup_line_stats_fractions(spark, tmp_path):
+    """Crafted doc: lines [a, b, a, c] (empty line ignored) -> half
+    the line occurrences are duplicates; the two paragraphs are
+    distinct -> paragraph dup fractions 0."""
+    from data_ingestors_spark.queries import all_queries
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\n\nc", "s")], ["doc_id", "text", "source"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = all_queries()["dup_line_stats"](spark, str(tmp_path)).collect()[0]
+    assert (out.n_line, out.dup_line_frac, out.dup_line_char_frac) == (4, 0.5, 0.5)
+    assert (out.n_para, out.dup_para_frac, out.dup_para_char_frac) == (2, 0.0, 0.0)
+
+
 def test_gopher_quality_flags_rules(spark):
     """Each published Gopher rule fires on a crafted violator and
     passes on a healthy doc."""
