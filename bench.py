@@ -79,6 +79,7 @@ HEADLINE = [
     "strip_dup_spans",
     "gopher_quality",
     "dup_line_stats",
+    "c4_filter",
     "winsorized_stats",
     "copurchase_pairs",
     "source_entropy",

@@ -196,6 +196,62 @@ def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     )
 
 
+def c4_line_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2) as
+    a rewrite + audit flags: keep a line only if it ends in terminal
+    punctuation (``. ! ? "``), has at least 5 words, and does not
+    mention javascript; at the document level flag the "lorem ipsum"
+    and curly-brace (code) rules, and require at least 3 surviving
+    lines. (The original also applies a bad-words list and URL-level
+    dedup — the list is not shipped here, and URL dedup belongs to
+    the dedup family.)
+
+    Everything is one let-bound line-array expression — filter /
+    transform HOFs, fully row-local, no shuffle. Output per input
+    document: (doc_id, n_lines, n_kept, cleaned_text, has_lorem,
+    has_brace, passes_c4) where cleaned_text joins kept lines with
+    newlines (empty string when nothing survives).
+    """
+    from data_ingestors_spark.operators.dedup import let_bound
+
+    t = F.col(text_col)
+
+    def build(lines):
+        kept = F.filter(
+            lines,
+            lambda l: l.rlike(r'[.!?"]$')
+            & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= 5)
+            & ~F.lower(l).contains("javascript"),
+        )
+        return F.struct(
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, "\n").alias("cleaned_text"),
+        )
+
+    lines0 = F.filter(
+        F.transform(F.split(t, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    s = let_bound(lines0, build)
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        s.alias("_c"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    ).select(
+        "doc_id",
+        F.col("_c.n_lines").alias("n_lines"),
+        F.col("_c.n_kept").alias("n_kept"),
+        F.col("_c.cleaned_text").alias("cleaned_text"),
+        "has_lorem",
+        "has_brace",
+        (~F.col("has_lorem") & ~F.col("has_brace") & (F.col("_c.n_kept") >= 3))
+        .alias("passes_c4"),
+    )
+
+
 PII_PATTERNS = {
     # syntax subset Java regex and RE2 agree on (no lookaround/backrefs)
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

@@ -872,6 +872,47 @@ QUERIES["gopher_quality"] = q_gopher_quality
 ORACLES["gopher_quality"] = O_GOPHER_QUALITY
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2;
+    operators/text.py c4_line_filter): terminal-punctuation /
+    5-word / javascript line rules as a rewrite, lorem-ipsum +
+    curly-brace + >=3-kept-lines doc rules as flags. One let-bound
+    line array, row-local codegen."""
+    from data_ingestors_spark.operators.text import c4_line_filter
+
+    t = tables(spark, sf_dir, "documents")
+    return c4_line_filter(t["documents"], "text", "doc_id")
+
+
+O_C4_FILTER = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]$')
+           AND len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+         AND len(kept) >= 3 AS passes_c4
+FROM m
+"""
+
+QUERIES["c4_filter"] = q_c4_filter
+ORACLES["c4_filter"] = O_C4_FILTER
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by edit distance: per customer name, the
     count of other names at edit distance exactly 1 (operators/

@@ -1399,6 +1399,34 @@ def test_dup_line_stats_fractions(spark, tmp_path):
     assert (out.n_para, out.dup_para_frac, out.dup_para_char_frac) == (2, 0.0, 0.0)
 
 
+def test_c4_line_filter_rules(spark):
+    """Each C4 line rule and doc rule fires: terminal punctuation,
+    5-word minimum, javascript mention, lorem ipsum, curly brace,
+    3-surviving-lines floor."""
+    from data_ingestors_spark.operators.text import c4_line_filter
+
+    good = "This line has plenty of words and punctuation."
+    rows = [
+        (1, "\n".join([good] * 3)),                       # passes
+        (2, "\n".join([good, "no terminal punctuation here", good])),
+        (3, "\n".join([good, "Too few words.", good])),
+        (4, "\n".join([good, "Enable JavaScript to view this page.", good, good])),
+        (5, "\n".join([good] * 3) + "\nLorem ipsum dolor sit amet."),
+        (6, "\n".join([good] * 3) + "\nfunction f() { return 1; }"),
+        (7, "\n".join([good] * 2)),                       # only 2 kept lines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in c4_line_filter(df, "text", "doc_id").collect()}
+    assert out[1]["passes_c4"] is True and out[1]["n_kept"] == 3
+    assert out[2]["n_kept"] == 2                          # middle line dropped
+    assert out[3]["n_kept"] == 2
+    assert out[4]["n_kept"] == 3                          # javascript line dropped
+    assert out[5]["has_lorem"] is True and out[5]["passes_c4"] is False
+    assert out[6]["has_brace"] is True and out[6]["passes_c4"] is False
+    assert out[7]["n_kept"] == 2 and out[7]["passes_c4"] is False
+    assert out[2]["cleaned_text"] == good + "\n" + good
+
+
 def test_gopher_quality_flags_rules(spark):
     """Each published Gopher rule fires on a crafted violator and
     passes on a healthy doc."""
