@@ -727,6 +727,72 @@ def test_real_mjpeg_avi_decode(spark):
     ]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        ct=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_png_roundtrip_property(w, h, ct, seed):
+        """Any 8-bit image, any per-row filter mix, any color type:
+        encode with the reference filter-forward encoder, decode, and
+        the grayscale must equal the channel-mean ground truth
+        EXACTLY (PNG is lossless)."""
+        import numpy as np
+
+        from data_ingestors_spark.operators.multimodal import _decode_png
+
+        rng = np.random.RandomState(seed)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        filters = [int(rng.randint(0, 5)) for _ in range(h)]
+        gw, gh, arr = _decode_png(_encode_png(img, ct, filters=filters))
+        assert (gw, gh) == (w, h)
+        if ch == 1:
+            want = img
+        elif ct == 4:
+            want = img[:, :, 0]
+        else:
+            want = img[:, :, :3].mean(axis=2).astype(np.uint8)
+        assert np.array_equal(arr, want)
+
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        n_colors=st.integers(2, 8),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_gif_roundtrip_property(w, h, n_colors, interlace, seed):
+        """Any palette size, any dims, interlaced or not: the LZW
+        round-trip through the reference compressor is lossless."""
+        import numpy as np
+
+        from data_ingestors_spark.operators.multimodal import _decode_gif
+
+        rng = np.random.RandomState(seed)
+        pal = [int(x) for x in rng.randint(0, 256, size=3 * n_colors)]
+        idx = rng.randint(0, n_colors, size=(h, w), dtype=np.uint8)
+        mcs = max(2, (n_colors - 1).bit_length())
+        gw, gh, arr = _decode_gif(_encode_gif(idx, pal, mcs=mcs, interlace=interlace))
+        assert (gw, gh) == (w, h)
+        pal_np = np.array(pal, dtype=np.uint8).reshape(-1, 3)
+        assert np.array_equal(arr, pal_np[idx].mean(axis=2).astype(np.uint8))
+
+
 def test_decode_error_summary_loud_partial(spark):
     """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
     must show the split in one summary frame — the PIL-less JPEG run
