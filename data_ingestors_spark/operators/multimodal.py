@@ -130,13 +130,56 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_pixels(
+    raw: bytes, h: int, w: int, channels: int, depth: int, interlace: int
+) -> np.ndarray:
+    """Unfiltered sample array (h, w, channels) in 8-bit (16-bit
+    samples are scaled down by their high byte). Handles both storage
+    layouts: sequential scanlines, and the 7 Adam7 passes — each pass
+    is an independently-filtered sub-image scattered back onto the
+    full grid by its (start, step) geometry; empty passes contribute
+    no scanlines."""
+    bps = depth // 8
+    bpp = channels * bps
+    if not interlace:
+        data = _png_unfilter(raw, h, w * bpp, bpp)
+    else:
+        data = np.zeros((h, w * bpp), dtype=np.uint8)
+        off = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = max(0, -(-(w - xs) // xst))
+            ph = max(0, -(-(h - ys) // yst))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + need], ph, pw * bpp, bpp)
+            off += need
+            for j in range(ph):
+                data[ys + j * yst].reshape(w, bpp)[xs::xst][:pw] = sub[j].reshape(
+                    pw, bpp
+                )
+    px = data.reshape(h, w, channels, bps)
+    if bps == 2:
+        return px[..., 0]  # high byte of big-endian 16-bit == >> 8
+    return px[..., 0]
+
+
 def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL pixel decode for 8-bit non-interlaced PNG — stdlib zlib
-    inflates IDAT, numpy reverses the scanline filters. Covers color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA);
-    grayscale output is the channel mean (same rule as _decode_bmp),
-    alpha ignored. 16-bit depth and Adam7 interlace stay behind the
-    fail-loud NotImplementedError boundary (README codec matrix)."""
+    """REAL pixel decode for 8- and 16-bit PNG, sequential or Adam7
+    interlaced — stdlib zlib inflates IDAT, numpy reverses the
+    scanline filters (per pass for Adam7). Covers color types 0
+    (gray), 2 (RGB), 3 (palette, 8-bit per spec), 4 (gray+alpha), 6
+    (RGBA); grayscale output is the channel mean (same rule as
+    _decode_bmp), alpha ignored, 16-bit samples scaled to 8. Bit
+    depths < 8 stay behind the fail-loud NotImplementedError
+    boundary (README codec matrix)."""
     import struct
     import zlib
 
@@ -163,23 +206,27 @@ def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    if depth != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or ct not in _PNG_CHANNELS
+        or (ct == 3 and depth != 8)
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} colortype={ct} interlace={interlace} "
-            "not decodable without PIL (supported: 8-bit non-interlaced)"
+            "not decodable without PIL (supported: 8/16-bit, sequential or Adam7)"
         )
     channels = _PNG_CHANNELS[ct]
-    stride = w * channels
-    px = _png_unfilter(zlib.decompress(bytes(idat)), h, stride, channels)
+    px = _png_pixels(zlib.decompress(bytes(idat)), h, w, channels, depth, interlace)
     if ct == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
-        gray = pal[px].mean(axis=2)
-    elif ct == 0:
-        gray = px.astype(np.float64)
+        gray = pal[px[:, :, 0]].mean(axis=2)
+    elif ct in (0, 4):
+        gray = px[:, :, 0].astype(np.float64)
     else:
-        gray = px.reshape(h, w, channels)[:, :, : 3 if ct in (2, 6) else 1].mean(axis=2)
+        gray = px[:, :, :3].mean(axis=2)
     return w, h, gray.astype(np.uint8)
 
 

@@ -146,10 +146,18 @@ def _paeth(a, b, c):
     return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
 
-def _encode_png(arr, color_type, filters, palette=None):
-    """Reference PNG encoder for the decoder tests: 8-bit
-    non-interlaced, one chosen filter type per row (forward transform
-    of RFC 2083 §6), so every unfilter branch is exercised."""
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _encode_png(arr, color_type, filters, palette=None, interlace=False, depth=8):
+    """Reference PNG encoder for the decoder tests: 8- or 16-bit,
+    sequential or Adam7-interlaced, one chosen filter type per row
+    (forward transform of RFC 2083 §6), so every unfilter branch and
+    both storage layouts are exercised. 16-bit samples are value<<8
+    so the decoder's high-byte scale-down returns the original."""
     import struct
     import zlib
 
@@ -159,34 +167,51 @@ def _encode_png(arr, color_type, filters, palette=None):
     if a.ndim == 2:
         h, w = a.shape
         ch = 1
-        flat = a
     else:
         h, w, ch = a.shape
-        flat = a.reshape(h, w * ch)
-    stride = w * ch
+    bps = depth // 8
+    bppb = ch * bps
+
+    def filter_pass(sub):
+        s = sub.reshape(sub.shape[0], -1).astype(int)  # (ph, pw*ch)
+        if bps == 2:
+            wide = np.zeros((s.shape[0], s.shape[1] * 2), dtype=int)
+            wide[:, 0::2] = s  # big-endian high byte carries the value
+            s = wide
+        raw = bytearray()
+        prev = np.zeros(s.shape[1], dtype=int)
+        for y in range(s.shape[0]):
+            ft = filters[y % len(filters)]
+            line = s[y]
+            out = np.empty_like(line)
+            for i in range(len(line)):
+                left = line[i - bppb] if i >= bppb else 0
+                up = prev[i]
+                upleft = prev[i - bppb] if i >= bppb else 0
+                if ft == 0:
+                    out[i] = line[i]
+                elif ft == 1:
+                    out[i] = line[i] - left
+                elif ft == 2:
+                    out[i] = line[i] - up
+                elif ft == 3:
+                    out[i] = line[i] - (left + up) // 2
+                else:
+                    out[i] = line[i] - _paeth(left, up, upleft)
+            raw.append(ft)
+            raw.extend((out % 256).astype(np.uint8).tobytes())
+            prev = line
+        return raw
+
     raw = bytearray()
-    prev = np.zeros(stride, dtype=int)
-    for y in range(h):
-        ft = filters[y % len(filters)]
-        line = flat[y].astype(int)
-        out = np.empty(stride, dtype=int)
-        for i in range(stride):
-            left = line[i - ch] if i >= ch else 0
-            up = prev[i]
-            upleft = prev[i - ch] if i >= ch else 0
-            if ft == 0:
-                out[i] = line[i]
-            elif ft == 1:
-                out[i] = line[i] - left
-            elif ft == 2:
-                out[i] = line[i] - up
-            elif ft == 3:
-                out[i] = line[i] - (left + up) // 2
-            else:
-                out[i] = line[i] - _paeth(left, up, upleft)
-        raw.append(ft)
-        raw.extend((out % 256).astype(np.uint8).tobytes())
-        prev = line
+    if interlace:
+        for xs, ys, xst, yst in _ADAM7:
+            sub = a[ys::yst, xs::xst]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += filter_pass(sub)
+    else:
+        raw = filter_pass(a)
 
     def chunk(ctype, data):
         return (
@@ -194,7 +219,7 @@ def _encode_png(arr, color_type, filters, palette=None):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         png += chunk(b"PLTE", bytes(palette))
@@ -247,8 +272,32 @@ def test_real_png_decode_all_filters(spark):
     assert (row.width, row.height, row.error) == (5, 7, None)
 
 
+def test_png_interlaced_and_16bit_roundtrip():
+    """Adam7 interlaced and 16-bit PNGs decode losslessly (16-bit
+    scaled by the high byte); interlaced 16-bit RGB combines both."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(21)
+    for hh, ww in ((1, 1), (3, 9), (13, 11), (16, 16)):
+        img = rng.randint(0, 256, size=(hh, ww), dtype=np.uint8)
+        _, _, arr = _decode_png(_encode_png(img, 0, filters=[0, 1, 2, 3, 4], interlace=True))
+        assert np.array_equal(arr, img), (hh, ww)
+
+    img = rng.randint(0, 256, size=(7, 6), dtype=np.uint8)
+    _, _, arr = _decode_png(_encode_png(img, 0, filters=[4, 2], depth=16))
+    assert np.array_equal(arr, img)
+
+    rgb = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    _, _, arr = _decode_png(
+        _encode_png(rgb, 2, filters=[1, 3, 0], depth=16, interlace=True)
+    )
+    assert np.array_equal(arr, rgb.mean(axis=2).astype(np.uint8))
+
+
 def test_png_unsupported_stays_fail_loud():
-    """16-bit depth and interlaced PNGs stay behind the documented
+    """Sub-byte bit depths stay behind the documented
     NotImplementedError boundary."""
     import struct
     import zlib
@@ -263,8 +312,8 @@ def test_png_unsupported_stays_fail_loud():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    for depth, interlace in ((16, 0), (8, 1)):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+    for depth, ct in ((4, 0), (1, 0), (16, 3)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
         png = (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
