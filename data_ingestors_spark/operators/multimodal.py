@@ -146,6 +146,40 @@ def _png_pixels(
     is an independently-filtered sub-image scattered back onto the
     full grid by its (start, step) geometry; empty passes contribute
     no scanlines."""
+    if depth < 8:
+        # sub-byte depths (1/2/4-bit gray or palette): samples pack
+        # MSB-first into bytes, scanlines pad to whole bytes, and the
+        # filter bpp is ONE byte (spec: filters see bytes, not
+        # samples). Unpack bits per row after unfiltering.
+        stride = -(-w * depth // 8)
+
+        def unpack(rows: np.ndarray, pw: int) -> np.ndarray:
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            return (bits.reshape(rows.shape[0], pw, depth) * weights).sum(
+                axis=2
+            ).astype(np.uint8)
+
+        if not interlace:
+            vals = unpack(_png_unfilter(raw, h, stride, 1), w)
+        else:
+            vals = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for xs, ys, xst, yst in _ADAM7:
+                pw = max(0, -(-(w - xs) // xst))
+                ph = max(0, -(-(h - ys) // yst))
+                if pw == 0 or ph == 0:
+                    continue
+                pstride = -(-pw * depth // 8)
+                need = ph * (1 + pstride)
+                sub = unpack(
+                    _png_unfilter(raw[off : off + need], ph, pstride, 1), pw
+                )
+                off += need
+                for j in range(ph):
+                    vals[ys + j * yst, xs::xst][:pw] = sub[j]
+        return vals.reshape(h, w, 1)
+
     bps = depth // 8
     bpp = channels * bps
     if not interlace:
@@ -207,14 +241,15 @@ def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or interlace not in (0, 1)
         or ct not in _PNG_CHANNELS
-        or (ct == 3 and depth != 8)
+        or (ct == 3 and depth == 16)
+        or (depth < 8 and ct not in (0, 3))
     ):
         raise NotImplementedError(
             f"PNG depth={depth} colortype={ct} interlace={interlace} "
-            "not decodable without PIL (supported: 8/16-bit, sequential or Adam7)"
+            "not decodable without PIL"
         )
     channels = _PNG_CHANNELS[ct]
     px = _png_pixels(zlib.decompress(bytes(idat)), h, w, channels, depth, interlace)
@@ -222,9 +257,13 @@ def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
         gray = pal[px[:, :, 0]].mean(axis=2)
     elif ct in (0, 4):
         gray = px[:, :, 0].astype(np.float64)
+        if depth < 8:  # expand sub-byte gray to the full 0..255 range
+            gray = gray * (255.0 / ((1 << depth) - 1))
     else:
         gray = px[:, :, :3].mean(axis=2)
     return w, h, gray.astype(np.uint8)
@@ -283,11 +322,12 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
 
 def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
     """REAL pixel decode for the first frame of a GIF87a/89a —
-    pure-python LZW + numpy palette lookup, Adam-less GIF interlace
-    deinterlaced. Grayscale is the palette-RGB channel mean (same
-    rule as BMP/PNG). Sub-frame compositing (first frame smaller than
-    the logical screen) and later frames stay behind the fail-loud
-    boundary — animation semantics need a real codec."""
+    pure-python LZW + numpy palette lookup, GIF 4-pass interlace
+    deinterlaced, and a first frame smaller than the logical screen
+    composited onto the background-color canvas (frame 0 needs no
+    disposal semantics). Grayscale is the palette-RGB channel mean
+    (same rule as BMP/PNG). Later frames stay behind the fail-loud
+    boundary — animation disposal needs a real codec."""
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
 
@@ -331,10 +371,6 @@ def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
                     break
                 data += content[pos : pos + ln]
                 pos += ln
-            if (iw, ih) != (w, h) or (left, top) != (0, 0):
-                raise NotImplementedError(
-                    "GIF sub-frame compositing not decodable without PIL"
-                )
             idx = np.frombuffer(
                 _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.uint8
             ).reshape(ih, iw)
@@ -349,7 +385,25 @@ def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
             pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("GIF pixel index outside the color table")
-            return w, h, pal[idx].mean(axis=2).astype(np.uint8)
+            frame = pal[idx].mean(axis=2)
+            if (iw, ih) == (w, h) and (left, top) == (0, 0):
+                return w, h, frame.astype(np.uint8)
+            # first-frame sub-frame: composite onto a background-color
+            # canvas (frame 0 needs no disposal semantics — that is
+            # where animation, which stays out of scope, begins)
+            if gct is None:
+                raise NotImplementedError(
+                    "GIF sub-frame without a global color table"
+                )
+            if left + iw > w or top + ih > h:
+                raise ValueError("GIF frame exceeds the logical screen")
+            gpal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
+            bg = content[11]
+            if bg >= len(gpal):
+                raise ValueError("GIF background index outside the color table")
+            canvas = np.full((h, w), gpal[bg].mean(), dtype=np.float64)
+            canvas[top : top + ih, left : left + iw] = frame
+            return w, h, canvas.astype(np.uint8)
         elif b == 0x3B:  # trailer
             break
         else:

@@ -170,11 +170,21 @@ def _encode_png(arr, color_type, filters, palette=None, interlace=False, depth=8
     else:
         h, w, ch = a.shape
     bps = depth // 8
-    bppb = ch * bps
+    bppb = max(1, ch * bps)  # spec: filters reference whole bytes
 
     def filter_pass(sub):
         s = sub.reshape(sub.shape[0], -1).astype(int)  # (ph, pw*ch)
-        if bps == 2:
+        if depth < 8:  # pack sub-byte samples MSB-first, pad rows
+            bits = ((s[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(
+                s.shape[0], -1
+            )
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.concatenate(
+                    [bits, np.zeros((s.shape[0], pad), dtype=int)], axis=1
+                )
+            s = np.packbits(bits.astype(np.uint8), axis=1).astype(int)
+        elif bps == 2:
             wide = np.zeros((s.shape[0], s.shape[1] * 2), dtype=int)
             wide[:, 0::2] = s  # big-endian high byte carries the value
             s = wide
@@ -289,6 +299,21 @@ def test_png_interlaced_and_16bit_roundtrip():
     _, _, arr = _decode_png(_encode_png(img, 0, filters=[4, 2], depth=16))
     assert np.array_equal(arr, img)
 
+    # sub-byte grays: 2-bit values scale to the full 0..255 range
+    g2 = rng.randint(0, 4, size=(5, 9), dtype=np.uint8)
+    _, _, arr = _decode_png(_encode_png(g2, 0, filters=[0, 1, 2], depth=2))
+    assert np.array_equal(arr, (g2.astype(np.float64) * 85).astype(np.uint8))
+    g1 = rng.randint(0, 2, size=(4, 11), dtype=np.uint8)
+    _, _, arr = _decode_png(_encode_png(g1, 0, filters=[2], depth=1, interlace=True))
+    assert np.array_equal(arr, g1 * 255)
+
+    # 4-bit palette
+    pal = [int(x) for x in rng.randint(0, 256, size=3 * 16)]
+    p4 = rng.randint(0, 16, size=(6, 7), dtype=np.uint8)
+    _, _, arr = _decode_png(_encode_png(p4, 3, filters=[0, 4], depth=4, palette=pal))
+    pal_np = np.array(pal, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(arr, pal_np[p4].mean(axis=2).astype(np.uint8))
+
     rgb = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
     _, _, arr = _decode_png(
         _encode_png(rgb, 2, filters=[1, 3, 0], depth=16, interlace=True)
@@ -297,7 +322,8 @@ def test_png_interlaced_and_16bit_roundtrip():
 
 
 def test_png_unsupported_stays_fail_loud():
-    """Sub-byte bit depths stay behind the documented
+    """Combinations outside the spec-supported set (sub-byte color,
+    16-bit palette, invalid depth) stay behind the documented
     NotImplementedError boundary."""
     import struct
     import zlib
@@ -312,7 +338,7 @@ def test_png_unsupported_stays_fail_loud():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    for depth, ct in ((4, 0), (1, 0), (16, 3)):
+    for depth, ct in ((4, 2), (2, 6), (16, 3), (3, 0)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
         png = (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -425,11 +451,13 @@ def test_real_gif_decode(spark):
     row = image_metadata(df, "id", "img").collect()[0]
     assert (row.width, row.height, row.error) == (4, 3, None)
 
-    # sub-frame compositing stays behind the fail-loud boundary
+    # first-frame sub-frame composites onto a background-color canvas
     sub = bytearray(_encode_gif(idx, pal, mcs=2))
-    sub[6:8] = (8).to_bytes(2, "little")  # lie: screen wider than frame
-    with _pytest.raises(NotImplementedError):
-        _decode_gif(bytes(sub))
+    sub[6:8] = (8).to_bytes(2, "little")  # screen wider than the frame
+    w2, h2, arr2 = _decode_gif(bytes(sub))
+    assert (w2, h2) == (8, 3)
+    assert arr2[:, :4].tolist() == [[0, 85, 85, 255]] * 3   # the frame
+    assert arr2[:, 4:].tolist() == [[0, 0, 0, 0]] * 3       # bg index 0 -> black
 
 
 # --- reference baseline-JPEG encoder for the decoder tests ------------
