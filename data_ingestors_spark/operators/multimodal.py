@@ -489,30 +489,49 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL pixel decode for baseline sequential JPEG (SOF0, 8-bit,
-    single interleaved scan, optional restart markers, any sampling
-    where luma carries the max factors — 4:4:4 / 4:2:2 / 4:2:0):
-    pure-python Huffman + numpy dequantize/IDCT. Grayscale output IS
-    the luma (Y) plane — chroma blocks are entropy-decoded (the
-    bitstream interleaves them) and discarded, so no color convert
-    and no upsample. Progressive (SOF2), arithmetic coding, 12-bit,
-    multi-scan and DNL files stay behind the fail-loud boundary."""
+def _jpeg_split_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos``: unstuff 0xFF00, split on
+    restart markers; returns (segments, position of the terminating
+    marker's 0xFF)."""
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(content):
+        b = content[i]
+        if b == 0xFF:
+            m = content[i + 1] if i + 1 < len(content) else 0xD9
+            if m == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # a real marker ends the scan
+        segments[-1].append(b)
+        i += 1
+    return [bytes(s) for s in segments], i
+
+
+def _jpeg_parse(content: bytes) -> dict:
+    """Marker walk: frame header, quant tables, and EVERY scan with
+    its entropy segments and a snapshot of the Huffman tables in
+    force — the shape both sequential multi-scan and progressive
+    decoding need."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
-    w = h = None
+    meta: dict = {"comps": [], "scans": [], "progressive": False}
     restart = 0
-    scan: list[tuple[int, int, int]] | None = None  # (comp index, dc tbl, ac tbl)
-    entropy = None
     pos = 2
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             pos += 2
             continue
@@ -539,113 +558,270 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
                 symbols = data[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             if data[0] != 8:
                 raise NotImplementedError("non-8-bit JPEG")
-            h = int.from_bytes(data[1:3], "big")
-            w = int.from_bytes(data[3:5], "big")
+            meta["progressive"] = marker == 0xC2
+            meta["h"] = int.from_bytes(data[1:3], "big")
+            meta["w"] = int.from_bytes(data[3:5], "big")
             nc = data[5]
-            comps = [
+            meta["comps"] = [
                 (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended) not decodable without PIL"
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/hierarchical) "
+                "not decodable without PIL"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[:2], "big")
-        elif marker == 0xDA:  # SOS — single interleaved scan supported
-            ns = data[0]
-            if not comps:
+        elif marker == 0xDA:  # SOS
+            if not meta["comps"]:
                 raise ValueError("JPEG SOS before SOF")
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG not decodable without PIL")
-            scan = []
+            ns = data[0]
+            scomps = []
             for i in range(ns):
                 cid, tables = data[1 + 2 * i], data[2 + 2 * i]
-                idx = next(j for j, c in enumerate(comps) if c[0] == cid)
-                scan.append((idx, tables >> 4, tables & 0xF))
-            # entropy-coded data runs from here to the next real marker
-            entropy = content[pos:]
-            break
-    if w is None or scan is None or entropy is None:
+                idx = next(j for j, c in enumerate(meta["comps"]) if c[0] == cid)
+                scomps.append((idx, tables >> 4, tables & 0xF))
+            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            segments, pos = _jpeg_split_segments(content, pos)
+            meta["scans"].append(
+                {
+                    "comps": scomps, "ss": ss, "se": se,
+                    "ah": a >> 4, "al": a & 0xF,
+                    "restart": restart, "segments": segments,
+                    "dc": dict(huff_dc), "ac": dict(huff_ac),
+                }
+            )
+    if "w" not in meta or not meta["scans"]:
         raise ValueError("JPEG missing SOF/SOS")
+    meta["qt"] = qt
+    return meta
 
-    # split on restart markers, unstuff 0xFF00, stop at EOI
-    segments: list[bytearray] = [bytearray()]
-    i = 0
-    while i < len(entropy):
-        b = entropy[i]
-        if b == 0xFF:
-            m = entropy[i + 1] if i + 1 < len(entropy) else 0xD9
-            if m == 0x00:
-                segments[-1].append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                segments.append(bytearray())
-                i += 2
-                continue
-            break  # EOI or next marker
-        segments[-1].append(b)
-        i += 1
 
+def _jpeg_block_full(bits, block, dc_tbl, ac_tbl, preds, ci):
+    """Baseline full-band decode (DC diff + AC run-length) into the
+    64-coeff zigzag ``block``."""
+    t = bits.huff(dc_tbl)
+    preds[ci] += _jpeg_extend(bits.bits(t), t)
+    block[0] = preds[ci]
+    z = 1
+    while z < 64:
+        rs = bits.huff(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                z += 16
+                continue
+            break
+        z += r
+        if z > 63:
+            raise ValueError("JPEG AC run past block end")
+        block[z] = _jpeg_extend(bits.bits(s), s)
+        z += 1
+
+
+def _jpeg_block_ac_first(bits, block, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC initial scan (G.2.2, spectral selection with
+    point transform); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        block[k] = _jpeg_extend(bits.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_block_ac_refine(bits, block, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC refinement scan (G.2.3; the jdphuff algorithm):
+    one correction bit per already-nonzero coefficient, newly-nonzero
+    coefficients inserted at ±2^al; returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.huff(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    # NB: 1 << r, not (1 << r) - 1 — the CURRENT block's
+                    # band tail still consumes correction bits below,
+                    # which then decrements the run (jdphuff semantics)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                s_val = p1 if bits.bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if bits.bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overran the band")
+                block[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if bits.bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for 8-bit Huffman JPEG — baseline (SOF0),
+    extended sequential (SOF1), and PROGRESSIVE (SOF2: spectral
+    selection and successive approximation, interleaved or per-
+    component scans), with optional restart markers, for any sampling
+    where luma carries the max factors (4:4:4 / 4:2:2 / 4:2:0). All
+    scans accumulate into per-component coefficient grids; one
+    vectorized dequantize + IDCT pass then renders the luma plane.
+    Grayscale output IS the luma — chroma scans are entropy-decoded
+    (the bitstream interleaves or sequences them) and discarded.
+    Lossless/arithmetic/hierarchical JPEG and 12-bit precision stay
+    behind the fail-loud boundary."""
+    meta = _jpeg_parse(content)
+    comps = meta["comps"]
+    w, h = meta["w"], meta["h"]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    y_comp = scan[0][0]
+    y_comp = meta["scans"][0]["comps"][0][0]
     if comps[y_comp][1] != hmax or comps[y_comp][2] != vmax:
         raise NotImplementedError("JPEG luma without max sampling factors")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    if restart == 0 and len(segments) > 1:
-        raise ValueError("restart markers without DRI")
 
+    # per-component coefficient grids (padded to whole MCUs) and the
+    # real (unpadded) block dims used by non-interleaved scans
+    grids = []
+    real = []
+    for _cid, hi, vi, _tq in comps:
+        grids.append(
+            [[None] * (mcus_x * hi) for _ in range(mcus_y * vi)]
+        )
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        real.append((-(-chh // 8), -(-cw // 8)))
+
+    def block_at(ci: int, by: int, bx: int) -> list[int]:
+        blk = grids[ci][by][bx]
+        if blk is None:
+            blk = [0] * 64
+            grids[ci][by][bx] = blk
+        return blk
+
+    for scan in meta["scans"]:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        restart = scan["restart"]
+        interleaved = len(scomps) > 1
+        if interleaved and ss != 0:
+            raise ValueError("JPEG interleaved AC scan is not legal")
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            by_r, bx_r = real[scomps[0][0]]
+            n_units = by_r * bx_r
+        if restart == 0 and len(scan["segments"]) > 1:
+            raise ValueError("restart markers without DRI")
+        full_band = ss == 0 and se == 63 and ah == 0 and al == 0
+        unit = 0
+        for seg in scan["segments"]:
+            bits = _JpegBits(seg)
+            preds = [0] * len(comps)
+            eobrun = 0
+            limit = min(unit + restart, n_units) if restart else n_units
+            while unit < limit:
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    sites = [
+                        (ci, tdc, tac, my * cvf + by, mx * chf + bx)
+                        for ci, tdc, tac in scomps
+                        for cvf, chf in [(comps[ci][2], comps[ci][1])]
+                        for by in range(cvf)
+                        for bx in range(chf)
+                    ]
+                else:
+                    ci, tdc, tac = scomps[0]
+                    by_r, bx_r = real[ci]
+                    sites = [(ci, tdc, tac, *divmod(unit, bx_r))]
+                for ci, tdc, tac, by, bx in sites:
+                    blk = block_at(ci, by, bx)
+                    if full_band:
+                        _jpeg_block_full(
+                            bits, blk, scan["dc"][tdc], scan["ac"][tac], preds, ci
+                        )
+                    elif ss == 0 and se == 0:  # DC scan
+                        if ah == 0:
+                            t = bits.huff(scan["dc"][tdc])
+                            preds[ci] += _jpeg_extend(bits.bits(t), t)
+                            blk[0] = preds[ci] << al
+                        else:
+                            blk[0] |= bits.bit() << al
+                    elif ss >= 1:  # AC scan (always single-component)
+                        if ah == 0:
+                            eobrun = _jpeg_block_ac_first(
+                                bits, blk, scan["ac"][tac], ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _jpeg_block_ac_refine(
+                                bits, blk, scan["ac"][tac], ss, se, al, eobrun
+                            )
+                    else:
+                        raise ValueError(f"JPEG scan band {ss}..{se} invalid")
+                unit += 1
+            if unit >= n_units:
+                break
+        if unit < n_units:
+            raise ValueError("JPEG entropy data ended before the scan's last unit")
+
+    # vectorized dequantize + IDCT of the REAL luma blocks
     A = _jpeg_idct_matrix()
-    yh, yv = comps[y_comp][1], comps[y_comp][2]
-    Y = np.zeros((mcus_y * yv * 8, mcus_x * yh * 8), dtype=np.float64)
-
-    mcu = 0
-    for seg in segments:
-        bits = _JpegBits(bytes(seg))
-        preds = [0] * len(comps)
-        limit = min(mcu + restart, n_mcus) if restart else n_mcus
-        while mcu < limit:
-            my, mx = divmod(mcu, mcus_x)
-            for ci, tdc, tac in scan:
-                _cid, chf, cvf, tq = comps[ci]
-                for by in range(cvf):
-                    for bx in range(chf):
-                        coeffs = np.zeros((8, 8))
-                        t = bits.huff(huff_dc[tdc])
-                        preds[ci] += _jpeg_extend(bits.bits(t), t)
-                        coeffs[0, 0] = preds[ci]
-                        z = 1
-                        while z < 64:
-                            rs = bits.huff(huff_ac[tac])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    z += 16
-                                    continue
-                                break  # EOB
-                            z += r
-                            if z > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            rr, cc = JPEG_ZIGZAG[z]
-                            coeffs[rr, cc] = _jpeg_extend(bits.bits(s), s)
-                            z += 1
-                        if ci == y_comp:
-                            block = A.T @ (coeffs * qt[tq]) @ A + 128.0
-                            r0 = (my * cvf + by) * 8
-                            c0 = (mx * chf + bx) * 8
-                            Y[r0 : r0 + 8, c0 : c0 + 8] = block
-            mcu += 1
-        if mcu >= n_mcus:
-            break
-    if mcu < n_mcus:
-        raise ValueError("JPEG entropy data ended before the last MCU")
+    qtab = meta["qt"][comps[y_comp][3]]
+    by_r, bx_r = real[y_comp]
+    zz_rows = [r for r, _ in JPEG_ZIGZAG]
+    zz_cols = [c for _, c in JPEG_ZIGZAG]
+    coeffs = np.zeros((by_r * bx_r, 8, 8))
+    for by in range(by_r):
+        for bx in range(bx_r):
+            blk = grids[y_comp][by][bx]
+            if blk is not None:
+                coeffs[by * bx_r + bx, zz_rows, zz_cols] = blk
+    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + 128.0
+    Y = (
+        blocks.reshape(by_r, bx_r, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(by_r * 8, bx_r * 8)
+    )
     return w, h, np.clip(Y[:h, :w], 0, 255).astype(np.uint8)
 
 

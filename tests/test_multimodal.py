@@ -687,6 +687,173 @@ def _encode_jpeg(gray, *, restart=0, chroma=None):
     return out
 
 
+def _jpeg_blocks(plane, A, zigzag):
+    """Quantized (quant=1) zigzag coefficient blocks, raster order."""
+    import numpy as np
+
+    h, w = plane.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane.astype(np.float64) - 128, ((0, H - h), (0, W - w)), mode="edge")
+    out = []
+    for my in range(H // 8):
+        for mx in range(W // 8):
+            F = np.rint(A @ p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] @ A.T).astype(int)
+            out.append([int(F[r, c]) for (r, c) in zigzag])
+    return out, W // 8, H // 8
+
+
+def _encode_jpeg_progressive(gray, chroma=None):
+    """Reference PROGRESSIVE (SOF2) encoder: DC first at Al=1
+    (interleaved when 3 components), DC refinement, per-component AC
+    spectral-selection scans at Al=1 split into two bands, and a final
+    AC successive-approximation refinement scan (the jcphuff buffered-
+    correction-bit algorithm) — exercising every progressive decode
+    path."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _jpeg_idct_matrix,
+    )
+
+    A = _jpeg_idct_matrix()
+    dc = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    h, w = gray.shape
+    planes = [gray] if chroma is None else [gray, chroma, chroma]
+    comp_blocks = [_jpeg_blocks(p, A, JPEG_ZIGZAG)[0] for p in planes]
+    nc = len(planes)
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def valbits(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    def sos_header(comps_spec, ss, se, ah, al):
+        payload = bytes([len(comps_spec)])
+        for cid in comps_spec:
+            payload += bytes([cid, 0x00])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return (
+            bytes([0xFF, 0xDA])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    scans = b""
+
+    # scan 1: DC first, Al=1, all components (interleaved when nc>1)
+    wr = _JpegWriter()
+    preds = [0] * nc
+    for bi in range(len(comp_blocks[0])):
+        for ci in range(nc):
+            v = comp_blocks[ci][bi][0] >> 1  # arithmetic shift (floor)
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = cat(diff)
+            code, width = dc[s]
+            wr.put(code, width)
+            if s:
+                wr.put(valbits(diff, s), s)
+    wr.align()
+    scans += sos_header(list(range(1, nc + 1)), 0, 0, 0, 1) + bytes(wr.out)
+
+    # scan 2: DC refinement (Ah=1, Al=0), same component order
+    wr = _JpegWriter()
+    for bi in range(len(comp_blocks[0])):
+        for ci in range(nc):
+            wr.put(comp_blocks[ci][bi][0] & 1, 1)
+    wr.align()
+    scans += sos_header(list(range(1, nc + 1)), 0, 0, 1, 0) + bytes(wr.out)
+
+    # per-component AC scans
+    for ci in range(nc):
+        for ss, se in ((1, 5), (6, 63)):
+            wr = _JpegWriter()
+            for blk in comp_blocks[ci]:
+                r = 0
+                for k in range(ss, se + 1):
+                    c = blk[k]
+                    t = (abs(c) >> 1) * (1 if c >= 0 else -1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r >= 16:
+                        code, width = ac[0xF0]
+                        wr.put(code, width)
+                        r -= 16
+                    s = cat(t)
+                    code, width = ac[(r << 4) | s]
+                    wr.put(code, width)
+                    wr.put(valbits(t, s), s)
+                    r = 0
+                if r > 0:
+                    code, width = ac[0x00]  # EOB, run length 1
+                    wr.put(code, width)
+            wr.align()
+            scans += sos_header([ci + 1], ss, se, 0, 1) + bytes(wr.out)
+
+        # AC refinement scan Ss=1..63 (Ah=1, Al=0) — jcphuff algorithm
+        wr = _JpegWriter()
+        for blk in comp_blocks[ci]:
+            band = list(range(1, 64))
+            absv = [abs(blk[k]) for k in band]
+            eob = -1
+            for i, k in enumerate(band):
+                if absv[i] == 1:
+                    eob = i
+            r = 0
+            BR = []
+            for i, k in enumerate(band):
+                temp = absv[i]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    code, width = ac[0xF0]
+                    wr.put(code, width)
+                    for b in BR:
+                        wr.put(b, 1)
+                    BR = []
+                    r -= 16
+                if temp > 1:
+                    BR.append(temp & 1)
+                    continue
+                code, width = ac[(r << 4) | 1]
+                wr.put(code, width)
+                wr.put(1 if blk[k] > 0 else 0, 1)
+                for b in BR:
+                    wr.put(b, 1)
+                BR = []
+                r = 0
+            if r > 0 or BR:
+                code, width = ac[0x00]
+                wr.put(code, width)
+                for b in BR:
+                    wr.put(b, 1)
+        wr.align()
+        scans += sos_header([ci + 1], 1, 63, 1, 0) + bytes(wr.out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + _JPEG_DC_COUNTS + _JPEG_DC_SYMBOLS
+        + bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMBOLS
+    )
+    return (
+        b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC2, sof) + seg(0xC4, dht)
+        + scans + b"\xff\xd9"
+    )
+
+
 def test_real_jpeg_decode(spark):
     """Baseline JPEG decodes for REAL (pure-python Huffman + numpy
     IDCT): with a flat quant table the only loss is coefficient
@@ -731,12 +898,51 @@ def test_real_jpeg_decode(spark):
     row = image_metadata(df, "id", "img").collect()[0]
     assert (row.width, row.height, row.error) == (24, 17, None)
 
-    # progressive (SOF2) stays fail-loud
-    prog = bytearray(_encode_jpeg(gray))
-    i = prog.index(b"\xff\xc0")
-    prog[i + 1] = 0xC2
+    # lossless (SOF3) stays fail-loud
+    lossless = bytearray(_encode_jpeg(gray))
+    i = lossless.index(b"\xff\xc0")
+    lossless[i + 1] = 0xC3
     with _pytest.raises(NotImplementedError):
-        _decode_jpeg(bytes(prog))
+        _decode_jpeg(bytes(lossless))
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline(spark):
+    """PROGRESSIVE JPEG (SOF2): DC-first + DC-refinement + split-band
+    AC spectral selection + AC successive-approximation refinement
+    must reconstruct EXACTLY the coefficients the baseline encoding of
+    the same image carries — decoded pixels bit-identical, gray and
+    3-component (interleaved DC scan) alike."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg, image_metadata
+
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:17, 0:24]
+    gray = (
+        128 + 60 * np.sin(xx / 3.0) * np.cos(yy / 2.0) + rng.randint(-20, 20, (17, 24))
+    ).clip(0, 255).astype(np.uint8)
+    chroma = rng.randint(0, 256, size=gray.shape).astype(np.uint8)
+
+    base = _decode_jpeg(_encode_jpeg(gray))[2]
+    prog = _decode_jpeg(_encode_jpeg_progressive(gray))[2]
+    assert np.array_equal(prog, base)
+
+    base3 = _decode_jpeg(_encode_jpeg(gray, chroma=chroma))[2]
+    prog3 = _decode_jpeg(_encode_jpeg_progressive(gray, chroma=chroma))[2]
+    assert np.array_equal(prog3, base3)
+
+    big = rng.randint(0, 256, size=(40, 56)).astype(np.uint8)
+    assert np.array_equal(
+        _decode_jpeg(_encode_jpeg_progressive(big))[2],
+        _decode_jpeg(_encode_jpeg(big))[2],
+    )
+
+    # Spark path accepts progressive payloads end-to-end
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_jpeg_progressive(gray)))], "id long, img binary"
+    )
+    row = image_metadata(df, "id", "img").collect()[0]
+    assert (row.width, row.height, row.error) == (24, 17, None)
 
 
 def test_g711_wav_decode():
