@@ -1053,7 +1053,11 @@ def image_features(df: DataFrame, id_col: str, bin_col: str, resize_to: int = 8)
 
 
 def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Decode → duration / RMS / zero-crossing-rate per clip."""
+    """Decode → duration / RMS / zero-crossing-rate / spectral
+    features per clip. Spectral centroid and dominant frequency come
+    from one numpy rfft over the mono signal — the cheap frequency-
+    domain pair audio quality filters threshold on (hum and silence
+    sit low, broadband noise pushes the centroid high)."""
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1063,21 +1067,35 @@ def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 try:
                     sr, x = _decode_audio(bytes(b))
                     zc = int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
+                    if len(x) > 1:
+                        mag = np.abs(np.fft.rfft(x - x.mean()))
+                        freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+                        tot = float(mag.sum())
+                        centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                        dominant = float(freqs[int(mag.argmax())]) if tot > 0 else 0.0
+                    else:
+                        centroid = dominant = 0.0
                     rows.append(
                         (i, sr, len(x), round(len(x) / sr, 6),
                          round(float(np.sqrt((x ** 2).mean())), 6) if len(x) else 0.0,
-                         round(zc / max(len(x) - 1, 1), 6), None)
+                         round(zc / max(len(x) - 1, 1), 6),
+                         round(centroid, 2), round(dominant, 2), None)
                     )
                 except Exception as e:
-                    rows.append((i, None, None, None, None, None, f"{type(e).__name__}: {e}"))
+                    rows.append(
+                        (i, None, None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}")
+                    )
             yield pd.DataFrame(
                 rows,
-                columns=["id", "sample_rate", "n_samples", "duration_s", "rms", "zcr", "error"],
+                columns=["id", "sample_rate", "n_samples", "duration_s", "rms",
+                         "zcr", "spectral_centroid", "dominant_freq", "error"],
             )
 
     return src.mapInPandas(
         run,
-        "id long, sample_rate int, n_samples long, duration_s double, rms double, zcr double, error string",
+        "id long, sample_rate int, n_samples long, duration_s double, rms double, "
+        "zcr double, spectral_centroid double, dominant_freq double, error string",
     )
 
 
@@ -1097,18 +1115,35 @@ def video_frame_sample(
             for i, b in zip(pdf["id"], pdf["b"]):
                 try:
                     w, h, n, frames = _decode_video(bytes(b))
+                    prev = None
                     for fi in range(0, n, every_nth):
-                        fr = frames[fi]
-                        rows.append((i, fi, w, h, round(float(fr.mean()), 4), None))
+                        fr = frames[fi].astype(np.float64)
+                        # motion proxy: mean |Δ| vs the previous SAMPLED
+                        # frame (None on the first) — the scene-cut /
+                        # static-clip signal video curation thresholds on
+                        motion = (
+                            round(float(np.abs(fr - prev).mean()), 4)
+                            if prev is not None
+                            else None
+                        )
+                        prev = fr
+                        rows.append(
+                            (i, fi, w, h, round(float(fr.mean()), 4), motion, None)
+                        )
                 except Exception as e:
-                    rows.append((i, None, None, None, None, f"{type(e).__name__}: {e}"))
+                    rows.append(
+                        (i, None, None, None, None, None, f"{type(e).__name__}: {e}")
+                    )
             yield pd.DataFrame(
-                rows, columns=["id", "frame_idx", "width", "height", "mean_intensity", "error"]
+                rows,
+                columns=["id", "frame_idx", "width", "height", "mean_intensity",
+                         "motion", "error"],
             )
 
     return src.mapInPandas(
         run,
-        "id long, frame_idx int, width int, height int, mean_intensity double, error string",
+        "id long, frame_idx int, width int, height int, mean_intensity double, "
+        "motion double, error string",
     )
 
 

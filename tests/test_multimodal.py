@@ -107,6 +107,48 @@ def test_real_wav_pcm_decode(spark):
     assert row.rms > 0.3 and row.error is None
 
 
+def test_audio_spectral_features(spark):
+    """A pure 1 kHz sine must put both the dominant frequency and the
+    spectral centroid at ~1 kHz (1 Hz bin resolution at 1 s / 8 kHz)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import audio_features
+
+    sr, freq = 8000, 1000
+    x = (20000 * np.sin(2 * math.pi * freq * np.arange(sr) / sr)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, aud binary")
+    row = audio_features(df, "id", "aud").collect()[0]
+    assert row.error is None
+    assert abs(row.dominant_freq - freq) <= 1.0
+    assert abs(row.spectral_centroid - freq) <= 25.0  # leakage skews slightly
+
+
+def test_video_motion_column(spark):
+    """Frame-to-frame motion: first sampled frame None, then the mean
+    absolute difference vs the previous sampled frame."""
+    from data_ingestors_spark.operators.multimodal import video_frame_sample
+
+    w = h = 2
+    frames = bytes([0] * 4) + bytes([10] * 4) + bytes([10] * 4)
+    vid = b"FAKEVID:%dx%dx3:" % (w, h) + frames
+    df = spark.createDataFrame([(1, bytearray(vid))], "id long, vid binary")
+    rows = sorted(
+        video_frame_sample(df, "id", "vid", every_nth=1).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.motion for r in rows] == [None, 10.0, 0.0]
+
+
 def test_real_bmp_decode(spark):
     """Uncompressed 24-bit BMP decodes for REAL (pure numpy): a 2x2
     bottom-up image must come back with correct dims and pixel values
