@@ -1118,6 +1118,38 @@ if _HAVE_HYPOTHESIS:
         assert np.array_equal(arr, pal_np[idx].mean(axis=2).astype(np.uint8))
 
 
+if _HAVE_HYPOTHESIS:
+
+    @given(seed=st.integers(0, 2**31 - 1), n=st.integers(0, 400))
+    @settings(max_examples=60, deadline=None)
+    def test_codec_fuzz_always_raises_never_hangs(seed, n):
+        """Adversarial bytes (random, and random prefixed with each
+        magic) must make every decoder RAISE promptly — never hang,
+        never return garbage silently. The per-row feature operators
+        catch any exception, so the only contract is bounded failure."""
+        import numpy as np
+
+        from data_ingestors_spark.operators.multimodal import (
+            _decode_audio,
+            _decode_image,
+            _decode_video,
+        )
+
+        rng = np.random.RandomState(seed)
+        junk = rng.bytes(n)
+        prefixes = [
+            b"", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8",
+            b"RIFF" + junk[:4] + b"WAVE", b"RIFF" + junk[:4] + b"AVI ",
+        ]
+        for p in prefixes:
+            payload = p + junk
+            for dec in (_decode_image, _decode_audio, _decode_video):
+                try:
+                    dec(payload)
+                except Exception:
+                    pass  # any prompt exception is acceptable
+
+
 def test_decode_error_summary_loud_partial(spark):
     """A corpus mixing decodable (FAKEIMG/BMP) and codec-less payloads
     must show the split in one summary frame — the PIL-less JPEG run

@@ -265,6 +265,33 @@ def test_chunk_documents_zero_shuffle(spark, queries):
     assert "Generate" in plan  # the inline() explode
 
 
+def test_quality_filters_zero_shuffle(spark, queries):
+    """gopher_quality and c4_filter are pure row-local let-bound
+    array expressions — a projection over the scan, no Exchange."""
+    for name in ("gopher_quality", "c4_filter"):
+        plan = plan_of(queries[name](spark, SF_DIR), "simple")
+        assert "Exchange" not in plan, name
+
+
+def test_dup_line_stats_combiner_friendly(spark, queries):
+    """Both reductions keyed on doc_id carry partial aggregation
+    (map-side combine) and no window function rides the line text."""
+    plan = plan_of(queries["dup_line_stats"](spark, SF_DIR), "simple")
+    assert "Window" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_dup_span_merge_no_window_on_span_string(spark, queries):
+    """The islands window partitions by doc_id only; no join or
+    window keyed on the span string survives in the plan (hot spans
+    collapse map-side)."""
+    plan = plan_of(queries["dup_span_merge"](spark, SF_DIR), "formatted")
+    # every Window node must be the per-doc islands window
+    for line in plan.splitlines():
+        if "Arguments" in line and "windowspecdefinition" in line:
+            assert "doc_id#" in line, line
+
+
 def test_asof_direction_variants_same_shape(spark, queries):
     # forward/nearest share the backward plan's shape: union + window
     # over ONE key partitioning, never a range probe
