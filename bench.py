@@ -109,6 +109,9 @@ TPCH_SUITE = [
     "dup_ngram_chars",
     "interval_join",
     "weighted_sample",
+    # r6 additions: robust dispersion + portable mode
+    "mad_stats",
+    "mode_per_group",
 ]
 
 # TPC-H shapes that live in neither list above (timed only so

@@ -1215,3 +1215,93 @@ FROM agg_l JOIN agg_p USING (doc_id)
 
 QUERIES["dup_line_stats"] = q_dup_line_stats
 ORACLES["dup_line_stats"] = O_DUP_LINE_STATS
+
+
+def q_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure outlier detection uses when stddev is poisoned by the
+    outliers themselves. Exact interpolated medians (Spark
+    `percentile`, DuckDB `median` — same average-of-middle-two rule):
+    one groupBy for the per-group median, a broadcast join back, one
+    groupBy for the median of |x − med|. Both shuffles are on the
+    small group key; the join back broadcasts the per-group medians
+    frame (one row per group)."""
+    t = tables(spark, sf_dir, "orders")
+    o = t["orders"]
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            fround(F.first("med"), 4).alias("median_price"),
+            fround(
+                F.expr("percentile(abs(o_totalprice - med), 0.5)"), 4
+            ).alias("mad_price"),
+        )
+    )
+
+
+O_MAD_STATS = f"""
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_fround("min(med)", 4)} AS median_price,
+       {o_fround("median(abs(o_totalprice - med))", 4)} AS mad_price
+FROM orders o JOIN med USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+QUERIES["mad_stats"] = q_mad_stats
+ORACLES["mad_stats"] = O_MAD_STATS
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent order priority
+    per customer market segment, ties broken by the smallest value —
+    engine-portable by construction (native mode() functions break
+    ties arbitrarily, so the count + rank formulation IS the portable
+    operator). Counts are one partial-aggregated groupBy; the rank
+    window rides the tiny (segment, priority) count frame."""
+    t = tables(spark, sf_dir, "customer", "orders")
+    counts = (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+O_MODE_PER_GROUP = """
+WITH counts AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority) AS rnk
+  FROM counts
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+FROM ranked WHERE rnk = 1
+"""
+
+QUERIES["mode_per_group"] = q_mode_per_group
+ORACLES["mode_per_group"] = O_MODE_PER_GROUP
