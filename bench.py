@@ -109,9 +109,10 @@ TPCH_SUITE = [
     "dup_ngram_chars",
     "interval_join",
     "weighted_sample",
-    # r6 additions: robust dispersion + portable mode
+    # r6 additions: robust dispersion + portable mode + listagg
     "mad_stats",
     "mode_per_group",
+    "group_concat",
 ]
 
 # TPC-H shapes that live in neither list above (timed only so

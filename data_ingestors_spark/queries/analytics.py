@@ -1305,3 +1305,36 @@ FROM ranked WHERE rnk = 1
 
 QUERIES["mode_per_group"] = q_mode_per_group
 ORACLES["mode_per_group"] = O_MODE_PER_GROUP
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped string aggregation (LISTAGG / string_agg): per order
+    priority, the sorted comma-joined distinct order statuses plus
+    their count. Engine-portable ONLY because the order is forced:
+    collect_set carries no order, so sort_array + array_join pins it
+    (the same reason the DuckDB oracle needs ORDER BY inside
+    string_agg). collect_set keeps the per-group state bounded by the
+    distinct-value count — fine for low-cardinality payloads, and the
+    distinct-first shape to use when it is not."""
+    t = tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count_distinct("o_orderstatus").cast("long").alias("n_statuses"),
+        )
+    )
+
+
+O_GROUP_CONCAT = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders GROUP BY o_orderpriority
+"""
+
+QUERIES["group_concat"] = q_group_concat
+ORACLES["group_concat"] = O_GROUP_CONCAT
