@@ -40,3 +40,43 @@ def merge_sketch_rollup(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
     if group_cols:
         return rollup.groupBy(*group_cols).agg(*agg)
     return rollup.agg(*agg)
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, col: str, support_num: int, support_den: int
+) -> DataFrame:
+    """Frequent-item candidate generation with NO false negatives.
+
+    Exact frequent-item mining (all values with global frequency >=
+    s = support_num/support_den) via a full groupBy shuffles one row
+    per distinct value — at 100 TB vocabularies that is the dominant
+    shuffle. The two-phase scheme here is the Misra-Gries/SpaceSaving
+    pattern: a map-side pass emits only values that are locally
+    frequent, and the pigeonhole principle guarantees completeness —
+    if freq(x)/N >= s globally, then freq_p(x)/N_p >= s in at least
+    one sub-batch (a maximum is >= the weighted mean). The candidate
+    set is therefore a superset of the true answer and at most
+    support_den items per Arrow batch, so the verify pass counts only
+    candidates (broadcast semi-join) instead of the whole vocabulary.
+
+    Thresholding is exact integer arithmetic (count * den >= num * n)
+    — no float support fraction, so boundary counts can't be dropped
+    by representation error. Per-Arrow-batch evaluation keeps worker
+    memory bounded by the batch's distinct values; swap the
+    value_counts for a k-counter Misra-Gries loop if even that is too
+    wide for an adversarial vocabulary.
+
+    Returns the DISTINCT candidate values (column name preserved).
+    """
+    import pandas as pd
+
+    schema = df.select(col).schema
+
+    def gen(batches):
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            n = len(pdf)
+            keep = vc[vc * support_den >= support_num * n]
+            yield pd.DataFrame({col: keep.index})
+
+    return df.select(col).mapInPandas(gen, schema=schema).distinct()

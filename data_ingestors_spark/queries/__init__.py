@@ -31,9 +31,11 @@ from data_ingestors_spark.queries import (
     advanced,
     sampling,
     analytics,
+    statistics,
+    graph,
 )
 
-_MODULES = (relational, tpch, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics)
+_MODULES = (relational, tpch, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics, statistics, graph)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,142 @@
+"""Graph analytics registry queries: triangle counting on the
+co-purchase part graph and PageRank on the nation-level trade-flow
+graph. Both are exact fixed-shape computations, so they carry full
+DuckDB oracles (the PageRank oracle unrolls the iterations as chained
+CTEs — same decimal-accumulated arithmetic, bit-comparable at 6 dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.functions.rounding import fround, o_fround
+from data_ingestors_spark.operators.graph import pagerank, triangle_count
+from data_ingestors_spark.queries.base import tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase edges: two parts appear in the same
+    order. Pair generation is per-order (O(k^2) in basket size k, never
+    corpus-quadratic) and the distinct collapses repeat pairs before
+    any downstream join."""
+    t = tables(spark, sf_dir, "lineitem")
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey")))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-purchase graph (see
+    operators/graph.py:triangle_count for the degree-oriented
+    algorithm that keeps wedge generation off the hot vertices)."""
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+O_TRIANGLE_COUNT = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (SELECT a AS v FROM edges UNION SELECT b AS v FROM edges)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM edges e1
+   JOIN edges e2 ON e2.a = e1.b
+   JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+  (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes
+"""
+
+QUERIES["triangle_count"] = q_triangle_count
+ORACLES["triangle_count"] = O_TRIANGLE_COUNT
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (customer nation ->
+    supplier nation, weighted by lineitem count): which nations are
+    authoritative suppliers given where demand flows. Fixed 3
+    iterations, damping 0.85 (see operators/graph.py:pagerank)."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("wt"))
+    )
+    pr = pagerank(edges, weight="wt", iterations=_PR_ITERS, damping=_PR_DAMP)
+    return (
+        pr.join(F.broadcast(t["nation"]), pr.v == t["nation"].n_nationkey)
+        .select(F.col("n_name"), fround(F.col("rank"), 6).alias("pr"))
+    )
+
+
+def _o_pagerank_sql() -> str:
+    """Unroll the fixed-iteration PageRank as chained CTEs with the
+    SAME arithmetic as the operator: decimal-accumulated sums cast to
+    double, identical teleport constants."""
+    d = _PR_DAMP
+    it = """
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (1.0 - {d}) / nt.n + {d} * (
+           COALESCE(inf.inflow, 0.0) +
+           (SELECT CAST(COALESCE(sum(CAST(r{p}.rank AS DECIMAL(30,10))), 0) AS DOUBLE)
+            FROM r{p} WHERE r{p}.node NOT IN (SELECT u FROM e)) / CAST(nt.n AS DOUBLE)
+         ) AS rank
+  FROM nodes CROSS JOIN nt
+  LEFT JOIN (
+    SELECT e.v AS node,
+           CAST(sum(CAST(r{p}.rank * e.frac AS DECIMAL(30,10))) AS DOUBLE) AS inflow
+    FROM e JOIN r{p} ON e.u = r{p}.node GROUP BY e.v
+  ) inf ON inf.node = nodes.node
+)"""
+    iters = ",".join(it.format(i=i, p=i - 1, d=d) for i in range(1, _PR_ITERS + 1))
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS DOUBLE) AS wt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), e0 AS MATERIALIZED (
+  SELECT * FROM raw WHERE src <> dst
+), ew AS (
+  SELECT src, CAST(sum(CAST(wt AS DECIMAL(30,10))) AS DOUBLE) AS wsum
+  FROM e0 GROUP BY src
+), e AS MATERIALIZED (
+  SELECT e0.src AS u, e0.dst AS v, e0.wt / ew.wsum AS frac
+  FROM e0 JOIN ew ON e0.src = ew.src
+), nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+nt AS (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nt.n AS rank FROM nodes CROSS JOIN nt),
+{iters}
+SELECT n_name, {o_fround(f"r{_PR_ITERS}.rank", 6)} AS pr
+FROM r{_PR_ITERS} JOIN nation ON node = n_nationkey
+"""
+
+
+QUERIES["pagerank"] = q_pagerank
+ORACLES["pagerank"] = _o_pagerank_sql()

@@ -1,0 +1,531 @@
+"""Statistical analysis operators — distribution tests, power-law
+fits, and multi-objective (skyline) selection over the benchmark
+tables.
+
+Each query follows the registry contract (see queries/__init__.py):
+identical output column names on the Spark and DuckDB sides, decimal
+accumulation + engine-portable rounding for every computed double so
+reduction-order jitter cannot flip the driver's value hash.
+
+Scale notes are per-query; the common theme is that every statistic
+here reduces to partial-aggregable groupBys over the fact table plus
+arithmetic on a tiny aggregate frame — no shuffle carries raw rows
+beyond the first groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestors_spark.functions.rounding import fround, o_fround
+from data_ingestors_spark.queries.base import DEC, tables
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --- chi-square independence -------------------------------------------
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and nation.
+
+    Plan: ONE partial-aggregated groupBy over customer produces the
+    observed contingency cells; margins derive from that tiny cell
+    frame (125 rows at any scale — cardinality is |segments|x|nations|,
+    data-size-independent), so the fact table is scanned once. The
+    zero-observed cells matter (they still contribute `expected` to the
+    statistic), hence the margin cross join rebuilds the FULL grid and
+    left-joins the observed counts — all on the aggregate frame, never
+    on raw rows. Terms are accumulated in DECIMAL so the 125-term sum
+    is reduction-order-free.
+    """
+    t = tables(spark, sf_dir, "customer")
+    cells = t["customer"].groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").cast("double").alias("obs")
+    )
+    cells = cells.persist()
+    row_m = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("rt"))
+    col_m = cells.groupBy("c_nationkey").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    grid = (
+        row_m.crossJoin(col_m)
+        .join(cells, ["c_mktsegment", "c_nationkey"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0.0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("exp", F.col("rt") * F.col("ct") / F.col("n"))
+        .withColumn(
+            "term",
+            ((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")).cast(DEC),
+        )
+    )
+    return grid.agg(
+        fround(F.sum("term").cast("double"), 6).alias("chi2"),
+        (
+            (F.count_distinct("c_mktsegment") - F.lit(1))
+            * (F.count_distinct("c_nationkey") - F.lit(1))
+        ).cast("long").alias("dof"),
+        F.sum("obs").cast("long").alias("n"),
+    )
+
+
+O_CHI_SQUARE = f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS DOUBLE) AS obs
+  FROM customer GROUP BY 1, 2
+), rm AS (SELECT c_mktsegment, sum(obs) AS rt FROM cells GROUP BY 1),
+   cm AS (SELECT c_nationkey, sum(obs) AS ct FROM cells GROUP BY 1),
+   tot AS (SELECT sum(obs) AS n FROM cells),
+   grid AS (
+  SELECT rm.c_mktsegment, cm.c_nationkey, rm.rt, cm.ct,
+         COALESCE(cells.obs, 0.0) AS obs, rm.rt * cm.ct / tot.n AS exp
+  FROM rm CROSS JOIN cm CROSS JOIN tot
+  LEFT JOIN cells USING (c_mktsegment, c_nationkey)
+)
+SELECT {o_fround("CAST(sum(CAST((obs - exp) * (obs - exp) / exp AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS chi2,
+       CAST((count(DISTINCT c_mktsegment) - 1) * (count(DISTINCT c_nationkey) - 1) AS BIGINT) AS dof,
+       CAST(sum(obs) AS BIGINT) AS n
+FROM grid
+"""
+
+QUERIES["chi_square"] = q_chi_square
+ORACLES["chi_square"] = O_CHI_SQUARE
+
+
+# --- Zipf power-law fit -------------------------------------------------
+
+_TOP_WORDS = 1000
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the Zipf exponent of the corpus word-frequency distribution:
+    slope of ln(freq) ~ ln(rank) over the top-1000 words via least
+    squares (regr_slope). A healthy natural-language corpus sits near
+    -1; corrupted or template-heavy corpora drift, so this is a cheap
+    corpus-health gauge alongside [gopher_quality].
+
+    Plan: one corpus scan -> explode -> word groupBy (partial-agg
+    combines before the shuffle, so the shuffle carries one row per
+    distinct word per partition, not one per token). Ranking the
+    top-1000 is a single-partition window over the 1000-row frame
+    AFTER a top-k prune (orderBy + limit pushes a TakeOrdered, so no
+    global sort of the full vocabulary). regr_slope's sums run over
+    1000 values of magnitude <=~15, far inside double precision at
+    6 dp.
+    """
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    top = freq.orderBy(F.desc("freq"), F.asc("w")).limit(_TOP_WORDS)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))),
+    )
+    return ranked.agg(
+        fround(F.regr_slope(F.log(F.col("freq")), F.log(F.col("rank"))), 6).alias("zipf_slope"),
+        fround(F.regr_r2(F.log(F.col("freq")), F.log(F.col("rank"))), 6).alias("r2"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+
+
+O_ZIPF_FIT = f"""
+WITH words AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words WHERE w <> '' GROUP BY w
+  ORDER BY freq DESC, w LIMIT {_TOP_WORDS}
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM freq
+)
+SELECT {o_fround("regr_slope(ln(freq), ln(rank))", 6)} AS zipf_slope,
+       {o_fround("regr_r2(ln(freq), ln(rank))", 6)} AS r2,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM ranked
+"""
+
+QUERIES["zipf_fit"] = q_zipf_fit
+ORACLES["zipf_fit"] = O_ZIPF_FIT
+
+
+# --- two-sample Kolmogorov-Smirnov -------------------------------------
+
+_KS_A, _KS_B = "src0", "src1"
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the
+    document-length (n_chars) distributions of two corpus sources —
+    the standard drift check between a new crawl slice and a reference
+    slice before mixing them into training data.
+
+    Plan: filter to the two sources (pushed to the parquet scan),
+    pre-aggregate per distinct length value (combiner-friendly; the
+    shuffled frame is one row per distinct value), then one cumulative
+    window over the distinct-value frame computes both empirical CDFs
+    in a single pass; D = max |F_a - F_b|. The window is a single
+    ordered partition over DISTINCT VALUES, not raw rows — bounded by
+    value cardinality, and a merge of per-range partial maxima if that
+    ever mattered. Counts are integers, so the CDFs are exact ratios
+    of integers; only the final division is floating point.
+    """
+    t = tables(spark, sf_dir, "documents")
+    two = t["documents"].filter(F.col("source").isin(_KS_A, _KS_B))
+    cells = two.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == _KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    tot = cells.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cdf = (
+        cells.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cuma").cast("double") / F.col("na")
+                - F.col("cumb").cast("double") / F.col("nb")
+            ),
+        )
+    )
+    return cdf.agg(
+        fround(F.max("d"), 6).alias("ks_stat"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )
+
+
+O_KS_TEST = f"""
+WITH two AS (
+  SELECT n_chars, source FROM documents WHERE source IN ('{_KS_A}', '{_KS_B}')
+), cells AS (
+  SELECT n_chars,
+         sum(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+  FROM two GROUP BY n_chars
+), tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+   cdf AS (
+  SELECT abs(CAST(sum(ca) OVER (ORDER BY n_chars) AS DOUBLE) / tot.na
+           - CAST(sum(cb) OVER (ORDER BY n_chars) AS DOUBLE) / tot.nb) AS d,
+         tot.na, tot.nb
+  FROM cells CROSS JOIN tot
+)
+SELECT {o_fround("max(d)", 6)} AS ks_stat,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM cdf
+"""
+
+QUERIES["ks_test"] = q_ks_test
+ORACLES["ks_test"] = O_KS_TEST
+
+
+# --- Pareto frontier (skyline) -----------------------------------------
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (p_retailprice low,
+    p_size low) — part A dominates B when it is <= on both dimensions
+    and strictly < on at least one.
+
+    Plan: the naive skyline is an O(n^2) NOT EXISTS self-join (the
+    oracle does exactly that — fine at 2k parts, fatal at 100 TB).
+    The distributed form exploits 2-D structure: group to one row per
+    distinct price with that price's min size (partial-aggregated),
+    compute the strict-prefix running min of size over prices in ONE
+    ordered window over the distinct-price frame, then join back — a
+    part is on the frontier iff its size equals its price's min size
+    AND beats every strictly-cheaper price's best size. Raw parts
+    never enter the window; the ordered pass is bounded by distinct
+    price cardinality (and would sort-merge from pre-sorted range
+    partitions at scale).
+    """
+    t = tables(spark, sf_dir, "part")
+    per_price = t["part"].groupBy("p_retailprice").agg(
+        F.min("p_size").alias("min_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_prices = per_price.withColumn(
+        "prefix_min", F.min("min_size").over(w)
+    )
+    return (
+        t["part"]
+        .join(frontier_prices, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("min_size"))
+            & (F.col("prefix_min").isNull() | (F.col("p_size") < F.col("prefix_min")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+O_PARETO_FRONTIER = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+)
+"""
+
+QUERIES["pareto_frontier"] = q_pareto_frontier
+ORACLES["pareto_frontier"] = O_PARETO_FRONTIER
+
+
+# --- exact heavy hitters (two-phase frequent items) ---------------------
+
+_HH_NUM, _HH_DEN = 1, 500  # support = 0.2% of corpus tokens
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: every token carrying >= 0.2% of all
+    token occurrences — the vocabulary-pruning / stopword-discovery
+    primitive.
+
+    Plan: map-side candidate generation (operators/sketches.py:
+    heavy_hitter_candidates — pigeonhole-complete, <=support_den items
+    per Arrow batch) followed by an exact count of the candidates
+    only: a broadcast semi-join keeps the verify groupBy's keyspace at
+    the candidate count instead of the vocabulary size. Threshold
+    arithmetic is pure integers on both sides.
+    """
+    from data_ingestors_spark.operators.sketches import heavy_hitter_candidates
+
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    words = words.persist()
+    cands = heavy_hitter_candidates(words, "w", _HH_NUM, _HH_DEN)
+    total = words.agg(F.count("*").alias("n"))
+    return (
+        words.join(F.broadcast(cands), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_DEN >= _HH_NUM * F.col("n"))
+        .select(
+            "w",
+            "cnt",
+            fround(F.col("cnt").cast("double") / F.col("n"), 6).alias("frac"),
+        )
+    )
+
+
+O_HEAVY_HITTERS = f"""
+WITH words AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words WHERE w <> '' GROUP BY w
+), tot AS (SELECT sum(cnt) AS n FROM freq)
+SELECT w, cnt, {o_fround("CAST(cnt AS DOUBLE) / n", 6)} AS frac
+FROM freq CROSS JOIN tot
+WHERE cnt * {_HH_DEN} >= {_HH_NUM} * n
+"""
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLES["heavy_hitters"] = O_HEAVY_HITTERS
+
+
+# --- EWMA (exponentially weighted moving average) -----------------------
+
+_EWMA_ALPHA = 0.5  # (1-alpha) = 0.5: weights are exact binary powers,
+#                    so pow() is bit-identical across engines
+_EWMA_SPAN = 20
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values: the truncated, normalized form
+    (pandas ``ewm(alpha=.5, adjust=True)`` over a 20-row window) —
+    ewma_t = sum_j (1-a)^j x_(t-j) / sum_j (1-a)^j, j < min(20, t).
+
+    Plan: one window per user (rows frame, 19 preceding) collects the
+    frame values; the weighted sum is an array HOF — zero joins, zero
+    extra shuffles beyond the per-user sort, and per-row state bounded
+    by the 20-element frame. The closed-form denominator
+    (1-(1-a)^m)/a avoids a second aggregate. Terms accumulate in
+    DECIMAL inside the fold so the 20-term sum is order-exact, and
+    alpha = 0.5 makes every weight an exact binary power — the whole
+    computation is bit-identical to the oracle's self-join
+    formulation.
+    """
+    t = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    half = 1.0 - _EWMA_ALPHA
+    ev = t["events"].withColumn("vals", F.collect_list("value").over(w))
+    num = F.expr(
+        f"""CAST(aggregate(
+              zip_with(vals, sequence(size(vals) - 1, 0, -1),
+                       (v, e) -> v * pow({half}, e)),
+              CAST(0 AS DECIMAL(30,10)),
+              (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,10)) AS DECIMAL(30,10))) AS DOUBLE)"""
+    )
+    den = F.lit(1.0) - F.pow(F.lit(half), F.size("vals"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        fround(F.lit(_EWMA_ALPHA) * num / den, 6).alias("ewma"),
+    )
+
+
+O_EWMA = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+       {o_fround(
+           f"{_EWMA_ALPHA} * CAST(sum(CAST(b.value * pow({1.0 - _EWMA_ALPHA}, a.rn - b.rn) AS DECIMAL(30,10))) AS DOUBLE)"
+           f" / (1.0 - pow({1.0 - _EWMA_ALPHA}, least(a.rn, {_EWMA_SPAN})))", 6)} AS ewma
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+GROUP BY a.user_id, a.event_id, a.rn
+"""
+
+QUERIES["ewma"] = q_ewma
+ORACLES["ewma"] = O_EWMA
+
+
+# --- linear interpolation over a time grid ------------------------------
+
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily mean event value on a dense calendar, with
+    missing days LINEARLY INTERPOLATED between the nearest observed
+    days (edges carry the nearest observation flat) — the hypertable
+    ``interpolate()`` analog next to [gap_fill]'s zero-fill.
+
+    Plan: daily means are one partial-aggregated groupBy; the dense
+    calendar explodes per-user spans (bounded by users x days, not
+    table size); prev/next observations come from two
+    last/first-ignore-nulls windows over the per-user day order — no
+    self-join, state bounded by one row. Interpolation arithmetic is
+    identical IEEE ops on identically-rounded inputs on both sides.
+    """
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            fround(
+                F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("obs")
+        )
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    g = cal.join(daily, ["user_id", "day"], "left")
+    wp = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    g = (
+        g.withColumn("pv", F.last("obs", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("obs", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wn))
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff(F.col("day"), F.col("pd")).cast("double")
+            / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+        )
+    )
+    return g.select(
+        "user_id",
+        "day",
+        fround(interp, 6).alias("val"),
+        F.col("obs").isNotNull().alias("is_obs"),
+    )
+
+
+O_LINEAR_INTERPOLATE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         {o_fround("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS obs
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+), g AS (
+  SELECT cal.user_id, cal.day, daily.obs,
+         last_value(daily.obs IGNORE NULLS) OVER
+           (PARTITION BY cal.user_id ORDER BY cal.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN daily.obs IS NOT NULL THEN cal.day END IGNORE NULLS) OVER
+           (PARTITION BY cal.user_id ORDER BY cal.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(daily.obs IGNORE NULLS) OVER
+           (PARTITION BY cal.user_id ORDER BY cal.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN daily.obs IS NOT NULL THEN cal.day END IGNORE NULLS) OVER
+           (PARTITION BY cal.user_id ORDER BY cal.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+)
+SELECT user_id, day,
+       {o_fround(
+           "CASE WHEN obs IS NOT NULL THEN obs "
+           "WHEN pv IS NULL THEN nv "
+           "WHEN nv IS NULL THEN pv "
+           "ELSE pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE)"
+           "          / CAST(date_diff('day', pd, nd) AS DOUBLE) END", 6)} AS val,
+       obs IS NOT NULL AS is_obs
+FROM g
+"""
+
+QUERIES["linear_interpolate"] = q_linear_interpolate
+ORACLES["linear_interpolate"] = O_LINEAR_INTERPOLATE
+
+
+# --- mergeable quantile digest ------------------------------------------
+
+_DIGEST_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-price quantiles from the mergeable centroid digest
+    (operators/digest.py): per-partition equal-weight compression, one
+    centroid-only shuffle, cumulative-weight interpolation — the
+    100 TB substitute for an exact global sort, with rank error
+    bounded by ~2/B (B=200). Rows-only in the oracle sweep; the sweep
+    records the measured max rank error vs the exact CDF, and
+    tests/test_operators.py bounds it."""
+    from data_ingestors_spark.operators.digest import digest_quantiles
+
+    t = tables(spark, sf_dir, "lineitem")
+    return digest_quantiles(t["lineitem"], "l_extendedprice", _DIGEST_QS, b=200)
+
+
+QUERIES["quantile_digest"] = q_quantile_digest
+# no ORACLE: approximate by construction — evidence wired in
+# tools/local_correctness.py (rank-accuracy probe) and unit tests.

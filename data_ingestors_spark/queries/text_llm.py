@@ -992,3 +992,55 @@ GROUP BY doc_id
 
 QUERIES["bigram_logprob"] = q_bigram_logprob
 ORACLES["bigram_logprob"] = O_BIGRAM_LOGPROB
+
+
+# ------------------------------------------------- canonical selection
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups resolved to one CANONICAL survivor each:
+    group by the normalized-text fingerprint (same canonicalization as
+    [fingerprint]) and keep the best document per group — longest raw
+    text, ties to the smallest doc_id. The "which copy do we train on"
+    step that follows duplicate detection.
+
+    Plan: one groupBy on the md5 fingerprint with max_by over a
+    (n_chars, -doc_id) ordering struct — fully partial-aggregable
+    (max_by combines map-side), so unlike a row_number window there is
+    no per-group row accumulation and hot fingerprints (a document
+    duplicated millions of times at 100 TB) reduce on the map side.
+    """
+    t = tables(spark, sf_dir, "documents")
+    fp = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("fp_md5"),
+    )
+    return fp.groupBy("fp_md5").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+        ).cast("long").alias("keep_doc_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+
+
+O_DEDUP_CANONICAL = """
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+  FROM documents
+), ranked AS (
+  SELECT fp_md5, doc_id,
+         row_number() OVER (PARTITION BY fp_md5
+                            ORDER BY n_chars DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY fp_md5) AS group_size
+  FROM fp
+)
+SELECT fp_md5, CAST(doc_id AS BIGINT) AS keep_doc_id,
+       CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rnk = 1
+"""
+
+QUERIES["dedup_canonical"] = q_dedup_canonical
+ORACLES["dedup_canonical"] = O_DEDUP_CANONICAL

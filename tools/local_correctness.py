@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 # rows-only queries: where their correctness evidence actually lives
 ROWS_ONLY_EVIDENCE = {
+    "quantile_digest": "mergeable centroid digest is approximate by construction (rank error <= ~2/B); sweep records measured max-rank-error accuracy vs the exact CDF; bound asserted in tests/test_operators.py::test_quantile_digest_rank_error",
     "minhash_neardup": "jaccard math oracle-paired via ngram_jaccard; recall in tests/test_operators.py::test_minhash_finds_neardups",
     "simhash_neardup": "hamming verify in tests/test_operators.py::test_simhash_stable_and_neardup",
     "embedding_ann": "recall vs exact asserted in tests/test_operators.py::test_lsh_ann_recall",
@@ -117,7 +118,32 @@ def _recall_ann(query_name: str):
     return probe
 
 
+
+
+def _rank_accuracy_digest(spark, sf_dir: str) -> float | None:
+    """1 - max |true_rank(est) - q| over the digest's quantile
+    estimates: 1.0 would be exact; the digest bound says >= 1 - ~2/B."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.queries import all_queries
+    from data_ingestors_spark.queries.base import tables
+
+    li = tables(spark, sf_dir, "lineitem")["lineitem"].select("l_extendedprice")
+    li = li.persist()
+    n = li.count()
+    ests = all_queries()["quantile_digest"](spark, sf_dir).collect()
+    if not ests or n == 0:
+        return None
+    worst = 0.0
+    for r in ests:
+        rank = li.filter(F.col("l_extendedprice") <= r.est).count() / n
+        worst = max(worst, abs(rank - r.q))
+    li.unpersist()
+    return 1.0 - worst
+
+
 RECALL_PROBES = {
+    "quantile_digest": _rank_accuracy_digest,
     "minhash_neardup": _recall_minhash,
     "simhash_neardup": _recall_simhash,
     "embedding_ann": _recall_ann("embedding_ann"),
