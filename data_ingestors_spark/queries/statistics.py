@@ -529,3 +529,158 @@ def q_quantile_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["quantile_digest"] = q_quantile_digest
 # no ORACLE: approximate by construction — evidence wired in
 # tools/local_correctness.py (rank-accuracy probe) and unit tests.
+
+
+# --- autocorrelation function -------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's hourly mean-value series at
+    lags 1-3 — the seasonality / burstiness probe run before choosing
+    rollup grains.
+
+    Plan: the series is ONE partial-aggregated groupBy (type, hour);
+    lagged pairs come from per-type window lags over the tiny series
+    frame (bounded by types x hours, not events); corr() is a single
+    co-moment aggregate per (type, lag). Series points are
+    decimal-exact + portably rounded BEFORE the lag, so both engines
+    correlate identical doubles.
+    """
+    t = tables(spark, sf_dir, "events")
+    series = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            fround(
+                F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("x")
+        )
+    )
+    out = None
+    for k in _ACF_LAGS:
+        w = Window.partitionBy("event_type").orderBy("h")
+        pairs = series.withColumn("xl", F.lag("x", k).over(w)).filter(
+            F.col("xl").isNotNull()
+        )
+        acf_k = pairs.groupBy("event_type").agg(
+            F.lit(k).cast("long").alias("lag"),
+            fround(F.corr("x", "xl"), 6).alias("acf"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+        out = acf_k if out is None else out.unionByName(acf_k)
+    return out
+
+
+def _o_acf_sql() -> str:
+    parts = []
+    for k in _ACF_LAGS:
+        parts.append(f"""
+SELECT event_type, CAST({k} AS BIGINT) AS lag,
+       {o_fround("corr(x, xl)", 6)} AS acf,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM (
+  SELECT event_type, x,
+         lag(x, {k}) OVER (PARTITION BY event_type ORDER BY h) AS xl
+  FROM series
+)
+WHERE xl IS NOT NULL
+GROUP BY event_type""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         {o_fround("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS x
+  FROM events GROUP BY 1, 2
+)
+{union}
+"""
+
+
+QUERIES["acf"] = q_acf
+ORACLES["acf"] = _o_acf_sql()
+
+
+# --- seasonal decomposition (additive, weekly) --------------------------
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic additive seasonal decomposition of the daily
+    total-value series with weekly period: trend = centered 7-day
+    moving average (defined only where the full window exists),
+    seasonal = per-day-of-week mean of the detrended series, residual
+    = x - trend - seasonal.
+
+    Plan: the daily series is one partial-aggregated groupBy; every
+    window rides the series frame (days, not events) and partitions by
+    series key in the general case (here: one global series, the
+    degenerate single-partition window the plan doctor tolerates for
+    aggregate frames). Day-of-week is computed portably as
+    datediff-mod-7 from a fixed Monday so both engines bucket
+    identically; every sum is decimal-accumulated.
+    """
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(fround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    daily = daily.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(w7) == 7,
+            fround(F.sum(F.col("x").cast(DEC)).over(w7).cast("double") / F.lit(7.0), 6),
+        ),
+    ).withColumn(
+        "dow", F.pmod(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")), F.lit(7))
+    )
+    det = daily.withColumn("d", F.col("x") - F.col("trend"))
+    seas = (
+        det.filter(F.col("d").isNotNull())
+        .groupBy("dow")
+        .agg(
+            fround(
+                F.sum(F.col("d").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), "dow", "left")
+        .select(
+            "day",
+            "x",
+            "trend",
+            "seasonal",
+            fround(F.col("x") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+        )
+    )
+
+
+O_SEASONAL_DECOMPOSE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         {o_fround("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 4)} AS x
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT day, x,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN {o_fround("CAST(sum(CAST(x AS DECIMAL(30,10))) OVER w7 AS DOUBLE) / 7.0", 6)}
+         END AS trend,
+         mod(mod(date_diff('day', DATE '2024-01-01', day), 7) + 7, 7) AS dow
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+  SELECT dow,
+         {o_fround("CAST(sum(CAST(x - trend AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY dow
+)
+SELECT day, x, trend, seasonal,
+       {o_fround("x - trend - seasonal", 6)} AS resid
+FROM tr LEFT JOIN seas USING (dow)
+"""
+
+QUERIES["seasonal_decompose"] = q_seasonal_decompose
+ORACLES["seasonal_decompose"] = O_SEASONAL_DECOMPOSE

@@ -1044,3 +1044,66 @@ FROM ranked WHERE rnk = 1
 
 QUERIES["dedup_canonical"] = q_dedup_canonical
 ORACLES["dedup_canonical"] = O_DEDUP_CANONICAL
+
+
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup clusters resolved to one canonical survivor each: the
+    connected components from [dedup_clusters] joined back to document
+    quality, keeping the longest document per cluster (ties to the
+    smallest doc_id) — the end-to-end "detect, cluster, pick what to
+    train on" chain in one query.
+
+    Plan: reuses the cluster assignment (pointer-jumped min-label
+    components over oracle-checked Jaccard edges) plus ONE
+    partial-aggregable max_by groupBy over (cluster, quality) — the
+    canonical pick adds no window and no extra pass over text.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir)
+    t = tables(spark, sf_dir, "documents")
+    quality = t["documents"].select("doc_id", "n_chars")
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).cast("long").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+O_CLUSTER_CANONICAL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({O_NGRAM_JACCARD})),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+allc AS (
+  SELECT doc_id, cluster_id FROM comp
+  UNION ALL
+  SELECT doc_id, doc_id AS cluster_id
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+),
+ranked AS (
+  SELECT allc.cluster_id, allc.doc_id,
+         row_number() OVER (PARTITION BY allc.cluster_id
+                            ORDER BY d.n_chars DESC, allc.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY allc.cluster_id) AS cluster_size
+  FROM allc JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS keep_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rnk = 1
+"""
+
+QUERIES["cluster_canonical"] = q_cluster_canonical
+ORACLES["cluster_canonical"] = O_CLUSTER_CANONICAL

@@ -19,3 +19,9 @@ from data_ingestors_spark.streaming.fuzzy import (  # noqa: F401
     fuzzy_match_fold_batch,
     stream_fuzzy_match,
 )
+from data_ingestors_spark.streaming.frequency import (  # noqa: F401
+    compact_counts,
+    counts_fold_batch,
+    read_heavy_hitters,
+    stream_heavy_hitters,
+)

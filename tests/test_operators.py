@@ -1564,3 +1564,53 @@ def test_dup_span_stats_hot_span(spark):
     # all docs have identical text length and boilerplate, so counts
     # are uniform except the digits region
     assert all(v[0] == n_win for v in got.values())
+
+
+def test_quantile_digest_rank_error(spark, sf_dir):
+    """Digest quantiles must land within the ~2/B rank-error bound of
+    the exact CDF (B=50 here to make the bound meaningful at smoke
+    scale)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.digest import digest_quantiles
+    from data_ingestors_spark.queries.base import tables
+
+    li = tables(spark, sf_dir, "lineitem")["lineitem"].select("l_extendedprice")
+    li = li.persist()
+    n = li.count()
+    qs = [0.1, 0.5, 0.9]
+    rows = digest_quantiles(li, "l_extendedprice", qs, b=50).collect()
+    assert {r.q for r in rows} == set(qs)
+    for r in rows:
+        rank = li.filter(F.col("l_extendedprice") <= r.est).count() / n
+        assert abs(rank - r.q) <= 2.5 / 50, (r.q, r.est, rank)
+    li.unpersist()
+
+
+def test_quantile_digest_mergeable(spark):
+    """Centroid digests built on disjoint halves, unioned, must answer
+    quantiles like a digest over the whole — the property that lets
+    per-day digests roll up to any grain."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.operators.digest import (
+        build_digest,
+        digest_quantiles,
+        merge_digest_quantiles,
+    )
+
+    vals = [(float(i),) for i in range(2000)]
+    df = spark.createDataFrame(vals, "x double")
+    a = df.filter(F.col("x") < 1000)
+    b = df.filter(F.col("x") >= 1000)
+    merged = merge_digest_quantiles(
+        build_digest(a, "x", b=64).union(build_digest(b, "x", b=64)), [0.25, 0.5, 0.75], b=64
+    ).collect()
+    whole = {r.q: r.est for r in digest_quantiles(df, "x", [0.25, 0.5, 0.75], b=64).collect()}
+    for r in merged:
+        # exact answers are 499.5/999.5/1499.5-ish; both paths must sit
+        # within one centroid width (2000/64 ≈ 31) of truth and of
+        # each other
+        truth = 2000 * r.q
+        assert abs(r.est - truth) <= 40, (r.q, r.est)
+        assert abs(r.est - whole[r.q]) <= 40

@@ -450,3 +450,53 @@ def test_stream_fuzzy_match_matches_batch_operator(spark, tmp_path):
     assert not any(rid == 5 for rid, _, _ in got)
     rows = [(r.id, r.ref_id) for r in spark.read.parquet(str(tmp_path / "matches")).collect()]
     assert len(rows) == len(set(rows))
+
+
+def test_stream_heavy_hitters_matches_batch_and_replay(spark, tmp_path):
+    """Streaming heavy hitters: counts folded across two waves must
+    equal the exact batch answer over the union, a checkpoint restart
+    must not double-count, and compaction must not change the set."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.streaming import (
+        compact_counts,
+        read_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    schema = "w string"
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = [("hot",)] * 30 + [(f"cold{i}",) for i in range(60)]
+    wave2 = [("hot",)] * 10 + [("warm",)] * 15 + [(f"cold{i}",) for i in range(60, 85)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: stream_heavy_hitters(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        ckpt,
+        col="w",
+        available_now=True,
+    )
+    q = run()
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    q2.awaitTermination(120)
+
+    got = {(r.w, r.cnt) for r in read_heavy_hitters(spark, store, 1, 10).collect()}
+    # batch ground truth over the union at the same support
+    union = spark.createDataFrame(wave1 + wave2, schema)
+    n = union.count()
+    truth = {
+        (r.w, r.cnt)
+        for r in union.groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") * 10 >= n)
+        .collect()
+    }
+    assert got == truth and ("hot", 40) in got and ("warm", 15) in got
+
+    compact_counts(spark, store)
+    assert {(r.w, r.cnt) for r in read_heavy_hitters(spark, store, 1, 10).collect()} == truth
