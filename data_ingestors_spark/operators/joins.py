@@ -97,3 +97,45 @@ def interval_overlap_join(
         .filter(F.col("__bin") == later_start_bin)  # exactly-once bin guard
         .drop("__bin", "__bin_r")
     )
+
+
+def keyed_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as added / removed /
+    modified / unchanged between two keyed snapshots.
+
+    One full outer join on the key columns; change detection is a
+    null-safe inequality over the compare columns (null-safe so a
+    value turning NULL counts as a modification, not a match). At
+    scale both snapshots shuffle once on the same key — co-locate by
+    writing snapshots bucketed on the key and the join is
+    exchange-free. Output: keys + status + old_/new_ compare columns.
+    """
+    # presence probes: any old/new side column non-null is not enough
+    # (legit NULL values) — use a sentinel literal carried per side
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__old", F.lit(1))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *keys,
+        status.alias("status"),
+        *[f"old_{c}" for c in compare_cols],
+        *[f"new_{c}" for c in compare_cols],
+    )

@@ -1166,3 +1166,106 @@ def decode_error_summary(features_df: DataFrame, error_col: str = "error") -> Da
         .agg(F.count("*").cast("long").alias("n_rows"))
         .orderBy(F.col("n_rows").desc(), F.col("outcome"))
     )
+
+
+# ------------------------------------------------ perceptual hashing
+
+def _phash64(arr: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of a grayscale frame: block-mean
+    resize to 32x32, 2-D DCT-II, keep the top-left 8x8 low-frequency
+    block minus DC, threshold at its median. Near-identical images
+    (noise, light compression, small edits) land within a few bits."""
+    h, w = arr.shape
+    k = 32
+    # block-mean downsample via bincount on index grids (exact means,
+    # no interpolation dependency)
+    yi = (np.arange(h) * k // max(h, 1)).clip(0, k - 1)
+    xi = (np.arange(w) * k // max(w, 1)).clip(0, k - 1)
+    flat_idx = (yi[:, None] * k + xi[None, :]).ravel()
+    sums = np.bincount(flat_idx, weights=arr.astype(np.float64).ravel(), minlength=k * k)
+    cnts = np.bincount(flat_idx, minlength=k * k).clip(1)
+    small = (sums / cnts).reshape(k, k)
+    # orthonormal DCT-II: C @ X @ C.T
+    n = np.arange(k)
+    C = np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None] / (2 * k)) * np.sqrt(2.0 / k)
+    C[0] /= np.sqrt(2.0)
+    d = C @ small @ C.T
+    low = d[:8, :8].ravel()[1:]  # drop DC — it's just mean brightness
+    bits = low > np.median(low)
+    out = 0
+    for b in bits:  # 63 bits; bit 63 stays 0 so the value fits a long
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Per-image 64-bit perceptual hash (see _phash64). Arrow-batched;
+    decode errors surface in the error column, fail-loud-but-scoped
+    like the rest of the codec battery."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for i, b in zip(pdf["id"], pdf["b"]):
+                ids.append(i)
+                try:
+                    _w, _h, arr = _decode_image(bytes(b))
+                    hashes.append(_phash64(arr))
+                    errs.append(None)
+                except Exception as e:
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"id": ids, "phash": hashes, "error": errs})
+
+    return src.mapInPandas(run, "id long, phash long, error string")
+
+
+def image_neardup_pairs(
+    df: DataFrame, id_col: str, bin_col: str, *, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    — the multimodal counterpart of SimHash text near-dup.
+
+    Plan: hash once (one decode pass, no shuffle), then the same
+    pigeonhole band join as operators/dedup.py:simhash_near_duplicates
+    — 8 bands x 8 bits guarantee a shared band for any pair within
+    Hamming 7, so candidates come from 8 equi-joins on (band_idx,
+    band_value) carrying ids only; exact bit_count verify keeps pairs
+    <= max_hamming (<= 7 for exhaustiveness). Never an all-pairs scan.
+    """
+    if max_hamming > 7:
+        raise ValueError("8x8-bit banding is exhaustive only for hamming <= 7")
+    hashed = image_phash(df, id_col, bin_col).filter(F.col("phash").isNotNull())
+    hashed = hashed.select("id", "phash").persist()
+    bands = hashed.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(F.lit(255)).alias("band_val"),
+                )
+                for i in range(8)
+            ])
+        ).alias("band"),
+    ).select("id", "phash", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"),
+    )
+    b = bands.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"),
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1338,3 +1338,54 @@ FROM orders GROUP BY o_orderpriority
 
 QUERIES["group_concat"] = q_group_concat
 ORACLES["group_concat"] = O_GROUP_CONCAT
+
+
+# -------------------------------------------------------- snapshot diff
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between two per-user activity snapshots (first
+    20 vs last 21 days of the event window, overlapping): which users
+    appeared, disappeared, or changed volume — the incremental-ingest
+    reconciliation primitive (operators/joins.py:keyed_diff).
+
+    Plan: each snapshot is one partial-aggregated groupBy with the
+    date filter pushed to the scan; the diff is ONE full outer join on
+    the snapshot key. Snapshots written bucketed by the key make the
+    join exchange-free at scale.
+    """
+    from data_ingestors_spark.operators.joins import keyed_diff
+
+    t = tables(spark, sf_dir, "events")
+
+    def snap(pred):
+        return (
+            t["events"]
+            .filter(pred)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events"))
+        )
+
+    old = snap(F.col("ts") < F.lit("2024-01-21").cast("timestamp"))
+    new = snap(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    return keyed_diff(old, new, ["user_id"], ["n_events"])
+
+
+O_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS old_n_events
+  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 1
+), new AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS new_n_events
+  FROM events WHERE ts >= TIMESTAMP '2024-01-10' GROUP BY 1
+)
+SELECT COALESCE(old.user_id, new.user_id) AS user_id,
+       CASE WHEN old.user_id IS NULL THEN 'added'
+            WHEN new.user_id IS NULL THEN 'removed'
+            WHEN old_n_events IS DISTINCT FROM new_n_events THEN 'modified'
+            ELSE 'unchanged' END AS status,
+       old_n_events, new_n_events
+FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = O_SNAPSHOT_DIFF

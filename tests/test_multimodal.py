@@ -1173,3 +1173,64 @@ def test_decode_error_summary_loud_partial(spark):
     # installed the payload is junk and fails its decoder instead —
     # either way the non-ok outcome is visible, which is the contract
     assert sum(bad.values()) == 1
+
+
+def test_image_phash_stable_and_noise_tolerant(spark):
+    """pHash must be identical for identical images, within a few bits
+    under light noise, and far apart for structurally different
+    images."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import image_phash
+
+    rng = np.random.default_rng(7)
+    w = h = 48
+    base = (
+        np.clip(
+            np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w))
+            + 40 * np.sin(np.arange(w) / 3.0),
+            0, 255,
+        )
+        .astype(np.uint8)
+    )
+    noisy = np.clip(base.astype(int) + rng.integers(-6, 7, base.shape), 0, 255).astype(np.uint8)
+    other = np.flipud(base).T.copy()  # structurally different
+
+    def fake(arr):
+        return bytearray(b"FAKEIMG:%dx%d:" % (arr.shape[1], arr.shape[0]) + arr.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, fake(base)), (2, fake(base)), (3, fake(noisy)), (4, fake(other))],
+        "id long, img binary",
+    )
+    ph = {r.id: r.phash for r in image_phash(df, "id", "img").collect()}
+    assert ph[1] == ph[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(ph[1], ph[3]) <= 6
+    assert ham(ph[1], ph[4]) > 10
+
+
+def test_image_neardup_pairs_band_join(spark):
+    """The banded join must find exactly the close pairs (and a decode
+    failure must drop out silently, surfacing only via image_phash's
+    error column)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import image_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    w = h = 40
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    a_noise = np.clip(a.astype(int) + rng.integers(-4, 5, a.shape), 0, 255).astype(np.uint8)
+    b = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def fake(arr):
+        return bytearray(b"FAKEIMG:%dx%d:" % (arr.shape[1], arr.shape[0]) + arr.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, fake(a)), (2, fake(a_noise)), (3, fake(b)), (4, bytearray(b"not an image"))],
+        "id long, img binary",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_neardup_pairs(df, "id", "img").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all(k == (1, 2) for k in pairs)
