@@ -84,6 +84,27 @@ HEADLINE = [
     "copurchase_pairs",
     "source_entropy",
     "bigram_logprob",
+    # late-r6 additions: statistics / graph / linkage / digest ops —
+    # same rule as r5: new heavy plans join the headline on arrival so
+    # regressions stay visible in the per-round artifact
+    "heavy_hitters",
+    "zipf_fit",
+    "ks_test",
+    "chi_square",
+    "pareto_frontier",
+    "ewma",
+    "linear_interpolate",
+    "acf",
+    "seasonal_decompose",
+    "quantile_digest",
+    "dedup_canonical",
+    "cluster_canonical",
+    "snapshot_diff",
+    "record_linkage",
+    "triangle_count",
+    "pagerank",
+    "collocations",
+    "lexical_diversity",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -294,3 +294,59 @@ ORACLES = {
     "corpus_prep": O_CORPUS_PREP,
     "temperature_mix": O_TEMPERATURE_MIX,
 }
+
+
+_BUDGET_TOKENS = 50_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: take documents in
+    quality order (longest first, ties by doc_id) while the cumulative
+    whitespace-token count stays within the budget — the greedy
+    curation step when the training run has a fixed token allowance.
+
+    Plan: token counts are a row-local projection; the selection is
+    ONE running-sum window over the quality order and a filter —
+    no self-join, no loop. At 100 TB the global ordered window would
+    range-partition on the quality key (Spark's window already sorts
+    by range partition); a per-source budget variant would partition
+    the window and stay embarrassingly parallel.
+    """
+    from data_ingestors_spark.queries.base import tables as _t
+
+    t = _t(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), "\\s+")))
+        .cast("long")
+        .alias("ws_tokens"),
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("ws_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "ws_tokens", "cum_tokens")
+    )
+
+
+O_BUDGET_SELECT = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens,
+       CAST(sum(ws_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM toks
+QUALIFY cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+QUERIES["budget_select"] = q_budget_select
+ORACLES["budget_select"] = O_BUDGET_SELECT

@@ -560,19 +560,35 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
-    out = None
+    # all lags from ONE window sort: lag(x, k) columns share the same
+    # ordering pass, then an explode stacks (lag, pair) rows for a
+    # single groupBy — one scan and one sort instead of one per lag
+    w = Window.partitionBy("event_type").orderBy("h")
+    with_lags = series
     for k in _ACF_LAGS:
-        w = Window.partitionBy("event_type").orderBy("h")
-        pairs = series.withColumn("xl", F.lag("x", k).over(w)).filter(
-            F.col("xl").isNotNull()
-        )
-        acf_k = pairs.groupBy("event_type").agg(
-            F.lit(k).cast("long").alias("lag"),
+        with_lags = with_lags.withColumn(f"xl{k}", F.lag("x", k).over(w))
+    lagged = with_lags.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("long").alias("lag"),
+                    F.col(f"xl{k}").alias("xl"),
+                )
+                for k in _ACF_LAGS
+            ])
+        ).alias("p"),
+    ).select("event_type", "x", "p.lag", "p.xl")
+    return (
+        lagged.filter(F.col("xl").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
             fround(F.corr("x", "xl"), 6).alias("acf"),
             F.count("*").cast("long").alias("n_pairs"),
         )
-        out = acf_k if out is None else out.unionByName(acf_k)
-    return out
+        .select("event_type", "lag", "acf", "n_pairs")
+    )
 
 
 def _o_acf_sql() -> str:

@@ -1177,3 +1177,160 @@ FROM customer a JOIN customer b
 
 QUERIES["record_linkage"] = q_record_linkage
 ORACLES["record_linkage"] = O_RECORD_LINKAGE
+
+
+_COLL_MIN_COUNT = 5
+_COLL_TOP = 20
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's strongest adjacent word pairs
+    with their pointwise mutual information — the phrase-discovery
+    pass (tokenizer vocab candidates, stop-phrase lists).
+
+    Plan: bigrams come from a zero-shuffle row-local zip of each doc's
+    word array with its tail; ONE groupBy each for bigram and unigram
+    counts (both partial-aggregated); scalar totals ride 1-row
+    broadcast frames. Selection is top-20 by COUNT (integer ordering,
+    ties by words) so the chosen row set is engine-exact; PMI is
+    reported, not sorted on — float order would be ulp-fragile across
+    engines. ln() runs on identical integer-derived doubles on both
+    sides.
+    """
+    t = tables(spark, sf_dir, "documents")
+    words_arr = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " "
+    )
+    docs = t["documents"].select(words_arr.alias("ws"))
+    docs = docs.select(F.filter("ws", lambda x: x != "").alias("ws"))
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+            )
+        ).alias("bg")
+    ).select("bg.wa", "bg.wb")
+    bigrams = bigrams.persist()
+    uni = (
+        docs.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cu"))
+    )
+    bg = bigrams.groupBy("wa", "wb").agg(F.count("*").cast("long").alias("cb"))
+    n_bg = bg.agg(F.sum("cb").alias("nb"))
+    n_w = uni.agg(F.sum("cu").alias("nw"))
+    top = (
+        bg.filter(F.col("cb") >= _COLL_MIN_COUNT)
+        .orderBy(F.desc("cb"), F.asc("wa"), F.asc("wb"))
+        .limit(_COLL_TOP)
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cu").alias("cb_u"))
+    pmi = (
+        F.col("cb").cast("double")
+        * F.col("nw").cast("double")
+        * F.col("nw").cast("double")
+        / (
+            F.col("nb").cast("double")
+            * F.col("ca").cast("double")
+            * F.col("cb_u").cast("double")
+        )
+    )
+    return (
+        top.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_w))
+        .select(
+            "wa",
+            "wb",
+            F.col("cb").alias("n_pair"),
+            fround(F.log(pmi), 6).alias("pmi"),
+        )
+    )
+
+
+O_COLLOCATIONS = f"""
+WITH docs AS (
+  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+), bigrams AS (
+  SELECT ws[i] AS wa, ws[i+1] AS wb
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM docs)
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY w
+), bg AS (
+  SELECT wa, wb, CAST(count(*) AS BIGINT) AS cb FROM bigrams GROUP BY wa, wb
+), nb AS (SELECT sum(cb) AS nb FROM bg),
+   nw AS (SELECT sum(cu) AS nw FROM uni),
+   top AS (
+  SELECT * FROM bg WHERE cb >= {_COLL_MIN_COUNT}
+  ORDER BY cb DESC, wa, wb LIMIT {_COLL_TOP}
+)
+SELECT top.wa, top.wb, top.cb AS n_pair,
+       {o_fround(
+           "ln(CAST(top.cb AS DOUBLE) * CAST(nw.nw AS DOUBLE) * CAST(nw.nw AS DOUBLE)"
+           " / (CAST(nb.nb AS DOUBLE) * CAST(ua.cu AS DOUBLE) * CAST(ub.cu AS DOUBLE)))", 6)} AS pmi
+FROM top
+JOIN uni ua ON ua.w = top.wa
+JOIN uni ub ON ub.w = top.wb
+CROSS JOIN nb CROSS JOIN nw
+"""
+
+QUERIES["collocations"] = q_collocations
+ORACLES["collocations"] = O_COLLOCATIONS
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and hapax
+    fraction (words occurring exactly once in the doc) — cheap
+    machine-generated-text indicators next to [repetition_stats].
+
+    Plan: explode + groupBy(doc, word) reduces tokens with map-side
+    combine; one groupBy(doc) folds to the three counts. No windows,
+    no joins."""
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    per_word = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return per_word.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        fround(F.count("*").cast("double") / F.sum("c"), 6).alias("ttr"),
+        fround(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_frac"),
+    )
+
+
+O_LEXICAL_DIVERSITY = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM words WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       {o_fround("CAST(count(*) AS DOUBLE) / sum(c)", 6)} AS ttr,
+       {o_fround("CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS hapax_frac
+FROM per_word GROUP BY doc_id
+"""
+
+QUERIES["lexical_diversity"] = q_lexical_diversity
+ORACLES["lexical_diversity"] = O_LEXICAL_DIVERSITY

@@ -85,3 +85,29 @@ def test_heavy_hitter_candidates_no_false_negatives(spark):
     true_set = {r.w for r in exact.collect()}
     assert true_set == {"hot"}
     assert true_set <= cands
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    """Degree-oriented counting must equal the brute-force triangle
+    count on random graphs (several seeds, incl. dense ones where
+    orientation matters)."""
+    import itertools
+    import random
+
+    for seed, n, p in [(1, 12, 0.3), (2, 10, 0.6), (3, 14, 0.15)]:
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        adj = {frozenset(e) for e in edges}
+        expected = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if frozenset((a, b)) in adj
+            and frozenset((b, c)) in adj
+            and frozenset((a, c)) in adj
+        )
+        row = triangle_count(_edges(spark, edges)).collect()[0]
+        assert row.n_triangles == expected, (seed, expected, row.n_triangles)

@@ -1614,3 +1614,63 @@ def test_quantile_digest_mergeable(spark):
         truth = 2000 * r.q
         assert abs(r.est - truth) <= 40, (r.q, r.est)
         assert abs(r.est - whole[r.q]) <= 40
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """The window-based skyline must equal the O(n^2) dominance scan,
+    including duplicate points and ties on one dimension."""
+    import random
+
+    # same plan shape as queries/statistics.py:q_pareto_frontier, on
+    # adversarial random data instead of the benchmark table
+    rng = random.Random(5)
+    pts = [(i, rng.randint(0, 20) + 0.5, rng.randint(0, 20)) for i in range(120)]
+    pts += [(200, 3.5, 3), (201, 3.5, 3)]  # exact duplicate pair — both stay
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_price = df.groupBy("price").agg(F.min("size").alias("min_size"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    fp = per_price.withColumn("prefix_min", F.min("min_size").over(w))
+    got = {
+        r.id
+        for r in df.join(fp, "price")
+        .filter(
+            (F.col("size") == F.col("min_size"))
+            & (F.col("prefix_min").isNull() | (F.col("size") < F.col("prefix_min")))
+        )
+        .collect()
+    }
+    brute = {
+        i
+        for i, p, s in pts
+        if not any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s)) for _, p2, s2 in pts
+        )
+    }
+    assert got == brute
+    # the duplicate pair must share a fate: both in or both out
+    assert (200 in got) == (201 in got)
+
+
+def test_keyed_diff_classification(spark):
+    """added/removed/modified/unchanged classification incl. the
+    value-becomes-NULL edge (null-safe comparison)."""
+    from data_ingestors_spark.operators.joins import keyed_diff
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 40)], "k long, v int"
+    )
+    new = spark.createDataFrame(
+        [(2, 21), (3, None), (4, None), (5, 50)], "k long, v int"
+    )
+    got = {r.k: r.status for r in keyed_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "modified",
+        3: "unchanged",   # NULL == NULL under null-safe compare
+        4: "modified",    # value became NULL
+        5: "added",
+    }

