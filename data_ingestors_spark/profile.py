@@ -61,3 +61,17 @@ def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("value"))
         .limit(k)
     )
+
+
+def column_quantiles(
+    df: DataFrame, column: str, quantiles: list[float] | None = None, b: int = 200
+) -> DataFrame:
+    """Quantile drill-down for one numeric column via the mergeable
+    centroid digest (operators/digest.py) — no global sort, rank error
+    <= ~2/B, so it stays usable on the widest fact tables where
+    ``percentile`` / ``approx_percentile`` over a fresh scan is the
+    expensive part. Returns (q, est)."""
+    from data_ingestors_spark.operators.digest import digest_quantiles
+
+    qs = quantiles or [0.01, 0.25, 0.5, 0.75, 0.99]
+    return digest_quantiles(df.select(column), column, qs, b)

@@ -1334,3 +1334,89 @@ FROM per_word GROUP BY doc_id
 
 QUERIES["lexical_diversity"] = q_lexical_diversity
 ORACLES["lexical_diversity"] = O_LEXICAL_DIVERSITY
+
+
+_CONTAIN_QUERIES = {
+    1: ("data", "scan"),
+    2: ("hash", "join", "merge"),
+    3: ("stream", "batch", "filter", "row"),
+}
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment join: which documents contain ALL terms of each
+    query term-set — the multi-term filter behind boolean retrieval
+    and tag-subset matching.
+
+    Plan: the inverted-index form — explode each doc's DISTINCT words
+    once, broadcast-join the (tiny) term table, and a doc matches a
+    query iff its per-query hit count equals the query's term count.
+    The naive form (array_contains AND array_contains ...) re-scans
+    every doc's array per query; this form touches each (doc, word)
+    pair once regardless of query count and partial-aggregates the
+    hit counts.
+    """
+    t = tables(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _CONTAIN_QUERIES.items() for w in ws],
+        "qid int, w string",
+    )
+    qlen = spark.createDataFrame(
+        [(qid, len(ws)) for qid, ws in _CONTAIN_QUERIES.items()], "qid int, n_terms int"
+    )
+    words = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    hits = (
+        words.join(F.broadcast(terms), "w")
+        .groupBy("doc_id", "qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(qlen), "qid")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select(F.col("qid").cast("long").alias("qid"), "doc_id")
+    )
+
+
+def _o_containment_sql() -> str:
+    term_rows = ", ".join(
+        f"({qid}, '{w}')" for qid, ws in _CONTAIN_QUERIES.items() for w in ws
+    )
+    len_rows = ", ".join(f"({qid}, {len(ws)})" for qid, ws in _CONTAIN_QUERIES.items())
+    return f"""
+WITH terms(qid, w) AS (VALUES {term_rows}),
+qlen(qid, n_terms) AS (VALUES {len_rows}),
+words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), hits AS (
+  SELECT doc_id, qid, count(*) AS n_hit
+  FROM words JOIN terms USING (w) GROUP BY doc_id, qid
+)
+SELECT CAST(hits.qid AS BIGINT) AS qid, doc_id
+FROM hits JOIN qlen ON hits.qid = qlen.qid
+WHERE n_hit = n_terms
+"""
+
+
+QUERIES["containment_join"] = q_containment_join
+ORACLES["containment_join"] = _o_containment_sql()

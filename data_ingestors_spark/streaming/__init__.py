@@ -25,3 +25,8 @@ from data_ingestors_spark.streaming.frequency import (  # noqa: F401
     read_heavy_hitters,
     stream_heavy_hitters,
 )
+from data_ingestors_spark.streaming.digest import (  # noqa: F401
+    digest_fold_batch,
+    read_stream_quantiles,
+    stream_quantile_digest,
+)

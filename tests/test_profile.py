@@ -59,3 +59,14 @@ def test_profile_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0 and "approx_distinct" in out and "rows" in out
     assert main(["profile", "only-two"]) == 2
+
+
+def test_column_quantiles_digest(spark):
+    """The profiler's quantile drill-down must land within the digest
+    rank-error bound on a known distribution."""
+    from data_ingestors_spark.profile import column_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    got = {r.q: r.est for r in column_quantiles(df, "x", [0.25, 0.5, 0.75], b=50).collect()}
+    for q, truth in [(0.25, 250.0), (0.5, 500.0), (0.75, 750.0)]:
+        assert abs(got[q] - truth) <= 1000 * 2.5 / 50, (q, got[q])

@@ -500,3 +500,45 @@ def test_stream_heavy_hitters_matches_batch_and_replay(spark, tmp_path):
 
     compact_counts(spark, store)
     assert {(r.w, r.cnt) for r in read_heavy_hitters(spark, store, 1, 10).collect()} == truth
+
+
+def test_stream_quantile_digest_matches_batch(spark, tmp_path):
+    """Streaming digest: quantiles read after folding two waves must
+    match the batch digest over the union within the rank-error
+    bound, and a checkpoint restart must not double-weight."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.streaming import (
+        read_stream_quantiles,
+        stream_quantile_digest,
+    )
+
+    schema = "value double"
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "digest")
+    ckpt = str(tmp_path / "ckpt")
+    wave1 = [(float(i),) for i in range(0, 1000)]
+    wave2 = [(float(i),) for i in range(1000, 2000)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: stream_quantile_digest(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        ckpt,
+        col="value",
+        b=64,
+        available_now=True,
+    )
+    q = run()
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    q2.awaitTermination(120)
+
+    got = {r.q: r.est for r in read_stream_quantiles(spark, store, [0.25, 0.5, 0.9], b=64).collect()}
+    # union is 0..1999 uniform: truth 500/1000/1800, centroid width ~31
+    for qq, truth in [(0.25, 500.0), (0.5, 1000.0), (0.9, 1800.0)]:
+        assert abs(got[qq] - truth) <= 64, (qq, got[qq])
+    # total folded weight must be exactly the row count (exactly-once)
+    total_w = spark.read.parquet(store).agg(F.sum("c_weight")).collect()[0][0]
+    assert total_w == 2000
