@@ -48,8 +48,15 @@ def asof_join(
     right_time: str,
     payload: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of join; returns all left columns + payload columns."""
+    """As-of join; returns all left columns + payload columns.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``
+    parity): a matched right row further than this from the left time
+    is discarded — the payload comes back NULL, exactly as if no match
+    existed. Applied AFTER match selection (same as pandas), so for
+    ``nearest`` the closer side is chosen first and then checked."""
     lk = left_on or on
     rk = right_on or on
     if lk is None or rk is None:
@@ -99,11 +106,13 @@ def asof_join(
     )
     if direction == "backward":
         carried = unioned.select(
-            "__is_left", "__l", F.last("__p", ignorenulls=True).over(wb).alias("__p")
+            "__is_left", "__l", "__t",
+            F.last("__p", ignorenulls=True).over(wb).alias("__p"),
         )
     elif direction == "forward":
         carried = unioned.select(
-            "__is_left", "__l", F.last("__p", ignorenulls=True).over(wf).alias("__p")
+            "__is_left", "__l", "__t",
+            F.last("__p", ignorenulls=True).over(wf).alias("__p"),
         )
     else:  # nearest: both passes, pick the closer match (tie -> backward)
         both = unioned.select(
@@ -119,10 +128,19 @@ def asof_join(
         carried = both.select(
             "__is_left",
             "__l",
+            "__t",
             F.when(F.col("__b").isNull(), F.col("__f"))
             .when(F.col("__f").isNull(), F.col("__b"))
             .when(b_dist <= f_dist, F.col("__b"))
             .otherwise(F.col("__f"))
             .alias("__p"),
+        )
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            F.col("__t").cast("timestamp").cast("double")
+            - F.col("__p.__mt").cast("timestamp").cast("double")
+        )
+        carried = carried.withColumn(
+            "__p", F.when(dist <= F.lit(float(tolerance_seconds)), F.col("__p"))
         )
     return carried.filter(F.col("__is_left") == 1).select("__l.*", "__p.__pay.*")

@@ -302,3 +302,64 @@ ORACLES = {
     "asof_join_forward": O_ASOF_JOIN_FORWARD,
     "asof_join_nearest": O_ASOF_JOIN_NEAREST,
 }
+
+
+_ASOF_TOL_S = 1800  # 30 minutes
+
+
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toleranced as-of join (pandas merge_asof tolerance parity):
+    each purchase event attributes to the user's latest click AT MOST
+    30 minutes earlier — older clicks are no match at all, so the
+    payload nulls out. Same single-shuffle union+window plan; the
+    tolerance is a post-match filter, never a range join."""
+    t = tables(spark, sf_dir, "events")
+    purchases = t["events"].filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        t["events"]
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(fround(F.max("value"), 6).alias("click_value"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        payload=["click_ts", "click_value"],
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("attributed_click"),
+        "click_value",
+    )
+
+
+O_ASOF_JOIN_TOLERANCE = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts,
+         {o_fround("max(value)", 6)} AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), matched AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+  FROM purchases p
+  ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.click_ts
+)
+SELECT event_id, user_id,
+       CASE WHEN date_diff('second', click_ts, ts) <= {_ASOF_TOL_S}
+            THEN strftime(click_ts, '%Y-%m-%d %H:%M:%S') END AS attributed_click,
+       CASE WHEN date_diff('second', click_ts, ts) <= {_ASOF_TOL_S}
+            THEN click_value END AS click_value
+FROM matched
+"""
+
+QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
+ORACLES["asof_join_tolerance"] = O_ASOF_JOIN_TOLERANCE

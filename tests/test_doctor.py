@@ -83,6 +83,20 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "temperature_mix": ("D1", "D2"),
     "tfidf_topk": ("D1", "D2"),     # 1-row corpus-count scalar cross join
     "copurchase_pairs": ("D1",),    # 1-row n_orders scalar cross join onto top-20
+    # late-r6 statistics/graph wave — same two bounded patterns:
+    "ks_test": ("D1", "D2"),        # 1-row (na, nb) scalar cross join; CDF window
+    #                                 rides the DISTINCT-VALUE frame (value
+    #                                 cardinality, not rows)
+    "chi_square": ("D1",),          # margin grid (|segs|x|nations| rows) + 1-row total
+    "heavy_hitters": ("D1",),       # 1-row corpus-total scalar cross join
+    "collocations": ("D1",),        # 1-row (n_bigrams, n_words) scalar cross joins
+    "triangle_count": ("D1",),      # 1-row (n_edges, n_nodes) stats cross join
+    "pareto_frontier": ("D2",),     # prefix-min window rides the DISTINCT-PRICE
+    #                                 aggregate frame, not raw parts
+    "seasonal_decompose": ("D2",),  # ONE global daily series by construction;
+    #                                 partitions by series key in the general case
+    "budget_select": ("D2",),       # global quality-ordered cumsum is the query's
+    #                                 semantics (range-partition the sort at scale)
 }
 
 
