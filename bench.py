@@ -105,6 +105,9 @@ HEADLINE = [
     "pagerank",
     "collocations",
     "lexical_diversity",
+    "budget_select",
+    "containment_join",
+    "asof_join_tolerance",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

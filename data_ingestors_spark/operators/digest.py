@@ -121,3 +121,57 @@ def digest_quantiles(
 ) -> DataFrame:
     """End-to-end: compress + merge + interpolate. Rank error <= ~2/b."""
     return merge_digest_quantiles(build_digest(df, col, b), quantiles, b)
+
+
+def build_digest_grouped(
+    df: DataFrame, key: str, col: str, b: int = 64
+) -> DataFrame:
+    """Per-group centroid digests with bounded worker memory: each
+    Arrow batch compresses each group's values it holds into <= b
+    centroids — a hot group spanning many batches/partitions just
+    contributes more partials, which merge downstream. Output:
+    (key, c_mean, c_weight)."""
+
+    out_schema = StructType(
+        [df.schema[key]] + list(CENTROID_SCHEMA.fields)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            parts = []
+            for k, sub in pdf.groupby(key, sort=False):
+                c = _compress(sub[col].to_numpy(dtype=np.float64), b)
+                c.insert(0, key, k)
+                parts.append(c)
+            yield pd.concat(parts) if parts else pd.DataFrame(
+                {key: [], "c_mean": [], "c_weight": []}
+            )
+
+    return df.select(key, col).mapInPandas(gen, schema=out_schema)
+
+
+def grouped_digest_quantiles(
+    df: DataFrame, key: str, col: str, quantiles: list[float], b: int = 64
+) -> DataFrame:
+    """Per-group quantiles from merged per-group digests: one
+    centroid-only shuffle keyed on the group (bounded by
+    groups x batches x b rows, never values), then the same
+    merge + interpolation per group. Rank error <= ~2/b per group.
+    Output: (key, q, est)."""
+    qs = sorted(quantiles)
+    cent = build_digest_grouped(df, key, col, b)
+
+    out_schema = StructType(
+        [df.schema[key], StructField("q", DoubleType()), StructField("est", DoubleType())]
+    )
+
+    def merge(keyt, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_mean").reset_index(drop=True)
+        w = pdf["c_weight"].to_numpy(dtype=np.float64)
+        m = pdf["c_mean"].to_numpy(dtype=np.float64)
+        total = w.sum()
+        centers = np.cumsum(w) - w / 2.0
+        ests = np.interp(np.asarray(qs) * total, centers, m)
+        return pd.DataFrame({key: [keyt[0]] * len(qs), "q": qs, "est": ests})
+
+    return cent.groupBy(key).applyInPandas(merge, schema=out_schema)

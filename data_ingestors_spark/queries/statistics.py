@@ -700,3 +700,28 @@ FROM tr LEFT JOIN seas USING (dow)
 
 QUERIES["seasonal_decompose"] = q_seasonal_decompose
 ORACLES["seasonal_decompose"] = O_SEASONAL_DECOMPOSE
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles from merged per-group
+    centroid digests (operators/digest.py:grouped_digest_quantiles) —
+    the per-key percentile monitor whose shuffle carries centroids,
+    never values. Rows-only: approximate by construction; its exact
+    sibling math is oracle-checked in [winsorized_stats] (exact
+    interpolated per-source p05/p95) and the rank-error bound is
+    asserted in tests/test_operators.py::test_grouped_digest_quantiles."""
+    from data_ingestors_spark.operators.digest import grouped_digest_quantiles
+
+    t = tables(spark, sf_dir, "documents")
+    return grouped_digest_quantiles(
+        t["documents"].select("source", F.col("n_chars").cast("double").alias("n_chars")),
+        "source",
+        "n_chars",
+        [0.5, 0.95],
+        b=64,
+    )
+
+
+QUERIES["grouped_quantiles"] = q_grouped_quantiles
+# no ORACLE: digest is approximate; exact sibling = winsorized_stats,
+# bound asserted in tests (see docstring) + sweep evidence entry.

@@ -1674,3 +1674,28 @@ def test_keyed_diff_classification(spark):
         4: "modified",    # value became NULL
         5: "added",
     }
+
+
+def test_grouped_digest_quantiles(spark):
+    """Per-group digest quantiles must land within the rank-error
+    bound of each group's exact CDF, including a hot group that spans
+    many partitions."""
+    import numpy as np
+
+    rows = (
+        [("a", float(i)) for i in range(2000)]      # hot group
+        + [("b", float(i * 10)) for i in range(100)]  # small group
+    )
+    from data_ingestors_spark.operators.digest import grouped_digest_quantiles
+
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    got = {
+        (r.k, r.q): r.est
+        for r in grouped_digest_quantiles(df, "k", "v", [0.25, 0.5, 0.9], b=64).collect()
+    }
+    for (k, n, scale) in [("a", 2000, 1.0), ("b", 100, 10.0)]:
+        vals = np.arange(n) * scale
+        for q in [0.25, 0.5, 0.9]:
+            est = got[(k, q)]
+            rank = (vals <= est).sum() / n
+            assert abs(rank - q) <= 2.5 / 64 + 1.0 / n, (k, q, est, rank)

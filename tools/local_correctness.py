@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 # rows-only queries: where their correctness evidence actually lives
 ROWS_ONLY_EVIDENCE = {
+    "grouped_quantiles": "per-group digest is approximate by construction (rank error <= ~2/B per group); exact sibling math oracle-checked via winsorized_stats (exact interpolated per-source percentiles); bound asserted in tests/test_operators.py::test_grouped_digest_quantiles",
     "quantile_digest": "mergeable centroid digest is approximate by construction (rank error <= ~2/B); sweep records measured max-rank-error accuracy vs the exact CDF; bound asserted in tests/test_operators.py::test_quantile_digest_rank_error",
     "minhash_neardup": "jaccard math oracle-paired via ngram_jaccard; recall in tests/test_operators.py::test_minhash_finds_neardups",
     "simhash_neardup": "hamming verify in tests/test_operators.py::test_simhash_stable_and_neardup",
