@@ -108,6 +108,8 @@ HEADLINE = [
     "budget_select",
     "containment_join",
     "asof_join_tolerance",
+    "grouped_quantiles",
+    "ccnet_buckets",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

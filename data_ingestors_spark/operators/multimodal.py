@@ -1234,30 +1234,42 @@ def image_neardup_pairs(
     band_value) carrying ids only; exact bit_count verify keeps pairs
     <= max_hamming (<= 7 for exhaustiveness). Never an all-pairs scan.
     """
+    hashed = image_phash(df, id_col, bin_col).filter(F.col("phash").isNotNull())
+    return _hash64_band_pairs(hashed.select("id", "phash"), "phash", max_hamming)
+
+
+def _hash64_band_pairs(
+    hashed: DataFrame, hash_col: str, max_hamming: int
+) -> DataFrame:
+    """Near-pairs of 64-bit hashes by Hamming distance: 8 bands x
+    8 bits pigeonhole (exhaustive for hamming <= 7) — 8 equi-joins
+    carrying ids only, exact bit_count verify. Shared by the image and
+    audio fingerprint near-dup operators."""
     if max_hamming > 7:
         raise ValueError("8x8-bit banding is exhaustive only for hamming <= 7")
-    hashed = image_phash(df, id_col, bin_col).filter(F.col("phash").isNotNull())
-    hashed = hashed.select("id", "phash").persist()
+    hashed = hashed.persist()
     bands = hashed.select(
         "id",
-        "phash",
+        hash_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_idx"),
-                    F.shiftrightunsigned(F.col("phash"), 8 * i).bitwiseAND(F.lit(255)).alias("band_val"),
+                    F.shiftrightunsigned(F.col(hash_col), 8 * i)
+                    .bitwiseAND(F.lit(255))
+                    .alias("band_val"),
                 )
                 for i in range(8)
             ])
         ).alias("band"),
-    ).select("id", "phash", "band.band_idx", "band.band_val")
+    ).select("id", hash_col, "band.band_idx", "band.band_val")
     a = bands.select(
         F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
-        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"),
+        F.col("id").alias("id_a"), F.col(hash_col).alias("ph_a"),
     )
     b = bands.select(
         F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
-        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"),
+        F.col("id").alias("id_b"), F.col(hash_col).alias("ph_b"),
     )
     cand = (
         a.join(b, ["bi", "bv"])
@@ -1269,3 +1281,69 @@ def image_neardup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------ audio fingerprinting
+
+def _audio_fp64(sr: int, x: "np.ndarray") -> int:
+    """64-bit spectral fingerprint (Haitsma-Kalker Philips scheme,
+    compacted): 9 time frames x 9 log-spaced bands of STFT energy;
+    each bit is the sign of the time-difference of the band-difference
+    — robust to volume (differences), mild noise, and codec artifacts.
+    """
+    frames = 9
+    bands = 9
+    n = len(x)
+    if n < frames * 2:
+        return 0
+    seg = n // frames
+    nfft = max(seg, 64)
+    # log-spaced band edges between ~100 Hz and Nyquist
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sr)
+    lo = max(100.0, freqs[1] if len(freqs) > 1 else 100.0)
+    hi = sr / 2.0
+    edges = np.geomspace(lo, hi, bands + 1)
+    e = np.zeros((frames, bands))
+    for t in range(frames):
+        segx = x[t * seg : (t + 1) * seg]
+        mag = np.abs(np.fft.rfft(segx, n=nfft)) ** 2
+        for bi in range(bands):
+            sel = (freqs >= edges[bi]) & (freqs < edges[bi + 1])
+            e[t, bi] = mag[sel].sum() if sel.any() else 0.0
+    d = np.diff(e, axis=1)          # band differences: (frames, bands-1)
+    dd = np.diff(d, axis=0)         # time difference:  (frames-1, bands-1)
+    bits = (dd > 0).ravel()[:63]    # 63 bits — the value stays a valid signed long
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def audio_phash(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Per-clip 64-bit spectral fingerprint (see _audio_fp64)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, errs = [], [], []
+            for i, b in zip(pdf["id"], pdf["b"]):
+                ids.append(i)
+                try:
+                    sr, x = _decode_audio(bytes(b))
+                    hashes.append(_audio_fp64(sr, x))
+                    errs.append(None)
+                except Exception as e:
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"id": ids, "phash": hashes, "error": errs})
+
+    return src.mapInPandas(run, "id long, phash long, error string")
+
+
+def audio_neardup_pairs(
+    df: DataFrame, id_col: str, bin_col: str, *, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate audio pairs by spectral-fingerprint Hamming
+    distance — same banded plan as image_neardup_pairs."""
+    hashed = audio_phash(df, id_col, bin_col).filter(F.col("phash").isNotNull())
+    return _hash64_band_pairs(hashed.select("id", "phash"), "phash", max_hamming)

@@ -11,7 +11,7 @@ covered by the oracle-checked siblings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.operators import dedup as D
@@ -1420,3 +1420,37 @@ WHERE n_hit = n_terms
 
 QUERIES["containment_join"] = q_containment_join
 ORACLES["containment_join"] = _o_containment_sql()
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    within each source, rank documents by LM score (bits per bigram,
+    [bigram_logprob]) and split into head/middle/tail terciles — the
+    published recipe for stratifying a crawl by language-model fit
+    before choosing what to train on.
+
+    Plan: the LM scoring reuses the bigram model (groupBys + broadcast
+    scalars); the tercile is ONE ntile window per source over the
+    scored frame (doc-count rows, ordered by the rounded score with a
+    doc_id tiebreak so the split is engine-deterministic)."""
+    scored = q_bigram_logprob(spark, sf_dir)
+    t = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("bits_per_bigram", "doc_id")
+    return (
+        scored.join(t["documents"].select("doc_id", "source"), "doc_id")
+        .withColumn("ppl_bucket", F.ntile(3).over(w).cast("long"))
+        .select("doc_id", "source", "bits_per_bigram", "ppl_bucket")
+    )
+
+
+O_CCNET_BUCKETS = f"""
+WITH scored AS ({O_BIGRAM_LOGPROB})
+SELECT scored.doc_id, d.source, scored.bits_per_bigram,
+       CAST(ntile(3) OVER (PARTITION BY d.source
+                           ORDER BY scored.bits_per_bigram, scored.doc_id) AS BIGINT)
+         AS ppl_bucket
+FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+"""
+
+QUERIES["ccnet_buckets"] = q_ccnet_buckets
+ORACLES["ccnet_buckets"] = O_CCNET_BUCKETS

@@ -97,6 +97,11 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 partitions by series key in the general case
     "budget_select": ("D2",),       # global quality-ordered cumsum is the query's
     #                                 semantics (range-partition the sort at scale)
+    "ccnet_buckets": ("D1", "D2"),  # inherits bigram_logprob's 1-row vocab scalar
+    #                                 cross join; D2 is the documented heuristic
+    #                                 conjunction false-positive (scalar agg's
+    #                                 SinglePartition + the per-SOURCE ntile window
+    #                                 are unrelated plan nodes)
 }
 
 

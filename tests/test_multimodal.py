@@ -1234,3 +1234,59 @@ def test_image_neardup_pairs_band_join(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in image_neardup_pairs(df, "id", "img").collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_audio_fingerprint_stable_and_noise_tolerant(spark):
+    """Spectral fingerprint: identical clips hash identically, light
+    noise stays within a few bits, a different tone mix lands far."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import audio_phash
+
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    rng = np.random.default_rng(3)
+    a = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 1200 * t * (1 + 0.1 * np.sin(t)))
+    a_noise = a + 0.02 * rng.standard_normal(len(t))
+    b = 0.5 * np.sin(2 * np.pi * 180 * t) + 0.4 * np.sin(2 * np.pi * 3000 * t) * np.sin(0.5 * t)
+
+    def fake(x):
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        return bytearray(b"FAKEAUD:%d:" % sr + pcm)
+
+    df = spark.createDataFrame(
+        [(1, fake(a)), (2, fake(a)), (3, fake(a_noise)), (4, fake(b))],
+        "id long, aud binary",
+    )
+    ph = {r.id: r.phash for r in audio_phash(df, "id", "aud").collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ph[1] == ph[2]
+    assert ham(ph[1], ph[3]) <= 6
+    assert ham(ph[1], ph[4]) > 10
+
+
+def test_audio_neardup_pairs_band_join(spark):
+    """The shared banded join must find exactly the near pair and skip
+    undecodable payloads."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import audio_neardup_pairs
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(9)
+    a = 0.6 * np.sin(2 * np.pi * 520 * t) + 0.2 * np.sin(2 * np.pi * 2000 * t)
+    a2 = a + 0.015 * rng.standard_normal(len(t))
+    c = 0.7 * np.sin(2 * np.pi * 90 * t) * np.sin(3 * t)
+
+    def fake(x):
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        return bytearray(b"FAKEAUD:%d:" % sr + pcm)
+
+    df = spark.createDataFrame(
+        [(1, fake(a)), (2, fake(a2)), (3, fake(c)), (4, bytearray(b"junk"))],
+        "id long, aud binary",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in audio_neardup_pairs(df, "id", "aud").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all(k == (1, 2) for k in pairs)
