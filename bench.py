@@ -110,6 +110,7 @@ HEADLINE = [
     "asof_join_tolerance",
     "grouped_quantiles",
     "ccnet_buckets",
+    "histogram2d",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

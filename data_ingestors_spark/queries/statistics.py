@@ -725,3 +725,41 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["grouped_quantiles"] = q_grouped_quantiles
 # no ORACLE: digest is approximate; exact sibling = winsorized_stats,
 # bound asserted in tests (see docstring) + sweep evidence entry.
+
+
+_H2D_PRICE_W, _H2D_SIZE_W = 10000.0, 10
+
+
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap grid): part counts per (retail-price,
+    size) bin with per-bin average price — the density-grid primitive
+    behind scatter-heatmap dashboards and outlier maps.
+
+    Plan: binning is pure row-local floor arithmetic (identical IEEE
+    ops both engines — no width_bucket portability trap), then ONE
+    partial-aggregated groupBy on the bin pair. Bin cardinality, not
+    row count, bounds everything downstream."""
+    t = tables(spark, sf_dir, "part")
+    binned = t["part"].select(
+        F.floor(F.col("p_retailprice") / _H2D_PRICE_W).cast("long").alias("price_bin"),
+        F.floor(F.col("p_size") / _H2D_SIZE_W).cast("long").alias("size_bin"),
+        "p_retailprice",
+    )
+    return binned.groupBy("price_bin", "size_bin").agg(
+        F.count("*").cast("long").alias("n"),
+        fround(
+            F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count("*"), 4
+        ).alias("avg_price"),
+    )
+
+
+O_HISTOGRAM2D = f"""
+SELECT CAST(floor(p_retailprice / {_H2D_PRICE_W}) AS BIGINT) AS price_bin,
+       CAST(floor(p_size / {_H2D_SIZE_W}) AS BIGINT) AS size_bin,
+       CAST(count(*) AS BIGINT) AS n,
+       {o_fround("CAST(sum(CAST(p_retailprice AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_price
+FROM part GROUP BY 1, 2
+"""
+
+QUERIES["histogram2d"] = q_histogram2d
+ORACLES["histogram2d"] = O_HISTOGRAM2D
