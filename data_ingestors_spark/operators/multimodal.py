@@ -1347,3 +1347,114 @@ def audio_neardup_pairs(
     distance — same banded plan as image_neardup_pairs."""
     hashed = audio_phash(df, id_col, bin_col).filter(F.col("phash").isNotNull())
     return _hash64_band_pairs(hashed.select("id", "phash"), "phash", max_hamming)
+
+
+# ------------------------------------------------ video fingerprinting
+
+def video_phash(
+    df: DataFrame, id_col: str, bin_col: str, *, every_nth: int = 1
+) -> DataFrame:
+    """Per-video perceptual hash SEQUENCE: the image pHash of every
+    nth frame, exploded to (id, frame_idx, phash) rows so downstream
+    joins ride frames, not whole videos. frame_idx counts SAMPLED
+    frames (0,1,2,...) so two videos sampled at the same rate align
+    positionally."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes, errs = [], [], [], []
+            for i, b in zip(pdf["id"], pdf["b"]):
+                try:
+                    _w, _h, n, frames = _decode_video(bytes(b))
+                    for si, fi in enumerate(range(0, n, every_nth)):
+                        ids.append(i); idxs.append(si)
+                        hashes.append(_phash64(frames[fi])); errs.append(None)
+                except Exception as e:
+                    ids.append(i); idxs.append(None); hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "phash": hashes, "error": errs}
+            )
+
+    return src.mapInPandas(run, "id long, frame_idx int, phash long, error string")
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    *,
+    every_nth: int = 1,
+    max_hamming: int = 6,
+    min_frame_agreement: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate videos: two videos match when >=
+    ``min_frame_agreement`` of their aligned sampled frames are within
+    ``max_hamming`` bits of perceptual hash.
+
+    Plan: candidates come from the banded join PER (frame position,
+    band) — a pair is considered only if SOME aligned frame shares a
+    band, which any within-Hamming-7 frame must — then the verify
+    joins the two hash sequences on frame position and counts
+    agreements. Shuffle payloads are (id, frame_idx, hash) triples.
+    """
+    hashed = video_phash(df, id_col, bin_col, every_nth=every_nth).filter(
+        F.col("phash").isNotNull()
+    )
+    hashed = hashed.persist()
+    n_frames = hashed.groupBy("id").agg(F.count("*").alias("nf"))
+    bands = hashed.select(
+        "id",
+        "frame_idx",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(F.col("phash"), 8 * i)
+                    .bitwiseAND(F.lit(255))
+                    .alias("band_val"),
+                )
+                for i in range(8)
+            ])
+        ).alias("band"),
+    ).select("id", "frame_idx", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("frame_idx").alias("fi"), F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"), F.col("id").alias("id_a"),
+    )
+    b = bands.select(
+        F.col("frame_idx").alias("fi"), F.col("band_idx").alias("bi"),
+        F.col("band_val").alias("bv"), F.col("id").alias("id_b"),
+    )
+    cand = (
+        a.join(b, ["fi", "bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("id").alias("id_a"), F.col("frame_idx").alias("fi"), F.col("phash").alias("ph_a")
+    )
+    hb = hashed.select(
+        F.col("id").alias("id_b"), F.col("frame_idx").alias("fi"), F.col("phash").alias("ph_b")
+    )
+    aligned = cand.join(ha, "id_a").join(hb, ["id_b", "fi"])
+    agree = aligned.groupBy("id_a", "id_b").agg(
+        F.sum(
+            F.when(
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming, 1
+            ).otherwise(0)
+        ).alias("n_agree")
+    )
+    return (
+        agree.join(n_frames.withColumnRenamed("id", "id_a").withColumnRenamed("nf", "nf_a"), "id_a")
+        .join(n_frames.withColumnRenamed("id", "id_b").withColumnRenamed("nf", "nf_b"), "id_b")
+        .withColumn(
+            "agreement",
+            F.col("n_agree").cast("double") / F.least("nf_a", "nf_b").cast("double"),
+        )
+        .filter(F.col("agreement") >= min_frame_agreement)
+        .select("id_a", "id_b", F.round("agreement", 4).alias("agreement"))
+    )

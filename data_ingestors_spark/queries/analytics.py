@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.queries.base import (
+    DEC,
     davg,
     dsum,
     fround,
@@ -1389,3 +1390,76 @@ FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = O_SNAPSHOT_DIFF
+
+
+# ------------------------------------------- windowed (timed) funnel
+
+_FUNNEL_GAP_S = 86400  # each step within 1 day of the previous
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel view -> click -> purchase where each
+    step happens within 1 day of the previous step. Unlike the greedy
+    first-event funnel ([funnel_analysis]), a windowed funnel must
+    consider EVERY candidate chain — a later view can start a
+    completing sequence after the first view's window expired — so the
+    exact form is the per-user chain join: equi-join on user_id with
+    range predicates, per-user cost O(k^2) in that user's event count,
+    never corpus-quadratic. Earliest completion per user, then one
+    aggregate row.
+    """
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"]
+
+    def stage(etype, a, b, c):
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias(a), F.col("ts").alias(b), F.col("event_id").alias(c)
+        )
+
+    v = stage("view", "uv", "v_ts", "v_id")
+    c = stage("click", "uc", "c_ts", "c_id")
+    p = stage("purchase", "up", "p_ts", "p_id")
+    gap = F.lit(_FUNNEL_GAP_S)
+    chains = (
+        v.join(c, (F.col("uv") == F.col("uc"))
+               & (F.col("c_ts") > F.col("v_ts"))
+               & (F.col("c_ts").cast("double") - F.col("v_ts").cast("double") <= gap))
+        .join(p, (F.col("uv") == F.col("up"))
+              & (F.col("p_ts") > F.col("c_ts"))
+              & (F.col("p_ts").cast("double") - F.col("c_ts").cast("double") <= gap))
+    )
+    per_user = chains.groupBy(F.col("uv").alias("user_id")).agg(
+        F.min(
+            F.col("p_ts").cast("double") - F.col("v_ts").cast("double")
+        ).alias("fastest_s")
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        fround(
+            F.sum(F.col("fastest_s").cast(DEC)).cast("double") / F.count("*"), 4
+        ).alias("avg_fastest_s"),
+    )
+
+
+O_FUNNEL_WINDOWED = f"""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+chains AS (
+  SELECT v.user_id,
+         date_diff('microsecond', v.ts, p.ts) / 1000000.0 AS dur_s
+  FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND date_diff('microsecond', v.ts, c.ts) / 1000000.0 <= {_FUNNEL_GAP_S}
+  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        AND date_diff('microsecond', c.ts, p.ts) / 1000000.0 <= {_FUNNEL_GAP_S}
+), per_user AS (
+  SELECT user_id, min(dur_s) AS fastest_s FROM chains GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       {o_fround("CAST(sum(CAST(fastest_s AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_fastest_s
+FROM per_user
+"""
+
+QUERIES["funnel_windowed"] = q_funnel_windowed
+ORACLES["funnel_windowed"] = O_FUNNEL_WINDOWED

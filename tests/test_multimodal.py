@@ -1290,3 +1290,38 @@ def test_audio_neardup_pairs_band_join(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in audio_neardup_pairs(df, "id", "aud").collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_video_phash_and_neardup(spark):
+    """Per-frame hash sequences align positionally; a noisy copy
+    agrees on >= 80% of frames, a different video does not, and junk
+    payloads drop out of the pair set."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        video_neardup_pairs,
+        video_phash,
+    )
+
+    rng = np.random.default_rng(21)
+    w = h = 32
+    n = 6
+    base = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+    noisy = np.clip(base.astype(int) + rng.integers(-4, 5, base.shape), 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (n, h, w)).astype(np.uint8)
+
+    def fake(frames):
+        nf, fh, fw = frames.shape
+        return bytearray(b"FAKEVID:%dx%dx%d:" % (fw, fh, nf) + frames.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, fake(base)), (2, fake(noisy)), (3, fake(other)), (4, bytearray(b"nope"))],
+        "id long, vid binary",
+    )
+    hashes = video_phash(df, "id", "vid").filter("phash is not null").collect()
+    assert {(r.id) for r in hashes} == {1, 2, 3}
+    assert sum(1 for r in hashes if r.id == 1) == n
+
+    pairs = {(r.id_a, r.id_b): r.agreement for r in video_neardup_pairs(df, "id", "vid").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert all(k == (1, 2) for k in pairs)

@@ -1699,3 +1699,63 @@ def test_grouped_digest_quantiles(spark):
             est = got[(k, q)]
             rank = (vals <= est).sum() / n
             assert abs(rank - q) <= 2.5 / 64 + 1.0 / n, (k, q, est, rank)
+
+
+def test_ewma_matches_bruteforce(spark):
+    """The window+HOF EWMA must equal the truncated normalized EWMA
+    computed in pure python on a random per-user series."""
+    import random
+    from datetime import datetime, timedelta
+
+    from data_ingestors_spark.queries.statistics import _EWMA_ALPHA, _EWMA_SPAN
+
+    rng = random.Random(13)
+    rows = []
+    for u in (1, 2):
+        for i in range(35):
+            rows.append(
+                (u * 1000 + i, datetime(2024, 1, 1) + timedelta(minutes=i), u, "x",
+                 round(rng.uniform(-5, 5), 3), "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("__ewma_src")
+
+    # reuse the query body against the in-memory frame via the same ops
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from data_ingestors_spark.functions.rounding import fround
+
+    half = 1.0 - _EWMA_ALPHA
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(_EWMA_SPAN - 1), 0)
+    ev = df.withColumn("vals", F.collect_list("value").over(w))
+    num = F.expr(
+        f"""CAST(aggregate(
+              zip_with(vals, sequence(size(vals) - 1, 0, -1),
+                       (v, e) -> v * pow({half}, e)),
+              CAST(0 AS DECIMAL(30,10)),
+              (acc, x) -> CAST(acc + CAST(x AS DECIMAL(30,10)) AS DECIMAL(30,10))) AS DOUBLE)"""
+    )
+    den = F.lit(1.0) - F.pow(F.lit(half), F.size("vals"))
+    got = {
+        r.event_id: r.ewma
+        for r in ev.select(
+            "event_id", fround(F.lit(_EWMA_ALPHA) * num / den, 6).alias("ewma")
+        ).collect()
+    }
+
+    # brute force per user
+    by_user = {}
+    for eid, ts, u, _t, v, _p in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, seq in by_user.items():
+        seq.sort()
+        vals = [v for _, _, v in seq]
+        for i, (_, eid, _) in enumerate(seq):
+            window = vals[max(0, i - _EWMA_SPAN + 1): i + 1]
+            m = len(window)
+            num_b = sum(x * (half ** (m - 1 - j)) for j, x in enumerate(window))
+            den_b = sum(half ** j for j in range(m))
+            expect = num_b / den_b
+            assert abs(got[eid] - expect) < 1e-6, (eid, got[eid], expect)
