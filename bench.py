@@ -111,6 +111,8 @@ HEADLINE = [
     "grouped_quantiles",
     "ccnet_buckets",
     "histogram2d",
+    "funnel_windowed",
+    "attribution_models",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

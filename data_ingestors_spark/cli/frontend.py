@@ -188,6 +188,27 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         result.show(500, truncate=False)
         return 0
+    if args and args[0] == "quantiles":
+        if len(args) != 4:
+            print(
+                "usage: python -m data_ingestors_spark.cli quantiles "
+                "<warehouse_dir> <table> <column>",
+                file=sys.stderr,
+            )
+            return 2
+        from data_ingestors_spark import catalog
+        from data_ingestors_spark.profile import column_quantiles
+        from data_ingestors_spark.session import get_spark
+
+        try:
+            spark = get_spark("quantiles-cli")
+            catalog.attach(spark, args[1])
+            result = column_quantiles(spark.table(args[2]), args[3])
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        result.show(100, truncate=False)
+        return 0
     if args and args[0] == "rollup":
         usage = (
             "usage: python -m data_ingestors_spark.cli rollup "

@@ -1463,3 +1463,93 @@ FROM per_user
 
 QUERIES["funnel_windowed"] = q_funnel_windowed
 ORACLES["funnel_windowed"] = O_FUNNEL_WINDOWED
+
+
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: each purchase's value credited to the
+    clicks in the prior 24 h under three standard models — last-touch
+    (most recent click takes all), first-touch, and linear (split
+    evenly) — reported as attributed revenue per click DAY. The
+    channel-attribution shape with day standing in for channel.
+
+    Plan: candidate (purchase, click) pairs are the same per-user
+    bounded chain join as [funnel_windowed]; model weights are one
+    row_number window per purchase (frame = that purchase's clicks)
+    plus a count — then one union and one decimal-summed groupBy.
+    """
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"), F.col("value").alias("p_val"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("p_ts").cast("double") - F.col("c_ts").cast("double") <= 86400),
+    )
+    w_desc = Window.partitionBy("p_id").orderBy(F.desc("c_ts"), F.desc("c_id"))
+    w_asc = Window.partitionBy("p_id").orderBy(F.asc("c_ts"), F.asc("c_id"))
+    n_w = Window.partitionBy("p_id")
+    pairs = (
+        pairs.withColumn("rn_last", F.row_number().over(w_desc))
+        .withColumn("rn_first", F.row_number().over(w_asc))
+        .withColumn("n_clicks", F.count("*").over(n_w))
+    )
+    day = F.to_date("c_ts").alias("click_day")
+    last = pairs.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), day, F.col("p_val").alias("credit")
+    )
+    first = pairs.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), day, F.col("p_val").alias("credit")
+    )
+    linear = pairs.select(
+        F.lit("linear").alias("model"),
+        day,
+        (F.col("p_val") / F.col("n_clicks")).alias("credit"),
+    )
+    return (
+        last.unionByName(first)
+        .unionByName(linear)
+        .groupBy("model", "click_day")
+        .agg(
+            fround(F.sum(F.col("credit").cast(DEC)).cast("double"), 4).alias("attributed"),
+            F.count("*").cast("long").alias("n_credits"),
+        )
+    )
+
+
+O_ATTRIBUTION_MODELS = f"""
+WITH p AS (
+  SELECT user_id pu, ts p_ts, event_id p_id, value p_val
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id cu, ts c_ts, event_id c_id FROM events WHERE event_type = 'click'
+), pairs AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rn_first,
+         count(*) OVER (PARTITION BY p_id) AS n_clicks
+  FROM p JOIN c ON pu = cu AND c_ts < p_ts
+     AND date_diff('microsecond', c_ts, p_ts) / 1000000.0 <= 86400
+), credits AS (
+  SELECT 'last_touch' AS model, CAST(c_ts AS DATE) AS click_day, p_val AS credit
+  FROM pairs WHERE rn_last = 1
+  UNION ALL
+  SELECT 'first_touch', CAST(c_ts AS DATE), p_val FROM pairs WHERE rn_first = 1
+  UNION ALL
+  SELECT 'linear', CAST(c_ts AS DATE), p_val / n_clicks FROM pairs
+)
+SELECT model, click_day,
+       {o_fround("CAST(sum(CAST(credit AS DECIMAL(30,10))) AS DOUBLE)", 4)} AS attributed,
+       CAST(count(*) AS BIGINT) AS n_credits
+FROM credits GROUP BY model, click_day
+"""
+
+QUERIES["attribution_models"] = q_attribution_models
+ORACLES["attribution_models"] = O_ATTRIBUTION_MODELS

@@ -70,3 +70,34 @@ def test_column_quantiles_digest(spark):
     got = {r.q: r.est for r in column_quantiles(df, "x", [0.25, 0.5, 0.75], b=50).collect()}
     for q, truth in [(0.25, 250.0), (0.5, 500.0), (0.75, 750.0)]:
         assert abs(got[q] - truth) <= 1000 * 2.5 / 50, (q, got[q])
+
+
+def test_quantiles_cli(spark, tmp_path, capsys):
+    import textwrap
+
+    from data_ingestors_spark.cli.frontend import main, run_from_yaml
+
+    csv = tmp_path / "m.csv"
+    csv.write_text("age,target\n" + "\n".join(f"{20 + i},yes" for i in range(50)) + "\n")
+    yml = tmp_path / "ingest.yaml"
+    yml.write_text(
+        textwrap.dedent(
+            f"""\
+            apiVersion: spark-ingest/v1
+            kind: IngestConfig
+            category: tabular_classification
+            table: qprof
+            intent: train
+            csv: {csv}
+            schema:
+              age: INT
+            label: target
+            warehouse: {tmp_path / "wh"}
+            """
+        )
+    )
+    run_from_yaml(spark, str(yml))
+    rc = main(["quantiles", str(tmp_path / "wh"), "qprof", "age"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "0.5" in out and "est" in out
+    assert main(["quantiles", "only", "three"]) == 2
