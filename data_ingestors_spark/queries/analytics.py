@@ -1553,3 +1553,59 @@ FROM credits GROUP BY model, click_day
 
 QUERIES["attribution_models"] = q_attribution_models
 ORACLES["attribution_models"] = O_ATTRIBUTION_MODELS
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers scored into quartiles on Recency
+    (days since last order), Frequency (order count), and Monetary
+    (total spend), then counted per (r, f, m) segment — the classic
+    customer-base health grid.
+
+    Plan: one partial-aggregated groupBy builds the per-customer RFM
+    triple; each quartile is an ntile window over the CUSTOMER frame
+    (one row per customer, not per order) ordered with an explicit
+    key tiebreak so the quartile assignment is engine-deterministic;
+    the final segment count is another combiner-friendly groupBy.
+    """
+    t = tables(spark, sf_dir, "orders")
+    rfm = t["orders"].groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("freq"),
+        dsum(F.col("o_totalprice")).alias("spend"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("cust"))   # recent = best
+    wf = Window.orderBy(F.desc("freq"), F.asc("cust"))
+    wm = Window.orderBy(F.desc("spend"), F.asc("cust"))
+    scored = (
+        rfm.withColumn("r", F.ntile(4).over(wr))
+        .withColumn("f", F.ntile(4).over(wf))
+        .withColumn("m", F.ntile(4).over(wm))
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        fround(F.sum(F.col("spend").cast(DEC)).cast("double"), 2).alias("segment_spend"),
+    )
+
+
+O_RFM_SEGMENTS = f"""
+WITH rfm AS (
+  SELECT o_custkey AS cust,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS freq,
+         {o_dsum("o_totalprice")} AS spend
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT cust, spend,
+         ntile(4) OVER (ORDER BY last_order DESC, cust) AS r,
+         ntile(4) OVER (ORDER BY freq DESC, cust) AS f,
+         ntile(4) OVER (ORDER BY spend DESC, cust) AS m
+  FROM rfm
+)
+SELECT r, f, m,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {o_fround("CAST(sum(CAST(spend AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS segment_spend
+FROM scored GROUP BY r, f, m
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = O_RFM_SEGMENTS

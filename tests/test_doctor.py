@@ -102,6 +102,10 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 conjunction false-positive (scalar agg's
     #                                 SinglePartition + the per-SOURCE ntile window
     #                                 are unrelated plan nodes)
+    "rfm_segments": ("D2",),        # quartile ntiles ride the per-CUSTOMER
+    #                                 aggregate frame (one row per customer); at
+    #                                 extreme scale compute quartile boundaries
+    #                                 via approx quantiles + join instead
 }
 
 
