@@ -1609,3 +1609,328 @@ FROM scored GROUP BY r, f, m
 
 QUERIES["rfm_segments"] = q_rfm_segments
 ORACLES["rfm_segments"] = O_RFM_SEGMENTS
+
+
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: KL(P_source || P_corpus) in bits over
+    word distributions — the CCNet/RedPajama-style signal for "this
+    source's language diverges from the mixture" (high KL = niche or
+    degenerate source worth inspecting before training).
+
+    No smoothing is needed: the corpus distribution is the superset
+    mixture, so every source word has corpus mass > 0.
+
+    Plan (100 TB): word counts per (source, word) and per word are
+    both map-side-combined groupBys; the counts-to-corpus join is a
+    word-keyed equi-join carrying only (source, w, c) — document text
+    never shuffles. Source totals (|sources| rows) and the corpus
+    total (1 row) ride broadcasts. KL terms fold in decimal so the
+    sum is merge-order-exact across engines.
+    """
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    corpus = counts.groupBy("w").agg(F.sum("c").alias("cc"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    total = corpus.agg(F.sum("cc").alias("tt"))  # 1-row scalar frame
+    p_s = F.col("c") / F.col("t")
+    ratio = (F.col("c") * F.col("tt")) / (F.col("t") * F.col("cc"))
+    term = p_s * F.log2(ratio)
+    return (
+        counts.join(corpus, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("long").alias("n_tokens"),
+            fround(F.sum(term.cast(DEC)).cast("double"), 6).alias("kl_bits"),
+        )
+    )
+
+
+O_KL_DRIFT = f"""
+WITH words AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), words_f AS (
+  SELECT source, w FROM words WHERE w <> ''
+), counts AS (
+  SELECT source, w, count(*) AS c FROM words_f GROUP BY 1, 2
+), corpus AS (
+  SELECT w, sum(c) AS cc FROM counts GROUP BY 1
+), totals AS (
+  SELECT source, sum(c) AS t FROM counts GROUP BY 1
+), total AS (
+  SELECT sum(cc) AS tt FROM corpus
+)
+SELECT source,
+       CAST(max(t) AS BIGINT) AS n_tokens,
+       {o_fround("CAST(sum(CAST((c / CAST(t AS DOUBLE)) * log2((c * CAST(tt AS DOUBLE)) / (CAST(t AS DOUBLE) * cc)) AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS kl_bits
+FROM counts
+JOIN corpus USING (w)
+JOIN totals USING (source)
+CROSS JOIN total
+GROUP BY source
+"""
+
+QUERIES["kl_drift"] = q_kl_drift
+ORACLES["kl_drift"] = O_KL_DRIFT
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-
+    digit distribution vs log10(1 + 1/d), with each digit's chi-square
+    contribution — the classic synthetic-data / fraud smell test.
+
+    The first digit comes from the DECIMAL STRING of floor(x), not
+    floor(x / 10^floor(log10 x)) — the string form sidesteps the
+    engine-dependent log10 ulp at exact powers of ten.
+
+    Plan (100 TB): one map-side-combined groupBy onto 9 digit rows;
+    the row count rides a 1-row broadcast scalar frame.
+    """
+    t = tables(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        t["orders"]
+        .filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").cast("double").alias("n"))  # 1-row scalar
+    p_exp = F.log10(1 + 1 / F.col("digit").cast("double"))
+    expected = F.col("n") * p_exp
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            fround(F.col("n_obs") / F.col("n"), 6).alias("p_obs"),
+            fround(p_exp, 6).alias("p_exp"),
+            fround(
+                (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected,
+                4,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+O_BENFORD_DIGITS = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+), total AS (
+  SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM obs
+)
+SELECT digit, n_obs,
+       {o_fround("n_obs / n", 6)} AS p_obs,
+       {o_fround("log10(1 + 1 / CAST(digit AS DOUBLE))", 6)} AS p_exp,
+       {o_fround("(n_obs - n * log10(1 + 1 / CAST(digit AS DOUBLE))) * (n_obs - n * log10(1 + 1 / CAST(digit AS DOUBLE))) / (n * log10(1 + 1 / CAST(digit AS DOUBLE)))", 4)} AS chi2_term
+FROM obs CROSS JOIN total
+"""
+
+QUERIES["benford_digits"] = q_benford_digits
+ORACLES["benford_digits"] = O_BENFORD_DIGITS
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: standardize the
+    daily-count series, cumulative-sum the z-scores, and flag the day
+    where |CUSUM| peaks — a level shift in event volume shows up as
+    the peak of the drift walk (Page 1954).
+
+    Engine-exactness: mean/std are derived from INTEGER (n, Σc, Σc²)
+    aggregates, so both engines compute bit-identical doubles; the
+    running CUSUM folds in decimal so DuckDB's segment-tree window
+    accumulation and Spark's running fold agree exactly.
+
+    Plan (100 TB): raw events collapse to one row per (type, day) in
+    a map-side-combined groupBy; every window after that is
+    partitioned by event_type over the bounded daily frame (rows =
+    days in span, not events).
+    """
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("c") - mean) / F.sqrt(var)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("cusum", F.sum(z.cast(DEC)).over(w_cum))
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("day")
+    )
+    return (
+        walked.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("n").alias("n_days"),
+            fround(F.abs(F.col("cusum")).cast("double"), 4).alias("peak_cusum"),
+        )
+    )
+
+
+O_CUSUM_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+), walked AS (
+  SELECT d.event_type, d.day, s.n,
+         sum(CAST((d.c - s.s1 / CAST(s.n AS DOUBLE))
+                  / sqrt((s.s2 - s.s1 * CAST(s.s1 AS DOUBLE) / s.n) / (s.n - 1))
+                  AS DECIMAL(30,10)))
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily d JOIN stats s USING (event_type)
+), picked AS (
+  SELECT event_type, day, n, cusum,
+         row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn
+  FROM walked
+)
+SELECT event_type, day AS change_day, n AS n_days,
+       {o_fround("CAST(abs(cusum) AS DOUBLE)", 4)} AS peak_cusum
+FROM picked WHERE rn = 1
+"""
+
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+ORACLES["cusum_changepoint"] = O_CUSUM_CHANGEPOINT
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-survival curve: duration = days between a
+    customer's first and last order; a customer whose last order falls
+    more than 90 days before the corpus horizon is an observed churn
+    (event), later ones are right-censored. S(t) multiplies
+    (1 - d_t / n_t) over event times <= t — the standard estimator
+    with censoring handled exactly.
+
+    Engine-exactness: the log-survival terms fold in decimal under the
+    ordered window (exp of an exact decimal sum), so segment-tree vs
+    running-fold accumulation cannot diverge.
+
+    Plan (100 TB): per-customer first/last collapse map-side; the KM
+    table itself is one row per distinct duration-day (bounded by the
+    date span, thousands not billions), so the single-partition
+    ordered window rides a frame that is small BY CONSTRUCTION —
+    at extreme spans switch the cumulative terms to a range-join
+    rollup. Doctor: D2-exempt for exactly that reason.
+    """
+    t = tables(spark, sf_dir, "orders")
+    horizon = t["orders"].agg(
+        F.date_sub(F.max(F.to_date("o_orderdate")), 90).alias("cutoff")
+    )  # 1-row scalar frame
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("first_d"),
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").alias("dur"),
+            F.when(F.col("last_d") < F.col("cutoff"), 1).otherwise(0).alias("event"),
+        )
+    )
+    by_dur = per_cust.groupBy("dur").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count("*").cast("long").alias("m"),
+    )
+    total = by_dur.agg(F.sum("m").cast("long").alias("tot"))  # 1-row scalar
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = F.col("tot") - F.coalesce(F.sum("m").over(w_prev), F.lit(0))
+    stepped = (
+        by_dur.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", at_risk)
+        .withColumn(
+            "log_s",
+            F.sum(
+                F.log(1 - F.col("d") / F.col("n_risk")).cast(DEC)
+            ).over(w_cum),
+        )
+    )
+    return stepped.filter(F.col("d") > 0).select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        fround(F.exp(F.col("log_s").cast("double")), 6).alias("survival"),
+    )
+
+
+O_SURVIVAL_KM = f"""
+WITH horizon AS (
+  SELECT max(CAST(o_orderdate AS DATE)) - 90 AS cutoff FROM orders
+), per_cust AS (
+  SELECT date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS dur,
+         CASE WHEN max(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM horizon)
+              THEN 1 ELSE 0 END AS event
+  FROM orders GROUP BY o_custkey
+), by_dur AS (
+  SELECT dur, CAST(sum(event) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS m
+  FROM per_cust GROUP BY dur
+), total AS (
+  SELECT CAST(sum(m) AS BIGINT) AS tot FROM by_dur
+), risked AS (
+  SELECT dur, d,
+         tot - coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM by_dur CROSS JOIN total
+), stepped AS (
+  SELECT dur, d, n_risk,
+         sum(CAST(ln(1 - d / CAST(n_risk AS DOUBLE)) AS DECIMAL(30,10)))
+           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s
+  FROM risked
+)
+SELECT CAST(dur AS INTEGER) AS duration_days, n_risk, d AS n_events,
+       {o_fround("exp(CAST(log_s AS DOUBLE))", 6)} AS survival
+FROM stepped WHERE d > 0
+"""
+
+QUERIES["survival_km"] = q_survival_km
+ORACLES["survival_km"] = O_SURVIVAL_KM

@@ -102,6 +102,12 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 conjunction false-positive (scalar agg's
     #                                 SinglePartition + the per-SOURCE ntile window
     #                                 are unrelated plan nodes)
+    "kl_drift": ("D1",),            # 1-row corpus-total scalar cross join
+    "benford_digits": ("D1",),      # 1-row row-count scalar cross join onto the
+    #                                 9-digit frame
+    "survival_km": ("D1", "D2"),    # 1-row horizon/total scalar cross joins; the
+    #                                 KM ordered window rides the DISTINCT-DURATION
+    #                                 frame (date-span-bounded, not customers)
     "rfm_segments": ("D2",),        # quartile ntiles ride the per-CUSTOMER
     #                                 aggregate frame (one row per customer); at
     #                                 extreme scale compute quartile boundaries
