@@ -1934,3 +1934,175 @@ FROM stepped WHERE d > 0
 
 QUERIES["survival_km"] = q_survival_km
 ORACLES["survival_km"] = O_SURVIVAL_KM
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per nation —
+    the inequality lens on revenue: 0 = every customer spends alike,
+    1 = one whale funds the nation. Uses the ranked-cumulative form
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over per-customer spend sorted
+    ascending (rank ties broken by customer key so both engines rank
+    identically).
+
+    Plan (100 TB): per-customer spend is a map-side-combined groupBy;
+    the rank window partitions by NATION over the per-customer frame
+    (customers per nation, not orders); the final fold is another
+    combiner-friendly groupBy. Spend sums fold in decimal so rank
+    inputs are engine-exact.
+    """
+    t = tables(spark, sf_dir, "orders", "customer", "nation")
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+        .join(
+            t["customer"].select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.col("i") * F.col("spend")).cast("double").alias("iws"),
+            F.sum("spend").cast("double").alias("s"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            # ratio in DOUBLE from the exact decimal sums — decimal
+            # division truncates scale differently per engine
+            fround(
+                2 * F.col("iws") / (F.col("n_customers") * F.col("s"))
+                - (F.col("n_customers") + 1) / F.col("n_customers").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+O_GINI_CONCENTRATION = f"""
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,10))) AS spend
+  FROM orders GROUP BY 1
+), tagged AS (
+  SELECT n_name, o_custkey, spend
+  FROM spend
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+), ranked AS (
+  SELECT n_name, spend,
+         row_number() OVER (PARTITION BY n_name ORDER BY spend ASC, o_custkey ASC) AS i
+  FROM tagged
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {o_fround("2 * CAST(sum(i * spend) AS DOUBLE) / (count(*) * CAST(sum(spend) AS DOUBLE)) - (count(*) + 1) / CAST(count(*) AS DOUBLE)", 6)} AS gini
+FROM ranked
+GROUP BY n_name
+"""
+
+QUERIES["gini_concentration"] = q_gini_concentration
+ORACLES["gini_concentration"] = O_GINI_CONCENTRATION
+
+
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over the
+    binary customer×part purchase matrix, top-5 neighbors per part
+    among pairs co-bought by ≥ 2 customers — the classic "customers
+    who bought X also bought Y" neighborhood model.
+
+    cos(a,b) = |A∩B| / √(|A|·|B|) on customer sets, computed from
+    pair co-occurrence counts — no vectors materialize.
+
+    Plan (100 TB): distinct (customer, part) collapses map-side; the
+    pair fan-out self-joins per CUSTOMER basket (O(k²) in basket
+    size, never corpus-quadratic; cap baskets upstream for degenerate
+    whales); per-part popularity joins stream on the part key — both
+    sides are |parts|-sized, no broadcast. The top-5 window
+    partitions by part. Co-count ≥ 2 prunes the pair tail before any
+    join."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    bought = (
+        t["lineitem"]
+        .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    a, b = bought.alias("a"), bought.alias("b")
+    co = (
+        a.join(b, "o_custkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    pop = bought.groupBy(F.col("l_partkey")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    scored = (
+        co.join(pop.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
+        .join(pop.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .withColumn(
+            "cosine",
+            fround(
+                F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("cosine"), F.desc("n_both"), F.asc("part_b")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("part_a", "part_b", "n_both", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+O_ITEM_COSINE = f"""
+WITH bought AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM bought a JOIN bought b
+    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), pop AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM bought GROUP BY 1
+), scored AS (
+  SELECT part_a, part_b, n_both,
+         {o_fround("n_both / sqrt(pa.n * CAST(pb.n AS DOUBLE))", 6)} AS cosine
+  FROM co
+  JOIN pop pa ON pa.l_partkey = part_a
+  JOIN pop pb ON pb.l_partkey = part_b
+), ranked AS (
+  SELECT part_a, part_b, n_both, cosine,
+         row_number() OVER (PARTITION BY part_a ORDER BY cosine DESC, n_both DESC, part_b ASC) AS rnk
+  FROM scored
+)
+SELECT part_a, part_b, n_both, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+QUERIES["item_cosine"] = q_item_cosine
+ORACLES["item_cosine"] = O_ITEM_COSINE
