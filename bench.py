@@ -113,6 +113,15 @@ HEADLINE = [
     "histogram2d",
     "funnel_windowed",
     "attribution_models",
+    "rfm_segments",
+    "kl_drift",
+    "benford_digits",
+    "cusum_changepoint",
+    "survival_km",
+    "gini_concentration",
+    "item_cosine",
+    "spearman_corr",
+    "vocab_overlap",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

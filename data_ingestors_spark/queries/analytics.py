@@ -2106,3 +2106,166 @@ FROM ranked WHERE rnk <= 5
 
 QUERIES["item_cosine"] = q_item_cosine
 ORACLES["item_cosine"] = O_ITEM_COSINE
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per return
+    flag — the monotonic-association check that Pearson (stats_aggs)
+    misses on non-linear relationships. Ties get average ranks (the
+    standard fractional-rank treatment), then Pearson-on-ranks.
+
+    Engine-exactness: average ranks are exact rationals computed from
+    integer window counts; the rank co-moments fold in decimal so the
+    final correlation is engine-identical before rounding.
+
+    Plan (100 TB): rank windows partition by the GROUP key — at scale
+    swap ntile-free exact ranks for approx-quantile bucketed ranks if
+    a single group's frame outgrows a task.
+    """
+    t = tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select("l_returnflag", "l_quantity", "l_extendedprice")
+    # fractional (average) rank: rank() + (cnt_ties - 1) / 2
+    def frank(col: str) -> "F.Column":
+        w = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return F.rank().over(w) + (F.count("*").over(wt) - 1) / 2
+
+    ranked = li.select(
+        "l_returnflag",
+        frank("l_quantity").cast(DEC).alias("rq"),
+        frank("l_extendedprice").cast(DEC).alias("rp"),
+    )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rq").cast("double").alias("sq"),
+        F.sum("rp").cast("double").alias("sp"),
+        F.sum(F.col("rq") * F.col("rp")).cast("double").alias("sqp"),
+        F.sum(F.col("rq") * F.col("rq")).cast("double").alias("sqq"),
+        F.sum(F.col("rp") * F.col("rp")).cast("double").alias("spp"),
+    )
+    num = F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")
+    den = F.sqrt(
+        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+        * (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+    )
+    return agg.select(
+        "l_returnflag", "n", fround(num / den, 6).alias("spearman")
+    )
+
+
+O_SPEARMAN_CORR = f"""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+              + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+              AS DECIMAL(30,10)) AS rq,
+         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+              + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+              AS DECIMAL(30,10)) AS rp
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rq) AS DOUBLE) AS sq,
+         CAST(sum(rp) AS DOUBLE) AS sp,
+         CAST(sum(rq * rp) AS DOUBLE) AS sqp,
+         CAST(sum(rq * rq) AS DOUBLE) AS sqq,
+         CAST(sum(rp * rp) AS DOUBLE) AS spp
+  FROM ranked GROUP BY 1
+)
+SELECT l_returnflag, n,
+       {o_fround("(n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))", 6)} AS spearman
+FROM agg
+"""
+
+QUERIES["spearman_corr"] = q_spearman_corr
+ORACLES["spearman_corr"] = O_SPEARMAN_CORR
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-drift
+    complement to kl_drift: KL weighs shared words by usage, this
+    measures raw lexical overlap of the TYPE sets (template farms
+    share near-identical vocabularies; organic sources diverge).
+
+    Plan (100 TB): the (source, word) type set collapses map-side;
+    the pair intersection is a word-keyed self-join carrying only
+    (source, word-hash) — with S sources a word shared by all S
+    fans out O(S²) pairs, bounded by the SOURCE count (tens), never
+    by corpus size. Per-source type counts ride a broadcast.
+    """
+    t = tables(spark, sf_dir, "documents")
+    vocab = (
+        t["documents"]
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(
+                                F.lower(F.col("text")), "[^a-z0-9]+", " "
+                            )
+                        ),
+                        " ",
+                    ),
+                    lambda w: w != "",
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").cast("long").alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            fround(
+                F.col("n_common")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+O_VOCAB_OVERLAP = f"""
+WITH words AS (
+  SELECT source,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT DISTINCT source, w FROM words WHERE w <> ''
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS nv FROM vocab GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       {o_fround("n_common / CAST(sa.nv + sb.nv - n_common AS DOUBLE)", 6)} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+QUERIES["vocab_overlap"] = q_vocab_overlap
+ORACLES["vocab_overlap"] = O_VOCAB_OVERLAP
