@@ -139,3 +139,97 @@ def keyed_diff(
         *[f"old_{c}" for c in compare_cols],
         *[f"new_{c}" for c in compare_cols],
     )
+
+
+# --- Bloom-filter semi-join prefilter ----------------------------------
+
+BLOOM_COL = "__bf"
+
+
+def _bloom_hash_sql(key_sql: str, m_bits: int, k: int) -> list[str]:
+    """k bit positions for ``key_sql``: k independently-seeded
+    xxhash64 draws reduced mod m. (Kirsch-Mitzenmacher double hashing
+    would save k-2 hash evaluations but its h1 + i*h2 combine
+    overflows long under ANSI mode; xxhash64 is cheap enough that k
+    draws stay inside one codegen stage.)"""
+    return [f"pmod(xxhash64({key_sql}, {1000003 + i}), {m_bits})" for i in range(k)]
+
+
+def bloom_build(
+    keys: DataFrame, key: str, *, m_bits: int = 1 << 17, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over ``keys[key]`` as a 1-row DataFrame
+    holding ``map<long,long>``: word-index -> 64-bit mask (only words
+    with at least one set bit are materialized, so a sparse filter is
+    sparse in memory too).
+
+    Fully distributed build: each row emits its k bit positions, a
+    map-side-combined groupBy ORs the per-word masks, and a final
+    1-row collect_list assembles the map — the only single-point data
+    is the <= m_bits/64-entry mask list (2048 longs at the default
+    128 Kbit), which is exactly what gets broadcast.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(
+        F.array(*[F.expr(h) for h in _bloom_hash_sql(key, m_bits, k)])
+    ).alias("pos")
+    return (
+        keys.select(pos)
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("word", "mask")))
+            ).alias(BLOOM_COL)
+        )
+    )
+
+
+def bloom_might_contain_sql(key_sql: str, m_bits: int, k: int) -> str:
+    """SQL predicate: all k bits for ``key_sql`` set in ``__bf``."""
+    checks = []
+    for h in _bloom_hash_sql(key_sql, m_bits, k):
+        word = f"CAST(shiftright({h}, 6) AS BIGINT)"
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 64 AS INT))"
+        checks.append(
+            f"((coalesce({BLOOM_COL}[{word}], CAST(0 AS BIGINT)) & {bit}) != 0)"
+        )
+    return " AND ".join(checks)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Exact left-semi join ``big ⋉ keys`` on ``key`` with a broadcast
+    Bloom prefilter on the big side.
+
+    Why this exists (100 TB): when BOTH sides exceed the broadcast
+    threshold, a semi join shuffles the full big side on the key. The
+    Bloom filter of the key set is ~16 KB at the default 128 Kbit —
+    always broadcastable no matter how large the key set — and drops
+    every big-side row whose key is provably absent BEFORE the
+    shuffle, so the exchange carries only plausible matches (true
+    matches + ~0.6% false positives at k=5, m/n >= 10). The trailing
+    exact semi join removes the false positives, so the result is
+    bit-identical to the plain semi join. This is the manual form of
+    Spark's runtime row-group/bloom filtering, usable when the key set
+    is itself the output of an arbitrary subquery.
+    """
+    bf = bloom_build(keys, key, m_bits=m_bits, k=k)
+    pred = bloom_might_contain_sql(key, m_bits, k)
+    filtered = (
+        big.crossJoin(F.broadcast(bf)).where(F.expr(pred)).drop(BLOOM_COL)
+    )
+    return filtered.join(keys.select(key).distinct(), key, "left_semi")

@@ -33,9 +33,10 @@ from data_ingestors_spark.queries import (
     analytics,
     statistics,
     graph,
+    planning,
 )
 
-_MODULES = (relational, tpch, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics, statistics, graph)
+_MODULES = (relational, tpch, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics, statistics, graph, planning)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1759,3 +1759,44 @@ def test_ewma_matches_bruteforce(spark):
             den_b = sum(half ** j for j in range(m))
             expect = num_b / den_b
             assert abs(got[eid] - expect) < 1e-6, (eid, got[eid], expect)
+
+
+# --- Bloom-filter semi-join prefilter ----------------------------------
+
+
+def test_bloom_semi_join_exact_and_prunes(spark):
+    """bloom_semi_join must equal the plain semi join bit-for-bit, and
+    the broadcast filter must actually drop non-matching rows before
+    the exact join (the whole point of the operator)."""
+    from data_ingestors_spark.operators.joins import (
+        bloom_build,
+        bloom_might_contain_sql,
+        bloom_semi_join,
+    )
+
+    keys = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    big = spark.range(0, 20000).select(
+        F.pmod(F.col("id") * 13 + 1, F.lit(40000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    got = sorted(tuple(r) for r in bloom_semi_join(big, keys, "k").collect())
+    want = sorted(
+        tuple(r) for r in big.join(keys.distinct(), "k", "left_semi").collect()
+    )
+    assert got == want and got  # exact + non-trivial
+
+    # membership: every true member passes; FPR on non-members is tiny
+    bf = bloom_build(keys, "k")
+    pred = bloom_might_contain_sql("k", 1 << 17, 5)
+    members = keys.crossJoin(F.broadcast(bf)).where(F.expr(pred)).count()
+    assert members == 500  # no false negatives, ever
+    non = spark.range(0, 10000).select((F.col("id") * 7 + 3).alias("k"))
+    fp = non.crossJoin(F.broadcast(bf)).where(F.expr(pred)).count()
+    assert fp / 10000 < 0.01  # m/n = 262 -> FPR ~ 0
+
+
+def test_bloom_build_rejects_bad_m(spark):
+    from data_ingestors_spark.operators.joins import bloom_build
+
+    with pytest.raises(ValueError):
+        bloom_build(spark.range(3).select(F.col("id").alias("k")), "k", m_bits=100)
