@@ -2269,3 +2269,90 @@ JOIN sizes sb ON sb.source = src_b
 
 QUERIES["vocab_overlap"] = q_vocab_overlap
 ORACLES["vocab_overlap"] = O_VOCAB_OVERLAP
+
+
+# --------------------------------------------- period-over-period deltas
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year
+    percentage deltas on a GAP-FREE month spine — the standard BI
+    trend query done right: lag() over raw grouped months silently
+    compares across gaps, so the spine (sequence of all months between
+    min and max) is generated first and empty months land as 0
+    revenue; a delta against a 0 base is NULL, not infinity.
+
+    Plan (100 TB): the monthly rollup is one map-side-combined groupBy
+    (month cardinality is data-size-independent); the spine explodes
+    from a 1-row min/max agg; the trailing lag window orders the
+    ~tens-to-hundreds-of-months frame in ONE partition — bounded by
+    calendar span, not data volume, so the single-partition sort is
+    safe at any scale.
+    """
+    t = tables(spark, sf_dir, "orders")
+    monthly = (
+        t["orders"]
+        .groupBy(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    spine = (
+        monthly.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 month"))
+            ).alias("month")
+        )
+    )
+    full = spine.join(monthly, "month", "left").select(
+        "month", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    lagd = full.select(
+        "month",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("_p1"),
+        F.lag("revenue", 12).over(w).alias("_p12"),
+    )
+
+    def pct(base):
+        return F.when(
+            base.isNull() | (base == 0), F.lit(None).cast("double")
+        ).otherwise(fround((F.col("revenue") - base) / base * 100, 4))
+
+    return lagd.select(
+        "month",
+        "revenue",
+        pct(F.col("_p1")).alias("mom_pct"),
+        pct(F.col("_p12")).alias("yoy_pct"),
+    )
+
+
+O_PERIOD_OVER_PERIOD = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         {o_dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1
+), bounds AS (SELECT min(month) AS lo, max(month) AS hi FROM monthly),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM bounds
+), filled AS (
+  SELECT s.month, coalesce(m.revenue, 0.0) AS revenue
+  FROM spine s LEFT JOIN monthly m USING (month)
+), lagd AS (
+  SELECT month, revenue,
+         lag(revenue, 1) OVER (ORDER BY month) AS _p1,
+         lag(revenue, 12) OVER (ORDER BY month) AS _p12
+  FROM filled
+)
+SELECT month, revenue,
+       CASE WHEN _p1 IS NULL OR _p1 = 0 THEN NULL
+            ELSE {o_fround("(revenue - _p1) / _p1 * 100", 4)} END AS mom_pct,
+       CASE WHEN _p12 IS NULL OR _p12 = 0 THEN NULL
+            ELSE {o_fround("(revenue - _p12) / _p12 * 100", 4)} END AS yoy_pct
+FROM lagd
+"""
+
+QUERIES["period_over_period"] = q_period_over_period
+ORACLES["period_over_period"] = O_PERIOD_OVER_PERIOD

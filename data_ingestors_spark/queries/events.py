@@ -306,3 +306,85 @@ ORACLES = {
     "event_dedup": O_EVENT_DEDUP,
     "interval_join": O_INTERVAL_JOIN,
 }
+
+
+def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining one order up from
+    [event_transitions]: frequent event-type TRIGRAMS per user stream,
+    scored by lift of the order-2 model over the order-1 Markov model
+    — lift = P(c | a,b) / P(c | b). Lift >> 1 means the 2-step history
+    genuinely predicts the next action (a real funnel), lift ~ 1 means
+    the pair adds nothing over the last event alone.
+
+    Plan (100 TB): ONE shuffle on user_id feeds both lag windows (same
+    window spec, Catalyst computes them in one Window op); trigram /
+    bigram matrices are map-side-combined groupBys over frames whose
+    cardinality is |types|^3 / |types|^2 — data-size-independent from
+    there on. Conditional probabilities divide exact BIGINT counts.
+    """
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select("user_id", "ts", "event_id", "event_type").select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    tri = (
+        seq.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    tri_prefix = tri.groupBy("t1", "t2").agg(F.sum("support").alias("n12"))
+    pairs = (
+        seq.filter(F.col("t2").isNotNull())
+        .groupBy("t2", "t3")
+        .agg(F.count("*").cast("long").alias("n23"))
+    )
+    pair_prefix = pairs.groupBy("t2").agg(F.sum("n23").alias("n2"))
+    return (
+        tri.join(F.broadcast(tri_prefix), ["t1", "t2"])
+        .join(F.broadcast(pairs), ["t2", "t3"])
+        .join(F.broadcast(pair_prefix), "t2")
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "support",
+            fround(F.col("support") / F.col("n12"), 6).alias("p_cond"),
+            fround(
+                (F.col("support") / F.col("n12"))
+                / (F.col("n23") / F.col("n2")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+O_SEQUENCE_MINING = f"""
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         event_type AS t3
+  FROM events
+), tri AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS support
+  FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+), tri_prefix AS (
+  SELECT t1, t2, sum(support) AS n12 FROM tri GROUP BY 1, 2
+), pairs AS (
+  SELECT t2, t3, CAST(count(*) AS BIGINT) AS n23
+  FROM seq WHERE t2 IS NOT NULL GROUP BY 1, 2
+), pair_prefix AS (
+  SELECT t2, sum(n23) AS n2 FROM pairs GROUP BY 1
+)
+SELECT t1, t2, t3, support,
+       {o_fround("CAST(support AS DOUBLE) / n12", 6)} AS p_cond,
+       {o_fround("(CAST(support AS DOUBLE) / n12) / (CAST(n23 AS DOUBLE) / n2)", 4)} AS lift
+FROM tri
+JOIN tri_prefix USING (t1, t2)
+JOIN pairs USING (t2, t3)
+JOIN pair_prefix USING (t2)
+"""
+
+QUERIES["sequence_mining"] = q_sequence_mining
+ORACLES["sequence_mining"] = O_SEQUENCE_MINING

@@ -763,3 +763,192 @@ FROM part GROUP BY 1, 2
 
 QUERIES["histogram2d"] = q_histogram2d
 ORACLES["histogram2d"] = O_HISTOGRAM2D
+
+
+# --- mutual information audit -------------------------------------------
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source, plus
+    both marginal entropies and the normalized MI — the one-number
+    answer to "does source determine language in this corpus?" (NMI 1
+    = perfectly coupled: per-source language filters are redundant
+    with source filters; NMI 0 = independent: both axes carry signal
+    for mixture design).
+
+    Plan (100 TB): ONE map-side-combined groupBy over documents
+    produces the (lang, source) contingency cells; margins and totals
+    derive from that tiny frame (|langs|x|sources| rows, data-size-
+    independent). MI/entropy terms fold in decimal so the sums are
+    merge-order-exact; NMI normalizes by the smaller marginal entropy.
+    """
+    t = tables(spark, sf_dir, "documents")
+    cells = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ml = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    tot = cells.agg(F.sum("c").alias("t"))
+    mi = (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (
+                    (F.col("c") / F.col("t"))
+                    * F.log2(
+                        (F.col("c") * F.col("t"))
+                        / (F.col("cl") * F.col("cs"))
+                    )
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("_mi")
+        )
+    )
+
+    def entropy(margin: DataFrame, cnt: str, out: str) -> DataFrame:
+        return margin.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                (
+                    -(F.col(cnt) / F.col("t"))
+                    * F.log2(F.col(cnt) / F.col("t"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias(out)
+        )
+
+    hl = entropy(ml, "cl", "_hl")
+    hs = entropy(ms, "cs", "_hs")
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            fround(F.col("_mi"), 6).alias("mi_bits"),
+            fround(F.col("_hl"), 6).alias("h_lang_bits"),
+            fround(F.col("_hs"), 6).alias("h_source_bits"),
+            fround(F.col("_mi") / F.least("_hl", "_hs"), 6).alias("nmi"),
+        )
+    )
+
+
+O_MUTUAL_INFORMATION = f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2
+), ml AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY 1),
+ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY 1),
+tot AS (SELECT sum(c) AS t FROM cells),
+mi AS (
+  SELECT CAST(sum(CAST((c / CAST(t AS DOUBLE)) * log2((c * CAST(t AS DOUBLE)) / (CAST(cl AS DOUBLE) * cs)) AS DECIMAL(30,10))) AS DOUBLE) AS _mi
+  FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot
+), hl AS (
+  SELECT CAST(sum(CAST(-(cl / CAST(t AS DOUBLE)) * log2(cl / CAST(t AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS _hl
+  FROM ml CROSS JOIN tot
+), hs AS (
+  SELECT CAST(sum(CAST(-(cs / CAST(t AS DOUBLE)) * log2(cs / CAST(t AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS _hs
+  FROM ms CROSS JOIN tot
+)
+SELECT {o_fround("_mi", 6)} AS mi_bits,
+       {o_fround("_hl", 6)} AS h_lang_bits,
+       {o_fround("_hs", 6)} AS h_source_bits,
+       {o_fround("_mi / least(_hl, _hs)", 6)} AS nmi
+FROM mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+QUERIES["mutual_information"] = q_mutual_information
+ORACLES["mutual_information"] = O_MUTUAL_INFORMATION
+
+
+# --- two-proportion A/B z-test ------------------------------------------
+
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic 50/50 user split:
+    arm = user_id mod 2, conversion = user ever fired a 'purchase'
+    event. Emits per-arm sizes/rates and the pooled z statistic — the
+    standard experiment-readout primitive (|z| > 1.96 ~ p < .05).
+
+    Plan (100 TB): one map-side-combined groupBy collapses events to
+    one row per user (conversion flag via max), one conditional agg
+    folds users into a single row — no shuffle carries raw events
+    past the first groupBy. Counts are exact BIGINTs; the z arithmetic
+    runs on identical doubles in both engines.
+    """
+    t = tables(spark, sf_dir, "events")
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchase"),
+            F.count("*").alias("n_events"),
+        )
+        # conversion = purchase-heavy user (>= 1/5 of their events are
+        # purchases) — a SHARE, not a count, so the rate doesn't drift
+        # to 1.0 as events-per-user grows with data volume; integer
+        # compare avoids any float boundary jitter across engines
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            F.when(F.col("n_purchase") * 5 >= F.col("n_events"), 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    wide = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        fround(ra, 6).alias("rate_a"),
+        fround(rb, 6).alias("rate_b"),
+        # degenerate pools (0% / 100% conversion) have se = 0: no test
+        F.when((pool == 0) | (pool == 1), F.lit(None).cast("double"))
+        .otherwise(fround((ra - rb) / se, 4))
+        .alias("z_stat"),
+    )
+
+
+O_AB_TEST = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+), users AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN n_purchase * 5 >= n_events THEN 1 ELSE 0 END AS conv
+  FROM per_user
+), wide AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM users
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       {o_fround("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
+       {o_fround("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+            ELSE {o_fround("(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)) * (1.0 / n_a + 1.0 / n_b))", 4)} END AS z_stat
+FROM wide
+"""
+
+QUERIES["ab_test_proportions"] = q_ab_test_proportions
+ORACLES["ab_test_proportions"] = O_AB_TEST
