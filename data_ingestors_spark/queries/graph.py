@@ -151,3 +151,89 @@ FROM r{_PR_ITERS} JOIN nation ON node = n_nationkey
 
 QUERIES["pagerank"] = q_pagerank
 ORACLES["pagerank"] = _o_pagerank_sql()
+
+
+# ---------------------------------------------- Adamic-Adar link scores
+
+_AA_MAX_DEG = 20  # customers buying more parts than this carry ~no signal
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted part-part links by Adamic-Adar score over the
+    customer-part co-purchase bipartite graph: for parts a,b the score
+    is Σ over shared customers of 1/log2(deg(customer)) — shared NICHE
+    customers (low degree) are strong evidence, shared bulk buyers are
+    weak evidence (Adamic & Adar 2003, public formulation).
+
+    Plan (100 TB): edges dedupe to DISTINCT (customer, part); the
+    degree cap (2 <= deg <= 20) bounds the per-customer pair fan-out
+    at C(20,2)=190 rows, so the self-join is linear in customers, not
+    quadratic in edges — the standard blocking that makes AA tractable
+    (deg-1 customers produce no pairs; deg>20 customers are dropped,
+    documented truncation). Scores fold in decimal; top-20 is
+    TakeOrdered with full key tiebreak.
+    """
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+            ),
+            "o_orderkey",
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = edges.groupBy("cust").agg(F.count("*").alias("deg")).filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= _AA_MAX_DEG)
+    )
+    e = edges.join(deg, "cust")
+    pairs = e.alias("a").join(e.alias("b"), "cust").filter(
+        F.col("a.part") < F.col("b.part")
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("common_customers"),
+            fround(
+                F.sum((1 / F.log2(F.col("a.deg"))).cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("aa_score"),
+        )
+        .orderBy(
+            F.desc("aa_score"),
+            F.desc("common_customers"),
+            F.asc("part_a"),
+            F.asc("part_b"),
+        )
+        .limit(20)
+    )
+
+
+O_LINK_PREDICTION = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT cust, count(*) AS deg FROM edges GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {_AA_MAX_DEG}
+), e AS (
+  SELECT edges.cust, edges.part, deg.deg FROM edges JOIN deg USING (cust)
+)
+SELECT a.part AS part_a, b.part AS part_b,
+       CAST(count(*) AS BIGINT) AS common_customers,
+       {o_fround("CAST(sum(CAST(1.0 / log2(a.deg) AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS aa_score
+FROM e a JOIN e b ON a.cust = b.cust AND a.part < b.part
+GROUP BY 1, 2
+ORDER BY aa_score DESC, common_customers DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+QUERIES["link_prediction"] = q_link_prediction
+ORACLES["link_prediction"] = O_LINK_PREDICTION

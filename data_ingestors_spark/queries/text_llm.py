@@ -18,7 +18,7 @@ from data_ingestors_spark.operators import dedup as D
 from data_ingestors_spark.operators import similarity as S
 from data_ingestors_spark.operators import text as X
 from data_ingestors_spark.functions.rounding import fround, o_fround
-from data_ingestors_spark.queries.base import tables
+from data_ingestors_spark.queries.base import DEC, tables
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -1454,3 +1454,282 @@ FROM scored JOIN documents d ON scored.doc_id = d.doc_id
 
 QUERIES["ccnet_buckets"] = q_ccnet_buckets
 ORACLES["ccnet_buckets"] = O_CCNET_BUCKETS
+
+
+# ------------------------------------------ DSIR importance weights
+
+_DSIR_B = 512  # hashed-feature buckets
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public paper): per-document importance log-weight for steering a
+    multilingual pool toward an English target, using hashed unigram
+    features — log p_target(doc) - log p_pool(doc) under two
+    bag-of-buckets unigram models with add-one smoothing. High weight
+    = doc looks like the target distribution; sampling ∝ exp(weight)
+    is the DSIR recipe. Target model: docs with lang='en'; pool: all.
+
+    Plan (100 TB): the two bucket models are map-side-combined
+    groupBys over a bounded key space (B=512 buckets — the POINT of
+    hashed features is that model size is corpus-independent); the
+    per-word bucket lookup table (B rows, with both log-probs folded
+    in) broadcasts onto the token stream, and the per-doc weight is
+    one more combiner-friendly groupBy. Document text shuffles only
+    doc_id + bucket ints. md5-bucket hashing is bit-identical in both
+    engines (conv(substr(md5,1,4),16,10) == CAST('0x'||hex AS BIGINT)).
+    """
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+                    ),
+                    " ",
+                ),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+        % F.lit(_DSIR_B),
+    )
+    tc = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    pc = words.groupBy("b").agg(F.count("*").alias("pc"))
+    tot = words.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count("*").alias("pt"),
+    )
+    lut = (
+        pc.join(tc, "b", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("tc") + 1) / (F.col("tt") + _DSIR_B))
+                - F.log((F.col("pc") + 1) / (F.col("pt") + _DSIR_B))
+            ).alias("term"),
+        )
+    )
+    return (
+        words.join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            fround(F.sum(F.col("term").cast(DEC)).cast("double"), 4).alias(
+                "dsir_logw"
+            ),
+        )
+    )
+
+
+O_DSIR_WEIGHTS = f"""
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % {_DSIR_B} AS b
+  FROM words WHERE w <> ''
+), tc AS (
+  SELECT b, count(*) AS tc FROM toks WHERE lang = 'en' GROUP BY 1
+), pc AS (
+  SELECT b, count(*) AS pc FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt, count(*) AS pt FROM toks
+), lut AS (
+  SELECT pc.b,
+         ln((coalesce(tc.tc, 0) + 1) / (tt + {_DSIR_B}.0))
+           - ln((pc.pc + 1) / (pt + {_DSIR_B}.0)) AS term
+  FROM pc LEFT JOIN tc ON pc.b = tc.b CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {o_fround("CAST(sum(CAST(term AS DECIMAL(30,10))) AS DOUBLE)", 4)} AS dsir_logw
+FROM toks JOIN lut USING (b)
+GROUP BY doc_id
+"""
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLES["dsir_weights"] = O_DSIR_WEIGHTS
+
+
+# ------------------------------------------ cross-document novelty
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT word
+    5-gram shingles that appear in no other document. Low novelty =
+    boilerplate assembled from shared spans (the doc-level view of
+    what [dup_span_stats] measures span-level); high novelty = unique
+    content worth keeping through dedup.
+
+    Plan (100 TB): shingles are hashed to 60-bit ints BEFORE the
+    distinct/groupBy (winnowing's trick), so every shuffle carries
+    (doc_id, long) — never the 5-word strings. Document frequency per
+    shingle is a map-side-combined count over the deduped
+    (doc_id, shingle) frame; the join back is shingle-keyed, ids-only.
+    md5-hashing is bit-identical across engines, so a collision (if
+    one ever happens) is the SAME collision on both sides.
+    """
+    t = tables(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda w: w != "",
+    )
+    n_sh = F.greatest(F.size(ws) - 4, F.lit(0))
+    shingles = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(ws, i, 5))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df_counts = shingles.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        shingles.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            fround(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+O_DOC_NOVELTY = f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS ws
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT doc_id,
+           unnest([CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)) AS BIGINT)
+                   FOR i IN range(1, greatest(len(ws) - 4, 0) + 1)]) AS sh
+    FROM ws
+  )
+), dfreq AS (
+  SELECT sh, count(DISTINCT doc_id) AS df FROM shingles GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       {o_fround("CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS novelty
+FROM shingles JOIN dfreq USING (sh)
+GROUP BY doc_id
+"""
+
+QUERIES["doc_novelty"] = q_doc_novelty
+ORACLES["doc_novelty"] = O_DOC_NOVELTY
+
+
+# ------------------------------------------ embedding outlier audit
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by diagonal Mahalanobis distance
+    (per-dimension z-scores, summed squared): the cheap corpus-health
+    scan that surfaces corrupt / out-of-distribution vectors before
+    they poison ANN index training or dedup thresholds.
+
+    Plan (100 TB): per-dimension mean/variance come from ONE
+    posexplode + map-side-combined groupBy over a 64-key space (the
+    dimension count — data-size-independent); the 64-row stats frame
+    broadcasts back onto a second posexplode pass and the per-vector
+    score is a combiner-friendly groupBy. Top-20 is TakeOrdered — no
+    global sort. All sums fold in decimal (float inputs widen to
+    double exactly, so both engines fold identical values).
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    dims = t["embeddings"].select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    stats = (
+        dims.groupBy("pos")
+        .agg(
+            F.sum(F.col("val").cast(DEC)).alias("_s"),
+            F.sum((F.col("val") * F.col("val")).cast(DEC)).alias("_s2"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            "pos",
+            (F.col("_s").cast("double") / F.col("_n")).alias("mu"),
+            F.sqrt(
+                F.col("_s2").cast("double") / F.col("_n")
+                - F.pow(F.col("_s").cast("double") / F.col("_n"), 2)
+            ).alias("sigma"),
+        )
+    )
+    scored = (
+        dims.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id")
+        .agg(
+            fround(
+                F.sum(
+                    F.pow((F.col("val") - F.col("mu")) / F.col("sigma"), 2).cast(
+                        DEC
+                    )
+                ).cast("double"),
+                4,
+            ).alias("mahal_sq")
+        )
+    )
+    return scored.orderBy(F.desc("mahal_sq"), F.asc("vec_id")).limit(20)
+
+
+O_EMBEDDING_OUTLIERS = f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, array_length(embedding) + 1)) AS t(i)
+), stats AS (
+  SELECT pos,
+         CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(val * val AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+              - pow(CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*), 2)) AS sigma
+  FROM dims GROUP BY 1
+), scored AS (
+  SELECT vec_id,
+         {o_fround("CAST(sum(CAST(pow((val - mu) / sigma, 2) AS DECIMAL(30,10))) AS DOUBLE)", 4)} AS mahal_sq
+  FROM dims JOIN stats USING (pos)
+  GROUP BY vec_id
+)
+SELECT vec_id, mahal_sq FROM scored
+ORDER BY mahal_sq DESC, vec_id ASC
+LIMIT 20
+"""
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
+ORACLES["embedding_outliers"] = O_EMBEDDING_OUTLIERS
