@@ -2356,3 +2356,157 @@ FROM lagd
 
 QUERIES["period_over_period"] = q_period_over_period
 ORACLES["period_over_period"] = O_PERIOD_OVER_PERIOD
+
+
+# ------------------------------------------------- decile lift analysis
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate lift by order-value decile: do expensive orders get
+    returned more? Orders bin into spend deciles via interpolated
+    percentile cutoffs; the outcome is "order contains at least one
+    returned line"; lift is decile return-rate over the global rate —
+    the standard model-lift / risk-segmentation readout.
+
+    Plan (100 TB): cutoffs come from ONE percentile aggregate (its
+    partial buffer is a value->count map, no global sort — unlike
+    ntile, which would single-partition the fact table); the 1-row
+    cutoff frame broadcasts into a CASE-chain binning expression.
+    Outcome flags collapse order-grain via a map-side-combined
+    groupBy on l_orderkey before joining orders. Rates divide exact
+    BIGINT counts; both engines compute identical cutoff doubles.
+    """
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    cuts = t["orders"].agg(
+        *[
+            F.percentile("o_totalprice", q / 10.0).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    returned = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "ret"
+            )
+        )
+    )
+    dec = F.lit(1)
+    for q in range(1, 10):
+        dec = dec + F.when(F.col("o_totalprice") > F.col(f"c{q}"), 1).otherwise(0)
+    binned = (
+        t["orders"]
+        .join(returned, "o_orderkey", "left")
+        .na.fill({"ret": 0})
+        .crossJoin(F.broadcast(cuts))
+        .select(dec.cast("long").alias("decile"), "ret")
+    )
+    per = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("ret").cast("long").alias("n_returned"),
+    )
+    tot = per.agg(
+        F.sum("n_orders").alias("tn"), F.sum("n_returned").alias("tr")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_orders",
+        "n_returned",
+        fround(F.col("n_returned") / F.col("n_orders"), 6).alias("return_rate"),
+        fround(
+            (F.col("n_returned") / F.col("n_orders"))
+            / (F.col("tr") / F.col("tn")),
+            4,
+        ).alias("lift"),
+    )
+
+
+_O_CUTS = ", ".join(
+    f"quantile_cont(o_totalprice, {q / 10.0}) AS c{q}" for q in range(1, 10)
+)
+_O_DEC = "1 + " + " + ".join(
+    f"(CASE WHEN o_totalprice > c{q} THEN 1 ELSE 0 END)" for q in range(1, 10)
+)
+
+O_DECILE_LIFT = f"""
+WITH cuts AS (
+  SELECT {_O_CUTS} FROM orders
+), returned AS (
+  SELECT l_orderkey AS o_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1
+), binned AS (
+  SELECT CAST({_O_DEC} AS BIGINT) AS decile, coalesce(ret, 0) AS ret
+  FROM orders LEFT JOIN returned USING (o_orderkey) CROSS JOIN cuts
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(ret) AS BIGINT) AS n_returned
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT sum(n_orders) AS tn, sum(n_returned) AS tr FROM per
+)
+SELECT decile, n_orders, n_returned,
+       {o_fround("CAST(n_returned AS DOUBLE) / n_orders", 6)} AS return_rate,
+       {o_fround("(CAST(n_returned AS DOUBLE) / n_orders) / (CAST(tr AS DOUBLE) / tn)", 4)} AS lift
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["decile_lift"] = q_decile_lift
+ORACLES["decile_lift"] = O_DECILE_LIFT
+
+
+# ------------------------------------------------- byte-level corpus audit
+
+def q_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte/character profile: UTF-8 bytes-per-char and the
+    non-ASCII character fraction — the cheap scan that tells you which
+    sources are multibyte-heavy (CJK, emoji, mojibake) before sizing
+    tokenizer throughput or storage. A source whose bytes_per_char
+    jumps round-over-round usually changed encoding upstream.
+
+    Plan (100 TB): entirely row-local expressions (octet_length,
+    char length, ASCII-strip regexp) folded by one map-side-combined
+    groupBy on source. Integer sums are exact BIGINTs; ratios divide
+    them in identical double math.
+    """
+    t = tables(spark, sf_dir, "documents")
+    nonascii = F.length(F.regexp_replace(F.col("text"), "[\\x00-\\x7F]", ""))
+    return (
+        t["documents"]
+        .select(
+            "source",
+            F.octet_length("text").alias("nb"),
+            F.length("text").alias("nc"),
+            nonascii.alias("na"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            fround(F.sum("nb") / F.sum("nc"), 4).alias("bytes_per_char"),
+            fround(F.sum("na") / F.sum("nc"), 6).alias("nonascii_char_frac"),
+        )
+    )
+
+
+O_BYTE_STATS = f"""
+WITH per AS (
+  SELECT source,
+         strlen(text) AS nb,
+         length(text) AS nc,
+         length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       CAST(sum(nb) AS BIGINT) AS total_bytes,
+       {o_fround("CAST(sum(nb) AS DOUBLE) / sum(nc)", 4)} AS bytes_per_char,
+       {o_fround("CAST(sum(na) AS DOUBLE) / sum(nc)", 6)} AS nonascii_char_frac
+FROM per
+GROUP BY source
+"""
+
+QUERIES["byte_stats"] = q_byte_stats
+ORACLES["byte_stats"] = O_BYTE_STATS

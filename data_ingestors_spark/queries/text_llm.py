@@ -1733,3 +1733,213 @@ LIMIT 20
 
 QUERIES["embedding_outliers"] = q_embedding_outliers
 ORACLES["embedding_outliers"] = O_EMBEDDING_OUTLIERS
+
+
+# ------------------------------------------ hard-negative mining
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    top-5 most cosine-similar vectors carrying a DIFFERENT label —
+    near-duplicates in embedding space that the label says are not the
+    same thing. These pairs are exactly what a contrastive / reranker
+    fine-tune needs (highest-loss negatives), and what a labeling
+    audit flags as probable mislabels.
+
+    Plan (100 TB): same shape as [embedding_topk] — the fixed query
+    set (with labels) broadcasts, the corpus streams through one
+    scan; the label inequality prunes before scoring. Top-5 is a
+    per-query window over rounded sims with id tiebreak.
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    q = F.broadcast(
+        _queries_subset(emb).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("label").alias("c_label"),
+        )
+        .crossJoin(q)
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("c_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("c_label").cast("int").alias("neg_label"),
+            fround(
+                S.cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= 5
+    )
+
+
+O_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, CAST(c.label AS INT) AS neg_label,
+         {o_fround("list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id AND c.label <> q.q_label
+)
+SELECT query_id, neighbor_id, neg_label, cos_sim, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLES["hard_negatives"] = O_HARD_NEGATIVES
+
+
+# ------------------------------------------ dimension correlation audit
+
+def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated embedding dimension pairs (Pearson, by
+    |corr|): strongly coupled dimensions mean the embedding wastes
+    capacity and PQ/IVF subspace splits should not separate them —
+    the audit that informs product-quantization codebook layout.
+
+    Plan (100 TB): per-pair sufficient statistics (Σx, Σy, Σx², Σy²,
+    Σxy, n) via ONE self-join of the posexploded (vec_id, pos, val)
+    frame on vec_id — output is rows x C(64,2) products but the
+    groupBy key space is the 2016 dimension pairs, so map-side combine
+    collapses each partition to 2016 rows before the shuffle. (A
+    mapInPandas GEMM of Xᵀ X computes the same sums with no explode —
+    [embedding_topk_fast]'s trick — at the cost of oracle parity;
+    the sufficient-stats form is exact in both engines via decimal
+    folds.) Corr derives from the sums in identical double math.
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    dims = t["embeddings"].select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    a = dims.select(
+        "vec_id", F.col("pos").alias("pos_a"), F.col("val").alias("x")
+    )
+    b = dims.select(
+        "vec_id", F.col("pos").alias("pos_b"), F.col("val").alias("y")
+    )
+    pairs = a.join(b, "vec_id").filter(F.col("pos_a") < F.col("pos_b"))
+    sums = pairs.groupBy("pos_a", "pos_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        sums.select(
+            "pos_a",
+            "pos_b",
+            fround(corr, 6).alias("corr"),
+            fround(F.abs(corr), 6).alias("abs_corr"),
+        )
+        .orderBy(F.desc("abs_corr"), F.asc("pos_a"), F.asc("pos_b"))
+        .limit(20)
+    )
+
+
+O_EMBEDDING_DIM_CORR = f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, array_length(embedding) + 1)) AS t(i)
+), sums AS (
+  SELECT a.pos AS pos_a, b.pos AS pos_b,
+         count(*) AS n,
+         CAST(sum(CAST(a.val AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(b.val AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(a.val * a.val AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(b.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(a.val * b.val AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.pos < b.pos
+  GROUP BY 1, 2
+)
+SELECT pos_a, pos_b,
+       {o_fround("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))", 6)} AS corr,
+       {o_fround("abs((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))", 6)} AS abs_corr
+FROM sums
+ORDER BY abs_corr DESC, pos_a ASC, pos_b ASC
+LIMIT 20
+"""
+
+QUERIES["embedding_dim_corr"] = q_embedding_dim_corr
+ORACLES["embedding_dim_corr"] = O_EMBEDDING_DIM_CORR
+
+
+# ------------------------------------------ language-ID evaluation
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language classifier
+    ([language_id]) against the labeled lang column, with per-cell
+    share of the true language's documents — the evaluation harness
+    that turns the heuristic into a measured component (which langs
+    it confuses, how often 'und' happens).
+
+    Plan (100 TB): classification is a row-local expression; the
+    matrix is one map-side-combined groupBy over a |langs|² key space;
+    row shares divide exact counts via a broadcast margin join.
+    """
+    t = tables(spark, sf_dir, "documents")
+    pred = X.language_id(t["documents"], "text", "doc_id").select(
+        "doc_id", "lang_pred"
+    )
+    truth = t["documents"].select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    margins = cells.groupBy("lang").agg(F.sum("n").alias("row_total"))
+    return cells.join(F.broadcast(margins), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        fround(F.col("n") / F.col("row_total"), 6).alias("row_share"),
+    )
+
+
+O_LANGID_CONFUSION = f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+       CASE WHEN {_H_EN} = 0 AND {_H_DE} = 0 AND {_H_FR} = 0 AND {_H_ES} = 0 THEN 'und'
+            WHEN {_H_EN} >= {_H_DE} AND {_H_EN} >= {_H_FR} AND {_H_EN} >= {_H_ES} THEN 'en'
+            WHEN {_H_DE} >= {_H_FR} AND {_H_DE} >= {_H_ES} THEN 'de'
+            WHEN {_H_FR} >= {_H_ES} THEN 'fr'
+            ELSE 'es' END AS lang_pred
+  FROM documents
+), cells AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), margins AS (
+  SELECT lang, sum(n) AS row_total FROM cells GROUP BY 1
+)
+SELECT lang, lang_pred, n,
+       {o_fround("CAST(n AS DOUBLE) / row_total", 6)} AS row_share
+FROM cells JOIN margins USING (lang)
+"""
+
+QUERIES["langid_confusion"] = q_langid_confusion
+ORACLES["langid_confusion"] = O_LANGID_CONFUSION
