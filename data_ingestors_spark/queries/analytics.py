@@ -2510,3 +2510,59 @@ GROUP BY source
 
 QUERIES["byte_stats"] = q_byte_stats
 ORACLES["byte_stats"] = O_BYTE_STATS
+
+
+# ------------------------------------------------- shipping latency SLA
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles (p50/p90/p99 days) per order
+    priority — the SLA view of the fulfillment pipeline, and the query
+    shape every latency dashboard runs (grouped tail percentiles over
+    a fact-fact join).
+
+    Plan (100 TB): lineitem joins orders on the orderkey — both sides
+    shuffle-partition on the same key (co-located if the tables are
+    bucketed by orderkey at write time, exchange-free then). The
+    percentile aggregate's partial state is a value->count map over
+    DISTINCT day-latencies (small ints), so map-side combine keeps the
+    shuffle tiny; no global sort anywhere.
+    """
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    lat = t["lineitem"].join(
+        t["orders"].select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        "l_orderkey",
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "days"
+        ),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        fround(F.percentile("days", 0.5), 4).alias("p50_days"),
+        fround(F.percentile("days", 0.9), 4).alias("p90_days"),
+        fround(F.percentile("days", 0.99), 4).alias("p99_days"),
+    )
+
+
+O_SHIP_LATENCY = f"""
+WITH lat AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {o_fround("quantile_cont(days, 0.5)", 4)} AS p50_days,
+       {o_fround("quantile_cont(days, 0.9)", 4)} AS p90_days,
+       {o_fround("quantile_cont(days, 0.99)", 4)} AS p99_days
+FROM lat
+GROUP BY o_orderpriority
+"""
+
+QUERIES["ship_latency"] = q_ship_latency
+ORACLES["ship_latency"] = O_SHIP_LATENCY

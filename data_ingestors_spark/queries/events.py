@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestors_spark.queries.base import tables, dsum, davg, fround, o_fround
+from data_ingestors_spark.queries.base import DEC, tables, dsum, davg, fround, o_fround
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,3 +388,163 @@ JOIN pair_prefix USING (t2)
 
 QUERIES["sequence_mining"] = q_sequence_mining
 ORACLES["sequence_mining"] = O_SEQUENCE_MINING
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness coefficient B = (σ−μ)/(σ+μ) over
+    per-user inter-arrival gaps (Goh & Barabási 2008, public
+    formulation): B→−1 is a regular heartbeat, B≈0 Poisson, B→1
+    bursty sessions — the signal that decides sessionization gap
+    thresholds and rate-limit budgets.
+
+    Plan (100 TB): gaps come from a lag window partitioned by
+    (user_id, event_type) — per-user-per-type slices stay small no
+    matter the corpus, unlike a global per-type ordering which would
+    put one event type in one partition. Gaps are microsecond-exact (unix_micros on both
+    engines — unix_timestamp would truncate sub-second precision and
+    break parity); μ/σ derive from decimal-folded gap sums per type
+    (map-side combine); the final frame is |types| rows.
+    """
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .select(
+            "user_id",
+            "event_type",
+            (
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(w))
+                )
+                / 1e6
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum(F.col("gap_s").cast(DEC)).cast("double").alias("_s"),
+            F.sum((F.col("gap_s") * F.col("gap_s")).cast(DEC))
+            .cast("double")
+            .alias("_s2"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            fround(F.col("_s") / F.col("n_gaps"), 4).alias("mean_gap_s"),
+            fround(
+                (
+                    F.sqrt(
+                        F.col("_s2") / F.col("n_gaps")
+                        - F.pow(F.col("_s") / F.col("n_gaps"), 2)
+                    )
+                    - F.col("_s") / F.col("n_gaps")
+                )
+                / (
+                    F.sqrt(
+                        F.col("_s2") / F.col("n_gaps")
+                        - F.pow(F.col("_s") / F.col("n_gaps"), 2)
+                    )
+                    + F.col("_s") / F.col("n_gaps")
+                ),
+                6,
+            ).alias("burstiness"),
+        )
+    )
+
+
+O_BURSTINESS = f"""
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id))) / 1e6 AS gap_s
+  FROM events
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(gap_s AS DECIMAL(30,10))) AS DOUBLE) AS s,
+         CAST(sum(CAST(gap_s * gap_s AS DECIMAL(30,10))) AS DOUBLE) AS s2
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_gaps,
+       {o_fround("s / n_gaps", 4)} AS mean_gap_s,
+       {o_fround("(sqrt(s2 / n_gaps - pow(s / n_gaps, 2)) - s / n_gaps) / (sqrt(s2 / n_gaps - pow(s / n_gaps, 2)) + s / n_gaps)", 6)} AS burstiness
+FROM agg
+"""
+
+QUERIES["burstiness"] = q_burstiness
+ORACLES["burstiness"] = O_BURSTINESS
+
+
+def q_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type higher moments — skewness and excess kurtosis —
+    computed from raw decimal power sums (Σv..Σv⁴) rather than the
+    engines' native skewness()/kurtosis() aggregates, whose one-pass
+    update formulas differ across engines in last-ulp ways. Raw sums
+    fold exactly in DECIMAL, so the derived moments are identical
+    doubles on both sides.
+
+    Plan (100 TB): one map-side-combined groupBy; v⁴ ≤ ~1.2e10 at the
+    observed value range (≤328), far inside DECIMAL(30,10) headroom
+    even summed over billions of rows.
+    """
+    t = tables(spark, sf_dir, "events")
+    v = F.col("value")
+    agg = t["events"].groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(DEC)).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast(DEC)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        fround(mu, 4).alias("mean"),
+        fround(F.sqrt(m2), 4).alias("stddev"),
+        fround(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        fround(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+O_MOMENTS_STATS = f"""
+WITH agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(value * value * value AS DECIMAL(30,10))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(value * value * value * value AS DECIMAL(30,10))) AS DOUBLE) AS s4
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM agg
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       {o_fround("mu", 4)} AS mean,
+       {o_fround("sqrt(m2)", 4)} AS stddev,
+       {o_fround("m3 / pow(m2, 1.5)", 6)} AS skewness,
+       {o_fround("m4 / (m2 * m2) - 3", 6)} AS excess_kurtosis
+FROM m
+"""
+
+QUERIES["moments_stats"] = q_moments_stats
+ORACLES["moments_stats"] = O_MOMENTS_STATS

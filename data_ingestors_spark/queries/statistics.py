@@ -952,3 +952,99 @@ FROM wide
 
 QUERIES["ab_test_proportions"] = q_ab_test_proportions
 ORACLES["ab_test_proportions"] = O_AB_TEST
+
+
+# --- Holt double exponential smoothing ----------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of daily
+    revenue, plus a 7-day-ahead forecast per day — the classic
+    trend-following companion to [ewma] (which has no trend term and
+    lags ramps). level_t = αx_t + (1-α)(level+trend);
+    trend_t = β(level_t - level) + (1-β)trend.
+
+    Implementation surface: the coupled recurrence is inherently
+    sequential, so it runs in ONE applyInPandas group over the daily
+    aggregate — safe at any data scale because the series length is
+    calendar-bounded (days), not data-bounded; the 100 TB of orders
+    collapse to ~thousands of rows BEFORE the Python boundary, via a
+    map-side-combined groupBy. Daily revenue folds in decimal so both
+    engines seed the recursion with bit-identical doubles; from there
+    the float ops are the same IEEE sequence (the DuckDB oracle
+    unrolls the recursion as a RECURSIVE CTE).
+    """
+    import pandas as pd
+
+    t = tables(spark, sf_dir, "orders")
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+        )
+    )
+
+    schema = "day date, rev double, level double, trend double"
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        level = trend = 0.0
+        levels, trends = [], []
+        for i, x in enumerate(pdf["rev"].to_numpy()):
+            if i == 0:
+                level, trend = x, 0.0
+            else:
+                prev = level
+                level = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (level + trend)
+                trend = _HOLT_BETA * (level - prev) + (1 - _HOLT_BETA) * trend
+            levels.append(level)
+            trends.append(trend)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf[["day", "rev", "level", "trend"]]
+
+    smoothed = (
+        daily.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda _k, pdf: holt(pdf), schema)
+    )
+    return smoothed.select(
+        "day",
+        fround(F.col("rev"), 2).alias("rev"),
+        fround(F.col("level"), 2).alias("level"),
+        fround(F.col("trend"), 4).alias("trend"),
+        fround(F.col("level") + 7 * F.col("trend"), 2).alias("forecast_7d"),
+    )
+
+
+O_HOLT_LINEAR = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, rev, row_number() OVER (ORDER BY day) AS i FROM daily
+), holt AS (
+  SELECT i, day, rev, rev AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.day, idx.rev,
+         {_HOLT_ALPHA} * idx.rev + {1 - _HOLT_ALPHA} * (h.level + h.trend),
+         {_HOLT_BETA} * ({_HOLT_ALPHA} * idx.rev + {1 - _HOLT_ALPHA} * (h.level + h.trend) - h.level)
+           + {1 - _HOLT_BETA} * h.trend
+  FROM holt h JOIN idx ON idx.i = h.i + 1
+)
+SELECT day,
+       {o_fround("rev", 2)} AS rev,
+       {o_fround("level", 2)} AS level,
+       {o_fround("trend", 4)} AS trend,
+       {o_fround("level + 7 * trend", 2)} AS forecast_7d
+FROM holt
+"""
+
+QUERIES["holt_linear"] = q_holt_linear
+ORACLES["holt_linear"] = O_HOLT_LINEAR

@@ -1943,3 +1943,66 @@ FROM cells JOIN margins USING (lang)
 
 QUERIES["langid_confusion"] = q_langid_confusion
 ORACLES["langid_confusion"] = O_LANGID_CONFUSION
+
+
+# ------------------------------------------ character n-gram profiles
+
+def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 character trigrams per language over normalized text —
+    the classic language-fingerprint features (Cavnar & Trenkle 1994):
+    the profile that a trainable language identifier would learn, and
+    a drift check for mislabeled-language slices (a 'fr' slice whose
+    top trigrams look English is mislabeled).
+
+    Plan (100 TB): trigrams explode from a row-local transform (no
+    string self-joins); the (lang, trigram) groupBy map-side combines
+    to a vocabulary-bounded frame; top-5 per lang is a window over
+    that SMALL aggregated frame partitioned by lang — fine because
+    per-lang distinct-trigram counts are alphabet-bounded, not
+    data-bounded.
+    """
+    t = tables(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    tris = t["documents"].select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(norm) - 2, F.lit(0))
+                ),
+                lambda i: norm.substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tri", "n", "rnk")
+    )
+
+
+O_CHAR_NGRAM_PROFILE = """
+WITH norm AS (
+  SELECT lang, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), tris AS (
+  SELECT lang,
+         unnest([substr(t, i, 3) FOR i IN range(1, greatest(length(t) - 2, 0) + 1)]) AS tri
+  FROM norm
+), counts AS (
+  SELECT lang, tri, CAST(count(*) AS BIGINT) AS n FROM tris GROUP BY 1, 2
+)
+SELECT lang, tri, n, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri ASC) AS BIGINT) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+"""
+
+QUERIES["char_ngram_profile"] = q_char_ngram_profile
+ORACLES["char_ngram_profile"] = O_CHAR_NGRAM_PROFILE
