@@ -122,6 +122,29 @@ HEADLINE = [
     "item_cosine",
     "spearman_corr",
     "vocab_overlap",
+    # late-r6 batch 2: shuffle-reduction/planner diagnostics, DSIR,
+    # novelty, embedding audits, sequence/graph mining, eval harnesses
+    "bloom_prefilter_join",
+    "key_skew_audit",
+    "join_cardinality_estimate",
+    "sequence_mining",
+    "period_over_period",
+    "mutual_information",
+    "ab_test_proportions",
+    "dsir_weights",
+    "doc_novelty",
+    "embedding_outliers",
+    "embedding_dim_corr",
+    "hard_negatives",
+    "link_prediction",
+    "langid_confusion",
+    "decile_lift",
+    "byte_stats",
+    "holt_linear",
+    "burstiness",
+    "moments_stats",
+    "ship_latency",
+    "char_ngram_profile",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

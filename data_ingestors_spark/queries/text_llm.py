@@ -1590,29 +1590,46 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda w: w != "",
     )
-    n_sh = F.greatest(F.size(ws) - 4, F.lit(0))
-    shingles = (
-        t["documents"]
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n_sh),
-                    lambda i: F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws(" ", F.slice(ws, i, 5))), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
+    from data_ingestors_spark.operators.dedup import let_bound
+
+    # ws is let-bound (split once per row, not once per shingle) and
+    # per-doc duplicates drop ROW-LOCALLY via array_distinct — no
+    # corpus-wide .distinct() shuffle, since (doc_id, sh) dedup only
+    # needs within-row uniqueness here (14.6 s -> ~4 s at sf0.1)
+    shingles = t["documents"].select(
+        "doc_id",
+        F.explode(
+            let_bound(
+                ws,
+                # sequence(1, 0) DESCENDS in Spark, so short docs must
+                # short-circuit to an empty array, not a 0-stop sequence
+                lambda wv: F.when(
+                    F.size(wv) < 5, F.array().cast("array<bigint>")
+                ).otherwise(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(wv) - 4),
+                            lambda i: F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(" ", F.slice(wv, i, 5))
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                        )
+                    )
+                ),
+            )
+        ).alias("sh"),
     )
-    df_counts = shingles.groupBy("sh").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # (doc_id, sh) rows are unique by construction (array_distinct
+    # upstream), so plain count == distinct-doc count without the
+    # per-key hashset a countDistinct would carry through the shuffle
+    df_counts = shingles.groupBy("sh").agg(F.count("*").alias("df"))
     return (
         shingles.join(df_counts, "sh")
         .groupBy("doc_id")
@@ -1816,36 +1833,76 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity and PQ/IVF subspace splits should not separate them —
     the audit that informs product-quantization codebook layout.
 
-    Plan (100 TB): per-pair sufficient statistics (Σx, Σy, Σx², Σy²,
-    Σxy, n) via ONE self-join of the posexploded (vec_id, pos, val)
-    frame on vec_id — output is rows x C(64,2) products but the
-    groupBy key space is the 2016 dimension pairs, so map-side combine
-    collapses each partition to 2016 rows before the shuffle. (A
-    mapInPandas GEMM of Xᵀ X computes the same sums with no explode —
-    [embedding_topk_fast]'s trick — at the cost of oracle parity;
-    the sufficient-stats form is exact in both engines via decimal
-    folds.) Corr derives from the sums in identical double math.
+    Plan (100 TB): NO self-join — Σx and Σx² per dimension come from
+    one posexplode + 64-key groupBy, and the cross terms Σx_iy_j come
+    from a ROW-LOCAL pair transform (each vector emits its C(64,2)
+    products, already keyed) feeding a map-side-combined groupBy over
+    the 2016-pair key space. The earlier dims⋈dims-on-vec_id form
+    shuffled the exploded frame twice and materialized rows×4096 join
+    output (measured 48 s at sf0.1; this form ~8 s). Per-dim stats
+    broadcast onto the 2016-row pair frame. (A mapInPandas GEMM of
+    XᵀX would beat both but loses the decimal-fold exactness the
+    oracle hash needs.) Corr derives from the sums in identical
+    double math on both engines.
     """
     t = tables(spark, sf_dir, "embeddings")
-    dims = t["embeddings"].select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = dims.select(
-        "vec_id", F.col("pos").alias("pos_a"), F.col("val").alias("x")
-    )
-    b = dims.select(
-        "vec_id", F.col("pos").alias("pos_b"), F.col("val").alias("y")
-    )
-    pairs = a.join(b, "vec_id").filter(F.col("pos_a") < F.col("pos_b"))
-    sums = pairs.groupBy("pos_a", "pos_b").agg(
+    dims = emb.select(F.posexplode("v").alias("pos", "val"))
+    dstats = dims.groupBy("pos").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum(F.col("val").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("val") * F.col("val")).cast(DEC))
+        .cast("double")
+        .alias("ss"),
     )
+    # row-local upper-triangle products as a FLAT double array +
+    # posexplode: the flat index is decoded to (pos_a, pos_b) via a
+    # broadcast 2016-row literal frame AFTER aggregation — emitting
+    # per-pair structs inside the interpreted lambda measured 4x
+    # slower (struct allocation per element), 15.6 s vs ~4 s at sf0.1
+    dim = len(emb.select("v").head()["v"])  # 1-row driver probe
+    pair_terms = emb.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("v") - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("v") - 1),
+                        lambda j: F.get("v", i) * F.get("v", j),
+                    ),
+                )
+            )
+        ).alias("pidx", "xy")
+    )
+    decode = spark.createDataFrame(
+        [
+            (p, i, j)
+            for p, (i, j) in enumerate(
+                (i, j) for i in range(dim) for j in range(i + 1, dim)
+            )
+        ],
+        "pidx int, pos_a int, pos_b int",
+    )
+    sxy = (
+        pair_terms.groupBy("pidx")
+        .agg(F.sum(F.col("xy").cast(DEC)).cast("double").alias("sxy"))
+        .join(F.broadcast(decode), "pidx")
+        .drop("pidx")
+    )
+    sa = dstats.select(
+        F.col("pos").alias("pos_a"),
+        F.col("n"),
+        F.col("s").alias("sx"),
+        F.col("ss").alias("sxx"),
+    )
+    sb = dstats.select(
+        F.col("pos").alias("pos_b"),
+        F.col("s").alias("sy"),
+        F.col("ss").alias("syy"),
+    )
+    sums = sxy.join(F.broadcast(sa), "pos_a").join(F.broadcast(sb), "pos_b")
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
@@ -1955,12 +2012,17 @@ def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top trigrams look English is mislabeled).
 
     Plan (100 TB): trigrams explode from a row-local transform (no
-    string self-joins); the (lang, trigram) groupBy map-side combines
-    to a vocabulary-bounded frame; top-5 per lang is a window over
-    that SMALL aggregated frame partitioned by lang — fine because
+    string self-joins); the normalized text is LET-BOUND so the
+    regexp normalization runs once per row, not once per character
+    position (the measured O(chars²) lambda trap — 60 s -> ~3 s at
+    sf0.1). The (lang, trigram) groupBy map-side combines the
+    per-position explode down to a vocabulary-bounded frame before
+    the shuffle; top-5 per lang is a window over that SMALL frame —
     per-lang distinct-trigram counts are alphabet-bounded, not
     data-bounded.
     """
+    from data_ingestors_spark.operators.dedup import let_bound
+
     t = tables(spark, sf_dir, "documents")
     norm = F.trim(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
@@ -1968,11 +2030,17 @@ def q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = t["documents"].select(
         "lang",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length(norm) - 2, F.lit(0))
+            let_bound(
+                norm,
+                # sequence(1, 0) DESCENDS in Spark — empty-out short rows
+                lambda tv: F.when(
+                    F.length(tv) < 3, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(tv) - 2),
+                        lambda i: tv.substr(i, F.lit(3)),
+                    )
                 ),
-                lambda i: norm.substr(i, F.lit(3)),
             )
         ).alias("tri"),
     )
