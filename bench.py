@@ -145,6 +145,8 @@ HEADLINE = [
     "moments_stats",
     "ship_latency",
     "char_ngram_profile",
+    "stl_anomaly",
+    "weighted_median",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

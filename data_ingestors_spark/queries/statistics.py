@@ -1048,3 +1048,185 @@ FROM holt
 
 QUERIES["holt_linear"] = q_holt_linear
 ORACLES["holt_linear"] = O_HOLT_LINEAR
+
+
+# --- STL-style residual anomalies ---------------------------------------
+
+def q_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 anomalous days by |z-score| of the seasonal-decompose
+    residual — the alerting layer on top of [seasonal_decompose]:
+    remove trend (7-day centered MA) and weekly seasonality first, so
+    a "spike" is measured against what the calendar predicts, not
+    against a naive global mean (which flags every Saturday).
+
+    Plan: identical skeleton to [seasonal_decompose] (series-frame
+    windows over the daily aggregate, broadcast seasonal means);
+    residual μ/σ fold in decimal over the ~series-length frame; top-10
+    is TakeOrdered. All frames are calendar-bounded.
+    """
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(fround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    daily = daily.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(w7) == 7,
+            fround(F.sum(F.col("x").cast(DEC)).over(w7).cast("double") / F.lit(7.0), 6),
+        ),
+    ).withColumn(
+        "dow", F.pmod(F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")), F.lit(7))
+    )
+    det = daily.withColumn("d", F.col("x") - F.col("trend"))
+    seas = (
+        det.filter(F.col("d").isNotNull())
+        .groupBy("dow")
+        .agg(
+            fround(
+                F.sum(F.col("d").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("seasonal")
+        )
+    )
+    resid = (
+        det.join(F.broadcast(seas), "dow", "left")
+        .select(
+            "day",
+            "x",
+            fround(F.col("x") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "resid"
+            ),
+        )
+        .filter(F.col("resid").isNotNull())
+    )
+    mstats = resid.agg(
+        (F.sum(F.col("resid").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mu"
+        ),
+        F.count("*").alias("n"),
+        F.sum((F.col("resid") * F.col("resid")).cast(DEC))
+        .cast("double")
+        .alias("s2"),
+    ).select(
+        "mu",
+        F.sqrt(F.col("s2") / F.col("n") - F.col("mu") * F.col("mu")).alias(
+            "sigma"
+        ),
+    )
+    return (
+        resid.crossJoin(F.broadcast(mstats))
+        .select(
+            "day",
+            "x",
+            "resid",
+            fround((F.col("resid") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z"
+            ),
+        )
+        .orderBy(F.desc(F.abs(F.col("z"))), F.asc("day"))
+        .limit(10)
+    )
+
+
+O_STL_ANOMALY = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         {o_fround("CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 4)} AS x
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT day, x,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN {o_fround("CAST(sum(CAST(x AS DECIMAL(30,10))) OVER w7 AS DOUBLE) / 7.0", 6)}
+         END AS trend,
+         mod(mod(date_diff('day', DATE '2024-01-01', day), 7) + 7, 7) AS dow
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+  SELECT dow,
+         {o_fround("CAST(sum(CAST(x - trend AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS seasonal
+  FROM tr WHERE trend IS NOT NULL GROUP BY dow
+), resid AS (
+  SELECT day, x, {o_fround("x - trend - seasonal", 6)} AS resid
+  FROM tr LEFT JOIN seas USING (dow)
+  WHERE trend IS NOT NULL AND seasonal IS NOT NULL
+), mstats AS (
+  SELECT CAST(sum(CAST(resid AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mu,
+         sqrt(CAST(sum(CAST(resid * resid AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+              - pow(CAST(sum(CAST(resid AS DECIMAL(30,10))) AS DOUBLE) / count(*), 2)) AS sigma
+  FROM resid
+)
+SELECT day, x, resid, z FROM (
+  SELECT day, x, resid,
+         {o_fround("(resid - mu) / sigma", 4)} AS z
+  FROM resid CROSS JOIN mstats
+)
+ORDER BY abs(z) DESC, day ASC
+LIMIT 10
+"""
+
+QUERIES["stl_anomaly"] = q_stl_anomaly
+ORACLES["stl_anomaly"] = O_STL_ANOMALY
+
+
+# --- exact weighted median ----------------------------------------------
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of extended price per return
+    flag — "the price point where half the shipped UNITS sit below" —
+    using the lower-weighted-median rule (smallest value whose
+    cumulative weight reaches half the total), which needs no
+    interpolation and is engine-portable by construction.
+
+    Plan (100 TB): weights pre-aggregate per (flag, price) — the
+    cumulative window then runs over DISTINCT price points per flag,
+    not raw rows, and groups are few. Weights fold in decimal; the
+    reach-half test compares exact decimals (2*cum >= total), so no
+    float boundary can flip the selected row.
+    """
+    t = tables(spark, sf_dir, "lineitem")
+    per = t["lineitem"].groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("w"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("price")
+    tot = Window.partitionBy("l_returnflag")
+    ranked = per.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(tot).alias("total"),
+    )
+    return (
+        ranked.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            fround(F.min("price"), 2).alias("weighted_median"),
+            fround(F.max(F.col("total").cast("double")), 2).alias(
+                "total_weight"
+            ),
+        )
+    )
+
+
+O_WEIGHTED_MEDIAN = f"""
+WITH per AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         sum(CAST(l_quantity AS DECIMAL(30,10))) AS w
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, price,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM per
+)
+SELECT l_returnflag,
+       {o_fround("min(price)", 2)} AS weighted_median,
+       {o_fround("max(CAST(total AS DOUBLE))", 2)} AS total_weight
+FROM ranked
+WHERE 2 * cum >= total
+GROUP BY l_returnflag
+"""
+
+QUERIES["weighted_median"] = q_weighted_median
+ORACLES["weighted_median"] = O_WEIGHTED_MEDIAN
