@@ -1800,3 +1800,91 @@ def test_bloom_build_rejects_bad_m(spark):
 
     with pytest.raises(ValueError):
         bloom_build(spark.range(3).select(F.col("id").alias("k")), "k", m_bits=100)
+
+
+# --- weighted median / Holt / sequence lift sanity ----------------------
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """Lower-weighted-median rule against a pure-Python fold."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (grp, round(rng.uniform(1, 100), 2), rng.randint(1, 9))
+        for grp in ("a", "b")
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, price double, w int")
+
+    from pyspark.sql import Window
+
+    per = df.groupBy("g", "price").agg(F.sum("w").alias("w"))
+    wcum = Window.partitionBy("g").orderBy("price")
+    tot = Window.partitionBy("g")
+    got = {
+        r["g"]: r["m"]
+        for r in per.select(
+            "g",
+            "price",
+            F.sum("w").over(wcum).alias("cum"),
+            F.sum("w").over(tot).alias("total"),
+        )
+        .filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("g")
+        .agg(F.min("price").alias("m"))
+        .collect()
+    }
+
+    for grp in ("a", "b"):
+        vals = sorted((p, w) for g, p, w in rows if g == grp)
+        total = sum(w for _, w in vals)
+        cum = 0
+        for p, w in vals:
+            cum += w
+            if 2 * cum >= total:
+                assert got[grp] == p, (grp, got[grp], p)
+                break
+
+
+def test_holt_recursion_matches_bruteforce(spark):
+    """The applyInPandas Holt recursion equals a scalar Python loop."""
+    from data_ingestors_spark.queries.statistics import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        q_holt_linear,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["day"]: (r["level"], r["trend"]) for r in q_holt_linear(spark, sf).collect()}
+
+    import duckdb
+
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT CAST(o_orderdate AS DATE) AS day,"
+        " CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS rev"
+        f" FROM '{sf}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    level = trend = 0.0
+    for i, (day, x) in enumerate(daily):
+        if i == 0:
+            level, trend = x, 0.0
+        else:
+            prev = level
+            level = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (level + trend)
+            trend = _HOLT_BETA * (level - prev) + (1 - _HOLT_BETA) * trend
+        import math
+
+        gl = math.floor(level * 100 + 0.5) / 100
+        gt = math.floor(trend * 10000 + 0.5) / 10000
+        assert out[day] == (gl, gt), (day, out[day], (gl, gt))
+
+
+def test_bloom_semi_join_empty_keys(spark):
+    """An empty key set must yield an empty (not erroring) result."""
+    from data_ingestors_spark.operators.joins import bloom_semi_join
+
+    keys = spark.range(0).select(F.col("id").alias("k"))
+    big = spark.range(100).select(F.col("id").alias("k"))
+    assert bloom_semi_join(big, keys, "k").count() == 0
