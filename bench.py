@@ -147,6 +147,20 @@ HEADLINE = [
     "char_ngram_profile",
     "stl_anomaly",
     "weighted_median",
+    # late-r6 batch 3: planner stats, warehouse/forecast primitives,
+    # embedding compression audits, blocking/tokenizer eval
+    "cbo_stats",
+    "file_binpack",
+    "theil_sen",
+    "mape_backtest",
+    "lateral_join",
+    "scd2_build",
+    "matryoshka_audit",
+    "int8_quant_audit",
+    "token_fertility",
+    "dedup_family_stats",
+    "cohens_kappa",
+    "blocking_audit",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -483,3 +483,127 @@ QUERIES["nth_value_window"] = q_nth_value_window
 ORACLES["regex_battery"] = O_REGEX_BATTERY
 ORACLES["length_histogram"] = O_LENGTH_HISTOGRAM
 ORACLES["nth_value_window"] = O_NTH_VALUE_WINDOW
+
+
+# --- correlated LATERAL subquery ---------------------------------------
+
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation via a correlated LATERAL
+    subquery — the SQL-surface form of per-group top-k (DuckDB/Postgres
+    `, LATERAL (...) t`, Spark's `LATERAL` since 3.4). Same semantics
+    as [topk_per_group]'s window form; registered separately because
+    the decorrelation path is a different planner feature: Catalyst
+    must rewrite the per-row dependent subquery into a join + window,
+    and this query is the regression check that it does (rather than
+    re-executing the inner query per outer row, which would be a
+    25-scan disaster at any scale).
+
+    Scale: after decorrelation the physical plan is the window top-k
+    plan — one shuffle on the correlation key, rank inside partitions.
+    """
+    for name, df in tables(spark, sf_dir, "nation", "customer").items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        """
+    )
+
+
+O_LATERAL_JOIN = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+"""
+
+QUERIES["lateral_join"] = q_lateral_join
+ORACLES["lateral_join"] = O_LATERAL_JOIN
+
+
+# --- SCD Type-2 dimension build ----------------------------------------
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from a change feed: fold
+    each customer's order-priority history into validity intervals
+    [valid_from, valid_to) — consecutive identical values collapse into
+    one version, the open current version has valid_to NULL. The
+    standard warehouse primitive for reconstructing 'what was the
+    attribute at time t' from an event log (Kimball SCD2).
+
+    Plan (100 TB): three window passes over ONE shuffle on the
+    dimension key (change-flag via lag, run-id via cumulative sum,
+    valid_to via lead on the collapsed runs) — Catalyst reuses the
+    (custkey)-partitioning across all three since the window specs
+    share the partition key. Nothing global: per-key history lengths
+    bound each task, and the output is one row per VERSION, not per
+    event.
+    """
+    t = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("o_orderpriority").over(w).isNull()
+                | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    runs = chg.groupBy(
+        F.col("o_custkey").alias("custkey"), "version", "o_orderpriority"
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    wv = Window.partitionBy("custkey").orderBy("version")
+    return runs.select(
+        "custkey",
+        "version",
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
+
+
+O_SCD2_BUILD = """
+WITH chg AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+ver AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+  FROM chg
+),
+runs AS (
+  SELECT o_custkey AS custkey, version, o_orderpriority AS priority,
+         min(o_orderdate) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ver GROUP BY 1, 2, 3
+)
+SELECT custkey, version, priority, valid_from,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS valid_to,
+       n_events
+FROM runs
+"""
+
+QUERIES["scd2_build"] = q_scd2_build
+ORACLES["scd2_build"] = O_SCD2_BUILD

@@ -222,3 +222,183 @@ O_JOIN_CARDINALITY = " UNION ALL ".join(
 
 QUERIES["join_cardinality_estimate"] = q_join_cardinality_estimate
 ORACLES["join_cardinality_estimate"] = O_JOIN_CARDINALITY
+
+
+# --- ANALYZE-style column statistics (CBO inputs) -----------------------
+
+_CBO_COLS = (
+    ("lineitem", "l_quantity"),
+    ("lineitem", "l_discount"),
+    ("orders", "o_totalprice"),
+    ("documents", "n_chars"),
+)
+
+
+def q_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics — the inputs a cost-based
+    optimizer needs before it can price a plan: row/null/NDV counts,
+    min/max, and EXACT equi-depth quartile boundaries (the SQL-standard
+    discrete rule: smallest value whose cumulative count reaches
+    ceil(q*n), spelled out explicitly so both engines apply the same
+    rule instead of trusting two different percentile_disc
+    interpretations).
+
+    Plan per column: counts/min/max are one map-side-combined agg over
+    the scan; boundaries run over the value->count frame (NDV rows,
+    not data rows) with one cumulative window. That window is a single
+    ordered task — bounded by the column's NDV, which for CBO-stats
+    targets (keys, measures) is << row count; a column whose NDV
+    approaches row count is exactly the column you'd sample first
+    (ANALYZE samples at scale; exactness here is what makes the query
+    oracle-checkable).
+    """
+    from pyspark.sql import Window
+
+    frames = []
+    for tbl, col in _CBO_COLS:
+        df = tables(spark, sf_dir, tbl)[tbl]
+        v = F.col(col).cast("double")
+        vc = (
+            df.filter(v.isNotNull())
+            .groupBy(v.alias("v"))
+            .agg(F.count("*").alias("c"))
+        )
+        cum = vc.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        base = df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(v)).cast("long").alias("n_null"),
+            F.countDistinct(v).cast("long").alias("ndv"),
+            fround(F.min(v), 6).alias("vmin"),
+            fround(F.max(v), 6).alias("vmax"),
+            F.count(v).cast("long").alias("_nn"),
+        )
+        bounds = cum.crossJoin(F.broadcast(base)).agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.first("n_rows").alias("n_rows"),
+            F.first("n_null").alias("n_null"),
+            F.first("ndv").alias("ndv"),
+            F.first("vmin").alias("vmin"),
+            F.first("vmax").alias("vmax"),
+            *[
+                fround(
+                    F.min(
+                        F.when(
+                            F.col("cum") >= F.ceil(F.lit(q) * F.col("_nn")),
+                            F.col("v"),
+                        )
+                    ),
+                    6,
+                ).alias(name)
+                for q, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"))
+            ],
+        )
+        frames.append(bounds)
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def _o_cbo(tbl: str, col: str) -> str:
+    return f"""
+SELECT '{tbl}' AS tbl, '{col}' AS col, n_rows, n_null, ndv, vmin, vmax,
+       {o_fround("min(CASE WHEN cum >= ceil(0.25 * nn) THEN v END)", 6)} AS q25,
+       {o_fround("min(CASE WHEN cum >= ceil(0.50 * nn) THEN v END)", 6)} AS q50,
+       {o_fround("min(CASE WHEN cum >= ceil(0.75 * nn) THEN v END)", 6)} AS q75
+FROM (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum
+  FROM (SELECT CAST({col} AS DOUBLE) AS v, count(*) AS c FROM {tbl}
+        WHERE {col} IS NOT NULL GROUP BY 1)
+) CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,
+         {o_fround(f"min(CAST({col} AS DOUBLE))", 6)} AS vmin,
+         {o_fround(f"max(CAST({col} AS DOUBLE))", 6)} AS vmax,
+         count({col}) AS nn
+  FROM {tbl}
+)
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
+O_CBO_STATS = " UNION ALL ".join(_o_cbo(t, c) for t, c in _CBO_COLS)
+
+QUERIES["cbo_stats"] = q_cbo_stats
+ORACLES["cbo_stats"] = O_CBO_STATS
+
+
+# --- compaction bin-packing plan ---------------------------------------
+
+_BINPACK_TARGET = 1 << 20  # 1 MiB per output file at this SF
+_BINPACK_ROW_BYTES = 128
+
+
+def q_file_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: bin-pack a per-supplier file
+    inventory (size proxy: rows x 128 B) into ~1 MiB output groups by
+    running-total fill in key order — the planning step before a
+    compaction job rewrites a hot table's small files (the classic
+    100 TB operational task: millions of 1-10 MB files -> 128 MB
+    targets).
+
+    Running-total fill (bin = (cum - bytes) div target) is chosen over
+    first-fit-decreasing because it is deterministic, order-preserving
+    (compacted files stay range-clustered on the key, so downstream
+    partition pruning still works), and expressible as ONE cumulative
+    window in any engine; FFD packs ~2% tighter but scrambles key
+    locality and is inherently sequential.
+
+    Scale: the window runs over the INVENTORY (one row per input
+    file), not the data — a 100 TB table is ~10^6 files, a single
+    sorted task; the data itself is never touched by the planner.
+    """
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir, "lineitem")
+    inv = t["lineitem"].groupBy(F.col("l_suppkey").alias("file_key")).agg(
+        (F.count("*") * F.lit(_BINPACK_ROW_BYTES)).cast("long").alias("bytes")
+    )
+    cum = inv.withColumn(
+        "cum",
+        F.sum("bytes").over(
+            Window.orderBy("file_key").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    binned = cum.withColumn(
+        "bin_id",
+        F.expr(f"(cum - bytes) div {_BINPACK_TARGET}").cast("long"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("file_key").cast("long").alias("first_key"),
+        F.max("file_key").cast("long").alias("last_key"),
+    )
+
+
+O_FILE_BINPACK = f"""
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(file_key) AS BIGINT) AS first_key,
+       CAST(max(file_key) AS BIGINT) AS last_key
+FROM (
+  SELECT file_key, bytes,
+         CAST((sum(bytes) OVER (ORDER BY file_key) - bytes)
+              // {_BINPACK_TARGET} AS BIGINT) AS bin_id
+  FROM (SELECT l_suppkey AS file_key,
+               CAST(count(*) * {_BINPACK_ROW_BYTES} AS BIGINT) AS bytes
+        FROM lineitem GROUP BY 1)
+)
+GROUP BY 1
+"""
+
+QUERIES["file_binpack"] = q_file_binpack
+ORACLES["file_binpack"] = O_FILE_BINPACK

@@ -1230,3 +1230,186 @@ GROUP BY l_returnflag
 
 QUERIES["weighted_median"] = q_weighted_median
 ORACLES["weighted_median"] = O_WEIGHTED_MEDIAN
+
+
+# --- Theil-Sen robust trend --------------------------------------------
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the monthly revenue
+    series: slope = lower median of all pairwise slopes, intercept =
+    lower median of (y_i - slope * x_i). Unlike the OLS line (fit
+    elsewhere as forecast_revenue), a single anomalous month cannot
+    move this estimate — the robust-regression counterpart to
+    [winsorized_stats].
+
+    Plan (100 TB): the fact table collapses to one MONTHLY aggregate
+    first (map-side-combined groupBy; the frame is calendar-bounded,
+    ~84 rows/7 years REGARDLESS of data size), so the O(m²) pairwise
+    self-join runs on months, not data — ~3.5k pair rows. Medians use
+    the explicit SQL-standard discrete rule (smallest value with
+    2*cum >= n) over value-count frames, so both engines pick the
+    identical element instead of interpolating in engine-specific
+    float order.
+    """
+    t = tables(spark, sf_dir, "orders")
+    monthly = (
+        t["orders"]
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("x")
+        )
+        .agg(
+            fround(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("y")
+        )
+    )
+    a = monthly.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = monthly.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            fround(
+                (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa")), 6
+            ).alias("s")
+        )
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        """Smallest value v with 2 * cum_count(v) >= n (1-row frame)."""
+        vc = df.groupBy(col).agg(F.count("*").alias("c"))
+        cum = vc.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+        return cum.agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col(col))).alias(col)
+        )
+
+    slope = lower_median(slopes, "s")
+    resid = monthly.crossJoin(F.broadcast(slope)).select(
+        fround(F.col("y") - F.col("s") * F.col("x"), 6).alias("r")
+    )
+    icept = lower_median(resid, "r")
+    stats = monthly.agg(
+        F.count("*").cast("long").alias("n_months"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            "n_months",
+            "n_pairs",
+            F.col("s").alias("slope"),
+            F.col("r").alias("intercept"),
+        )
+    )
+
+
+O_THEIL_SEN = f"""
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,
+         {o_fround("CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS y
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT {o_fround("(b.y - a.y) / (b.x - a.x)", 6)} AS s
+  FROM monthly a JOIN monthly b ON a.x < b.x
+),
+slope AS (
+  SELECT min(CASE WHEN 2 * cum >= n THEN s END) AS s FROM (
+    SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n
+    FROM (SELECT s, count(*) AS c FROM slopes GROUP BY 1)
+  )
+),
+resid AS (
+  SELECT {o_fround("m.y - slope.s * m.x", 6)} AS r FROM monthly m CROSS JOIN slope
+),
+icept AS (
+  SELECT min(CASE WHEN 2 * cum >= n THEN r END) AS r FROM (
+    SELECT r, sum(c) OVER (ORDER BY r) AS cum, sum(c) OVER () AS n
+    FROM (SELECT r, count(*) AS c FROM resid GROUP BY 1)
+  )
+)
+SELECT CAST(count(*) AS BIGINT) AS n_months,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs,
+       min(slope.s) AS slope, min(icept.r) AS intercept
+FROM monthly CROSS JOIN slope CROSS JOIN icept
+"""
+
+QUERIES["theil_sen"] = q_theil_sen
+ORACLES["theil_sen"] = O_THEIL_SEN
+
+
+# --- rolling-origin forecast backtest ----------------------------------
+
+def q_mape_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two standard forecasting
+    baselines on monthly revenue — naive (previous month) and
+    seasonal-naive (same month last year) — reporting MAE and MAPE per
+    model over every month where BOTH predictions exist. The honest
+    floor any real forecast model must beat before it ships
+    (Hyndman's M-competition protocol).
+
+    Plan (100 TB): like [theil_sen], all work after the first groupBy
+    runs on the calendar-bounded monthly frame; the lag features are
+    two window lags over ONE ordered pass, and the error aggregation
+    accumulates in decimal so the reported means are reduction-order
+    free.
+    """
+    t = tables(spark, sf_dir, "orders")
+    monthly = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            fround(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("y")
+        )
+    )
+    w = Window.orderBy("m")
+    feat = monthly.select(
+        "m",
+        "y",
+        F.lag("y", 1).over(w).alias("p_naive"),
+        F.lag("y", 12).over(w).alias("p_snaive"),
+    ).filter(F.col("p_naive").isNotNull() & F.col("p_snaive").isNotNull())
+
+    def err(pred: str, name: str) -> DataFrame:
+        ae = F.abs(F.col("y") - F.col(pred))
+        return feat.agg(
+            F.lit(name).alias("model"),
+            F.count("*").cast("long").alias("n_evals"),
+            fround(F.sum(ae.cast(DEC)).cast("double") / F.count("*"), 4).alias("mae"),
+            fround(
+                F.sum((ae / F.col("y")).cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("mape"),
+        )
+
+    return err("p_naive", "naive").unionByName(err("p_snaive", "seasonal_naive"))
+
+
+O_MAPE_BACKTEST = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         {o_fround("CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS y
+  FROM orders GROUP BY 1
+),
+feat AS (
+  SELECT m, y,
+         lag(y, 1) OVER (ORDER BY m) AS p_naive,
+         lag(y, 12) OVER (ORDER BY m) AS p_snaive
+  FROM monthly
+  QUALIFY p_naive IS NOT NULL AND p_snaive IS NOT NULL
+)
+SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_evals,
+       {o_fround("CAST(sum(CAST(abs(y - p_naive) AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS mae,
+       {o_fround("CAST(sum(CAST(abs(y - p_naive) / y AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mape
+FROM feat
+UNION ALL
+SELECT 'seasonal_naive' AS model, CAST(count(*) AS BIGINT) AS n_evals,
+       {o_fround("CAST(sum(CAST(abs(y - p_snaive) AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS mae,
+       {o_fround("CAST(sum(CAST(abs(y - p_snaive) / y AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mape
+FROM feat
+"""
+
+QUERIES["mape_backtest"] = q_mape_backtest
+ORACLES["mape_backtest"] = O_MAPE_BACKTEST

@@ -2074,3 +2074,474 @@ SELECT lang, tri, n, rnk FROM (
 
 QUERIES["char_ngram_profile"] = q_char_ngram_profile
 ORACLES["char_ngram_profile"] = O_CHAR_NGRAM_PROFILE
+
+
+# ------------------------------------------ Matryoshka truncation audit
+
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit (Kusupati et al. 2022): how
+    much of the exact full-dimension cosine top-10 survives when the
+    index stores only the FIRST 16 of 64 dimensions — the measurement
+    behind the 'truncate the embedding, keep 4x the vectors in memory'
+    trade every large retrieval deployment now makes. Output: per
+    query, the overlap count and fraction between the d=64 and d=16
+    top-10 sets.
+
+    Plan (100 TB): two brute-force exact top-k passes (the corpus
+    scan is shared work a real deployment replaces with its index —
+    here exactness is what makes the overlap oracle-checkable), both
+    the broadcast-queries shape of [embedding_topk]; the overlap is a
+    (query_id, neighbor_id) equi-join of two k-row-per-query frames.
+    Ranking ties break on rounded similarity + neighbor id in BOTH
+    engines, so the compared sets are deterministic.
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"), "label")
+    full = S.cosine_topk_bruteforce(emb, _queries_subset(emb), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = S.cosine_topk_bruteforce(emb16, _queries_subset(emb16), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = full.join(trunc, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("n_overlap"))
+    base = full.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        fround(F.coalesce("n_overlap", F.lit(0)) / F.col("k"), 4).alias("overlap_frac"),
+    )
+
+
+O_MATRYOSHKA_AUDIT = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+fscore AS (
+  SELECT q.query_id, c.vec_id AS nid,
+         {o_fround("list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS s
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+ftop AS (
+  SELECT query_id, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid) AS rnk
+    FROM fscore) WHERE rnk <= 10
+),
+tscore AS (
+  SELECT q.query_id, c.vec_id AS nid,
+         {o_fround("list_cosine_similarity(CAST(q.qv[1:16] AS DOUBLE[]), CAST(c.embedding[1:16] AS DOUBLE[]))", 6)} AS s
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+ttop AS (
+  SELECT query_id, nid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid) AS rnk
+    FROM tscore) WHERE rnk <= 10
+),
+hits AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM ftop f JOIN ttop t ON f.query_id = t.query_id AND f.nid = t.nid
+  GROUP BY 1
+)
+SELECT b.query_id, b.k,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       {o_fround("CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / b.k", 4)} AS overlap_frac
+FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS k FROM ftop GROUP BY 1) b
+LEFT JOIN hits h ON b.query_id = h.query_id
+"""
+
+QUERIES["matryoshka_audit"] = q_matryoshka_audit
+ORACLES["matryoshka_audit"] = O_MATRYOSHKA_AUDIT
+
+
+# ------------------------------------------ int8 quantization audit
+
+def q_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit: per dimension, the min-max
+    affine quantizer's scale, reconstruction MSE, and worst absolute
+    error — the 4x-memory-cut feasibility report (float32 -> int8 is
+    the first compression every vector store applies, before PQ).
+    Quantizer: q = floor((v - min) / scale + 0.5), scale =
+    (max - min)/255, dequant = min + q * scale.
+
+    Plan (100 TB): ONE posexplode of the vectors feeds a per-dim
+    min/max groupBy (64 keys — map-side combined to nothing); the
+    per-dim parameters broadcast back onto the exploded stream and the
+    error moments are a second 64-key combine. Two scans, zero
+    wide-row shuffles. Error sums accumulate in DECIMAL so the
+    reported MSE is reduction-order free.
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    vals = t["embeddings"].select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(F.col("dim").cast("long").alias("dim"), F.col("val").cast("double").alias("val"))
+    stats = vals.groupBy("dim").agg(
+        F.min("val").alias("vmin"), F.max("val").alias("vmax")
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    joined = vals.join(F.broadcast(stats), "dim").withColumn("scale", scale)
+    qcode = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.floor((F.col("val") - F.col("vmin")) / F.col("scale") + F.lit(0.5)).cast(
+            "double"
+        )
+    )
+    err = F.col("val") - (F.col("vmin") + qcode * F.col("scale"))
+    return (
+        joined.withColumn("err", err)
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            fround(F.first("vmin"), 6).alias("vmin"),
+            fround(F.first("vmax"), 6).alias("vmax"),
+            fround(F.first("scale"), 10).alias("scale"),
+            fround(
+                F.sum((F.col("err") * F.col("err")).cast(DEC)).cast("double")
+                / F.count("*"),
+                12,
+            ).alias("mse"),
+            fround(F.max(F.abs("err")), 10).alias("max_abs_err"),
+        )
+    )
+
+
+O_INT8_QUANT_AUDIT = f"""
+WITH vals AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+stats AS (
+  SELECT dim, min(val) AS vmin, max(val) AS vmax,
+         (max(val) - min(val)) / 255.0 AS scale
+  FROM vals GROUP BY 1
+),
+errs AS (
+  SELECT v.dim, v.val, s.vmin, s.vmax, s.scale,
+         v.val - (s.vmin + (CASE WHEN s.scale = 0 THEN 0.0
+                                 ELSE CAST(floor((v.val - s.vmin) / s.scale + 0.5) AS DOUBLE)
+                            END) * s.scale) AS err
+  FROM vals v JOIN stats s USING (dim)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       {o_fround("min(vmin)", 6)} AS vmin,
+       {o_fround("min(vmax)", 6)} AS vmax,
+       {o_fround("min(scale)", 10)} AS scale,
+       {o_fround("CAST(sum(CAST(err * err AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 12)} AS mse,
+       {o_fround("max(abs(err))", 10)} AS max_abs_err
+FROM errs GROUP BY 1
+"""
+
+QUERIES["int8_quant_audit"] = q_int8_quant_audit
+ORACLES["int8_quant_audit"] = O_INT8_QUANT_AUDIT
+
+
+# ------------------------------------------ tokenizer fertility
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters and UTF-8 bytes per
+    whitespace token — the multilingual token-budget planner's table
+    (the same text costs ~2x the tokens in agglutinative or non-Latin
+    languages; byte-level tokenizers price by the byte column).
+
+    Plan (100 TB): pure row-local expressions (no explode — token
+    COUNT needs only the split array's size) into one |langs|-key
+    map-side-combined groupBy; ratios divide exact integer sums, so
+    the doubles are bit-identical across engines.
+    """
+    t = tables(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(ws))
+    d = t["documents"].select(
+        "lang",
+        n_tokens.cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        fround(F.sum("chars") / F.sum("toks"), 6).alias("chars_per_token"),
+        fround(F.sum("bytes") / F.sum("toks"), 6).alias("bytes_per_token"),
+        fround(F.sum("toks") / F.count("*"), 4).alias("tokens_per_doc"),
+    )
+
+
+O_TOKEN_FERTILITY = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CAST(sum(bytes) AS BIGINT) AS n_bytes,
+       {o_fround("CAST(sum(chars) AS DOUBLE) / sum(toks)", 6)} AS chars_per_token,
+       {o_fround("CAST(sum(bytes) AS DOUBLE) / sum(toks)", 6)} AS bytes_per_token,
+       {o_fround("CAST(sum(toks) AS DOUBLE) / count(*)", 4)} AS tokens_per_doc
+FROM (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+         length(text) AS chars,
+         strlen(text) AS bytes
+  FROM documents
+)
+GROUP BY 1
+"""
+
+QUERIES["token_fertility"] = q_token_fertility
+ORACLES["token_fertility"] = O_TOKEN_FERTILITY
+
+
+# ------------------------------------------ dedup family economics
+
+def q_dedup_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size histogram with the storage economics:
+    for each exact-duplicate family size (after [dedup_normalized]'s
+    normalization), how many families, their total bytes, and the
+    bytes deduplication would RECLAIM (everything beyond each family's
+    canonical min-doc_id representative) — the report that justifies
+    running dedup at all on a 100 TB corpus.
+
+    Plan: families key on md5(normalized text) so the groupBy shuffles
+    16-byte digests, never document bodies; the representative's size
+    rides a struct-min (no second pass); the histogram is a second
+    combine over the family frame (size-bounded key space).
+    """
+    t = tables(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    fams = (
+        t["documents"]
+        .select(
+            F.md5(norm).alias("fam"),
+            "doc_id",
+            F.octet_length("text").cast("long").alias("b"),
+        )
+        .groupBy("fam")
+        .agg(
+            F.count("*").cast("long").alias("fam_size"),
+            F.sum("b").cast("long").alias("bytes"),
+            F.min(F.struct("doc_id", "b")).getField("b").alias("rep_bytes"),
+        )
+    )
+    return fams.groupBy("fam_size").agg(
+        F.count("*").cast("long").alias("n_families"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum(F.col("bytes") - F.col("rep_bytes")).cast("long").alias("reclaimable_bytes"),
+    )
+
+
+O_DEDUP_FAMILY_STATS = """
+WITH fams AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fam,
+         CAST(count(*) AS BIGINT) AS fam_size,
+         CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+         CAST(arg_min(strlen(text), doc_id) AS BIGINT) AS rep_bytes
+  FROM documents GROUP BY 1
+)
+SELECT fam_size,
+       CAST(count(*) AS BIGINT) AS n_families,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(bytes - rep_bytes) AS BIGINT) AS reclaimable_bytes
+FROM fams GROUP BY 1
+"""
+
+QUERIES["dedup_family_stats"] = q_dedup_family_stats
+ORACLES["dedup_family_stats"] = O_DEDUP_FAMILY_STATS
+
+
+# ------------------------------------------ Cohen's kappa
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-based language classifier against
+    the labeled lang column — chance-corrected agreement, the metric
+    that exposes a classifier that merely predicts the majority class
+    (raw accuracy on an 80%-English corpus looks fine at 0.8; kappa
+    calls it 0). Complements [langid_confusion]'s per-cell view with
+    the single defensible summary number.
+
+    Plan (100 TB): everything derives from the |langs|² confusion-cell
+    frame (one map-side-combined groupBy over the corpus); margins,
+    observed and expected agreement are arithmetic on that tiny frame.
+    kappa is computed from the ROUNDED po/pe so both engines transform
+    identical doubles.
+    """
+    t = tables(spark, sf_dir, "documents")
+    pred = X.language_id(t["documents"], "text", "doc_id").select("doc_id", "lang_pred")
+    truth = t["documents"].select("doc_id", "lang")
+    cells = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))).cast(
+            "long"
+        ).alias("n_agree"),
+    )
+    rowm = cells.groupBy(F.col("lang").alias("l")).agg(F.sum("n").alias("rn"))
+    colm = cells.groupBy(F.col("lang_pred").alias("l")).agg(F.sum("n").alias("cn"))
+    exp_ = (
+        rowm.join(colm, "l")
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(
+            # per-addend decimal conversion -> the 5-term sum is
+            # reduction-order free across engines
+            F.sum(
+                (
+                    F.col("rn").cast("double")
+                    * F.col("cn")
+                    / (F.col("n_docs").cast("double") * F.col("n_docs"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("_pe")
+        )
+    )
+    po = fround(F.col("n_agree") / F.col("n_docs"), 6)
+    pe = fround(F.col("_pe"), 6)
+    return tot.crossJoin(F.broadcast(exp_)).select(
+        "n_docs",
+        "n_agree",
+        po.alias("po"),
+        pe.alias("pe"),
+        fround((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+O_COHENS_KAPPA = f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+       CASE WHEN {_H_EN} = 0 AND {_H_DE} = 0 AND {_H_FR} = 0 AND {_H_ES} = 0 THEN 'und'
+            WHEN {_H_EN} >= {_H_DE} AND {_H_EN} >= {_H_FR} AND {_H_EN} >= {_H_ES} THEN 'en'
+            WHEN {_H_DE} >= {_H_FR} AND {_H_DE} >= {_H_ES} THEN 'de'
+            WHEN {_H_FR} >= {_H_ES} THEN 'fr'
+            ELSE 'es' END AS lang_pred
+  FROM documents
+),
+cells AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = lang_pred THEN n END) AS BIGINT) AS n_agree
+  FROM cells
+),
+expd AS (
+  SELECT CAST(sum(CAST(CAST(rn AS DOUBLE) * cn / (CAST(n_docs AS DOUBLE) * n_docs)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS _pe
+  FROM (SELECT lang AS l, sum(n) AS rn FROM cells GROUP BY 1) r
+  JOIN (SELECT lang_pred AS l, sum(n) AS cn FROM cells GROUP BY 1) c USING (l)
+  CROSS JOIN tot
+)
+SELECT n_docs, n_agree,
+       {o_fround("CAST(n_agree AS DOUBLE) / n_docs", 6)} AS po,
+       {o_fround("_pe", 6)} AS pe,
+       {o_fround(
+           f"({o_fround('CAST(n_agree AS DOUBLE) / n_docs', 6)}"
+           f" - {o_fround('_pe', 6)})"
+           f" / (1.0 - {o_fround('_pe', 6)})", 6)} AS kappa
+FROM tot CROSS JOIN expd
+"""
+
+QUERIES["cohens_kappa"] = q_cohens_kappa
+ORACLES["cohens_kappa"] = O_COHENS_KAPPA
+
+
+# ------------------------------------------ blocking-quality audit
+
+def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the FastSS 1-deletion scheme that
+    feeds [record_linkage]: reduction ratio (how many of the n² pairs
+    blocking never generates) and pair completeness (what fraction of
+    TRUE distance-1 pairs the candidate set retains) — the two numbers
+    every entity-resolution paper reports before trusting a blocker
+    (Christen 2012).
+
+    The ground truth here is the exhaustive all-pairs edit-distance
+    scan, so the audit is corpus-quadratic BY CONSTRUCTION — at 100 TB
+    you run it on a bounded stratified sample (the metrics are ratios,
+    so a sample estimates them unbiasedly); exact here is what lets
+    the oracle check it. The candidate side joins raw deletion keys
+    (the production path's xxhash64 keys would add a ~2⁻⁶⁴ collision
+    term to the audit itself).
+    """
+    from data_ingestors_spark.operators.fuzzy import _deletion_keys
+
+    t = tables(spark, sf_dir, "customer")
+    cust = t["customer"].select(F.col("c_custkey").alias("id"), F.col("c_name").alias("v"))
+    keys = cust.select("id", F.explode(_deletion_keys("v")).alias("k"))
+    cands = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    truth = (
+        cust.alias("x")
+        .join(cust.alias("y"), F.col("x.id") < F.col("y.id"))
+        .filter(F.levenshtein(F.col("x.v"), F.col("y.v")) == 1)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    found = cands.join(truth, ["id_a", "id_b"], "left_semi")
+    n = cust.agg(
+        F.count("*").cast("long").alias("n_records"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_total_pairs"),
+    )
+    nc = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("long").alias("n_true"))
+    nf = found.agg(F.count("*").cast("long").alias("n_found"))
+    return (
+        n.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_records",
+            "n_total_pairs",
+            "n_candidates",
+            "n_true",
+            "n_found",
+            fround(
+                F.lit(1.0) - F.col("n_candidates") / F.col("n_total_pairs"), 6
+            ).alias("reduction_ratio"),
+            fround(F.col("n_found") / F.col("n_true"), 6).alias("pair_completeness"),
+        )
+    )
+
+
+O_BLOCKING_AUDIT = f"""
+WITH keys AS (
+  SELECT c_custkey AS id, c_name AS k FROM customer
+  UNION
+  SELECT c_custkey, substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
+  FROM customer, unnest(range(1, length(c_name) + 1)) AS t(i)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
+),
+truth AS (
+  SELECT x.c_custkey AS id_a, y.c_custkey AS id_b
+  FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+  WHERE levenshtein(x.c_name, y.c_name) = 1
+),
+found AS (
+  SELECT c.id_a, c.id_b FROM cands c
+  WHERE EXISTS (SELECT 1 FROM truth t WHERE t.id_a = c.id_a AND t.id_b = c.id_b)
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_records,
+         CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_total_pairs
+  FROM customer
+)
+SELECT n_records, n_total_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+       {o_fround("1.0 - (SELECT count(*) FROM cands) / CAST(n_total_pairs AS DOUBLE)", 6)} AS reduction_ratio,
+       {o_fround("(SELECT count(*) FROM found) / CAST((SELECT count(*) FROM truth) AS DOUBLE)", 6)} AS pair_completeness
+FROM n
+"""
+
+QUERIES["blocking_audit"] = q_blocking_audit
+ORACLES["blocking_audit"] = O_BLOCKING_AUDIT

@@ -108,6 +108,46 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "survival_km": ("D1", "D2"),    # 1-row horizon/total scalar cross joins; the
     #                                 KM ordered window rides the DISTINCT-DURATION
     #                                 frame (date-span-bounded, not customers)
+    # r6 LLM-pipeline/event wave — same bounded patterns:
+    "dsir_weights": ("D1",),        # 1-row hashed-unigram model LUT (B=512
+    #                                 buckets) rides a broadcast scalar cross join
+    "hard_negatives": ("D1",),      # broadcast fixed query set (the
+    #                                 embedding_topk pattern, label-filtered)
+    "period_over_period": ("D2",),  # lag windows over the gap-free MONTH SPINE
+    #                                 (calendar-bounded, ~84 rows at any scale)
+    "decile_lift": ("D1",),         # 1-row corpus-total scalar cross joins onto
+    #                                 the 10-row decile frame
+    "mutual_information": ("D1",),  # margin/total scalar cross joins on the
+    #                                 |langs|x|sources| cell frame
+    "stl_anomaly": ("D1", "D2"),    # ONE global daily series by construction
+    #                                 (like seasonal_decompose) + 1-row residual-
+    #                                 scale scalar cross join
+    # late-r6 planning/statistics wave — same bounded patterns:
+    "cbo_stats": ("D1", "D2"),      # 4x 1-row per-column stat frames cross-join
+    #                                 onto the boundary agg; the cum window rides
+    #                                 the VALUE-COUNT frame (NDV-bounded, per
+    #                                 docstring — the column you'd sample anyway)
+    "file_binpack": ("D2",),        # the fill window runs over the FILE INVENTORY
+    #                                 (1 row per input file, ~10^6 at 100 TB), by
+    #                                 construction a single ordered pass
+    "theil_sen": ("D1", "D2"),      # 1-row slope/intercept median frames cross-
+    #                                 join; cum windows ride month-bounded
+    #                                 value-count frames (~84 rows at any scale)
+    "mape_backtest": ("D2",),       # lag features over the calendar-month frame
+    #                                 (~84 rows regardless of data size)
+    "matryoshka_audit": ("D1",),    # broadcast fixed query set x2 (the
+    #                                 embedding_topk pattern, both resolutions)
+    "cohens_kappa": ("D1",),        # 1-row total/expected-agreement scalar
+    #                                 cross joins
+    "bloom_prefilter_join": ("D1",),  # the 1-ROW broadcast Bloom-mask frame rides
+    #                                 a scalar cross join by design (bloom_semi_join:
+    #                                 ~16 KB mask map, bounded regardless of key-set
+    #                                 size); flagged only on some runs (AQE may or
+    #                                 may not fold the BNLJ away)
+    "blocking_audit": ("D1",),      # the all-pairs edit-distance GROUND TRUTH is
+    #                                 the audit's definition (docstring: run on a
+    #                                 bounded sample at scale) + 1-row metric
+    #                                 scalar cross joins
     "rfm_segments": ("D2",),        # quartile ntiles ride the per-CUSTOMER
     #                                 aggregate frame (one row per customer); at
     #                                 extreme scale compute quartile boundaries

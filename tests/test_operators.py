@@ -1888,3 +1888,82 @@ def test_bloom_semi_join_empty_keys(spark):
     keys = spark.range(0).select(F.col("id").alias("k"))
     big = spark.range(100).select(F.col("id").alias("k"))
     assert bloom_semi_join(big, keys, "k").count() == 0
+
+
+# --- late-r6 batch: planning / SCD2 / quantization / blocking -----------
+
+
+def test_file_binpack_bins_bounded(spark):
+    """No bin exceeds target + one max-file (running-total fill
+    invariant), and total bytes are conserved across bins."""
+    from data_ingestors_spark.queries.planning import (
+        _BINPACK_ROW_BYTES,
+        _BINPACK_TARGET,
+        q_file_binpack,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bins = q_file_binpack(spark, sf).collect()
+    inv = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_suppkey")
+        .count()
+        .select((F.col("count") * _BINPACK_ROW_BYTES).alias("b"))
+        .agg(F.sum("b").alias("total"), F.max("b").alias("biggest"))
+        .collect()[0]
+    )
+    assert sum(r["total_bytes"] for r in bins) == inv["total"]
+    for r in bins:
+        assert r["total_bytes"] < _BINPACK_TARGET + inv["biggest"], r
+
+
+def test_scd2_intervals_contiguous(spark):
+    """Per customer: version intervals chain (valid_to == next
+    valid_from), only the last is open, and n_events covers every
+    order."""
+    from collections import defaultdict
+
+    from data_ingestors_spark.queries.advanced import q_scd2_build
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_scd2_build(spark, sf).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["custkey"]].append(r)
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_orders
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], (cust, a, b)
+            assert a["priority"] != b["priority"], (cust, a, b)
+        assert vs[-1]["valid_to"] is None
+
+
+def test_int8_quant_error_bounded(spark):
+    """Affine int8 round-to-nearest: per-dim worst error <= scale/2
+    (+1 ulp slack)."""
+    from data_ingestors_spark.queries.text_llm import q_int8_quant_audit
+
+    rows = q_int8_quant_audit(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9, r
+        assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12, r
+
+
+def test_blocking_audit_lossless_on_fixture(spark):
+    """FastSS 1-deletion blocking retains every true distance-1 pair
+    on the customer fixture (pair completeness 1.0) while pruning the
+    overwhelming majority of the n^2 pairs."""
+    from data_ingestors_spark.queries.text_llm import q_blocking_audit
+
+    r = q_blocking_audit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_found"] == r["n_true"]
+    assert r["pair_completeness"] == 1.0
+    # sequential Customer#NNN names are an adversarially dense fixture
+    # (most pairs differ in a couple of digits); even here blocking
+    # prunes the majority of the quadratic space
+    assert r["reduction_ratio"] > 0.5
+    assert r["n_candidates"] < r["n_total_pairs"]
