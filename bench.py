@@ -161,6 +161,11 @@ HEADLINE = [
     "dedup_family_stats",
     "cohens_kappa",
     "blocking_audit",
+    # late-r6 batch 4: ssjoin, engagement, cadence, rank-normalize
+    "prefix_filter_join",
+    "activity_streaks",
+    "inter_event_gaps",
+    "quantile_normalize",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -488,6 +488,81 @@ def _jaccard_pairs_bitmask(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-set Jaccard >= ``threshold`` self-join over the
+    UNBLOCKED corpus via prefix filtering (Bayardo et al., "Scaling Up
+    All Pairs Similarity Search", WWW 2007) — the classic set-
+    similarity-join pruning the blocked [ngram_jaccard_pairs] doesn't
+    need but an open corpus does.
+
+    Pruning: tokens get a canonical global order (ascending document
+    frequency, ties by token — rarest first, so prefixes carry the
+    most selective tokens). A set of size s only needs its first
+    ``p = s - ceil(t*s) + 1`` tokens indexed: if Jaccard(A,B) >= t
+    then |A∩B| >= t*max(|A|,|B|), so the FIRST common token (canonical
+    order) must sit inside both prefixes — were it outside A's prefix,
+    all common tokens would fit in A's last ceil(t*|A|)-1 positions,
+    fewer than the required overlap. The prefix-prefix equi-join is
+    therefore LOSSLESS (the registered query's oracle is the
+    exhaustive all-pairs scan, proving it empirically too). A length
+    filter (min size >= ceil(t * max size)) prunes inside the join.
+
+    Scale shape (100 TB): the only all-to-all operation is an
+    equi-join on prefix tokens carrying (doc_id, sz) payloads — ids
+    only, never text. Candidate volume is sum(df_prefix²) per token,
+    the quantity prefix ordering minimizes by construction (rare
+    tokens first). Exact verification joins the candidate ID pairs
+    back to a persisted token-set frame — the same verify shape as
+    minhash_near_duplicates. Output: (id_a, id_b, jaccard).
+    """
+    from pyspark.sql import Window
+
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    sets = _materialize(
+        df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+        .withColumn("sz", F.size("words"))
+        .filter(F.col("sz") > 0)
+    )
+    tok = sets.select("doc_id", "sz", F.explode("words").alias("w"))
+    dft = tok.groupBy("w").agg(F.count("*").alias("df"))
+    # canonical position within each set: global df asc, token asc
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "w")
+    ordered = tok.join(dft, "w").withColumn("pos", F.row_number().over(pos_w))
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = ordered.filter(F.col("pos") <= plen).select("doc_id", "sz", "w")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.ceil(F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("words").alias("wa"))
+    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    j = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("jaccard", inter / (F.size("wa") + F.size("wb") - inter))
+    )
+    return (
+        j.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
 # --- Cluster resolution -------------------------------------------------
 
 

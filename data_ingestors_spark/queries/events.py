@@ -548,3 +548,117 @@ FROM m
 
 QUERIES["moments_stats"] = q_moments_stats
 ORACLES["moments_stats"] = O_MOMENTS_STATS
+
+
+# ------------------------------------------ activity streaks
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands primitive (island key = day minus per-user day
+    rank, constant exactly while days are consecutive). Output: top-10
+    users by (max_streak, n_active_days, user_id) — a deterministic
+    engagement leaderboard.
+
+    Scale shape: the distinct (user, day) frame is bounded by
+    users x calendar days; the only window runs PARTITIONED BY USER
+    over that frame (no global ordering anywhere), and both groupBys
+    are map-side combinable. The final top-10 is a TakeOrdered, not a
+    global sort.
+    """
+    t = tables(spark, sf_dir, "events")
+    days = t["events"].select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "g").agg(F.count("*").cast("long").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("max_streak"),
+        )
+        .orderBy(F.desc("max_streak"), F.desc("n_active_days"), "user_id")
+        .limit(10)
+    )
+
+
+O_ACTIVITY_STREAKS = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS g
+  FROM days
+),
+streaks AS (SELECT user_id, g, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM streaks GROUP BY 1
+ORDER BY max_streak DESC, n_active_days DESC, user_id LIMIT 10
+"""
+
+QUERIES["activity_streaks"] = q_activity_streaks
+ORACLES["activity_streaks"] = O_ACTIVITY_STREAKS
+
+
+# ------------------------------------------ inter-event arrival gaps
+
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the distribution of a user's inter-arrival
+    time: count, mean, exact p50/p90 seconds between consecutive
+    events of that type BY THE SAME USER — the cadence profile behind
+    rate limiting, bot detection, and notification tuning.
+
+    Scale shape: ONE lag window partitioned by (user, type) — never a
+    global ordering; the gap in integer microseconds divided by 1e6
+    is the identical IEEE op sequence in both engines. Exact
+    percentiles aggregate per event_type (bounded key count); at
+    extreme cardinality swap F.percentile for approx_percentile and
+    re-accept the rank-error bound (the [quantile_digest] path).
+    """
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = (
+        t["events"]
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn(
+            "gap_s",
+            (F.unix_micros("ts") - F.unix_micros("prev")).cast("double") / F.lit(1000000.0),
+        )
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            davg(F.col("gap_s"), 4).alias("mean_gap_s"),
+            fround(F.percentile("gap_s", 0.5), 4).alias("p50_gap_s"),
+            fround(F.percentile("gap_s", 0.9), 4).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_INTER_EVENT_GAPS = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+              ts) AS DOUBLE) / 1000000.0 AS gap_s
+  FROM events
+  QUALIFY gap_s IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       {{O_DAVG}} AS mean_gap_s,
+       {o_fround("quantile_cont(gap_s, 0.5)", 4)} AS p50_gap_s,
+       {o_fround("quantile_cont(gap_s, 0.9)", 4)} AS p90_gap_s
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+from data_ingestors_spark.queries.base import o_davg as _o_davg  # noqa: E402
+
+O_INTER_EVENT_GAPS = O_INTER_EVENT_GAPS.replace("{O_DAVG}", _o_davg("gap_s", 4))
+
+QUERIES["inter_event_gaps"] = q_inter_event_gaps
+ORACLES["inter_event_gaps"] = O_INTER_EVENT_GAPS

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.functions.rounding import fround, o_fround
-from data_ingestors_spark.queries.base import DEC, tables
+from data_ingestors_spark.queries.base import DEC, tables, davg, o_davg
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1413,3 +1413,64 @@ FROM feat
 
 QUERIES["mape_backtest"] = q_mape_backtest
 ORACLES["mape_backtest"] = O_MAPE_BACKTEST
+
+
+# ------------------------------------------ quantile normalization
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document length and compare sources: each
+    n_chars maps to its mid-rank corpus CDF value q = (cum - cnt/2)/N
+    (the rank transform feature pipelines use to kill scale/outlier
+    sensitivity before modeling), then per source the mean and exact
+    median of q — 0.5 everywhere means identically-distributed
+    lengths; a source skewing long shows mean_qnorm > 0.5.
+
+    Scale shape: the CDF is computed on the VALUE-COUNT frame (one row
+    per distinct n_chars — NDV-bounded, the same frame [cbo_stats]
+    uses), not on documents; its single ordered window is over that
+    bounded frame and the 1-row total rides a broadcast scalar cross
+    join. Documents are touched by exactly one broadcast join against
+    the (value -> q) lookup, then one map-side-combinable groupBy.
+    """
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    vc = docs.groupBy("n_chars").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    total = vc.agg(F.sum("cnt").cast("double").alias("n_total"))
+    cdf = (
+        vc.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "q", (F.col("cum").cast("double") - F.col("cnt") / 2.0) / F.col("n_total")
+        )
+    )
+    return (
+        docs.join(F.broadcast(cdf.select("n_chars", "q")), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            davg(F.col("q"), 6).alias("mean_qnorm"),
+            fround(F.percentile("q", 0.5), 6).alias("p50_qnorm"),
+        )
+        .orderBy("source")
+    )
+
+
+O_QUANTILE_NORMALIZE = f"""
+WITH vc AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY 1),
+cdf AS (
+  SELECT n_chars,
+         (CAST(sum(cnt) OVER (ORDER BY n_chars) AS DOUBLE) - cnt / 2.0)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS q
+  FROM vc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {o_davg("q", 6)} AS mean_qnorm,
+       {o_fround("quantile_cont(q, 0.5)", 6)} AS p50_qnorm
+FROM documents d JOIN cdf USING (n_chars)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+ORACLES["quantile_normalize"] = O_QUANTILE_NORMALIZE

@@ -2545,3 +2545,37 @@ FROM n
 
 QUERIES["blocking_audit"] = q_blocking_audit
 ORACLES["blocking_audit"] = O_BLOCKING_AUDIT
+
+
+# ------------------------------------------ prefix-filter similarity join
+
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs set-similarity self-join (Jaccard >= 0.8) over the
+    UNBLOCKED corpus via df-ordered prefix filtering (Bayardo et al.,
+    WWW 2007) — the ssjoin pruning [ngram_jaccard]'s source blocking
+    sidesteps. The oracle below is the exhaustive all-pairs scan, so a
+    green row proves the prefix-prefix candidate join lossless on this
+    corpus. Plan notes in the operator docstring
+    ([operators/dedup.py prefix_filter_pairs]): ids-only candidate
+    shuffle, token-set verify joined back off a persisted frame.
+    """
+    t = tables(spark, sf_dir, "documents")
+    return D.prefix_filter_pairs(t["documents"], "text", "doc_id", threshold=0.8)
+
+
+O_PREFIX_FILTER_JOIN = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {o_fround('''CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))''', 6)} AS jaccard
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8
+"""
+
+QUERIES["prefix_filter_join"] = q_prefix_filter_join
+ORACLES["prefix_filter_join"] = O_PREFIX_FILTER_JOIN

@@ -135,6 +135,9 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 value-count frames (~84 rows at any scale)
     "mape_backtest": ("D2",),       # lag features over the calendar-month frame
     #                                 (~84 rows regardless of data size)
+    "quantile_normalize": ("D1", "D2"),  # 1-row corpus-total scalar cross join;
+    #                                 the cum window rides the VALUE-COUNT frame
+    #                                 (NDV-bounded, the cbo_stats pattern)
     "matryoshka_audit": ("D1",),    # broadcast fixed query set x2 (the
     #                                 embedding_topk pattern, both resolutions)
     "cohens_kappa": ("D1",),        # 1-row total/expected-agreement scalar

@@ -1967,3 +1967,31 @@ def test_blocking_audit_lossless_on_fixture(spark):
     # prunes the majority of the quadratic space
     assert r["reduction_ratio"] > 0.5
     assert r["n_candidates"] < r["n_total_pairs"]
+
+
+def test_prefix_filter_lossless_open_vocab(spark):
+    """Prefix-prefix candidate join must find EVERY pair with Jaccard
+    >= t on an open-vocabulary corpus (each doc also carries unique
+    tokens, so prefixes genuinely prune) — verified against the
+    brute-force all-pairs scan."""
+    import itertools
+
+    from data_ingestors_spark.operators.dedup import prefix_filter_pairs
+
+    docs = [
+        (i, " ".join(["common%d" % (k % 7) for k in range(i, i + 8)]
+                     + ["uniq%dx%d" % (i, j) for j in range(i % 4)]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    t = 0.6
+    got = {(r.id_a, r.id_b) for r in
+           prefix_filter_pairs(df, "text", "doc_id", threshold=t).collect()}
+    sets = {i: set(s.split()) for i, s in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= t:
+            want.add((a, b))
+    assert got == want
+    assert want  # non-vacuous
