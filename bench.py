@@ -166,6 +166,14 @@ HEADLINE = [
     "activity_streaks",
     "inter_event_gaps",
     "quantile_normalize",
+    # late-r6 batch 5: separability/calibration stats, FK audit,
+    # cohort LTV, decayed trending, kNN label noise
+    "roc_auc",
+    "calibration_bins",
+    "orphan_audit",
+    "cohort_ltv",
+    "decayed_trends",
+    "knn_label_noise",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -2566,3 +2566,143 @@ GROUP BY o_orderpriority
 
 QUERIES["ship_latency"] = q_ship_latency
 ORACLES["ship_latency"] = O_SHIP_LATENCY
+
+
+# ------------------------------------------------------ cohort LTV
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, per (cohort_month, month_offset) revenue and the running
+    cumulative revenue along each cohort's life — the revenue twin of
+    [cohort_retention]'s user-count matrix.
+
+    Plan: one groupBy finds each customer's cohort month (partial agg,
+    min combines map-side); the fact-side join shuffles on o_custkey
+    once; the matrix aggregation is a second combiner-friendly groupBy.
+    The cumulative window partitions by cohort_month over the ALREADY
+    AGGREGATED matrix — partition size is bounded by the month span of
+    the data (offsets), never by row count. Month arithmetic uses
+    year*12+month deltas so both engines compute identical integers;
+    revenue accumulates in DECIMAL (dsum) and the cumulative sum runs
+    over those already-rounded 2-dp values in DECIMAL again, so the
+    window's left-to-right order is the same exact sum in both engines.
+    """
+    t = tables(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("month"),
+        "o_totalprice",
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    months = (F.year("month") - F.year("cohort_month")) * 12 + (
+        F.month("month") - F.month("cohort_month")
+    )
+    mat = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cohort_month", months.cast("long").alias("month_offset"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return mat.withColumn(
+        "cum_revenue",
+        fround(F.sum(F.col("revenue").cast(DEC)).over(w).cast("double"), 2),
+    ).orderBy("cohort_month", "month_offset")
+
+
+O_COHORT_LTV = f"""
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS month, o_totalprice FROM orders
+),
+cohort AS (SELECT o_custkey, min(month) AS cohort_month FROM o GROUP BY 1),
+mat AS (
+  SELECT cohort_month,
+         CAST((year(month) - year(cohort_month)) * 12
+              + (month(month) - month(cohort_month)) AS BIGINT) AS month_offset,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+         {o_dsum("o_totalprice")} AS revenue
+  FROM o JOIN cohort USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_month, month_offset, n_active, revenue,
+       {o_fround('''CAST(sum(CAST(revenue AS DECIMAL(30,10)))
+              OVER (PARTITION BY cohort_month ORDER BY month_offset) AS DOUBLE)''', 2)} AS cum_revenue
+FROM mat ORDER BY cohort_month, month_offset
+"""
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+ORACLES["cohort_ltv"] = O_COHORT_LTV
+
+
+# ------------------------------------------------ time-decayed trends
+
+def q_decayed_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity per event type (half-life
+    7 days, anchored at the corpus max date): the trending score that
+    weights today's events at 1 and last month's at ~0.05, plus each
+    type's share of the total decayed mass — recency-weighted ranking
+    without a cutoff cliff.
+
+    Plan: the anchor date is a 1-row scalar frame (broadcast cross
+    join, no driver action). groupBy(event_type, age_days) collapses
+    the fact table FIRST — map-side combine, and the frame it emits is
+    bounded by |types| x |days|, data-size-independent — so pow() runs
+    once per (type, day) cell, not per event, and both engines call it
+    on identical doubles from identical integer ages. Decayed sums then
+    accumulate in DECIMAL over that tiny frame; the share denominator
+    is a second 1-row broadcast. Rounding at 4 dp sits ~12 orders of
+    magnitude above any last-ulp libm pow() divergence.
+    """
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"].select(F.to_date("ts").alias("day"), "event_type")
+    anchor = ev.agg(F.max("day").alias("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type", F.datediff("d0", "day").cast("long").alias("age"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    wgt = F.pow(F.lit(0.5), F.col("age").cast("double") / 7.0)
+    per_type = cells.groupBy("event_type").agg(
+        F.sum(F.col("n").cast("long")).alias("n_events"),
+        F.sum((F.col("n") * wgt).cast(DEC)).alias("dec_mass"),
+    )
+    total = per_type.agg(F.sum("dec_mass").alias("tot"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n_events",
+            fround(F.col("dec_mass").cast("double"), 4).alias("decayed_count"),
+            fround((F.col("dec_mass") / F.col("tot")).cast("double"), 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_DECAYED_TRENDS = f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+anchor AS (SELECT max(day) AS d0 FROM ev),
+cells AS (
+  SELECT event_type, CAST(datediff('day', day, d0) AS BIGINT) AS age,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM ev CROSS JOIN anchor GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_events,
+         sum(CAST(n * pow(0.5, CAST(age AS DOUBLE) / 7.0) AS DECIMAL(30,10))) AS dec_mass
+  FROM cells GROUP BY 1
+)
+SELECT event_type, n_events,
+       {o_fround("CAST(dec_mass AS DOUBLE)", 4)} AS decayed_count,
+       {o_fround("CAST(dec_mass / (SELECT sum(dec_mass) FROM per_type) AS DOUBLE)", 6)} AS share
+FROM per_type ORDER BY 1
+"""
+
+QUERIES["decayed_trends"] = q_decayed_trends
+ORACLES["decayed_trends"] = O_DECAYED_TRENDS

@@ -211,3 +211,91 @@ ORACLES = {
     "int_conformance": O_INT_CONFORMANCE,
     "validation_agg": O_VALIDATION_AGG,
 }
+
+
+# --- referential-integrity orphan audit --------------------------------
+
+# (child table, child key, parent table, parent key) — every FK edge of
+# the benchmark schema. Edge label is "child.key->parent".
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge with
+    child row/key counts and orphan key/row counts (child keys with no
+    parent) — the cross-table twin of the reference's single-table
+    validator battery (V1/V7 family), and the first check a pipeline
+    runs before joining fact tables at scale.
+
+    Plan, per edge: a partial-aggregated groupBy collapses the child
+    to (key, rows) — the only shuffle that sees child data, and it
+    combines map-side, so a 100 TB lineitem reduces to |distinct keys|
+    rows. The anti join against the parent's key column runs on that
+    aggregated frame (broadcast when the parent is a dim; shuffled
+    ids-only when both sides are facts). Totals and orphan aggregates
+    are 1-row frames cross-joined per edge; the 7-edge union is 7 rows.
+    NOT-EXISTS semantics: a NULL child key is not an orphan.
+    """
+    t = tables(spark, sf_dir)
+    parts = []
+    for child, ckey, parent, pkey in _FK_EDGES:
+        keys = (
+            t[child]
+            .filter(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count("*").cast("long").alias("rows"))
+        )
+        orphans = keys.join(
+            t[parent].select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        tot = keys.agg(
+            F.sum("rows").alias("child_rows"),
+            F.count("*").cast("long").alias("child_keys"),
+        )
+        orp = orphans.agg(
+            F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("orphan_keys"),
+            F.coalesce(F.sum("rows"), F.lit(0)).cast("long").alias("orphan_rows"),
+        )
+        parts.append(
+            tot.crossJoin(orp).select(
+                F.lit(f"{child}.{ckey}->{parent}").alias("edge"),
+                "child_rows",
+                "child_keys",
+                "orphan_keys",
+                "orphan_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("edge")
+
+
+def _o_edge(child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+SELECT '{child}.{ckey}->{parent}' AS edge,
+       CAST(sum(rows) AS BIGINT) AS child_rows,
+       CAST(count(*) AS BIGINT) AS child_keys,
+       CAST(coalesce(sum(CASE WHEN orphan THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_keys,
+       CAST(coalesce(sum(CASE WHEN orphan THEN rows ELSE 0 END), 0) AS BIGINT) AS orphan_rows
+FROM (
+  SELECT {ckey} AS k, count(*) AS rows,
+         NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}) AS orphan
+  FROM {child} c WHERE {ckey} IS NOT NULL GROUP BY 1, 3
+)"""
+
+
+O_ORPHAN_AUDIT = (
+    "\nUNION ALL\n".join(_o_edge(*e) for e in _FK_EDGES) + "\nORDER BY edge"
+)
+
+QUERIES["orphan_audit"] = q_orphan_audit
+ORACLES["orphan_audit"] = O_ORPHAN_AUDIT

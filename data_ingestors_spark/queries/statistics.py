@@ -1474,3 +1474,137 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["quantile_normalize"] = q_quantile_normalize
 ORACLES["quantile_normalize"] = O_QUANTILE_NORMALIZE
+
+
+# --- ROC AUC / Mann-Whitney U ------------------------------------------
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based ROC AUC + tie-corrected Mann-Whitney U/z for a score
+    (document length) against a binary label (``lang = 'en'``) — the
+    standard separability check a pipeline runs before trusting any
+    quality score as a filter signal.
+
+    Plan: ONE partial-aggregated groupBy(score) collapses the corpus to
+    its distinct score values with (n, n_pos) counts; everything after
+    runs on that NDV-bounded frame. The cumulative-rank window orders
+    that aggregate frame, not raw rows, so the single-partition window
+    holds |distinct scores| rows at any data scale. Average ranks make
+    the AUC exact under ties; the z statistic carries the matching
+    sum(t^3 - t) tie correction. Rank/tie sums accumulate in DECIMAL —
+    order-free and exact past the 2^53 double ceiling a 100 TB rank sum
+    would cross.
+    """
+    t = tables(spark, sf_dir, "documents")
+    g = (
+        t["documents"]
+        .groupBy(F.col("n_chars").alias("score"))
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double").alias("np"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = g.withColumn(
+        "avg_rank", F.sum("n").over(w) - F.col("n") + (F.col("n") + F.lit(1.0)) / 2
+    )
+    agg = g.agg(
+        F.sum(F.col("np").cast(DEC)).cast("double").alias("n1"),
+        F.sum((F.col("n") - F.col("np")).cast(DEC)).cast("double").alias("n2"),
+        F.sum((F.col("np") * F.col("avg_rank")).cast(DEC)).cast("double").alias("rpos"),
+        F.sum((F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast(DEC))
+        .cast("double")
+        .alias("ties"),
+    )
+    nn = F.col("n1") + F.col("n2")
+    u = F.col("rpos") - F.col("n1") * (F.col("n1") + 1) / 2
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") / 12
+        * ((nn + 1) - F.col("ties") / (nn * (nn - 1)))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n2").cast("long").alias("n_neg"),
+        fround(u, 2).alias("u_stat"),
+        fround(u / (F.col("n1") * F.col("n2")), 6).alias("auc"),
+        fround((u - F.col("n1") * F.col("n2") / 2) / sigma, 6).alias("z_value"),
+    )
+
+
+O_ROC_AUC = f"""
+WITH g AS (
+  SELECT n_chars AS score, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS np
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT *, sum(n) OVER (ORDER BY score) - n + (n + 1.0) / 2 AS avg_rank FROM g
+),
+a AS (
+  SELECT CAST(sum(CAST(np AS DECIMAL(30,10))) AS DOUBLE) AS n1,
+         CAST(sum(CAST(n - np AS DECIMAL(30,10))) AS DOUBLE) AS n2,
+         CAST(sum(CAST(np * avg_rank AS DECIMAL(30,10))) AS DOUBLE) AS rpos,
+         CAST(sum(CAST(n * n * n - n AS DECIMAL(30,10))) AS DOUBLE) AS ties
+  FROM r
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+       {o_fround("rpos - n1 * (n1 + 1) / 2", 2)} AS u_stat,
+       {o_fround("(rpos - n1 * (n1 + 1) / 2) / (n1 * n2)", 6)} AS auc,
+       {o_fround('''(rpos - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+         / sqrt(n1 * n2 / 12 * ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1))))''', 6)} AS z_value
+FROM a
+"""
+
+QUERIES["roc_auc"] = q_roc_auc
+ORACLES["roc_auc"] = O_ROC_AUC
+
+
+# --- calibration / reliability bins ------------------------------------
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: min-max-normalize the score (document
+    length), split [0,1] into 10 equal-width bins, and compare each
+    bin's mean normalized score against its empirical positive rate
+    (``lang = 'en'``) — the calibration readout for any score used as
+    a sampling weight or filter threshold.
+
+    Plan: a 1-row min/max scalar frame broadcast onto the scan, then
+    one partial-aggregated groupBy(bin) — two scans of the fact table
+    total (the scalar agg and the binned agg), no raw-row shuffle
+    beyond the 10-row bin frame. Means accumulate in DECIMAL via
+    davg so reduction order cannot move the 6-dp rounding.
+    """
+    t = tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    mm = docs.agg(
+        F.min("n_chars").cast("double").alias("lo"),
+        F.max("n_chars").cast("double").alias("hi"),
+    )
+    norm = (F.col("n_chars") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    return (
+        docs.crossJoin(F.broadcast(mm))
+        .withColumn("s", norm)
+        .withColumn("bin", F.least(F.lit(9), F.floor(F.col("s") * 10)).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            davg(F.col("s"), 6).alias("mean_score"),
+            davg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0), 6).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+O_CALIBRATION_BINS = f"""
+WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+s AS (
+  SELECT (n_chars - lo) / (hi - lo) AS s, lang FROM documents CROSS JOIN mm
+)
+SELECT CAST(least(9, floor(s * 10)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {o_davg("s", 6)} AS mean_score,
+       {o_davg("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END", 6)} AS pos_rate
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["calibration_bins"] = q_calibration_bins
+ORACLES["calibration_bins"] = O_CALIBRATION_BINS

@@ -2579,3 +2579,98 @@ WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
 
 QUERIES["prefix_filter_join"] = q_prefix_filter_join
 ORACLES["prefix_filter_join"] = O_PREFIX_FILTER_JOIN
+
+
+# --- kNN label-noise audit ---------------------------------------------
+
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by k-nearest-neighbor disagreement: for every
+    embedding, the majority label among its 10 exact cosine neighbors
+    vs its own label — the Confident-Learning-style screen a training
+    pipeline runs to surface mislabeled examples before fine-tuning.
+
+    Plan: the scorer is the Arrow-GEMM exact top-k path
+    (cosine_topk_numpy) with the corpus as its own query set — at the
+    benched scale the collected query matrix is |corpus| x 64 floats
+    (~1 MB), and each Arrow batch does one C @ Q.T GEMM with batch-local
+    top-k, so the shuffle carries <= k rows per query. At billion-row
+    scale the all-vs-all contract swaps the scorer for the ANN tiers
+    (embedding_ann_* — identical output contract) or the chunked-grid
+    pair join of semantic_dedup; the vote/label logic below is
+    unchanged. Voting: groupBy(query, neighbor label) on the k*n
+    candidate frame, majority by (votes desc, label asc) row_number
+    over the per-query <= |labels| vote rows; labels join back via a
+    broadcast of the ids->label frame (ids-only payload). Ranking uses
+    6-dp-rounded similarities (same portable rounding as the oracle),
+    so the neighbor set is engine-exact.
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    labels = emb.select("vec_id", "label")
+    knn = S.cosine_topk_numpy(emb, emb, k=10)
+    votes = (
+        knn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nb_label"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label").asc()
+    )
+    maj = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        maj.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"), "label")),
+            "query_id",
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "label",
+            F.col("nb_label").alias("knn_label"),
+            F.col("votes").alias("knn_votes"),
+            F.when(F.col("nb_label") != F.col("label"), 1).otherwise(0).cast("long").alias("noisy"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+O_KNN_LABEL_NOISE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
+         {o_fround("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+knn AS (
+  SELECT query_id, nb_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+votes AS (
+  SELECT query_id, nb_label, CAST(count(*) AS BIGINT) AS votes
+  FROM knn GROUP BY 1, 2
+),
+maj AS (
+  SELECT query_id, nb_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, nb_label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT m.query_id AS vec_id, e.label, m.nb_label AS knn_label,
+       m.votes AS knn_votes,
+       CAST(CASE WHEN m.nb_label <> e.label THEN 1 ELSE 0 END AS BIGINT) AS noisy
+FROM maj m JOIN embeddings e ON e.vec_id = m.query_id
+ORDER BY vec_id
+"""
+
+QUERIES["knn_label_noise"] = q_knn_label_noise
+ORACLES["knn_label_noise"] = O_KNN_LABEL_NOISE
