@@ -174,6 +174,14 @@ HEADLINE = [
     "cohort_ltv",
     "decayed_trends",
     "knn_label_noise",
+    # late-r6 batch 6: Markov transitions, sessionization stats,
+    # growth accounting, FDR correction, 3-itemsets, entropy filter
+    "event_transitions",
+    "session_stats",
+    "new_vs_returning",
+    "multi_test_fdr",
+    "copurchase_triples",
+    "char_entropy_filter",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -2706,3 +2706,75 @@ FROM per_type ORDER BY 1
 
 QUERIES["decayed_trends"] = q_decayed_trends
 ORACLES["decayed_trends"] = O_DECAYED_TRENDS
+
+
+# ------------------------------------------ frequent 3-itemsets
+
+def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most co-purchased part TRIPLES — the size-3 extension of
+    [copurchase_pairs], with the Apriori pruning that makes itemset
+    mining survive scale: an item that appears in fewer than
+    ``min_item_support`` baskets cannot be in any frequent triple, so
+    the semi-join prefilter shrinks every basket BEFORE the O(k^3)
+    per-basket enumeration.
+
+    Plan: distinct (order, part) first (partial-agg dedup); item
+    supports are one combiner-friendly groupBy; the prefilter is a
+    semi join on part id (ids-only shuffle — at 100 TB the frequent-
+    item set is still per-part-bounded, NOT broadcast, per the r5
+    broadcast-side advice). The triple enumeration self-joins the
+    filtered baskets twice on the order key with a < b < c, so each
+    basket of size k emits C(k,3) rows and nothing is corpus-
+    quadratic; the count groupBy partial-aggregates and a
+    deterministic (n desc, a, b, c) top-20 closes it.
+    """
+    t = tables(spark, sf_dir, "lineitem")
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 3)
+        .select("l_partkey")
+    )
+    fitems = items.join(freq, "l_partkey", "semi")
+    a = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    c = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pc"))
+    triples = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(c, "ok")
+        .filter(F.col("pb") < F.col("pc"))
+    )
+    return (
+        triples.groupBy("pa", "pb", "pc")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "pa", "pb", "pc")
+        .limit(20)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pc").alias("part_c"),
+            "n_orders",
+        )
+    )
+
+
+O_COPURCHASE_TRIPLES = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (
+  SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 3
+),
+f AS (SELECT * FROM items WHERE l_partkey IN (SELECT l_partkey FROM freq))
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM f a
+JOIN f b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN f c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+ORDER BY n_orders DESC, part_a, part_b, part_c
+LIMIT 20
+"""
+
+QUERIES["copurchase_triples"] = q_copurchase_triples
+ORACLES["copurchase_triples"] = O_COPURCHASE_TRIPLES

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestors_spark.queries.base import DEC, tables, dsum, davg, fround, o_fround
+from data_ingestors_spark.queries.base import DEC, tables, dsum, davg, fround, o_davg, o_fround
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,3 +662,200 @@ O_INTER_EVENT_GAPS = O_INTER_EVENT_GAPS.replace("{O_DAVG}", _o_davg("gap_s", 4))
 
 QUERIES["inter_event_gaps"] = q_inter_event_gaps
 ORACLES["inter_event_gaps"] = O_INTER_EVENT_GAPS
+
+
+# ------------------------------------------ Markov event transitions
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (previous type -> type) step a user takes, the count and the
+    row-normalized transition probability — the behavioral fingerprint
+    behind next-action prediction, anomaly scoring (improbable step
+    sequences), and funnel design.
+
+    Scale shape: ONE lag window partitioned per user (bounded
+    partitions, never a global sort); the transition groupBy partial
+    aggregates map-side down to |types|^2 rows, and the probability
+    window normalizes over THAT aggregate frame — 25 rows at any data
+    scale. prob divides two exact BIGINTs in identical IEEE math.
+    """
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tw = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "prob",
+            fround(F.col("n").cast("double") / F.sum("n").over(tw), 6),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+O_EVENT_TRANSITIONS = f"""
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events QUALIFY prev_type IS NOT NULL
+),
+c AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       {o_fround("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)", 6)} AS prob
+FROM c ORDER BY prev_type, event_type
+"""
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLES["event_transitions"] = O_EVENT_TRANSITIONS
+
+
+# ------------------------------------------ gap-based sessionization
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session statistics under 30-minute-gap
+    sessionization: session count, users, events per session, bounce
+    rate (single-event sessions), and mean session duration — the
+    classic web-analytics rollup, computed from the raw stream in one
+    pass (the batch twin of [session_window]'s streaming semantics,
+    which uses Spark's native session_window and therefore cannot be
+    oracle-matched cell-for-cell).
+
+    Scale shape: the lag + running-sum windows are both partitioned
+    per user — session ids never require a global ordering. The
+    per-session groupBy keys on (user, session) and partial-aggregates
+    map-side; the final reduce is a 1-row scalar frame. Durations are
+    integer microsecond differences divided once — identical IEEE ops
+    in both engines; means accumulate in DECIMAL via davg.
+    """
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ev = (
+        t["events"]
+        .select("user_id", "ts", "event_id")
+        .withColumn(
+            "is_new",
+            F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per = ev.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("dur_s"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        davg(F.col("n_events").cast("double"), 4).alias("events_per_session"),
+        davg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0), 6).alias("bounce_rate"),
+        davg(F.col("dur_s"), 4).alias("mean_duration_s"),
+    )
+
+
+O_SESSION_STATS = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                   IS NULL
+              OR date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sid AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid,
+         ts
+  FROM ev
+),
+per AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(date_diff('microsecond', min(ts), max(ts)) AS DOUBLE) / 1000000.0 AS dur_s
+  FROM sid GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {o_davg("CAST(n_events AS DOUBLE)", 4)} AS events_per_session,
+       {o_davg("CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END", 6)} AS bounce_rate,
+       {o_davg("dur_s", 4)} AS mean_duration_s
+FROM per
+"""
+
+QUERIES["session_stats"] = q_session_stats
+ORACLES["session_stats"] = O_SESSION_STATS
+
+
+# ------------------------------------------ new vs returning users
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users split into new (first-ever event falls in
+    that week) vs returning — the growth-accounting readout every
+    activity dashboard leads with.
+
+    Scale shape: the stream collapses FIRST to the distinct
+    (user, week) frame via a partial-aggregated groupBy — the only
+    shuffle that sees event volume; first weeks derive from that frame
+    by a second groupBy(user) min, and the join back runs on
+    user-week granularity (bounded by users x weeks, not events).
+    ISO date_trunc('week') lands on Monday in both engines; emitted as
+    DATE so the comparison is timezone-proof.
+    """
+    t = tables(spark, sf_dir, "events")
+    uw = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("week") != F.col("first_week"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .orderBy("week")
+    )
+
+
+O_NEW_VS_RETURNING = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN week <> first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+FROM uw JOIN first USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["new_vs_returning"] = q_new_vs_returning
+ORACLES["new_vs_returning"] = O_NEW_VS_RETURNING

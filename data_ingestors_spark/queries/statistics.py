@@ -1608,3 +1608,98 @@ FROM s GROUP BY 1 ORDER BY 1
 
 QUERIES["calibration_bins"] = q_calibration_bins
 ORACLES["calibration_bins"] = O_CALIBRATION_BINS
+
+
+# --- Benjamini-Hochberg multiple-testing correction ----------------------
+
+def q_multi_test_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source one-sample proportion z-tests (each source's English
+    rate against the pooled corpus rate) with Benjamini-Hochberg FDR
+    correction — the guard against the 20-sources-so-one-looks-
+    significant trap that raw per-source p-values fall into.
+
+    The normal CDF uses the logistic approximation
+    Phi(x) ~= 1 / (1 + exp(-1.702 x)) (Page 1977) so both engines run
+    the same closed-form exp() on identical doubles — no erf()
+    dependency, and the |error| < 0.01 of the approximation is
+    irrelevant to the RANKING that BH consumes (it is monotone).
+
+    Scale shape: one partial-aggregated groupBy(source) collapses the
+    corpus; the pooled rate is a 1-row broadcast; the BH rank and the
+    backwards running-min windows order the |sources|-row aggregate
+    frame only — single-partition windows over a frame whose size is
+    the source cardinality, never the document count. z divides exact
+    integer-derived doubles; q = min_{j>=i}(p_j * m / j) capped at 1.
+    """
+    t = tables(spark, sf_dir, "documents")
+    g = t["documents"].groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("np"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("np").cast("double").alias("nnp"),
+    )
+    p0 = F.col("nnp") / F.col("nn")
+    z = (F.col("np") / F.col("n") - p0) / F.sqrt(p0 * (1 - p0) / F.col("n"))
+    scored = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("z_raw", z)
+        .withColumn("p_raw", F.lit(2.0) / (F.lit(1.0) + F.exp(F.lit(1.702) * F.abs(F.col("z_raw")))))
+    )
+    wr = Window.orderBy("p_raw", "source")
+    wm = Window.orderBy(F.desc("rnk")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("m", F.count("*").over(Window.partitionBy()))
+        .withColumn("bh", F.col("p_raw") * F.col("m") / F.col("rnk"))
+        .withColumn("q_raw", F.least(F.lit(1.0), F.min("bh").over(wm)))
+    )
+    return ranked.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        fround(F.col("np").cast("double") / F.col("n"), 6).alias("en_rate"),
+        fround(F.col("z_raw"), 4).alias("z_value"),
+        fround(F.col("p_raw"), 6).alias("p_value"),
+        fround(F.col("q_raw"), 6).alias("q_value"),
+        F.when(F.col("q_raw") <= 0.05, 1).otherwise(0).cast("long").alias("significant"),
+    ).orderBy("source")
+
+
+O_MULTI_TEST_FDR = f"""
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(np) AS DOUBLE) AS nnp FROM g),
+scored AS (
+  SELECT source, n, np,
+         (np / CAST(n AS DOUBLE) - nnp / nn)
+           / sqrt((nnp / nn) * (1 - nnp / nn) / n) AS z_raw,
+         2.0 / (1.0 + exp(1.702 * abs(
+           (np / CAST(n AS DOUBLE) - nnp / nn)
+             / sqrt((nnp / nn) * (1 - nnp / nn) / n)))) AS p_raw
+  FROM g CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_raw, source) AS rnk,
+         count(*) OVER () AS m
+  FROM scored
+),
+bh AS (
+  SELECT *, least(1.0, min(p_raw * m / rnk) OVER (ORDER BY rnk DESC
+              ROWS UNBOUNDED PRECEDING)) AS q_raw
+  FROM ranked
+)
+SELECT source, n AS n_docs,
+       {o_fround("np / CAST(n AS DOUBLE)", 6)} AS en_rate,
+       {o_fround("z_raw", 4)} AS z_value,
+       {o_fround("p_raw", 6)} AS p_value,
+       {o_fround("q_raw", 6)} AS q_value,
+       CAST(CASE WHEN q_raw <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM bh ORDER BY source
+"""
+
+QUERIES["multi_test_fdr"] = q_multi_test_fdr
+ORACLES["multi_test_fdr"] = O_MULTI_TEST_FDR

@@ -2674,3 +2674,82 @@ ORDER BY vec_id
 
 QUERIES["knn_label_noise"] = q_knn_label_noise
 ORACLES["knn_label_noise"] = O_KNN_LABEL_NOISE
+
+
+# --- per-document character entropy filter ------------------------------
+
+def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-entropy profile: Shannon entropy (bits) of
+    each document's character distribution, the low-entropy count
+    (H < 3.0 — repeated-character boilerplate, padding, degenerate
+    generations), and the source-level mean — the gibberish/boilerplate
+    screen that complements [gopher_quality]'s word-level rules with a
+    tokenizer-free signal.
+
+    Scale shape: the explode emits one row per character, but the
+    FIRST groupBy keys on (doc_id, char) and partial-aggregates
+    map-side — the shuffle carries at most |alphabet| rows per document
+    (~60 here), not the character count. Entropy folds that per-doc
+    histogram with exact integer ratios into log2 (identical libm
+    doubles both engines); the per-source reduce is a third
+    combiner-friendly groupBy. The 3.0-bit classification boundary
+    sits far from any realistic last-ulp drift.
+    """
+    from data_ingestors_spark.queries.base import davg, o_davg  # noqa: F401
+
+    t = tables(spark, sf_dir, "documents")
+    ch = (
+        t["documents"]
+        .select("doc_id", "source", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    hist = ch.groupBy("doc_id", "source", "c").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    ent = (
+        hist.withColumn("n", F.sum("k").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id", "source")
+        .agg((-F.sum((p * F.log2(p)).cast(DEC))).cast("double").alias("h"))
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            davg(F.col("h"), 4).alias("mean_entropy_bits"),
+            F.sum(F.when(F.col("h") < 3.0, 1).otherwise(0)).cast("long").alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+def _o_char_entropy() -> str:
+    from data_ingestors_spark.queries.base import o_davg
+
+    return f"""
+WITH ch AS (
+  SELECT doc_id, source, c
+  FROM documents, unnest(string_split(text, '')) AS u(c)
+  WHERE c <> ''
+),
+hist AS (
+  SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2, 3
+),
+ent AS (
+  SELECT doc_id, source,
+         CAST(-sum(CAST((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)
+                         AS DECIMAL(30,10))) AS DOUBLE) AS h
+  FROM (SELECT *, sum(k) OVER (PARTITION BY doc_id) AS n FROM hist)
+  GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {o_davg("h", 4)} AS mean_entropy_bits,
+       CAST(sum(CASE WHEN h < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+FROM ent GROUP BY 1 ORDER BY 1
+"""
+
+
+O_CHAR_ENTROPY_FILTER = _o_char_entropy()
+
+QUERIES["char_entropy_filter"] = q_char_entropy_filter
+ORACLES["char_entropy_filter"] = O_CHAR_ENTROPY_FILTER
