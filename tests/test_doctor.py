@@ -155,6 +155,26 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 aggregate frame (one row per customer); at
     #                                 extreme scale compute quartile boundaries
     #                                 via approx quantiles + join instead
+    # late-r6 batch 5/6 — same bounded patterns:
+    "roc_auc": ("D2",),             # the cumulative-rank window rides the
+    #                                 DISTINCT-SCORE frame (NDV-bounded, the
+    #                                 quantile_normalize pattern)
+    "calibration_bins": ("D1",),    # 1-row min/max scalar cross join
+    "orphan_audit": ("D1",),        # 7x (1-row totals x 1-row orphan counts)
+    #                                 scalar cross joins — one per FK edge
+    "decayed_trends": ("D1",),      # 1-row anchor-date + 1-row total-mass
+    #                                 scalar cross joins
+    "knn_label_noise": ("D1",),     # broadcast corpus-as-query-set GEMM (the
+    #                                 embedding_topk pattern; swaps to ANN tiers
+    #                                 at billion scale per docstring)
+    "multi_test_fdr": ("D1", "D2"),  # 1-row pooled-rate scalar cross join; the
+    #                                 BH rank/backwards-min windows ride the
+    #                                 |sources|-row aggregate frame
+    "session_stats": ("D2",),       # heuristic conjunction false-positive: the
+    #                                 final 1-ROW scalar agg's SinglePartition
+    #                                 exchange and the per-USER session windows
+    #                                 are unrelated plan nodes (the
+    #                                 temperature_mix pattern)
 }
 
 
