@@ -2458,17 +2458,24 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Christen 2012).
 
     The ground truth here is the exhaustive all-pairs edit-distance
-    scan, so the audit is corpus-quadratic BY CONSTRUCTION — at 100 TB
-    you run it on a bounded stratified sample (the metrics are ratios,
-    so a sample estimates them unbiasedly); exact here is what lets
-    the oracle check it. The candidate side joins raw deletion keys
-    (the production path's xxhash64 keys would add a ~2⁻⁶⁴ collision
-    term to the audit itself).
+    scan, so the audit is corpus-quadratic BY CONSTRUCTION — the query
+    therefore runs it on a bounded DETERMINISTIC sample (id % 10 == 0;
+    the metrics are ratios, so a sample estimates them unbiasedly, and
+    a modulo predicate is engine-portable where RNG sampling is not).
+    At 100 TB you raise the modulus until the sample is ~10^4 rows;
+    exact-on-the-sample is what lets the oracle check it. The
+    candidate side joins raw deletion keys (the production path's
+    xxhash64 keys would add a ~2⁻⁶⁴ collision term to the audit
+    itself).
     """
     from data_ingestors_spark.operators.fuzzy import _deletion_keys
 
     t = tables(spark, sf_dir, "customer")
-    cust = t["customer"].select(F.col("c_custkey").alias("id"), F.col("c_name").alias("v"))
+    cust = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("v"))
+    )
     keys = cust.select("id", F.explode(_deletion_keys("v")).alias("k"))
     cands = (
         keys.alias("a")
@@ -2510,11 +2517,14 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_BLOCKING_AUDIT = f"""
-WITH keys AS (
-  SELECT c_custkey AS id, c_name AS k FROM customer
+WITH cust AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0
+),
+keys AS (
+  SELECT c_custkey AS id, c_name AS k FROM cust
   UNION
   SELECT c_custkey, substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
-  FROM customer, unnest(range(1, length(c_name) + 1)) AS t(i)
+  FROM cust, unnest(range(1, length(c_name) + 1)) AS t(i)
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -2522,7 +2532,7 @@ cands AS (
 ),
 truth AS (
   SELECT x.c_custkey AS id_a, y.c_custkey AS id_b
-  FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+  FROM cust x JOIN cust y ON x.c_custkey < y.c_custkey
   WHERE levenshtein(x.c_name, y.c_name) = 1
 ),
 found AS (
@@ -2532,7 +2542,7 @@ found AS (
 n AS (
   SELECT CAST(count(*) AS BIGINT) AS n_records,
          CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_total_pairs
-  FROM customer
+  FROM cust
 )
 SELECT n_records, n_total_pairs,
        (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
@@ -2558,6 +2568,16 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Plan notes in the operator docstring
     ([operators/dedup.py prefix_filter_pairs]): ids-only candidate
     shuffle, token-set verify joined back off a persisted frame.
+
+    Measured-cost note: the synthetic word-soup corpus draws every
+    document from one tiny vocabulary, so word-SET Jaccard is
+    adversarially high — ~24% of ALL pairs are true matches at t=0.8
+    (30k of 125k at sf0.01). The wall cost here is therefore bound by
+    the OUTPUT (and near-total candidate survival), not by the pruning
+    — no exact algorithm beats its own answer size. On a real open
+    corpus (diverse vocab) the df-ordered prefixes prune as published;
+    for a corpus known to be this self-similar you compose with
+    blocking ([ngram_jaccard]) instead of an unblocked ssjoin.
     """
     t = tables(spark, sf_dir, "documents")
     return D.prefix_filter_pairs(t["documents"], "text", "doc_id", threshold=0.8)
