@@ -493,6 +493,7 @@ def prefix_filter_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
+    mask_vocab_limit: int = 4096,
 ) -> DataFrame:
     """Exact word-set Jaccard >= ``threshold`` self-join over the
     UNBLOCKED corpus via prefix filtering (Bayardo et al., "Scaling Up
@@ -516,9 +517,23 @@ def prefix_filter_pairs(
     equi-join on prefix tokens carrying (doc_id, sz) payloads — ids
     only, never text. Candidate volume is sum(df_prefix²) per token,
     the quantity prefix ordering minimizes by construction (rare
-    tokens first). Exact verification joins the candidate ID pairs
-    back to a persisted token-set frame — the same verify shape as
-    minhash_near_duplicates. Output: (id_a, id_b, jaccard).
+    tokens first). Exact verification is stats-gated on the GLOBAL
+    vocabulary size (same dual strategy as [jaccard_pairs]):
+
+    - vocab <= ``mask_vocab_limit`` (default 4096 → mask payload
+      <= 64 longs / 512 B per prefix row): each set dictionary-
+      encodes to an ``array<long>`` bitmask carried IN the prefix
+      join payload, so the exact intersection is a row-local
+      ``bit_count(a & b)`` inside the join itself — no second
+      verify join, no candidate ``distinct`` (matches dedupe at the
+      end, a strictly smaller frame). Measured 81 s → mask path at
+      sf0.1 on the 31-word synthetic corpus where the verify join
+      dominated (6.5 M candidates x string-array intersects).
+    - larger vocab: classic form — candidate ID pairs distinct,
+      then exact ``array_intersect`` against the persisted token-set
+      frame (the same verify shape as minhash_near_duplicates).
+
+    Output: (id_a, id_b, jaccard).
     """
     from pyspark.sql import Window
 
@@ -530,10 +545,95 @@ def prefix_filter_pairs(
     )
     tok = sets.select("doc_id", "sz", F.explode("words").alias("w"))
     dft = tok.groupBy("w").agg(F.count("*").alias("df"))
-    # canonical position within each set: global df asc, token asc
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    sz_filter = F.least(F.col("a.sz"), F.col("b.sz")) >= F.ceil(
+        F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+    )
+    vocab_n = dft.count()  # stats gate: one |vocab|-row agg job
+    if vocab_n <= mask_vocab_limit:
+        # dictionary-encode: wid ordered by (df asc, w) — prefix order
+        # and mask order share the dictionary; the wid window runs on
+        # the <=limit-row vocab frame, not the corpus
+        vocab = dft.withColumn(
+            "wid", F.row_number().over(Window.orderBy("df", "w")) - 1
+        )
+        nw = int((vocab_n + 63) // 64)
+        enc = tok.join(F.broadcast(vocab), "w")
+        pos_w = Window.partitionBy("doc_id").orderBy("wid")
+        if nw == 1:
+            # vocab <= 64: the whole set is ONE long — scalar bit ops,
+            # no arrays, no per-row HOF folds
+            mask_sql = "aggregate(ids, 0L, (acc, i) -> acc | shiftleft(1L, CAST(i AS INT)))"
+        else:
+            mask_sql = (
+                f"aggregate(ids, array_repeat(0L, {nw}), "
+                "(acc, i) -> transform(acc, (x, k) -> "
+                "IF(k = CAST(i DIV 64 AS INT), x | shiftleft(1L, CAST(i % 64 AS INT)), x)))"
+            )
+        docs = (
+            enc.withColumn("pos", F.row_number().over(pos_w))
+            .groupBy("doc_id")
+            .agg(
+                F.first("sz").alias("sz"),
+                F.collect_list("wid").alias("ids"),
+                F.collect_list(F.when(F.col("pos") <= plen, F.col("wid"))).alias(
+                    "pfx"
+                ),
+            )
+            .select(
+                "doc_id", "sz", F.expr(mask_sql).alias("mask"), F.explode("pfx").alias("w")
+            )
+        )
+        a, b = docs.alias("a"), docs.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & sz_filter,
+        )
+        if nw == 1:
+            # each pair appears once per SHARED prefix token; instead
+            # of a distinct (a match-sized shuffle), keep only the row
+            # whose join token is the pair's MINIMUM common token —
+            # the theorem above puts that token inside both prefixes,
+            # so every true pair survives exactly once, row-locally:
+            # no common bit may sit below w.
+            common = F.col("a.mask").bitwiseAND(F.col("b.mask"))
+            low = F.expr("shiftleft(1L, CAST(a.w AS INT)) - 1")
+            inter = F.bit_count(common).cast("double")
+            j = (
+                joined.filter(common.bitwiseAND(low) == 0)
+                .withColumn(
+                    "jaccard", inter / (F.col("a.sz") + F.col("b.sz") - inter)
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+            return j.select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                fround(F.col("jaccard"), 6).alias("jaccard"),
+            )
+        inter = F.expr(
+            "CAST(aggregate(zip_with(a.mask, b.mask, (x, y) -> bit_count(x & y)), "
+            "0, (acc, v) -> acc + v) AS DOUBLE)"
+        )
+        j = (
+            joined.withColumn(
+                "jaccard", inter / (F.col("a.sz") + F.col("b.sz") - inter)
+            ).filter(F.col("jaccard") >= threshold)
+        )
+        return (
+            j.select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                fround(F.col("jaccard"), 6).alias("jaccard"),
+            )
+            .distinct()
+        )
+    # open-vocabulary path: canonical position within each set
+    # (global df asc, token asc), ids-only candidates, array verify
     pos_w = Window.partitionBy("doc_id").orderBy("df", "w")
     ordered = tok.join(dft, "w").withColumn("pos", F.row_number().over(pos_w))
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = ordered.filter(F.col("pos") <= plen).select("doc_id", "sz", "w")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -541,10 +641,7 @@ def prefix_filter_pairs(
             b,
             (F.col("a.w") == F.col("b.w"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.ceil(F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
-            ),
+            & sz_filter,
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
