@@ -182,6 +182,29 @@ HEADLINE = [
     "multi_test_fdr",
     "copurchase_triples",
     "char_entropy_filter",
+    # r7 batch 1: association rules, sliding distinct actives,
+    # freshness + profile-drift audits
+    "assoc_rules",
+    "rolling_distinct",
+    "freshness_audit",
+    "profile_drift",
+    # r7 batch 2: retrieval metrics, 1-bit quantization audit,
+    # graph assortativity, point-in-time feature join
+    "retrieval_eval",
+    "binary_embedding_audit",
+    "degree_assortativity",
+    "point_in_time_features",
+    # r7 batch 3: PSI drift, tokenizer OOV coverage, char-class mix,
+    # local clustering coefficient
+    "psi_drift",
+    "oov_rate",
+    "unicode_class_mix",
+    "clustering_coefficient",
+    # r7 batch 4: sorted-neighborhood blocking, reciprocal-rank
+    # fusion, LSH banding tuning table
+    "snm_linkage",
+    "rrf_fusion",
+    "lsh_tuning_curve",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

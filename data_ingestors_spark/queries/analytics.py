@@ -2778,3 +2778,101 @@ LIMIT 20
 
 QUERIES["copurchase_triples"] = q_copurchase_triples
 ORACLES["copurchase_triples"] = O_COPURCHASE_TRIPLES
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A -> B over order baskets with the
+    full Agrawal-Srikant metric set: support, confidence, lift, and
+    conviction — the step after [q_copurchase_pairs]'s undirected
+    counts that a recommender or store-layout pipeline actually
+    consumes. Top-50 rules by confidence.
+
+    Exactness: every metric is a single division of exact integer
+    products (n_both*N / n_a*n_b etc.), so both engines produce the
+    identical IEEE double before the portable rounding; conviction is
+    NULL when confidence = 1 (division by zero) in both.
+
+    Plan (100 TB): ordered-pair fan-out is O(k²) per basket, never
+    corpus-quadratic; min-support HAVING prunes the pair tail before
+    the metric joins; per-part support frames stream on the part key
+    (|parts|-sized — NOT broadcast); the 1-row basket total cross-
+    joins broadcast."""
+    t = tables(spark, sf_dir, "lineitem")
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    support = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_part"))
+    total = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    scored = (
+        co.join(support.select(F.col("l_partkey").alias("antecedent"), F.col("n_part").alias("n_ante")), "antecedent")
+        .join(support.select(F.col("l_partkey").alias("consequent"), F.col("n_part").alias("n_cons")), "consequent")
+        .crossJoin(F.broadcast(total))
+    )
+    conf = F.col("n_both") / F.col("n_ante")
+    return (
+        scored.select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            fround(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            fround(conf, 6).alias("confidence"),
+            fround(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("n_ante") * F.col("n_cons")).cast("double"),
+                6,
+            ).alias("lift"),
+            F.when(
+                F.col("n_both") < F.col("n_ante"),
+                fround(
+                    ((F.col("n_orders") - F.col("n_cons")) * F.col("n_ante"))
+                    / (F.col("n_orders") * (F.col("n_ante") - F.col("n_both"))).cast("double"),
+                    6,
+                ),
+            ).alias("conviction"),
+        )
+        .orderBy(F.desc("confidence"), F.desc("lift"), "antecedent", "consequent")
+        .limit(50)
+    )
+
+
+O_ASSOC_RULES = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+support AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1),
+total AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)
+SELECT antecedent, consequent, n_both,
+       sa.n_part AS n_ante, sc.n_part AS n_cons,
+       {o_fround("n_both / CAST(n_orders AS DOUBLE)", 6)} AS support,
+       {o_fround("n_both / CAST(sa.n_part AS DOUBLE)", 6)} AS confidence,
+       {o_fround("(n_both * n_orders) / CAST(sa.n_part * sc.n_part AS DOUBLE)", 6)} AS lift,
+       CASE WHEN n_both < sa.n_part THEN
+         {o_fround("((n_orders - sc.n_part) * sa.n_part) / CAST(n_orders * (sa.n_part - n_both) AS DOUBLE)", 6)}
+       END AS conviction
+FROM co
+JOIN support sa ON sa.l_partkey = antecedent
+JOIN support sc ON sc.l_partkey = consequent
+CROSS JOIN total
+ORDER BY confidence DESC, lift DESC, antecedent, consequent
+LIMIT 50
+"""
+
+QUERIES["assoc_rules"] = q_assoc_rules
+ORACLES["assoc_rules"] = O_ASSOC_RULES

@@ -859,3 +859,61 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["new_vs_returning"] = q_new_vs_returning
 ORACLES["new_vs_returning"] = O_NEW_VS_RETURNING
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (WAU) next to the
+    daily count (DAU) and the DAU/WAU stickiness ratio — the sliding
+    COUNT(DISTINCT) product analytics needs and Spark windows can't
+    express natively (no DISTINCT aggregates over frames).
+
+    Exact reformulation: each distinct (user, day) activity covers
+    days d..d+6, so WAU(d) = |distinct (user, cover_day)| restricted
+    to real activity days. Shuffle volume is bounded by 7x the
+    distinct (user, day) frame — one explode + one dedup + one count,
+    never a per-day re-scan and no window over the raw corpus. At
+    100 TB the (user, day) frame is the already-tiny daily-activity
+    rollup; the 7x cover explode is linear in it.
+    """
+    t = tables(spark, sf_dir, "events")
+    ud = t["events"].select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence("d", F.date_add(F.col("d"), 6))).alias("d"),
+        )
+        .distinct()
+        .join(days, "d")  # only days that actually occur
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("wau7"))
+    )
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau7",
+            fround(F.col("dau") / F.col("wau7"), 6).alias("stickiness"),
+        )
+        .orderBy("d")
+    )
+
+
+O_ROLLING_DISTINCT = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+wau AS (
+  SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau7
+  FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+  GROUP BY 1
+),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+SELECT d, dau, wau7, {o_fround("dau / CAST(wau7 AS DOUBLE)", 6)} AS stickiness
+FROM dau JOIN wau USING (d)
+ORDER BY d
+"""
+
+QUERIES["rolling_distinct"] = q_rolling_distinct
+ORACLES["rolling_distinct"] = O_ROLLING_DISTINCT

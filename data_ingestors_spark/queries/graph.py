@@ -237,3 +237,180 @@ LIMIT 20
 
 QUERIES["link_prediction"] = q_link_prediction
 ORACLES["link_prediction"] = O_LINK_PREDICTION
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the directed edge list (each undirected
+    edge contributes both orientations) of the co-purchase part
+    graph — positive means hubs link to hubs, negative means
+    hub-and-spoke; the single number that says which ANN/partition
+    strategies will see skew.
+
+    Exactness: degree products are integer; all five sums accumulate
+    in DECIMAL, so both engines standardize bit-identically before
+    the one corr division.
+
+    Plan (100 TB): degrees are one partial-aggregable groupBy over
+    the edge endpoints; the stats are ONE scan of the degree-joined
+    edge list; the two 1-row frames cross-join broadcast. Edge list
+    is support-thresholded so it does not grow with the fact table
+    (see _copurchase_edges)."""
+    from data_ingestors_spark.queries.base import DEC
+
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    directed = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    j = (
+        directed.join(
+            deg.select(F.col("v").alias("src"), F.col("deg").alias("dx")), "src"
+        ).join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dy")), "dst")
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("dx").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("dy").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    r = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.crossJoin(F.broadcast(nodes)).select(
+        "n_nodes",
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        fround(r, 6).alias("assortativity"),
+    )
+
+
+O_DEGREE_ASSORTATIVITY = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+  GROUP BY 1
+),
+directed AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b AS src, a AS dst FROM edges
+),
+j AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM directed JOIN deg dx ON dx.v = src JOIN deg dy ON dy.v = dst
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(dx AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(dy AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(dx * dx AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(dy * dy AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(dx * dy AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+  FROM j
+),
+nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, CAST(m / 2 AS BIGINT) AS n_edges,
+       floor(((m * sxy - sx * sy)
+              / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy))) * 1e6 + 0.5) / 1e6
+         AS assortativity
+FROM s CROSS JOIN nodes
+"""
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+ORACLES["degree_assortativity"] = O_DEGREE_ASSORTATIVITY
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the co-purchase part graph:
+    per node, the fraction of neighbor pairs that are themselves
+    connected (2*tri / deg*(deg-1)) — the community-density score
+    that separates genuine product families from hub-and-spoke
+    accessories. Top-100 by (coef, deg, id) with full tiebreaks.
+
+    Plan (100 TB): wedge generation fans out sum(deg²) rows over the
+    SUPPORT-THRESHOLDED graph (see _copurchase_edges — the edge list
+    does not grow with the fact table); closure is one semi join
+    against the normalized edge list; every aggregate is
+    partial-aggregable. All-integer until the one division."""
+    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    adj = edges.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionAll(
+        edges.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = x.join(
+        y, (F.col("x.v") == F.col("y.v")) & (F.col("x.nb") < F.col("y.nb"))
+    ).select(F.col("x.v").alias("v"), F.col("x.nb").alias("u"), F.col("y.nb").alias("w"))
+    closed = wedges.join(
+        edges,
+        (F.col("u") == F.col("src")) & (F.col("w") == F.col("dst")),
+        "left_semi",
+    )
+    tri = closed.groupBy("v").agg(F.count("*").cast("long").alias("n_tri"))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "v", "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)).cast("long"))
+        .withColumn(
+            "coef",
+            fround(
+                (2 * F.col("n_tri")) / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ),
+        )
+        .select("v", "deg", "n_tri", "coef")
+        .orderBy(F.desc("coef"), F.desc("deg"), "v")
+        .limit(100)
+    )
+
+
+O_CLUSTERING_COEFFICIENT = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (
+  SELECT src AS v, dst AS nb FROM edges
+  UNION ALL SELECT dst AS v, src AS nb FROM edges
+),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+wedges AS (
+  SELECT x.v, x.nb AS u, y.nb AS w
+  FROM adj x JOIN adj y ON x.v = y.v AND x.nb < y.nb
+),
+tri AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+  FROM wedges WHERE EXISTS (
+    SELECT 1 FROM edges WHERE src = wedges.u AND dst = wedges.w
+  )
+  GROUP BY 1
+)
+SELECT deg.v, deg.deg,
+       CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+       floor(((2 * coalesce(tri.n_tri, 0)) / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS coef
+FROM deg LEFT JOIN tri USING (v)
+WHERE deg.deg >= 2
+ORDER BY coef DESC, deg.deg DESC, deg.v
+LIMIT 100
+"""
+
+QUERIES["clustering_coefficient"] = q_clustering_coefficient
+ORACLES["clustering_coefficient"] = O_CLUSTERING_COEFFICIENT

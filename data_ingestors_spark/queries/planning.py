@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from data_ingestors_spark.functions.rounding import fround, o_fround
 from data_ingestors_spark.operators.joins import bloom_semi_join
-from data_ingestors_spark.queries.base import o_dsum, dsum, tables
+from data_ingestors_spark.queries.base import DEC, o_dsum, dsum, tables
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -402,3 +402,244 @@ GROUP BY 1
 
 QUERIES["file_binpack"] = q_file_binpack
 ORACLES["file_binpack"] = O_FILE_BINPACK
+
+
+# --- Warehouse freshness / profile-drift audits -------------------------
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: last event age relative to the
+    newest event anywhere (the watermark a scheduler would alert on),
+    microsecond-exact, plus an is_stale flag at the 1-hour SLA. The
+    anchor is data-derived (global max ts), never wall-clock — the
+    audit is reproducible and engine-portable.
+
+    Plan (100 TB): two partial-aggregable scans — per-type (max, min,
+    count) and the 1-row global max — joined by a broadcast cross
+    join; no sort, no window."""
+    t = tables(spark, sf_dir, "events")
+    per = t["events"].groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+    anchor = t["events"].agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
+    return (
+        per.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            "n_events",
+            "last_us",
+            (F.col("anchor_us") - F.col("last_us")).alias("staleness_us"),
+            (F.col("anchor_us") - F.col("last_us") > 3_600_000_000)
+            .cast("boolean")
+            .alias("is_stale"),
+            (F.col("last_us") - F.col("first_us")).alias("span_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_FRESHNESS_AUDIT = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+  FROM events GROUP BY 1
+),
+anchor AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS anchor_us FROM events)
+SELECT event_type, n_events, last_us,
+       anchor_us - last_us AS staleness_us,
+       (anchor_us - last_us) > 3600000000 AS is_stale,
+       last_us - first_us AS span_us
+FROM per CROSS JOIN anchor
+ORDER BY event_type
+"""
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between the first and second time halves
+    of the event stream: per event type, row counts, exact decimal
+    value means, and distinct-user NDV for each half plus deltas —
+    the schema-level drift check that catches a silently changed
+    producer before model training does (snapshot_diff is its
+    row-level CDC sibling).
+
+    The split point is the data-derived midpoint of the observed
+    time range (integer microsecond midpoint — deterministic, no
+    wall clock). Plan (100 TB): one 1-row min/max agg broadcast, then
+    ONE conditional-aggregate scan per event type — no join between
+    halves, no second scan."""
+    t = tables(spark, sf_dir, "events")
+    rng = t["events"].agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    ev = t["events"].crossJoin(F.broadcast(rng))
+    in_a = F.unix_micros("ts") < F.col("mid_us")
+    val = F.col("value")
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        (
+            F.sum(F.when(in_a, val).otherwise(F.lit(None)).cast(DEC)).cast("double")
+            / F.sum(F.when(in_a, 1).otherwise(0))
+        ).alias("avg_a_raw"),
+        (
+            F.sum(F.when(~in_a, val).otherwise(F.lit(None)).cast(DEC)).cast("double")
+            / F.sum(F.when(~in_a, 1).otherwise(0))
+        ).alias("avg_b_raw"),
+        F.countDistinct(F.when(in_a, F.col("user_id"))).cast("long").alias("ndv_user_a"),
+        F.countDistinct(F.when(~in_a, F.col("user_id"))).cast("long").alias("ndv_user_b"),
+    )
+    return per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        fround(F.col("n_b") / F.col("n_a"), 6).alias("volume_ratio"),
+        fround(F.col("avg_a_raw"), 4).alias("avg_value_a"),
+        fround(F.col("avg_b_raw"), 4).alias("avg_value_b"),
+        fround(F.col("avg_b_raw") - F.col("avg_a_raw"), 4).alias("avg_value_delta"),
+        "ndv_user_a",
+        "ndv_user_b",
+    ).orderBy("event_type")
+
+
+O_PROFILE_DRIFT = f"""
+WITH rng AS (
+  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid_us
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE)
+           / sum(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS avg_a_raw,
+         CAST(sum(CASE WHEN epoch_us(ts) >= mid_us THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE)
+           / sum(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS avg_b_raw,
+         CAST(count(DISTINCT CASE WHEN epoch_us(ts) < mid_us THEN user_id END) AS BIGINT) AS ndv_user_a,
+         CAST(count(DISTINCT CASE WHEN epoch_us(ts) >= mid_us THEN user_id END) AS BIGINT) AS ndv_user_b
+  FROM events CROSS JOIN rng
+  GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       {o_fround("n_b / CAST(n_a AS DOUBLE)", 6)} AS volume_ratio,
+       {o_fround("avg_a_raw", 4)} AS avg_value_a,
+       {o_fround("avg_b_raw", 4)} AS avg_value_b,
+       {o_fround("avg_b_raw - avg_a_raw", 4)} AS avg_value_delta,
+       ndv_user_a, ndv_user_b
+FROM per ORDER BY event_type
+"""
+
+QUERIES["freshness_audit"] = q_freshness_audit
+ORACLES["freshness_audit"] = O_FRESHNESS_AUDIT
+QUERIES["profile_drift"] = q_profile_drift
+ORACLES["profile_drift"] = O_PROFILE_DRIFT
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the event stream, per event type — THE standard model-
+    monitoring drift score (PSI < 0.1 stable, > 0.25 action), next to
+    [q_profile_drift]'s raw profile deltas.
+
+    Bins are 10 equal-width slices of the GLOBAL value range (data-
+    derived, engine-identical); both halves get +1 Laplace smoothing
+    so empty bins never produce infinite terms, in both engines.
+    ln() on identical doubles is libm-portable.
+
+    Plan (100 TB): one 1-row min/max/mid broadcast, ONE conditional-
+    aggregate scan to (type, bin) cells — |types| x 10 rows — then
+    row-local PSI terms and a |types|-row sum. No join between
+    halves, no sort."""
+    t = tables(spark, sf_dir, "events")
+    rng = t["events"].agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    ev = t["events"].crossJoin(F.broadcast(rng))
+    bin_c = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10)),
+            F.lit(0),
+        ),
+        F.lit(9),
+    ).cast("int")
+    in_a = F.unix_micros("ts") < F.col("mid_us")
+    cells = ev.groupBy("event_type", bin_c.alias("bin")).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("c_b"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("c_a").cast("long").alias("t_a"),
+        F.sum("c_b").cast("long").alias("t_b"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    terms = cells.join(tot, "event_type").select(
+        "event_type",
+        (
+            ((F.col("c_b") + 1) / (F.col("t_b") + F.col("n_bins")))
+            - ((F.col("c_a") + 1) / (F.col("t_a") + F.col("n_bins")))
+        ).alias("dp"),
+        F.log(
+            ((F.col("c_b") + 1) / (F.col("t_b") + F.col("n_bins")))
+            / ((F.col("c_a") + 1) / (F.col("t_a") + F.col("n_bins")))
+        ).alias("lr"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            fround(F.sum((F.col("dp") * F.col("lr")).cast(DEC)).cast("double"), 6).alias("psi"),
+        )
+        .withColumn(
+            "drift_band",
+            F.when(F.col("psi") < 0.1, F.lit("stable"))
+            .when(F.col("psi") < 0.25, F.lit("watch"))
+            .otherwise(F.lit("action")),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_PSI_DRIFT = f"""
+WITH rng AS (
+  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid_us,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+cells AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - vmin) / ((vmax - vmin) / 10)), 0), 9) AS INTEGER) AS bin,
+         CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM events CROSS JOIN rng
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(c_a) AS BIGINT) AS t_a, CAST(sum(c_b) AS BIGINT) AS t_b,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT cells.event_type,
+         ((c_b + 1) / CAST(t_b + n_bins AS DOUBLE)) - ((c_a + 1) / CAST(t_a + n_bins AS DOUBLE)) AS dp,
+         ln(((c_b + 1) / CAST(t_b + n_bins AS DOUBLE)) / ((c_a + 1) / CAST(t_a + n_bins AS DOUBLE))) AS lr
+  FROM cells JOIN tot USING (event_type)
+),
+psi AS (
+  SELECT event_type,
+         {o_fround("CAST(sum(CAST(dp * lr AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS psi
+  FROM terms GROUP BY 1
+)
+SELECT event_type, psi,
+       CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'watch' ELSE 'action' END AS drift_band
+FROM psi ORDER BY event_type
+"""
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLES["psi_drift"] = O_PSI_DRIFT

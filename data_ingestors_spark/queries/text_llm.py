@@ -2773,3 +2773,577 @@ O_CHAR_ENTROPY_FILTER = _o_char_entropy()
 
 QUERIES["char_entropy_filter"] = q_char_entropy_filter
 ORACLES["char_entropy_filter"] = O_CHAR_ENTROPY_FILTER
+
+
+# ------------------------------------------ retrieval quality metrics
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard — NDCG@10, MRR@10, precision@10 of
+    exact cosine retrieval where a neighbor is relevant iff it shares
+    the query's class label: the evaluation loop that gates every ANN
+    tier ([q_embedding_ann*]) before it replaces the exact path.
+
+    Query set is a deterministic modulo sample (vec_id % 50 == 0).
+    Per query, IDCG is computed from the query's own relevant-corpus
+    count R (sequence(1, min(R,10)) exploded, gains decimal-summed on
+    BOTH engines — no literal lookup table, no float repr hazard).
+    Queries with R = 0 score 0 (never NULL-divided). Final row is the
+    decimal-exact mean over queries.
+
+    Plan (100 TB): brute-force scoring is the evaluation baseline by
+    construction (corpus-linear per query, queries broadcast — the
+    same shape as [cosine_topk_bruteforce]); the metric reduction is
+    per-query rows -> |queries| rows -> 1 row, all partial-aggregable.
+    """
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    top = S.cosine_topk_bruteforce(emb, queries, k=10)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    scored = (
+        top.join(F.broadcast(qlab), "query_id")
+        .join(lab, "neighbor_id")
+        .withColumn("rel", (F.col("n_label") == F.col("q_label")).cast("int"))
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(
+            (F.col("rel") / F.log2(F.col("rnk") + 1)).cast(DEC)
+        ).cast("double").alias("dcg"),
+        F.max(F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rnk")).otherwise(0.0)).alias("rr"),
+        (F.sum("rel") / F.lit(10.0)).alias("p10"),
+    )
+    # R per query: relevant corpus size (same label, excluding self)
+    rel_n = (
+        emb.select(F.col("label").alias("q_label"), F.col("vec_id").alias("query_id"))
+        .join(
+            emb.groupBy(F.col("label").alias("q_label"))
+            .agg(F.count("*").cast("long").alias("n_label_rows")),
+            "q_label",
+        )
+        .filter(F.col("query_id") % 50 == 0)
+        .select("query_id", (F.col("n_label_rows") - 1).alias("r_total"))
+    )
+    idcg = (
+        rel_n.select(
+            "query_id",
+            F.explode(F.sequence(F.lit(1), F.least(F.col("r_total"), F.lit(10)))).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum((F.lit(1.0) / F.log2(F.col("i") + 1)).cast(DEC)).cast("double").alias("idcg"))
+    )
+    per_q_full = (
+        per_q.join(F.broadcast(idcg), "query_id", "left")
+        .withColumn(
+            "ndcg",
+            F.when(F.col("idcg").isNull() | (F.col("idcg") == 0), F.lit(0.0)).otherwise(
+                F.col("dcg") / F.col("idcg")
+            ),
+        )
+    )
+    return per_q_full.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        fround(F.sum(F.col("ndcg").cast(DEC)).cast("double") / F.count("*"), 6).alias("ndcg_at_10"),
+        fround(F.sum(F.col("rr").cast(DEC)).cast("double") / F.count("*"), 6).alias("mrr_at_10"),
+        fround(F.sum(F.col("p10").cast(DEC)).cast("double") / F.count("*"), 6).alias("p_at_10"),
+    )
+
+
+O_RETRIEVAL_EVAL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, c.label AS n_label,
+         {o_fround("list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+  QUALIFY rnk <= 10
+),
+per_q AS (
+  SELECT query_id,
+         CAST(sum(CAST((CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / log2(rnk + 1)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS dcg,
+         max(CASE WHEN n_label = q_label THEN 1.0 / rnk ELSE 0.0 END) AS rr,
+         sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / 10.0 AS p10
+  FROM top GROUP BY 1
+),
+rel_n AS (
+  SELECT e.vec_id AS query_id, g.n_label_rows - 1 AS r_total
+  FROM embeddings e
+  JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_label_rows
+        FROM embeddings GROUP BY 1) g ON g.label = e.label
+  WHERE e.vec_id % 50 = 0
+),
+idcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(1.0 / log2(i + 1) AS DECIMAL(30,10))) AS DOUBLE) AS idcg
+  FROM (SELECT query_id, unnest(range(1, least(r_total, 10) + 1)) AS i FROM rel_n)
+  GROUP BY 1
+),
+per_q_full AS (
+  SELECT per_q.*,
+         CASE WHEN idcg.idcg IS NULL OR idcg.idcg = 0 THEN 0.0
+              ELSE dcg / idcg.idcg END AS ndcg
+  FROM per_q LEFT JOIN idcg USING (query_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       {o_fround("CAST(sum(CAST(ndcg AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS ndcg_at_10,
+       {o_fround("CAST(sum(CAST(rr AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mrr_at_10,
+       {o_fround("CAST(sum(CAST(p10 AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS p_at_10
+FROM per_q_full
+"""
+
+QUERIES["retrieval_eval"] = q_retrieval_eval
+ORACLES["retrieval_eval"] = O_RETRIEVAL_EVAL
+
+
+def q_binary_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) embedding-quantization fidelity audit: on a
+    deterministic pair sample, the calibration curve of the 64-bit
+    sign sketch — per true-cosine bin, the mean sign-agreement
+    fraction and the mean absolute error of the LSH cosine estimate
+    cos(pi*(1 - agree)) — the go/no-go table before swapping 32x
+    smaller binary codes into the retrieval tier (the 1-bit sibling
+    of [q_int8_quant_audit] / [q_matryoshka_audit]).
+
+    Determinism: pair sample is two modulo strata (vec_id % 23 / %
+    29, id-ordered); sign agreement is integer; cosine folds exactly
+    like the proven [cosine_similarity_col] path; libm cos on
+    identical doubles matches across engines; binning uses the
+    ROUNDED cosine so bin edges are engine-identical.
+
+    Plan (100 TB): both strata are tiny (n/23 x n/29 of a sampled
+    audit corpus); the pair join is the broadcast of one stratum;
+    everything after is row-local + one 10-key groupBy."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    agree = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: ((x > 0) == (y > 0)).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_r", fround(S.cosine_similarity_col(F.col("va"), F.col("vb")), 6))
+        .withColumn("sign_agree", agree / F.size("va"))
+        .withColumn(
+            "est_err",
+            F.abs(
+                F.cos(F.lit(float(__import__("math").pi)) * (1 - F.col("sign_agree")))
+                - F.col("cos_r")
+            ),
+        )
+        .withColumn(
+            "bin",
+            F.least(
+                F.greatest(F.floor((F.col("cos_r") + 1) * 5), F.lit(0)), F.lit(9)
+            ).cast("long"),
+        )
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            fround(F.sum(F.col("sign_agree").cast(DEC)).cast("double") / F.count("*"), 6).alias("avg_sign_agree"),
+            fround(F.sum(F.col("cos_r").cast(DEC)).cast("double") / F.count("*"), 6).alias("avg_cos"),
+            fround(F.sum(F.col("est_err").cast(DEC)).cast("double") / F.count("*"), 6).alias("avg_est_err"),
+        )
+        .orderBy("bin")
+    )
+
+
+O_BINARY_EMBEDDING_AUDIT = f"""
+WITH a AS (SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
+           FROM embeddings WHERE vec_id % 23 = 0),
+b AS (SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS vb
+      FROM embeddings WHERE vec_id % 29 = 0),
+pairs AS (
+  SELECT id_a, id_b, va, vb,
+         {o_fround("list_cosine_similarity(va, vb)", 6)} AS cos_r,
+         (SELECT sum(CASE WHEN (va[i] > 0) = (vb[i] > 0) THEN 1 ELSE 0 END)
+          FROM unnest(range(1, len(va) + 1)) AS t(i)) / CAST(len(va) AS DOUBLE)
+           AS sign_agree
+  FROM a JOIN b ON id_a < id_b
+),
+scored AS (
+  SELECT cos_r, sign_agree,
+         abs(cos(pi() * (1 - sign_agree)) - cos_r) AS est_err,
+         CAST(least(greatest(floor((cos_r + 1) * 5), 0), 9) AS BIGINT) AS bin
+  FROM pairs
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       {o_fround("CAST(sum(CAST(sign_agree AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS avg_sign_agree,
+       {o_fround("CAST(sum(CAST(cos_r AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS avg_cos,
+       {o_fround("CAST(sum(CAST(est_err AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS avg_est_err
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["binary_embedding_audit"] = q_binary_embedding_audit
+ORACLES["binary_embedding_audit"] = O_BINARY_EMBEDDING_AUDIT
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build a fixed top-1000
+    vocabulary from global term frequency (ties broken by token — the
+    deterministic analog of a trained tokenizer's merge list), then
+    report per-source token counts, OOV tokens, and OOV rate — the
+    number that decides whether a corpus slice needs tokenizer
+    retraining before it wastes context on byte-fallback.
+
+    Plan (100 TB): vocab = one word-count groupBy + top-k (TakeOrdered
+    prune, no global sort); membership is a broadcast LEFT join of the
+    (source, word, count) partial-agg frame — token rows never carry
+    text twice. All-integer arithmetic until the final division."""
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "source",
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "w")
+        .limit(1000)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    per_sw = words.groupBy("source", "w").agg(F.count("*").cast("long").alias("n"))
+    j = per_sw.join(F.broadcast(vocab), "w", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.countDistinct(F.when(F.col("in_vocab").isNull(), F.col("w")))
+            .cast("long")
+            .alias("oov_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "oov_types",
+            fround(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+O_OOV_RATE = f"""
+WITH words AS (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+vocab AS (
+  SELECT w, 1 AS in_vocab
+  FROM (SELECT w, count(*) AS tf FROM words GROUP BY 1)
+  ORDER BY tf DESC, w LIMIT 1000
+),
+per_sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1, 2
+),
+j AS (SELECT per_sw.*, vocab.in_vocab FROM per_sw LEFT JOIN vocab USING (w))
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(count(DISTINCT CASE WHEN in_vocab IS NULL THEN w END) AS BIGINT) AS oov_types,
+       {o_fround("sum(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END) / CAST(sum(n) AS DOUBLE)", 6)} AS oov_rate
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["oov_rate"] = q_oov_rate
+ORACLES["oov_rate"] = O_OOV_RATE
+
+
+def q_unicode_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source — letter / digit /
+    whitespace / punctuation-or-other fractions plus chars-per-row —
+    the cheap mojibake-and-markup detector that runs before any
+    model-based quality score ([q_byte_stats] is its byte-level
+    sibling; this one is class-level).
+
+    Plan (100 TB): ALL row-local regexp counts folded by one partial-
+    aggregable groupBy; nothing explodes, nothing shuffles but the
+    |sources|-row aggregate."""
+    t = tables(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_letter = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace("text", "[^ \\t\\n]", ""))
+    d = t["documents"].select(
+        "source",
+        n_chars.alias("nc"),
+        n_letter.alias("nl"),
+        n_digit.alias("nd"),
+        n_space.alias("ns"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            fround(F.sum("nl") / F.sum("nc"), 6).alias("letter_frac"),
+            fround(F.sum("nd") / F.sum("nc"), 6).alias("digit_frac"),
+            fround(F.sum("ns") / F.sum("nc"), 6).alias("space_frac"),
+            fround(
+                (F.sum("nc") - F.sum("nl") - F.sum("nd") - F.sum("ns")) / F.sum("nc"), 6
+            ).alias("other_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+O_UNICODE_CLASS_MIX = f"""
+WITH d AS (
+  SELECT source,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS nl,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS ns
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       {o_fround("sum(nl) / CAST(sum(nc) AS DOUBLE)", 6)} AS letter_frac,
+       {o_fround("sum(nd) / CAST(sum(nc) AS DOUBLE)", 6)} AS digit_frac,
+       {o_fround("sum(ns) / CAST(sum(nc) AS DOUBLE)", 6)} AS space_frac,
+       {o_fround("(sum(nc) - sum(nl) - sum(nd) - sum(ns)) / CAST(sum(nc) AS DOUBLE)", 6)} AS other_frac
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["unicode_class_mix"] = q_unicode_class_mix
+ORACLES["unicode_class_mix"] = O_UNICODE_CLASS_MIX
+
+
+def q_snm_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM, Hernandez-Stolfo 1995) entity
+    blocking: records sorted by the match key, candidates limited to
+    a sliding window of w=5 positions, verified at edit distance <=
+    1 — the second classic blocker next to FastSS ([q_fuzzy_match]),
+    trading FastSS's exactness guarantee for key-order locality (SNM
+    misses pairs whose keys sort far apart; the window bound makes
+    candidate volume exactly n*w regardless of key skew — the
+    property FastSS needs a df cap for).
+
+    Plan (100 TB): the global sort rank IS the algorithm (range-
+    partition the sort at scale — ranks stay consistent across
+    partition boundaries because neighbors within w cross at most one
+    boundary, handled by the +w explode); candidate generation is an
+    ids-only equi-join on rank, fan-out exactly w per record."""
+    t = tables(spark, sf_dir, "customer")
+    cust = t["customer"].select("c_custkey", "c_name")
+    ranked = cust.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("c_name", "c_custkey"))
+    )
+    probes = ranked.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.explode(F.sequence(F.col("rnk") + 1, F.col("rnk") + 5)).alias("rnk"),
+    )
+    cand = probes.join(
+        ranked.select(
+            F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"), "rnk"
+        ),
+        "rnk",
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+O_SNM_LINKAGE = """
+WITH ranked AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+  FROM customer
+)
+SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+       greatest(a.c_custkey, b.c_custkey) AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM ranked a JOIN ranked b
+  ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+QUERIES["snm_linkage"] = q_snm_linkage
+ORACLES["snm_linkage"] = O_SNM_LINKAGE
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    runs — exact cosine and 1-bit sign-Hamming — per query from the
+    deterministic modulo sample: RRF(d) = sum over runs of
+    1/(60 + rank_d). The standard zero-training ensemble before a
+    learned reranker; fused top-10 per query.
+
+    Exactness: ranks are integer (rounded-score ordering with id
+    tiebreaks), each RRF term is one exact integer division, the
+    two-term sum is a fixed-order coalesce addition — bit-identical
+    on both engines.
+
+    Plan (100 TB): both runs broadcast the query set and scan the
+    corpus once (the [cosine_topk_bruteforce] shape); fusion is a
+    full outer join of two (query, neighbor, rank) frames capped at
+    20 rows/query each."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    pairs = c.crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
+    agree = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: ((x > 0) == (y > 0)).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        fround(S.cosine_similarity_col(F.col("qv"), F.col("cv")), 6).alias("cos_r"),
+        agree.alias("ham_agree"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), "neighbor_id")
+    wb = Window.partitionBy("query_id").orderBy(F.desc("ham_agree"), "neighbor_id")
+    run_a = (
+        scored.withColumn("rank_a", F.row_number().over(wa))
+        .filter(F.col("rank_a") <= 20)
+        .select("query_id", "neighbor_id", "rank_a")
+    )
+    run_b = (
+        scored.withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= 20)
+        .select("query_id", "neighbor_id", "rank_b")
+    )
+    fused = (
+        run_a.join(run_b, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (60 + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("rank_b")), F.lit(0.0)),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            fround(F.col("rrf"), 6).alias("rrf"),
+            "fused_rank",
+        )
+    )
+
+
+O_RRF_FUSION = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {o_fround("list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_r,
+         (SELECT sum(CASE WHEN (qv[i] > 0) = (CAST(c.embedding AS DOUBLE[])[i] > 0)
+                          THEN 1 ELSE 0 END)
+          FROM unnest(range(1, len(qv) + 1)) AS t(i)) AS ham_agree
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+run_a AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank_a
+  FROM scored QUALIFY rank_a <= 20
+),
+run_b AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY ham_agree DESC, neighbor_id) AS rank_b
+  FROM scored QUALIFY rank_b <= 20
+),
+fused AS (
+  SELECT coalesce(run_a.query_id, run_b.query_id) AS query_id,
+         coalesce(run_a.neighbor_id, run_b.neighbor_id) AS neighbor_id,
+         coalesce(1.0 / (60 + rank_a), 0.0) + coalesce(1.0 / (60 + rank_b), 0.0) AS rrf
+  FROM run_a FULL OUTER JOIN run_b
+    ON run_a.query_id = run_b.query_id AND run_a.neighbor_id = run_b.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       {o_fround("rrf", 6)} AS rrf,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+"""
+
+QUERIES["rrf_fusion"] = q_rrf_fusion
+ORACLES["rrf_fusion"] = O_RRF_FUSION
+
+
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH banding S-curve — P(candidate) = 1-(1-s^r)^b
+    over a similarity grid for the (rows r x bands b) splits of a
+    32-hash signature — the tuning table [minhash_near_duplicates]'s
+    banding parameters are read off of (threshold ~ (1/b)^(1/r)).
+    Pure engine-portable math (integer grid, pow on identical
+    doubles); |grid| x |configs| rows, nothing scans the corpus —
+    registered so the tuning story ships with the operator it tunes.
+    """
+    tables(spark, sf_dir)  # contract: session tuned like every query
+    configs = spark.createDataFrame(
+        [(2, 16), (4, 8), (8, 4), (16, 2)], "r int, b int"
+    )
+    grid = spark.range(1, 20).select((F.col("id") * 0.05).alias("s"))
+    p = 1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    thr = F.pow(1.0 / F.col("b"), 1.0 / F.col("r"))
+    return (
+        grid.crossJoin(F.broadcast(configs))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("b").cast("int").alias("b"),
+            fround(F.col("s"), 2).alias("s"),
+            fround(p, 6).alias("p_candidate"),
+            fround(thr, 6).alias("threshold_est"),
+        )
+        .orderBy("r", "s")
+    )
+
+
+O_LSH_TUNING_CURVE = f"""
+WITH grid AS (SELECT i * 0.05 AS s FROM unnest(range(1, 20)) AS t(i)),
+configs AS (SELECT * FROM (VALUES (2, 16), (4, 8), (8, 4), (16, 2)) AS c(r, b))
+SELECT CAST(r AS INTEGER) AS r, CAST(b AS INTEGER) AS b,
+       {o_fround("s", 2)} AS s,
+       {o_fround("1 - pow(1 - pow(s, r), b)", 6)} AS p_candidate,
+       {o_fround("pow(1.0 / b, 1.0 / r)", 6)} AS threshold_est
+FROM grid CROSS JOIN configs
+ORDER BY r, s
+"""
+
+QUERIES["lsh_tuning_curve"] = q_lsh_tuning_curve
+ORACLES["lsh_tuning_curve"] = O_LSH_TUNING_CURVE

@@ -363,3 +363,53 @@ FROM matched
 
 QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
 ORACLES["asof_join_tolerance"] = O_ASOF_JOIN_TOLERANCE
+
+
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training features: for every order, the
+    customer's trailing-90-day order count and revenue AS OF the day
+    before the order — the leakage-free feature join a training
+    pipeline needs (the same-day exclusion is the subtle part: a
+    RANGE frame ending at -1 day can never see the label row or its
+    same-day siblings).
+
+    Plan (100 TB): ONE shuffle on o_custkey; the RANGE frame sorts
+    within customer only (bounded partitions), no self-join, no
+    calendar explode. DECIMAL running sums keep the money exact."""
+    t = tables(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, -1)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        day.cast("long").alias("day"),
+        F.count("o_orderkey").over(w).cast("long").alias("trailing_n"),
+        fround(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("trailing_rev"),
+    )
+
+
+O_POINT_IN_TIME_FEATURES = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       CAST(count(o_orderkey) OVER w AS BIGINT) AS trailing_n,
+       {o_fround("coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE), 0.0)", 2)} AS trailing_rev
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+  RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING
+)
+"""
+
+QUERIES["point_in_time_features"] = q_point_in_time_features
+ORACLES["point_in_time_features"] = O_POINT_IN_TIME_FEATURES

@@ -83,6 +83,24 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "temperature_mix": ("D1", "D2"),
     "tfidf_topk": ("D1", "D2"),     # 1-row corpus-count scalar cross join
     "copurchase_pairs": ("D1",),    # 1-row n_orders scalar cross join onto top-20
+    "assoc_rules": ("D1",),         # 1-row n_orders scalar cross join (same shape)
+    "degree_assortativity": ("D1",),  # 1-row stats x 1-row node-count cross join
+    "freshness_audit": ("D1", "D2"),  # 1-row anchor-ts scalar cross join; D2 is the
+    #                                   documented SinglePartition conjunction FP
+    "prefix_filter_join": ("D2",),  # the wid-dictionary window rides the VOCAB
+    #                                 frame, bounded <= mask_vocab_limit (4096)
+    #                                 by the stats gate — never the corpus
+    "snm_linkage": ("D2",),         # the global sort rank IS the SNM algorithm;
+    #                                 range-partition the sort at scale (docstring)
+    "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
+    #                                    join — pure math table, no corpus scan
+    "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
+    "psi_drift": ("D1",),           # 1-row (midpoint, min, max) scalar cross join
+    "retrieval_eval": ("D1", "D2"),  # broadcast fixed query set (embedding_topk
+    #                                  shape); D2 is the 1-row final-mean agg's
+    #                                  SinglePartition conjunction FP
+    "binary_embedding_audit": ("D1",),  # broadcast modulo stratum pair join
+    "rrf_fusion": ("D1",),          # broadcast fixed query set (embedding_topk shape)
     # late-r6 statistics/graph wave — same two bounded patterns:
     "ks_test": ("D1", "D2"),        # 1-row (na, nb) scalar cross join; CDF window
     #                                 rides the DISTINCT-VALUE frame (value
