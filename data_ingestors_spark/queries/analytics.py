@@ -2793,7 +2793,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL when confidence = 1 (division by zero) in both.
 
     Plan (100 TB): ordered-pair fan-out is O(k²) per basket, never
-    corpus-quadratic; min-support HAVING prunes the pair tail before
+    corpus-quadratic; min-support (>= 2, matching the co-purchase graph) HAVING prunes the pair tail before
     the metric joins; per-part support frames stream on the part key
     (|parts|-sized — NOT broadcast); the 1-row basket total cross-
     joins broadcast."""
@@ -2808,7 +2808,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("consequent"),
         )
         .agg(F.count("*").cast("long").alias("n_both"))
-        .filter(F.col("n_both") >= 5)
+        .filter(F.col("n_both") >= 2)
     )
     support = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_part"))
     total = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
@@ -2854,7 +2854,7 @@ co AS (
   FROM items a JOIN items b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
   GROUP BY 1, 2
-  HAVING count(*) >= 5
+  HAVING count(*) >= 2
 ),
 support AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1),
 total AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)

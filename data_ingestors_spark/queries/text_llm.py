@@ -3314,7 +3314,9 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles); |grid| x |configs| rows, nothing scans the corpus —
     registered so the tuning story ships with the operator it tunes.
     """
-    tables(spark, sf_dir)  # contract: session tuned like every query
+    from data_ingestors_spark.session import tune
+
+    tune(spark)  # contract: session tuned like every query (no scan needed)
     configs = spark.createDataFrame(
         [(2, 16), (4, 8), (8, 4), (16, 2)], "r int, b int"
     )
