@@ -30,3 +30,8 @@ from data_ingestors_spark.streaming.digest import (  # noqa: F401
     read_stream_quantiles,
     stream_quantile_digest,
 )
+from data_ingestors_spark.streaming.drift import (  # noqa: F401
+    psi_baseline,
+    read_psi,
+    stream_psi_fold,
+)
