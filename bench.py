@@ -205,6 +205,12 @@ HEADLINE = [
     "snm_linkage",
     "rrf_fusion",
     "lsh_tuning_curve",
+    # r7 batch 5: cross-source dup matrix, FD/privacy audits,
+    # watermark-sizing lateness audit
+    "cross_source_dups",
+    "fd_audit",
+    "k_anonymity",
+    "lateness_audit",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -917,3 +917,74 @@ ORDER BY d
 
 QUERIES["rolling_distinct"] = q_rolling_distinct
 ORACLES["rolling_distinct"] = O_ROLLING_DISTINCT
+
+
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness audit — the table you size a
+    streaming WATERMARK from: per event type, how many events arrive
+    behind the per-user running event-time maximum, the worst and
+    mean lateness (microsecond-exact), and the share of late events.
+    Arrival order proxy is (ts, event_id) within user — the same
+    deterministic order every sessionization query here uses.
+
+    Plan (100 TB): per-user running-max window (user-bounded
+    partitions, no global sort), then one partial-aggregable groupBy.
+    """
+    t = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = t["events"].select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    lateness = F.greatest(
+        F.coalesce(F.max("us").over(w) - F.col("us"), F.lit(0)), F.lit(0)
+    )
+    return (
+        ev.withColumn("late_us", lateness)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.floor(
+                F.sum(F.col("late_us").cast(DEC)).cast("double") / F.count("*")
+            ).cast("long").alias("avg_late_us"),
+            fround(
+                F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("late_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_LATENESS_AUDIT = f"""
+WITH ev AS (
+  SELECT event_type, user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+lat AS (
+  SELECT event_type,
+         greatest(coalesce(max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           - us, 0), 0) AS late_us
+  FROM ev
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(floor(CAST(sum(CAST(late_us AS DECIMAL(30,10))) AS DOUBLE) / count(*)) AS BIGINT) AS avg_late_us,
+       {o_fround("sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS late_frac
+FROM lat GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lateness_audit"] = q_lateness_audit
+ORACLES["lateness_audit"] = O_LATENESS_AUDIT

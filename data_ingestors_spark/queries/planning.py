@@ -643,3 +643,123 @@ FROM psi ORDER BY event_type
 
 QUERIES["psi_drift"] = q_psi_drift
 ORACLES["psi_drift"] = O_PSI_DRIFT
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the data-profiling primitive
+    behind normalization and key discovery: for each candidate FD
+    (determinant -> dependent), the number of determinant keys, how
+    many map to MORE than one dependent value (violations), and the
+    violation rate. Candidates here: l_orderkey -> l_returnflag,
+    l_orderkey -> l_linestatus, l_partkey -> l_extendedprice.
+
+    Plan (100 TB): per candidate ONE (key, dependent)-distinct
+    partial agg then a key-level count — no joins, no sort; the three
+    audits union into one result frame."""
+    t = tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"]
+
+    def audit(det: str, dep: str) -> DataFrame:
+        keys = (
+            li.select(det, dep)
+            .distinct()
+            .groupBy(det)
+            .agg(F.count("*").alias("n_dep"))
+        )
+        return keys.agg(
+            F.lit(f"{det}->{dep}").alias("fd"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            fround(
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)) / F.count("*"), 6
+            ).alias("violation_rate"),
+        )
+
+    return (
+        audit("l_orderkey", "l_returnflag")
+        .unionAll(audit("l_orderkey", "l_linestatus"))
+        .unionAll(audit("l_partkey", "l_extendedprice"))
+        .orderBy("fd")
+    )
+
+
+def _o_fd(det: str, dep: str) -> str:
+    return f"""
+  SELECT '{det}->{dep}' AS fd,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         {o_fround("sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS violation_rate
+  FROM (SELECT {det}, count(*) AS n_dep
+        FROM (SELECT DISTINCT {det}, {dep} FROM lineitem) GROUP BY 1)"""
+
+
+O_FD_AUDIT = f"""
+SELECT * FROM ({_o_fd("l_orderkey", "l_returnflag")}
+UNION ALL {_o_fd("l_orderkey", "l_linestatus")}
+UNION ALL {_o_fd("l_partkey", "l_extendedprice")})
+ORDER BY fd
+"""
+
+QUERIES["fd_audit"] = q_fd_audit
+ORACLES["fd_audit"] = O_FD_AUDIT
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier pair
+    (nation, market segment) on customers: per QI group size band,
+    how many groups and rows, plus the minimum l-diversity of the
+    account-balance sign band (the 'sensitive attribute') within the
+    band — the privacy screen a dataset passes before export.
+
+    Plan (100 TB): ONE groupBy to QI groups (partial-aggregable,
+    |nations| x |segments| rows), everything after rides the tiny
+    group frame."""
+    t = tables(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("nonneg"))
+    groups = (
+        t["customer"]
+        .select("c_nationkey", "c_mktsegment", sens.alias("sv"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.countDistinct("sv").cast("long").alias("l_div"),
+        )
+    )
+    band = (
+        F.when(F.col("k") < 5, F.lit("k<5"))
+        .when(F.col("k") < 25, F.lit("5<=k<25"))
+        .when(F.col("k") < 100, F.lit("25<=k<100"))
+        .otherwise(F.lit("k>=100"))
+    )
+    return (
+        groups.groupBy(band.alias("k_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_k"),
+            F.min("l_div").cast("long").alias("min_l_diversity"),
+        )
+        .orderBy("k_band")
+    )
+
+
+O_K_ANONYMITY = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) AS BIGINT) AS l_div
+  FROM customer GROUP BY 1, 2
+)
+SELECT CASE WHEN k < 5 THEN 'k<5' WHEN k < 25 THEN '5<=k<25'
+            WHEN k < 100 THEN '25<=k<100' ELSE 'k>=100' END AS k_band,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity
+FROM groups GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["k_anonymity"] = q_k_anonymity
+ORACLES["k_anonymity"] = O_K_ANONYMITY

@@ -3349,3 +3349,52 @@ ORDER BY r, s
 
 QUERIES["lsh_tuning_curve"] = q_lsh_tuning_curve
 ORACLES["lsh_tuning_curve"] = O_LSH_TUNING_CURVE
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every ordered source
+    pair, how many canonical fingerprints appear in BOTH — the number
+    that decides which feeds are mirrors of each other and in which
+    direction to drop ([q_dedup_family_stats] sizes families; this
+    locates them across feeds).
+
+    Plan (100 TB): collapse to the distinct (fingerprint, source)
+    frame FIRST (partial-aggregable), self-join on fingerprint only —
+    the join fan-out is per-fingerprint source-set squared, bounded by
+    the source count, never by document count; text never shuffles."""
+    t = tables(spark, sf_dir, "documents")
+    fps = (
+        X.fingerprint(t["documents"], "text", "doc_id")
+        .join(t["documents"].select("doc_id", "source"), "doc_id")
+        .select("fp_md5", "source")
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_md5") == F.col("b.fp_md5"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+O_CROSS_SOURCE_DUPS = """
+WITH fps AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp_md5 = b.fp_md5 AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["cross_source_dups"] = q_cross_source_dups
+ORACLES["cross_source_dups"] = O_CROSS_SOURCE_DUPS
