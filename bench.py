@@ -211,6 +211,12 @@ HEADLINE = [
     "fd_audit",
     "k_anonymity",
     "lateness_audit",
+    # r7 batch 6: WOE/IV encoding, seasonality ANOVA, cold-start
+    # coverage, A/B power table
+    "woe_iv",
+    "seasonality_strength",
+    "coldstart_coverage",
+    "power_analysis",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

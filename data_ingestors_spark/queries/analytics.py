@@ -2876,3 +2876,184 @@ LIMIT 50
 
 QUERIES["assoc_rules"] = q_assoc_rules
 ORACLES["assoc_rules"] = O_ASSOC_RULES
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence encoding + Information Value of the
+    customer-nation feature against the order-returned outcome — the
+    credit-scoring feature transform (WOE = ln(p_event/p_nonevent)
+    per category, IV = sum (p_e - p_ne) * WOE) that turns a
+    categorical into a monotone risk score; IV bands gate feature
+    selection (<0.02 useless, >0.3 strong).
+
+    Laplace +1 smoothing on both counts keeps empty cells finite in
+    both engines; ln() on identical doubles is libm-portable.
+
+    Plan (100 TB): outcome collapses to order grain map-side, ONE
+    groupBy to |nations| cells, two broadcast scalar totals — no
+    sort, no self-join."""
+    t = tables(spark, sf_dir, "orders", "lineitem", "customer")
+    returned = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"))
+    )
+    base = (
+        t["orders"]
+        .join(returned, "o_orderkey", "left")
+        .na.fill({"ret": 0})
+        .join(
+            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+    )
+    cells = base.groupBy("c_nationkey").agg(
+        F.sum("ret").cast("long").alias("n_event"),
+        F.sum(1 - F.col("ret")).cast("long").alias("n_nonevent"),
+    )
+    tot = cells.agg(
+        F.sum("n_event").cast("long").alias("t_e"),
+        F.sum("n_nonevent").cast("long").alias("t_ne"),
+        F.count("*").cast("long").alias("n_cats"),
+    )
+    p_e = (F.col("n_event") + 1) / (F.col("t_e") + F.col("n_cats"))
+    p_ne = (F.col("n_nonevent") + 1) / (F.col("t_ne") + F.col("n_cats"))
+    woe = F.log(p_e / p_ne)
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "n_event",
+        "n_nonevent",
+        fround(woe, 6).alias("woe"),
+        ((p_e - p_ne) * woe).alias("iv_term"),
+    )
+    iv = scored.agg(
+        fround(F.sum(F.col("iv_term").cast(DEC)).cast("double"), 6).alias("iv")
+    )
+    return (
+        scored.crossJoin(F.broadcast(iv))
+        .select("c_nationkey", "n_event", "n_nonevent", "woe", "iv")
+        .orderBy("c_nationkey")
+    )
+
+
+O_WOE_IV = f"""
+WITH returned AS (
+  SELECT l_orderkey AS o_orderkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1
+),
+base AS (
+  SELECT c_nationkey, coalesce(ret, 0) AS ret
+  FROM orders
+  LEFT JOIN returned USING (o_orderkey)
+  JOIN customer ON c_custkey = o_custkey
+),
+cells AS (
+  SELECT c_nationkey,
+         CAST(sum(ret) AS BIGINT) AS n_event,
+         CAST(sum(1 - ret) AS BIGINT) AS n_nonevent
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_event) AS BIGINT) AS t_e,
+         CAST(sum(n_nonevent) AS BIGINT) AS t_ne,
+         CAST(count(*) AS BIGINT) AS n_cats
+  FROM cells
+),
+scored AS (
+  SELECT c_nationkey, n_event, n_nonevent,
+         {o_fround("ln(((n_event + 1) / CAST(t_e + n_cats AS DOUBLE)) / ((n_nonevent + 1) / CAST(t_ne + n_cats AS DOUBLE)))", 6)} AS woe,
+         (((n_event + 1) / CAST(t_e + n_cats AS DOUBLE)) - ((n_nonevent + 1) / CAST(t_ne + n_cats AS DOUBLE)))
+           * ln(((n_event + 1) / CAST(t_e + n_cats AS DOUBLE)) / ((n_nonevent + 1) / CAST(t_ne + n_cats AS DOUBLE))) AS iv_term
+  FROM cells CROSS JOIN tot
+),
+iv AS (SELECT {o_fround("CAST(sum(CAST(iv_term AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS iv FROM scored)
+SELECT c_nationkey, n_event, n_nonevent, woe, iv
+FROM scored CROSS JOIN iv
+ORDER BY c_nationkey
+"""
+
+QUERIES["woe_iv"] = q_woe_iv
+ORACLES["woe_iv"] = O_WOE_IV
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type: the fraction
+    of daily-count variance explained by the day-of-week means
+    (between-group SS over total SS — one-way ANOVA R²) — the single
+    number that says whether a weekly seasonal model is worth
+    fitting ([q_seasonal_decompose] then extracts it).
+
+    Exactness: daily counts are integers; all sums of squares
+    accumulate in DECIMAL from integer products, so both engines get
+    identical doubles before the one division. Day-of-week is the
+    portable datediff-mod-7 form.
+
+    Plan (100 TB): events collapse to the (type, day) count frame
+    FIRST (partial-aggregable); everything after rides |types| x
+    |days| rows."""
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "dow",
+            F.pmod(F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)).cast("int"),
+        )
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("n").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("n") * F.col("n")).cast(DEC)).cast("double").alias("ss"),
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("n_days"),
+        F.sum(F.col("s").cast(DEC)).cast("double").alias("st"),
+        F.sum(F.col("ss").cast(DEC)).cast("double").alias("sst"),
+        F.sum((F.col("s") * F.col("s") / F.col("k")).cast(DEC)).cast("double").alias("sb_raw"),
+    )
+    ss_total = F.col("sst") - F.col("st") * F.col("st") / F.col("n_days")
+    ss_between = F.col("sb_raw") - F.col("st") * F.col("st") / F.col("n_days")
+    return per_type.select(
+        "event_type",
+        "n_days",
+        fround(ss_between / ss_total, 6).alias("seasonality_r2"),
+    ).orderBy("event_type")
+
+
+O_SEASONALITY_STRENGTH = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+dowd AS (
+  SELECT event_type, n,
+         CAST((datediff('day', DATE '1970-01-05', d) % 7 + 7) % 7 AS INTEGER) AS dow
+  FROM daily
+),
+per_dow AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(n AS DECIMAL(30,10))) AS DOUBLE) AS s,
+         CAST(sum(CAST(n * n AS DECIMAL(30,10))) AS DOUBLE) AS ss
+  FROM dowd GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type,
+         CAST(sum(k) AS BIGINT) AS n_days,
+         CAST(sum(CAST(s AS DECIMAL(30,10))) AS DOUBLE) AS st,
+         CAST(sum(CAST(ss AS DECIMAL(30,10))) AS DOUBLE) AS sst,
+         CAST(sum(CAST(s * s / k AS DECIMAL(30,10))) AS DOUBLE) AS sb_raw
+  FROM per_dow GROUP BY 1
+)
+SELECT event_type, n_days,
+       {o_fround("(sb_raw - st * st / n_days) / (sst - st * st / n_days)", 6)} AS seasonality_r2
+FROM per_type ORDER BY event_type
+"""
+
+QUERIES["seasonality_strength"] = q_seasonality_strength
+ORACLES["seasonality_strength"] = O_SEASONALITY_STRENGTH

@@ -763,3 +763,149 @@ FROM groups GROUP BY 1 ORDER BY 1
 
 QUERIES["k_anonymity"] = q_k_anonymity
 ORACLES["k_anonymity"] = O_K_ANONYMITY
+
+
+def q_coldstart_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start coverage across a time split: training on the first
+    half of order history, what fraction of second-half activity
+    involves customers / parts NEVER seen in training — the number
+    that bounds any ID-embedding model's reachable accuracy before
+    training starts.
+
+    Split point is the data-derived midpoint of the order-date range
+    (deterministic). Plan (100 TB): per entity ONE distinct-entity
+    frame per half (partial-aggregable) and one LEFT anti-style join
+    on the entity key; the two audits union into a 2-row frame."""
+    t = tables(spark, sf_dir, "orders", "lineitem")
+    rng = t["orders"].agg(
+        ((F.min(F.unix_micros("o_orderdate")) + F.max(F.unix_micros("o_orderdate"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    o = t["orders"].crossJoin(F.broadcast(rng))
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .crossJoin(F.broadcast(rng))
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        in_b = F.unix_micros("o_orderdate") >= F.col("mid_us")
+        train = df.filter(~in_b).select(F.col(key).alias("k")).distinct()
+        test = df.filter(in_b).groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("long").alias("n_rows")
+        )
+        j = test.join(train.withColumn("seen", F.lit(1)), "k", "left")
+        return j.agg(
+            F.lit(name).alias("entity"),
+            F.count("*").cast("long").alias("n_test_entities"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen_entities"),
+            F.sum("n_rows").cast("long").alias("n_test_rows"),
+            F.sum(F.when(F.col("seen").isNull(), F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_unseen_rows"),
+            fround(
+                F.sum(F.when(F.col("seen").isNull(), F.col("n_rows")).otherwise(0))
+                / F.sum("n_rows"),
+                6,
+            ).alias("unseen_row_frac"),
+        )
+
+    return (
+        audit(o, "o_custkey", "customer")
+        .unionAll(audit(li, "l_partkey", "part"))
+        .orderBy("entity")
+    )
+
+
+def _o_coldstart(src: str, key: str, name: str) -> str:
+    return f"""
+  SELECT '{name}' AS entity,
+         CAST(count(*) AS BIGINT) AS n_test_entities,
+         CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_entities,
+         CAST(sum(n_rows) AS BIGINT) AS n_test_rows,
+         CAST(sum(CASE WHEN seen IS NULL THEN n_rows ELSE 0 END) AS BIGINT) AS n_unseen_rows,
+         {o_fround("sum(CASE WHEN seen IS NULL THEN n_rows ELSE 0 END) / CAST(sum(n_rows) AS DOUBLE)", 6)} AS unseen_row_frac
+  FROM (
+    SELECT t.k, t.n_rows, tr.seen
+    FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS n_rows
+          FROM {src} CROSS JOIN rng WHERE epoch_us(o_orderdate) >= mid_us GROUP BY 1) t
+    LEFT JOIN (SELECT DISTINCT {key} AS k, 1 AS seen
+               FROM {src} CROSS JOIN rng WHERE epoch_us(o_orderdate) < mid_us) tr
+      USING (k)
+  )"""
+
+
+O_COLDSTART_COVERAGE = f"""
+WITH rng AS (
+  SELECT CAST(floor((min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) / 2) AS BIGINT) AS mid_us
+  FROM orders
+),
+li AS (
+  SELECT l_partkey, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT * FROM ({_o_coldstart("orders", "o_custkey", "customer")}
+UNION ALL {_o_coldstart("li", "l_partkey", "part")})
+ORDER BY entity
+"""
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test sample-size table: required per-variant n for a
+    two-proportion z-test at alpha=0.05 (two-sided), power 0.8/0.9,
+    over a grid of baseline rates x minimum detectable effects —
+    n = (z_a + z_b)^2 * (p1(1-p1) + p2(1-p2)) / delta^2. The planning
+    table every experimentation pipeline pins next to its metrics
+    ([q_ab_test_proportions] is the read-out side).
+
+    Pure engine-portable math: integer grid, z constants as shared
+    literals, one pow and one ceil — no corpus scan (the session is
+    tuned per the registry contract)."""
+    from data_ingestors_spark.session import tune
+
+    tune(spark)
+    # z_{0.975} and z_{0.8}/z_{0.9} as fixed literals (both engines
+    # receive the same doubles — no inverse-CDF needed)
+    powers = spark.createDataFrame(
+        [(0.8, 0.8416), (0.9, 1.2816)], "power double, z_b double"
+    )
+    base = spark.range(1, 6).select((F.col("id") * 0.05).alias("p1"))  # 5%..25%
+    mde = spark.range(1, 5).select((F.col("id") * 0.01).alias("delta"))  # +1..4pp
+    grid = base.crossJoin(mde).crossJoin(F.broadcast(powers))
+    p2 = F.col("p1") + F.col("delta")
+    za = F.lit(1.96)
+    n = F.ceil(
+        F.pow(za + F.col("z_b"), 2)
+        * (F.col("p1") * (1 - F.col("p1")) + p2 * (1 - p2))
+        / F.pow(F.col("delta"), 2)
+    ).cast("long")
+    return grid.select(
+        fround(F.col("p1"), 2).alias("p1"),
+        fround(F.col("delta"), 2).alias("delta"),
+        fround(F.col("power"), 1).alias("power"),
+        n.alias("n_per_variant"),
+    ).orderBy("p1", "delta", "power")
+
+
+O_POWER_ANALYSIS = f"""
+WITH base AS (SELECT i * 0.05 AS p1 FROM unnest(range(1, 6)) AS t(i)),
+mde AS (SELECT i * 0.01 AS delta FROM unnest(range(1, 5)) AS t(i)),
+powers AS (SELECT * FROM (VALUES (0.8, 0.8416), (0.9, 1.2816)) AS p(power, z_b))
+SELECT {o_fround("p1", 2)} AS p1,
+       {o_fround("delta", 2)} AS delta,
+       {o_fround("power", 1)} AS power,
+       CAST(ceil(pow(1.96 + z_b, 2) * (p1 * (1 - p1) + (p1 + delta) * (1 - (p1 + delta)))
+                 / pow(delta, 2)) AS BIGINT) AS n_per_variant
+FROM base CROSS JOIN mde CROSS JOIN powers
+ORDER BY p1, delta, power
+"""
+
+QUERIES["coldstart_coverage"] = q_coldstart_coverage
+ORACLES["coldstart_coverage"] = O_COLDSTART_COVERAGE
+QUERIES["power_analysis"] = q_power_analysis
+ORACLES["power_analysis"] = O_POWER_ANALYSIS

@@ -96,6 +96,10 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
     "psi_drift": ("D1",),           # 1-row (midpoint, min, max) scalar cross join
+    "coldstart_coverage": ("D1",),  # 1-row time-midpoint scalar cross joins (x4:
+    #                                 two tables x two halves)
+    "woe_iv": ("D1",),              # 1-row totals + 1-row IV scalar cross joins
+    "power_analysis": ("D1", "D2"),  # literal grid cross joins — pure math table
     "retrieval_eval": ("D1", "D2"),  # broadcast fixed query set (embedding_topk
     #                                  shape); D2 is the 1-row final-mean agg's
     #                                  SinglePartition conjunction FP
