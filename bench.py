@@ -217,6 +217,9 @@ HEADLINE = [
     "seasonality_strength",
     "coldstart_coverage",
     "power_analysis",
+    # r7 batch 7: session entry paths, repeat-purchase cadence
+    "session_paths",
+    "repeat_purchase_gaps",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -3057,3 +3057,74 @@ FROM per_type ORDER BY event_type
 
 QUERIES["seasonality_strength"] = q_seasonality_strength
 ORACLES["seasonality_strength"] = O_SEASONALITY_STRENGTH
+
+
+def q_repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: day gaps between a
+    customer's consecutive orders, summarized as count / mean /
+    median / p90 — the reorder-cycle table that calibrates churn
+    windows and replenishment nudges.
+
+    Exactness: gaps are integer days from a per-customer lag window
+    ((date, orderkey) order); mean divides a DECIMAL sum; the
+    percentiles use the interpolated-percentile pair proven
+    hash-portable by key_skew_audit (F.percentile == quantile_cont
+    on integer inputs).
+
+    Plan (100 TB): one shuffle on o_custkey for the lag window, one
+    |segments|-row aggregate; percentile partials ride the distinct
+    gap-value counts, never a global sort."""
+    t = tables(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t["orders"]
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .join(
+            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "o_custkey",
+        )
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            fround(
+                F.sum(F.col("gap_days").cast(DEC)).cast("double") / F.count("*"), 4
+            ).alias("avg_gap_days"),
+            fround(F.percentile("gap_days", 0.5), 4).alias("median_gap_days"),
+            fround(F.percentile("gap_days", 0.9), 4).alias("p90_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O_REPEAT_PURCHASE_GAPS = f"""
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+),
+j AS (
+  SELECT c_mktsegment, gap_days
+  FROM gaps JOIN customer ON c_custkey = o_custkey
+  WHERE gap_days IS NOT NULL
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       {o_fround("CAST(sum(CAST(gap_days AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_gap_days,
+       {o_fround("quantile_cont(gap_days, 0.5)", 4)} AS median_gap_days,
+       {o_fround("quantile_cont(gap_days, 0.9)", 4)} AS p90_gap_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["repeat_purchase_gaps"] = q_repeat_purchase_gaps
+ORACLES["repeat_purchase_gaps"] = O_REPEAT_PURCHASE_GAPS

@@ -988,3 +988,79 @@ FROM lat GROUP BY 1 ORDER BY 1
 
 QUERIES["lateness_audit"] = q_lateness_audit
 ORACLES["lateness_audit"] = O_LATENESS_AUDIT
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 session entry paths: the first three event types of each
+    30-minute-gap session, concatenated — the Sankey-diagram input
+    that shows how users actually enter the product
+    ([q_session_stats] sizes sessions; this names them).
+
+    Session ids come from the same lag + running-sum construction as
+    session_stats (per-user windows only, (ts, event_id) order);
+    the path is a row_number <= 3 filter + an order-preserving
+    array_agg collapsed per session. Counts rank with the full
+    (n desc, path) tiebreak so the top-25 set is engine-exact.
+
+    Plan (100 TB): two per-user window passes + one groupBy per
+    session + one |paths|-sized count — no global sort until the
+    final 25-row TakeOrdered."""
+    t = tables(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    ev = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("sess", F.sum(new_sess).over(wu))
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    first3 = (
+        ev.withColumn("pos", F.row_number().over(ws))
+        .filter(F.col("pos") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(F.collect_list(F.struct("pos", "event_type"))).getField("event_type")
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
+
+
+O_SESSION_PATHS = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM ev
+),
+first3 AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY pos) AS path
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS pos
+    FROM sess
+  ) WHERE pos <= 3
+  GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM first3 GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 25
+"""
+
+QUERIES["session_paths"] = q_session_paths
+ORACLES["session_paths"] = O_SESSION_PATHS
