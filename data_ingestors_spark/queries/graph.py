@@ -258,7 +258,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _copurchase_edges)."""
     from data_ingestors_spark.queries.base import DEC
 
-    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    from data_ingestors_spark.operators.dedup import _materialize
+
+    # the edge pipeline (pair-gen + support filter) feeds FOUR join
+    # branches below — materialize once so the plan reads the cache
+    # instead of re-running the O(k²) fan-out per branch
+    edges = _materialize(_copurchase_edges(spark, sf_dir).select("src", "dst"))
     deg = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
@@ -347,7 +352,11 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not grow with the fact table); closure is one semi join
     against the normalized edge list; every aggregate is
     partial-aggregable. All-integer until the one division."""
-    edges = _copurchase_edges(spark, sf_dir).select("src", "dst")
+    from data_ingestors_spark.operators.dedup import _materialize
+
+    # edge frame feeds adjacency (twice) + the closure semi join —
+    # materialize once (same rationale as degree_assortativity)
+    edges = _materialize(_copurchase_edges(spark, sf_dir).select("src", "dst"))
     adj = edges.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionAll(
         edges.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
     )
