@@ -248,6 +248,88 @@ def _merge_counts(batch: DataFrame, current: DataFrame, key: str):
     )
 
 
+def purge_keys(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key: str = "data_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> int:
+    """Right-to-be-forgotten delete: remove every row whose ``key``
+    appears in ``keys`` from a bucketed table written by
+    :func:`upsert`. Returns the number of rows deleted.
+
+    Same touched-buckets-only contract as upsert: the deletion key set
+    hashes to its buckets, ONLY those bucket partitions are read,
+    anti-joined, and dynamically overwritten — at 100 TB a purge of k
+    users rewrites O(k) buckets, never the table. Keys absent from
+    the table are a no-op (idempotent — a replayed purge deletes
+    nothing and rewrites identical bucket contents).
+
+    A bucket left EMPTY by the purge still rewrites (with an empty
+    frame the dynamic overwrite would skip it, silently KEEPING the
+    deleted rows — the one-row tombstone-free workaround is writing
+    the empty partition explicitly via the kept-rows union, which
+    always contains the bucket's surviving siblings or nothing; the
+    empty case is handled by an explicit per-bucket delete)."""
+    if not path_exists(spark, target_path):
+        return 0
+    keyset = (
+        keys.select(F.col(key).cast("string").alias(key))
+        .distinct()
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
+        )
+        .persist()
+    )
+    try:
+        touched = [r[BUCKET_COL] for r in keyset.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return 0
+        current = spark.read.parquet(target_path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        n_before = current.count()
+        keep = current.join(
+            keyset.select(F.col(key).alias("__purge_key")),
+            current[key].cast("string") == F.col("__purge_key"),
+            "left_anti",
+        )
+        keep = keep.localCheckpoint(eager=True)
+        n_after = keep.count()
+        # dynamic overwrite replaces only partitions PRESENT in `keep`;
+        # a fully-purged bucket has no rows to carry its partition, so
+        # delete those bucket directories explicitly
+        kept_buckets = {r[BUCKET_COL] for r in keep.select(BUCKET_COL).distinct().collect()}
+        emptied = [b for b in touched if b not in kept_buckets]
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if n_after:
+                keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for b in emptied:
+            fs, p = hadoop_fs(spark, f"{target_path}/{BUCKET_COL}={b}")
+            fs.delete(p, True)
+        # if the purge emptied the LAST bucket of the whole table,
+        # leave a schema-bearing empty parquet (flat layout — upsert's
+        # legacy path re-buckets on next write) so readers don't hit
+        # UNABLE_TO_INFER_SCHEMA on an all-deleted table
+        fs, root = hadoop_fs(spark, target_path)
+        has_buckets = any(
+            st.getPath().getName().startswith(f"{BUCKET_COL}=")
+            for st in fs.listStatus(root)
+        )
+        if not has_buckets:
+            empty = spark.createDataFrame([], current.schema)
+            empty.write.mode("overwrite").parquet(target_path)
+        return n_before - n_after
+    finally:
+        keyset.unpersist()
+
+
 def quarantine_split(df: DataFrame, valid_predicate) -> tuple[DataFrame, DataFrame]:
     """Split valid/invalid rows by predicate — the distributed
     replacement for the reference's per-record failure isolation

@@ -239,3 +239,47 @@ def test_table_stats_drives_compaction(spark, tmp_path):
     after = table_stats(spark, target)
     assert after["avg_files_per_bucket"] == 1.0
     assert after["total_bytes"] > 0
+
+
+def test_purge_keys_deletes_and_touches_only_their_buckets(spark, tmp_path):
+    """GDPR purge: requested keys vanish, the rest survive byte-for-byte
+    (untouched bucket files unmodified), absent keys are a no-op, and a
+    replayed purge is idempotent."""
+    from data_ingestors_spark.io.writers import purge_keys
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(200)], ["data_id", "v"])
+    upsert(spark, t, base, n_buckets=8)
+    before = bucket_files(t)
+
+    victims = spark.createDataFrame([("k0",), ("k7",), ("nope",)], ["data_id"])
+    n = purge_keys(spark, t, victims, n_buckets=8)
+    assert n == 2  # 'nope' was never in the table
+
+    rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
+    assert "k0" not in rows and "k7" not in rows
+    assert len(rows) == 198 and rows["k1"] == 1
+
+    after = bucket_files(t)
+    untouched = [d for d in before if before[d] == after.get(d)]
+    # at most 3 buckets held the 3 requested keys; every other bucket
+    # file list is identical
+    assert len(untouched) >= len(before) - 3
+
+    # replay: same purge deletes nothing more
+    assert purge_keys(spark, t, victims, n_buckets=8) == 0
+    assert len(read_table(spark, t).collect()) == 198
+
+
+def test_purge_keys_empties_whole_bucket(spark, tmp_path):
+    """Purging EVERY key of a bucket must remove the bucket directory,
+    not silently keep its rows (the dynamic-overwrite blind spot)."""
+    from data_ingestors_spark.io.writers import purge_keys
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(40)], ["data_id", "v"])
+    upsert(spark, t, base, n_buckets=4)
+    all_keys = spark.createDataFrame([(f"k{i}",) for i in range(40)], ["data_id"])
+    n = purge_keys(spark, t, all_keys, n_buckets=4)
+    assert n == 40
+    assert read_table(spark, t).count() == 0
