@@ -220,6 +220,10 @@ HEADLINE = [
     # r7 batch 7: session entry paths, repeat-purchase cadence
     "session_paths",
     "repeat_purchase_gaps",
+    # r7 batch 8: dedup budget allocation, norm hygiene, funnel speed
+    "dedup_impact_report",
+    "embedding_norm_audit",
+    "conversion_latency",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

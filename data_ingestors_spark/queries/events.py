@@ -1064,3 +1064,70 @@ LIMIT 25
 
 QUERIES["session_paths"] = q_session_paths
 ORACLES["session_paths"] = O_SESSION_PATHS
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion latency: for every purchase, the
+    time since the SAME user's most recent prior view within 1 hour
+    (the attribution pairing of [q_attribution_join], reduced to its
+    nearest match), summarized as count / mean / p50 / p90 seconds —
+    the funnel-speed table next to funnel_windowed's conversion
+    counts.
+
+    Plan (100 TB): one shuffle on user_id for the bounded pair join,
+    per-purchase nearest-view via max (no window over raw events),
+    one global aggregate; percentiles use the hash-portable
+    interpolated pair. Integer microsecond deltas until the final
+    divisions."""
+    t = tables(spark, sf_dir, "events")
+    ev = t["events"]
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    nearest = (
+        v.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            (
+                F.min(F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+            ).alias("delay_us")
+        )
+    )
+    return nearest.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        fround(
+            F.sum(F.col("delay_us").cast(DEC)).cast("double") / F.count("*") / 1e6, 4
+        ).alias("avg_delay_s"),
+        fround(F.percentile("delay_us", 0.5) / 1e6, 4).alias("p50_delay_s"),
+        fround(F.percentile("delay_us", 0.9) / 1e6, 4).alias("p90_delay_s"),
+    )
+
+
+O_CONVERSION_LATENCY = f"""
+WITH nearest AS (
+  SELECT p.event_id AS purchase_id,
+         min(epoch_us(p.ts) - epoch_us(v.ts)) AS delay_us
+  FROM events v JOIN events p
+    ON v.user_id = p.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+       {o_fround("CAST(sum(CAST(delay_us AS DECIMAL(30,10))) AS DOUBLE) / count(*) / 1e6", 4)} AS avg_delay_s,
+       {o_fround("quantile_cont(delay_us, 0.5) / 1e6", 4)} AS p50_delay_s,
+       {o_fround("quantile_cont(delay_us, 0.9) / 1e6", 4)} AS p90_delay_s
+FROM nearest
+"""
+
+QUERIES["conversion_latency"] = q_conversion_latency
+ORACLES["conversion_latency"] = O_CONVERSION_LATENCY

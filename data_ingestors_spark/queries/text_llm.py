@@ -3398,3 +3398,144 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["cross_source_dups"] = q_cross_source_dups
 ORACLES["cross_source_dups"] = O_CROSS_SOURCE_DUPS
+
+
+def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup impact: if exact-duplicate families collapse
+    to one survivor each, how many documents / characters does each
+    source shed — the budget table that justifies (or kills) a dedup
+    pass per feed ([q_dedup_family_stats] is the global histogram;
+    this allocates the savings).
+
+    Survivor rule matches [q_dedup_canonical]: one row per
+    fingerprint survives GLOBALLY; a source's loss is its rows minus
+    its survivors (a family spanning sources keeps its single
+    survivor in the max_by-chosen source).
+
+    Plan (100 TB): one fingerprint groupBy for survivors
+    (partial-aggregable max_by), one per-(source) conditional count —
+    text shuffles never, ids and counts only."""
+    t = tables(spark, sf_dir, "documents")
+    fp = X.fingerprint(t["documents"], "text", "doc_id").select(
+        "doc_id", "fp_md5"
+    )
+    d = t["documents"].select("doc_id", "source", F.length("text").alias("nc")).join(
+        fp, "doc_id"
+    )
+    surv = d.groupBy("fp_md5").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("nc"), (-F.col("doc_id")).alias("negid"))
+        ).alias("keep_id")
+    )
+    flagged = d.join(
+        F.broadcast(surv.select(F.col("keep_id").alias("doc_id"), F.lit(1).alias("keep"))),
+        "doc_id",
+        "left",
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum(F.when(F.col("keep").isNull(), F.col("nc")).otherwise(0))
+            .cast("long")
+            .alias("chars_dropped"),
+            fround(
+                F.sum(F.when(F.col("keep").isNull(), F.col("nc")).otherwise(0))
+                / F.sum("nc"),
+                6,
+            ).alias("char_drop_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+O_DEDUP_IMPACT_REPORT = f"""
+WITH d AS (
+  SELECT doc_id, source, length(text) AS nc,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+  FROM documents
+),
+surv AS (
+  SELECT fp_md5, doc_id AS keep_id
+  FROM (SELECT fp_md5, doc_id,
+               row_number() OVER (PARTITION BY fp_md5
+                                  ORDER BY nc DESC, doc_id) AS rnk
+        FROM d)
+  WHERE rnk = 1
+),
+flagged AS (
+  SELECT d.*, s.keep
+  FROM d LEFT JOIN (SELECT keep_id AS doc_id, 1 AS keep FROM surv) s USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN keep IS NULL THEN nc ELSE 0 END) AS BIGINT) AS chars_dropped,
+       {o_fround("sum(CASE WHEN keep IS NULL THEN nc ELSE 0 END) / CAST(sum(nc) AS DOUBLE)", 6)} AS char_drop_frac
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dedup_impact_report"] = q_dedup_impact_report
+ORACLES["dedup_impact_report"] = O_DEDUP_IMPACT_REPORT
+
+
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm hygiene audit per label: L2 norm min / mean / max
+    plus the count outside [0.9, 1.1] — the 30-second check that an
+    embedding column is (or is not) unit-normalized before anyone
+    trusts cosine == dot shortcuts downstream.
+
+    Norms fold with the proven sequential-double pattern
+    ([cosine_similarity_col]'s _norm — matches DuckDB list math);
+    aggregates are decimal-exact.
+
+    Plan (100 TB): one row-local norm per vector, one
+    partial-aggregable groupBy per label. Nothing joins."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    d = emb.select("label", fround(norm, 6).alias("nrm"))
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            fround(F.min("nrm"), 6).alias("min_norm"),
+            fround(F.sum(F.col("nrm").cast(DEC)).cast("double") / F.count("*"), 6).alias("avg_norm"),
+            fround(F.max("nrm"), 6).alias("max_norm"),
+            F.sum(F.when((F.col("nrm") < 0.9) | (F.col("nrm") > 1.1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outside_band"),
+        )
+        .orderBy("label")
+    )
+
+
+O_EMBEDDING_NORM_AUDIT = f"""
+WITH d AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         {o_fround("sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))", 6)} AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       {o_fround("min(nrm)", 6)} AS min_norm,
+       {o_fround("CAST(sum(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS avg_norm,
+       {o_fround("max(nrm)", 6)} AS max_norm,
+       CAST(sum(CASE WHEN nrm < 0.9 OR nrm > 1.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_outside_band
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["embedding_norm_audit"] = q_embedding_norm_audit
+ORACLES["embedding_norm_audit"] = O_EMBEDDING_NORM_AUDIT
