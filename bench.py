@@ -224,6 +224,11 @@ HEADLINE = [
     "dedup_impact_report",
     "embedding_norm_audit",
     "conversion_latency",
+    # r7 batch 9: mixture waterfill plan, activity heatmap,
+    # cumulative user growth
+    "mixture_plan",
+    "activity_heatmap",
+    "cumulative_users",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -1131,3 +1131,94 @@ FROM nearest
 
 QUERIES["conversion_latency"] = q_conversion_latency
 ORACLES["conversion_latency"] = O_CONVERSION_LATENCY
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap: event counts and corpus
+    share per (dow, hour) cell — the capacity-planning / anomaly
+    baseline grid ([q_seasonality_strength] scores the weekly signal;
+    this draws it). Portable dow (datediff-mod-7 from a known
+    Monday), UTC hour.
+
+    Plan (100 TB): ONE partial-aggregable groupBy to <=168 cells; the
+    share joins a broadcast 1-row total."""
+    t = tables(spark, sf_dir, "events")
+    d = t["events"].select(
+        F.pmod(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")), F.lit(7)
+        ).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+    cells = d.groupBy("dow", "hour").agg(F.count("*").cast("long").alias("n_events"))
+    tot = cells.agg(F.sum("n_events").cast("long").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            fround(F.col("n_events") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+O_ACTIVITY_HEATMAP = f"""
+WITH cells AS (
+  SELECT CAST((datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 + 7) % 7 AS INTEGER) AS dow,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM cells)
+SELECT dow, hour, n_events,
+       {o_fround("n_events / CAST(n_total AS DOUBLE)", 6)} AS share
+FROM cells CROSS JOIN tot
+ORDER BY dow, hour
+"""
+
+QUERIES["activity_heatmap"] = q_activity_heatmap
+ORACLES["activity_heatmap"] = O_ACTIVITY_HEATMAP
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the classic growth curve,
+    computed WITHOUT any sliding distinct set: a user contributes at
+    their FIRST activity day, so the curve is a running sum of
+    first-day counts over the |days|-sized frame ([q_rolling_distinct]
+    is the windowed sibling; this is the monotone total).
+
+    Plan (100 TB): distinct (user, day) partial agg -> per-user min
+    (one groupBy) -> |days|-row running sum. The window sorts DAYS,
+    not events."""
+    t = tables(spark, sf_dir, "events")
+    ud = t["events"].select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("d"))
+    per_day = firsts.groupBy("d").agg(F.count("*").cast("long").alias("n_new"))
+    days = ud.select("d").distinct()
+    filled = days.join(per_day, "d", "left").na.fill({"n_new": 0})
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        filled.select(
+            "d",
+            F.col("n_new"),
+            F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("d")
+    )
+
+
+O_CUMULATIVE_USERS = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, min(d) AS d FROM ud GROUP BY 1),
+per_day AS (SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM firsts GROUP BY 1),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT d, CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM days LEFT JOIN per_day USING (d)
+ORDER BY d
+"""
+
+QUERIES["cumulative_users"] = q_cumulative_users
+ORACLES["cumulative_users"] = O_CUMULATIVE_USERS

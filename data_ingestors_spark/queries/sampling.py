@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestors_spark.queries.base import tables
+from data_ingestors_spark.functions.rounding import fround, o_fround
 
 # first 4 hex chars of md5: fixed-width lowercase hex compares
 # lexicographically == numerically, so the 90% cut is a plain string
@@ -350,3 +351,65 @@ QUALIFY cum_tokens <= {_BUDGET_TOKENS}
 
 QUERIES["budget_select"] = q_budget_select
 ORACLES["budget_select"] = O_BUDGET_SELECT
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-rebalancing plan: per-source keep rates that move the
+    corpus toward a UNIFORM source mix without upsampling — rate_s =
+    min(1, target_per_source / n_s) — plus expected kept counts and
+    the achieved (post-clamp) share. The one-pass waterfill a
+    pretraining mix pipeline prints before committing to a
+    [q_temperature_mix]-style reweighting (clamped sources keep 100%
+    and the residual deficit is reported, not silently redistributed
+    — an iterative waterfill closes it; the plan table makes the gap
+    visible first).
+
+    All arithmetic is exact-integer division; plan rides the
+    |sources|-row aggregate frame."""
+    t = tables(spark, sf_dir, "documents")
+    per = t["documents"].groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    target = F.col("n_total") / F.col("n_sources")
+    rate = F.least(F.lit(1.0), target / F.col("n_docs"))
+    kept = F.floor(rate * F.col("n_docs")).cast("long")
+    planned = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        fround(rate, 6).alias("keep_rate"),
+        kept.alias("n_kept"),
+    )
+    ktot = planned.agg(F.sum("n_kept").cast("long").alias("k_total"))
+    return (
+        planned.crossJoin(F.broadcast(ktot))
+        .select(
+            "source",
+            "n_docs",
+            "keep_rate",
+            "n_kept",
+            fround(F.col("n_kept") / F.col("k_total"), 6).alias("achieved_share"),
+        )
+        .orderBy("source")
+    )
+
+
+O_MIXTURE_PLAN = f"""
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS n_sources FROM per),
+planned AS (
+  SELECT source, n_docs,
+         {o_fround("least(1.0, (n_total / CAST(n_sources AS DOUBLE)) / n_docs)", 6)} AS keep_rate,
+         CAST(floor(least(1.0, (n_total / CAST(n_sources AS DOUBLE)) / n_docs) * n_docs) AS BIGINT) AS n_kept
+  FROM per CROSS JOIN tot
+),
+ktot AS (SELECT CAST(sum(n_kept) AS BIGINT) AS k_total FROM planned)
+SELECT source, n_docs, keep_rate, n_kept,
+       {o_fround("n_kept / CAST(k_total AS DOUBLE)", 6)} AS achieved_share
+FROM planned CROSS JOIN ktot
+ORDER BY source
+"""
+
+QUERIES["mixture_plan"] = q_mixture_plan
+ORACLES["mixture_plan"] = O_MIXTURE_PLAN

@@ -100,6 +100,10 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 two tables x two halves)
     "woe_iv": ("D1",),              # 1-row totals + 1-row IV scalar cross joins
     "power_analysis": ("D1", "D2"),  # literal grid cross joins — pure math table
+    "activity_heatmap": ("D1",),    # 1-row total scalar cross join onto <=168 cells
+    "mixture_plan": ("D1",),        # 1-row total + 1-row kept-total scalar cross joins
+    "cumulative_users": ("D2",),    # the running sum rides the |days| frame, not
+    #                                 events (range-partition the day sort at scale)
     "retrieval_eval": ("D1", "D2"),  # broadcast fixed query set (embedding_topk
     #                                  shape); D2 is the 1-row final-mean agg's
     #                                  SinglePartition conjunction FP
