@@ -287,9 +287,20 @@ def purge_keys(
         touched = [r[BUCKET_COL] for r in keyset.select(BUCKET_COL).distinct().collect()]
         if not touched:
             return 0
-        current = spark.read.parquet(target_path).filter(
-            F.col(BUCKET_COL).isin(touched)
-        )
+        all_current = spark.read.parquet(target_path)
+        if BUCKET_COL not in all_current.columns:
+            # legacy flat layout (pre-bucketing, same as upsert's
+            # upgrade path): full-table anti-join rewrite once
+            n_before = all_current.count()
+            keep = all_current.join(
+                keyset.select(F.col(key).alias("__purge_key")),
+                all_current[key].cast("string") == F.col("__purge_key"),
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            n_after = keep.count()
+            keep.write.mode("overwrite").parquet(target_path)
+            return n_before - n_after
+        current = all_current.filter(F.col(BUCKET_COL).isin(touched))
         n_before = current.count()
         keep = current.join(
             keyset.select(F.col(key).alias("__purge_key")),

@@ -283,3 +283,18 @@ def test_purge_keys_empties_whole_bucket(spark, tmp_path):
     n = purge_keys(spark, t, all_keys, n_buckets=4)
     assert n == 40
     assert read_table(spark, t).count() == 0
+
+
+def test_purge_keys_legacy_flat_layout(spark, tmp_path):
+    """A pre-bucketing flat parquet table purges via the one-time
+    full rewrite path (same contract as upsert's legacy upgrade)."""
+    from data_ingestors_spark.io.writers import purge_keys
+
+    t = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(f"k{i}", i) for i in range(50)], ["data_id", "v"]
+    ).write.parquet(t)
+    n = purge_keys(spark, t, spark.createDataFrame([("k3",), ("k4",)], ["data_id"]))
+    assert n == 2
+    rows = {r.data_id for r in spark.read.parquet(t).collect()}
+    assert "k3" not in rows and "k4" not in rows and len(rows) == 48
