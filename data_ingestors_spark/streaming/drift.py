@@ -15,10 +15,15 @@ This twin does exactly that:
   a replayed batch overwrites its OWN partition with identical
   content: exactly-once effect with no transactional sink (the same
   contract as stream_rollup / stream_heavy_hitters).
-- ``read_psi`` merges the partials and computes the SAME Laplace-
-  smoothed PSI arithmetic as the batch query, so the streaming answer
-  over the union of folded batches equals the batch operator run on
-  the concatenated frame (asserted in tests/test_streaming.py).
+- ``read_psi`` merges the partials and computes the same Laplace-
+  smoothed PSI arithmetic as the batch query, with one deliberate
+  difference: smoothing runs over the FULL fixed n_bins grid (the
+  frozen-baseline setting knows its bin count up front), where the
+  batch query's denominator counts OBSERVED cells — identical
+  whenever every bin is populated, which the equal-width global-range
+  binning makes the common case. The fold-merge equality is asserted
+  against an identical-arithmetic ground truth in
+  tests/test_streaming.py (two waves + checkpoint replay).
 
 Scale: per-batch partials are |types| x 10 rows; the read-side merge
 shuffles one row per (type, bin, batch) — compact with the rollup's
