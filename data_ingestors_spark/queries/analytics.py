@@ -3128,3 +3128,166 @@ FROM j GROUP BY 1 ORDER BY 1
 
 QUERIES["repeat_purchase_gaps"] = q_repeat_purchase_gaps
 ORACLES["repeat_purchase_gaps"] = O_REPEAT_PURCHASE_GAPS
+
+
+def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-share movers between the first and second halves
+    of the order-date range: share in each half (decimal-exact
+    revenue sums) and the top-15 absolute shifts — the 'what changed'
+    BI readout next to [q_period_over_period]'s absolute deltas.
+
+    Plan (100 TB): one 1-row midpoint broadcast, one conditional-
+    aggregate scan to |brands| cells, two broadcast half-totals; the
+    top-15 is a TakeOrdered with full tiebreaks."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "part")
+    rng = t["orders"].agg(
+        ((F.min(F.unix_micros("o_orderdate")) + F.max(F.unix_micros("o_orderdate"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    li = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .crossJoin(F.broadcast(rng))
+    )
+    in_a = F.unix_micros("o_orderdate") < F.col("mid_us")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cells = li.groupBy("p_brand").agg(
+        F.sum(F.when(in_a, rev).otherwise(F.lit(None)).cast(DEC)).cast("double").alias("rev_a"),
+        F.sum(F.when(~in_a, rev).otherwise(F.lit(None)).cast(DEC)).cast("double").alias("rev_b"),
+    ).na.fill({"rev_a": 0.0, "rev_b": 0.0})
+    tot = cells.agg(
+        F.sum(F.col("rev_a").cast(DEC)).cast("double").alias("t_a"),
+        F.sum(F.col("rev_b").cast(DEC)).cast("double").alias("t_b"),
+    )
+    shared = cells.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        fround(F.col("rev_a") / F.col("t_a"), 6).alias("share_a"),
+        fround(F.col("rev_b") / F.col("t_b"), 6).alias("share_b"),
+        fround(F.col("rev_b") / F.col("t_b") - F.col("rev_a") / F.col("t_a"), 6).alias("share_shift"),
+    )
+    return shared.orderBy(
+        F.desc(F.abs(F.col("share_shift"))), "p_brand"
+    ).limit(15)
+
+
+O_BRAND_SHARE_SHIFT = f"""
+WITH rng AS (
+  SELECT CAST(floor((min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) / 2) AS BIGINT) AS mid_us
+  FROM orders
+),
+cells AS (
+  SELECT p_brand,
+         coalesce(CAST(sum(CASE WHEN epoch_us(o_orderdate) < mid_us
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) END) AS DOUBLE), 0.0) AS rev_a,
+         coalesce(CAST(sum(CASE WHEN epoch_us(o_orderdate) >= mid_us
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) END) AS DOUBLE), 0.0) AS rev_b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON p_partkey = l_partkey
+  CROSS JOIN rng
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(CAST(rev_a AS DECIMAL(30,10))) AS DOUBLE) AS t_a,
+         CAST(sum(CAST(rev_b AS DECIMAL(30,10))) AS DOUBLE) AS t_b
+  FROM cells
+)
+SELECT p_brand,
+       {o_fround("rev_a / t_a", 6)} AS share_a,
+       {o_fround("rev_b / t_b", 6)} AS share_b,
+       {o_fround("rev_b / t_b - rev_a / t_a", 6)} AS share_shift
+FROM cells CROSS JOIN tot
+ORDER BY abs(rev_b / t_b - rev_a / t_a) DESC, p_brand
+LIMIT 15
+"""
+
+QUERIES["brand_share_shift"] = q_brand_share_shift
+ORACLES["brand_share_shift"] = O_BRAND_SHARE_SHIFT
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the Herfindahl-
+    Hirschman index (sum of squared revenue shares, x10000 as
+    antitrust convention) plus supplier count and top-supplier share
+    — the supply-risk screen ([q_gini_concentration] is the customer-
+    side sibling with a different inequality metric).
+
+    Exactness: per-supplier revenue folds in DECIMAL; shares and the
+    squared-share sum reuse the decimal-fold; HHI bands are integer
+    thresholds on the rounded value.
+
+    Plan (100 TB): one (nation, supplier) partial agg, one
+    |nations|-row reduce — the squared-share sum needs the nation
+    total first, carried by a broadcast-size join on nation."""
+    t = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        t["lineitem"]
+        .join(
+            t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+            "l_suppkey",
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev.cast(DEC)).cast("double").alias("rev"))
+    )
+    tot = per.groupBy("s_nationkey").agg(
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("t_rev"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    j = per.join(tot, "s_nationkey")
+    share = F.col("rev") / F.col("t_rev")
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            fround(F.sum((share * share).cast(DEC)).cast("double") * 10000, 2).alias("hhi"),
+            fround(F.max(share), 6).alias("top_share"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("hhi") < 1500, F.lit("competitive"))
+            .when(F.col("hhi") < 2500, F.lit("moderate"))
+            .otherwise(F.lit("concentrated")),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+O_SUPPLIER_HHI = f"""
+WITH per AS (
+  SELECT s_nationkey, l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS rev
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT s_nationkey,
+         CAST(sum(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS t_rev,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM per GROUP BY 1
+),
+hhi AS (
+  SELECT per.s_nationkey,
+         max(n_suppliers) AS n_suppliers,
+         {o_fround("CAST(sum(CAST((rev / t_rev) * (rev / t_rev) AS DECIMAL(30,10))) AS DOUBLE) * 10000", 2)} AS hhi,
+         {o_fround("max(rev / t_rev)", 6)} AS top_share
+  FROM per JOIN tot USING (s_nationkey)
+  GROUP BY 1
+)
+SELECT s_nationkey, n_suppliers, hhi, top_share,
+       CASE WHEN hhi < 1500 THEN 'competitive'
+            WHEN hhi < 2500 THEN 'moderate'
+            ELSE 'concentrated' END AS band
+FROM hhi ORDER BY s_nationkey
+"""
+
+QUERIES["supplier_hhi"] = q_supplier_hhi
+ORACLES["supplier_hhi"] = O_SUPPLIER_HHI
