@@ -101,6 +101,7 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "woe_iv": ("D1",),              # 1-row totals + 1-row IV scalar cross joins
     "power_analysis": ("D1", "D2"),  # literal grid cross joins — pure math table
     "activity_heatmap": ("D1",),    # 1-row total scalar cross join onto <=168 cells
+    "brand_share_shift": ("D1",),   # 1-row midpoint + 1-row half-totals cross joins
     "mixture_plan": ("D1",),        # 1-row total + 1-row kept-total scalar cross joins
     "cumulative_users": ("D2",),    # the running sum rides the |days| frame, not
     #                                 events (range-partition the day sort at scale)
