@@ -449,7 +449,42 @@ def main() -> None:
     if ingest_rows_per_sec is not None:
         out["ingest_rows_per_sec"] = ingest_rows_per_sec
         out["ingest_stats"] = ingest_stats
-    print(json.dumps(out))
+
+    # The driver captures only a bounded tail of stdout (BENCH_r06/r07
+    # recorded `parsed: null` because the full 160-query line blew past
+    # it). Contract since r8: the FULL payload (queries_stats, tpch22,
+    # ingest stats) is written to BENCH_full_latest.json next to this
+    # script, and stdout carries ONE compact JSON line that always fits —
+    # the stable original-17 headline subset plus every total.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+        print(f"# full bench payload -> {full_path}", file=sys.stderr)
+    except OSError as e:  # read-only checkout: compact line still stands alone
+        full_path = None
+        print(f"# full bench payload not written: {e}", file=sys.stderr)
+
+    orig17 = HEADLINE[:17]  # the round-2 headline set, stable across rounds
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {name: stats[name]["med"] for name in orig17},
+        "sf": out["sf"],
+        "reps": reps,
+        "headline_n": len(HEADLINE),
+        "orig17_total": round(sum(stats[n]["med"] for n in orig17), 3),
+        "tpch22_total": tpch22_total,
+        "full_results": full_path,
+    }
+    if ingest_rows_per_sec is not None:
+        compact["ingest_rows_per_sec"] = ingest_rows_per_sec
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -271,9 +271,37 @@ def purge_keys(
     deleted rows — the one-row tombstone-free workaround is writing
     the empty partition explicitly via the kept-rows union, which
     always contains the bucket's surviving siblings or nothing; the
-    empty case is handled by an explicit per-bucket delete)."""
+    empty case is handled by an explicit per-bucket delete).
+
+    Crash-recovery contract: REPLAYING THE SAME PURGE CONVERGES.
+    The multi-step rewrite is not atomic, but every interruption
+    point is recoverable by re-running purge_keys with the same keys:
+
+    - bucketed path: the dynamic partition overwrite commits per
+      Spark job (a crash mid-write leaves only ``_temporary`` debris,
+      target partitions unchanged); a crash BETWEEN the overwrite and
+      the explicit empty-bucket deletes leaves fully-purged bucket
+      dirs on disk — the replay recomputes the same ``emptied`` list
+      and deletes them.
+    - legacy flat path: the kept rows are written to a durable
+      sibling temp dir FIRST, then swapped in (delete + rename) —
+      never overwrite-in-place, so the keep-set can't be lost to an
+      executor failure mid-overwrite. A crash between the delete and
+      the rename leaves the table absent but the full keep-set at
+      ``<target>__purge_tmp``; the next purge_keys call on that
+      target finishes the swap automatically before proceeding."""
+    tmp_swap = target_path.rstrip("/") + "__purge_tmp"
     if not path_exists(spark, target_path):
-        return 0
+        # finish an interrupted legacy-path swap (crash after the
+        # target delete, before the rename): the temp dir holds the
+        # complete keep-set — promote it, then run this purge normally
+        # (idempotent: its keys are already gone from the keep-set)
+        if path_exists(spark, tmp_swap):
+            fs, tgt = hadoop_fs(spark, target_path)
+            _, tmpp = hadoop_fs(spark, tmp_swap)
+            fs.rename(tmpp, tgt)
+        else:
+            return 0
     keyset = (
         keys.select(F.col(key).cast("string").alias(key))
         .distinct()
@@ -290,15 +318,22 @@ def purge_keys(
         all_current = spark.read.parquet(target_path)
         if BUCKET_COL not in all_current.columns:
             # legacy flat layout (pre-bucketing, same as upsert's
-            # upgrade path): full-table anti-join rewrite once
+            # upgrade path): full-table anti-join rewrite once —
+            # written to a durable temp dir then swapped (see the
+            # crash-recovery contract in the docstring), never
+            # overwrite-in-place
             n_before = all_current.count()
             keep = all_current.join(
                 keyset.select(F.col(key).alias("__purge_key")),
                 all_current[key].cast("string") == F.col("__purge_key"),
                 "left_anti",
-            ).localCheckpoint(eager=True)
-            n_after = keep.count()
-            keep.write.mode("overwrite").parquet(target_path)
+            )
+            keep.write.mode("overwrite").parquet(tmp_swap)
+            n_after = spark.read.parquet(tmp_swap).count()
+            fs, tgt = hadoop_fs(spark, target_path)
+            _, tmpp = hadoop_fs(spark, tmp_swap)
+            fs.delete(tgt, True)
+            fs.rename(tmpp, tgt)
             return n_before - n_after
         current = all_current.filter(F.col(BUCKET_COL).isin(touched))
         n_before = current.count()

@@ -190,12 +190,16 @@ def cosine_topk_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_collected_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow-batched numpy scorer — the throughput
     path for the same contract as ``cosine_topk_bruteforce``.
 
     The query set is collected to the driver (small by contract — this
-    operator is the "few queries × huge corpus" shape) and closed over
+    operator is the "few queries × huge corpus" shape; the contract is
+    ENFORCED: more than ``max_collected_queries`` query rows raises
+    loudly instead of silently OOM-ing the driver — swap to the ANN
+    tiers in this module for corpus-×-corpus workloads) and closed over
     as a normalized float64 matrix; each corpus Arrow batch computes
     one GEMM ``C @ Q.T`` instead of interpreted per-element HOF folds,
     then keeps only the batch-local top-k per query, so the shuffle
@@ -207,6 +211,18 @@ def cosine_topk_numpy(
     ``cosine_topk_bruteforce`` (asserted in tests): float64 dot-product
     reassociation differences vanish at 6 dp.
     """
+    # Loud scale guard: count BEFORE collecting. A limit(n+1) probe
+    # would also work, but the count is one cheap ids-only agg and the
+    # error can report the true size.
+    n_q = queries.count()
+    if n_q > max_collected_queries:
+        raise ValueError(
+            f"cosine_topk_numpy: {n_q} query rows exceed "
+            f"max_collected_queries={max_collected_queries}; this operator "
+            "collects the query set to the driver by contract — use the "
+            "ANN tiers (ann_lsh/ann_ivf/ann_ivfpq) or raise the bound "
+            "explicitly if the driver can hold the matrix"
+        )
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).collect()

@@ -34,6 +34,34 @@ from data_ingestors_spark.queries.base import (
 )
 
 
+#: Density cap on basket size for the O(k^2)/O(k^3) per-basket
+#: self-joins (item_cosine, copurchase_*, assoc_rules) — the basket
+#: analog of FastSS's ``DEFAULT_MAX_KEY_DF``. A degenerate whale
+#: basket (one key holding m distinct items) emits m^2 (or m^3) rows
+#: from a single input key, which no partitioning strategy can split;
+#: real baskets here are k = 4-7 items per order and <= ~200 per
+#: customer at any SF, so the default only fires on data that should
+#: have been cleaned upstream. Baskets ABOVE the cap are dropped
+#: entirely (deterministic, and the standard treatment — a key that
+#: co-occurs with everything carries no association signal).
+MAX_BASKET_ITEMS = 1000
+
+
+def _cap_baskets(items: DataFrame, key_col: str, cap: int = None) -> DataFrame:
+    """Drop baskets with more than ``cap`` distinct items before a
+    per-basket pair/triple fan-out. One window count over the basket
+    key — the same hash partitioning the downstream self-join needs,
+    so AQE reuses the exchange and the guard costs no extra shuffle
+    of the items frame."""
+    cap = MAX_BASKET_ITEMS if cap is None else cap
+    w = Window.partitionBy(key_col)
+    return (
+        items.withColumn("_bk_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bk_n") <= cap)
+        .drop("_bk_n")
+    )
+
+
 # ---------------------------------------------------------------- stats
 
 def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,9 +1033,15 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast side: ``top`` is the 20-row frame, so IT is the broadcast
     side of the lift joins and the O(|parts|) ``support`` frame streams
     — at 100 TB ``support`` has one row per distinct part (hundreds of
-    millions) and broadcasting it would OOM the driver."""
+    millions) and broadcasting it would OOM the driver.
+
+    Whale guard: baskets above :data:`MAX_BASKET_ITEMS` are dropped
+    before the O(k²) fan-out (never fires on sane data — see the
+    constant's doc)."""
     t = tables(spark, sf_dir, "lineitem")
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    items = _cap_baskets(
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct(), "l_orderkey"
+    )
     a = items.alias("a")
     b = items.alias("b")
     pairs = (
@@ -2029,17 +2063,19 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): distinct (customer, part) collapses map-side; the
     pair fan-out self-joins per CUSTOMER basket (O(k²) in basket
-    size, never corpus-quadratic; cap baskets upstream for degenerate
-    whales); per-part popularity joins stream on the part key — both
-    sides are |parts|-sized, no broadcast. The top-5 window
-    partitions by part. Co-count ≥ 2 prunes the pair tail before any
-    join."""
+    size, never corpus-quadratic; degenerate whale baskets are
+    DROPPED by the enforced :data:`MAX_BASKET_ITEMS` cap — the guard
+    the r7 docstring only promised); per-part popularity joins stream
+    on the part key — both sides are |parts|-sized, no broadcast. The
+    top-5 window partitions by part. Co-count ≥ 2 prunes the pair
+    tail before any join."""
     t = tables(spark, sf_dir, "lineitem", "orders")
-    bought = (
+    bought = _cap_baskets(
         t["lineitem"]
         .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
         .select("o_custkey", "l_partkey")
-        .distinct()
+        .distinct(),
+        "o_custkey",
     )
     a, b = bought.alias("a"), bought.alias("b")
     co = (
@@ -2726,7 +2762,10 @@ def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered baskets twice on the order key with a < b < c, so each
     basket of size k emits C(k,3) rows and nothing is corpus-
     quadratic; the count groupBy partial-aggregates and a
-    deterministic (n desc, a, b, c) top-20 closes it.
+    deterministic (n desc, a, b, c) top-20 closes it. Whale baskets
+    above :data:`MAX_BASKET_ITEMS` are dropped before the C(k,3)
+    enumeration (cap applied AFTER the Apriori prefilter, so a basket
+    is judged on its frequent-item size).
     """
     t = tables(spark, sf_dir, "lineitem")
     items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
@@ -2736,7 +2775,7 @@ def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= 3)
         .select("l_partkey")
     )
-    fitems = items.join(freq, "l_partkey", "semi")
+    fitems = _cap_baskets(items.join(freq, "l_partkey", "semi"), "l_orderkey")
     a = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     c = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pc"))
@@ -2796,9 +2835,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-quadratic; min-support (>= 2, matching the co-purchase graph) HAVING prunes the pair tail before
     the metric joins; per-part support frames stream on the part key
     (|parts|-sized — NOT broadcast); the 1-row basket total cross-
-    joins broadcast."""
+    joins broadcast. Whale baskets above :data:`MAX_BASKET_ITEMS`
+    are dropped before the fan-out."""
     t = tables(spark, sf_dir, "lineitem")
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    items = _cap_baskets(
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct(), "l_orderkey"
+    )
     a, b = items.alias("a"), items.alias("b")
     co = (
         a.join(b, "l_orderkey")
@@ -3138,7 +3180,10 @@ def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): one 1-row midpoint broadcast, one conditional-
     aggregate scan to |brands| cells, two broadcast half-totals; the
-    top-15 is a TakeOrdered with full tiebreaks."""
+    top-15 is a TakeOrdered with full tiebreaks. BOTH engines rank on
+    the 6-dp-ROUNDED shift (the oracle's ORDER BY wraps the same
+    portable rounding), so the rank-15/16 cut can't diverge when two
+    raw shifts round to the same value."""
     t = tables(spark, sf_dir, "lineitem", "orders", "part")
     rng = t["orders"].agg(
         ((F.min(F.unix_micros("o_orderdate")) + F.max(F.unix_micros("o_orderdate"))) / 2)
@@ -3205,7 +3250,7 @@ SELECT p_brand,
        {o_fround("rev_b / t_b", 6)} AS share_b,
        {o_fround("rev_b / t_b - rev_a / t_a", 6)} AS share_shift
 FROM cells CROSS JOIN tot
-ORDER BY abs(rev_b / t_b - rev_a / t_a) DESC, p_brand
+ORDER BY abs({o_fround("rev_b / t_b - rev_a / t_a", 6)}) DESC, p_brand
 LIMIT 15
 """
 

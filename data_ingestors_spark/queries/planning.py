@@ -563,13 +563,22 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("vmax"),
     )
     ev = t["events"].crossJoin(F.broadcast(rng))
-    bin_c = F.least(
-        F.greatest(
-            F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10)),
-            F.lit(0),
-        ),
-        F.lit(9),
-    ).cast("int")
+    # degenerate-range guard (constant value column): (vmax-vmin)=0
+    # would NaN the division and collapse every row into a null bin —
+    # pin to bin 0 in BOTH engines instead
+    bin_c = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10)),
+                    F.lit(0),
+                ),
+                F.lit(9),
+            )
+        )
+        .cast("int")
+    )
     in_a = F.unix_micros("ts") < F.col("mid_us")
     cells = ev.groupBy("event_type", bin_c.alias("bin")).agg(
         F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("c_a"),
@@ -614,7 +623,9 @@ WITH rng AS (
 ),
 cells AS (
   SELECT event_type,
-         CAST(least(greatest(floor((value - vmin) / ((vmax - vmin) / 10)), 0), 9) AS INTEGER) AS bin,
+         CAST(CASE WHEN vmax = vmin THEN 0
+              ELSE least(greatest(floor((value - vmin) / ((vmax - vmin) / 10)), 0), 9)
+              END AS INTEGER) AS bin,
          CAST(sum(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
          CAST(sum(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_b
   FROM events CROSS JOIN rng

@@ -20,6 +20,11 @@ from data_ingestors_spark.operators import text as X
 from data_ingestors_spark.functions.rounding import fround, o_fround
 from data_ingestors_spark.queries.base import DEC, tables
 
+# Loud scale bound for audit queries that broadcast a sampled stratum
+# (binary_embedding_audit): 50k x 64-dim doubles ~ 26 MB broadcast.
+# Module-level so tests can patch it to prove the guard fires.
+MAX_BROADCAST_STRATUM = 50_000
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread compute-heavy per-row work across all cores when the
@@ -2617,7 +2622,11 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the all-vs-all contract swaps the scorer for the ANN tiers
     (embedding_ann_* — identical output contract) or the chunked-grid
     pair join of semantic_dedup; the vote/label logic below is
-    unchanged. Voting: groupBy(query, neighbor label) on the k*n
+    unchanged. That swap is ENFORCED, not prose: cosine_topk_numpy
+    fail-louds above its max_collected_queries bound (default 100k
+    rows), so an oversize corpus can never silently OOM the driver
+    here — the same bound covers the two label broadcasts below,
+    which are corpus-keyed ids-only frames. Voting: groupBy(query, neighbor label) on the k*n
     candidate frame, majority by (votes desc, label asc) row_number
     over the per-query <= |labels| vote rows; labels join back via a
     broadcast of the ids->label frame (ids-only payload). Ranking uses
@@ -2920,7 +2929,10 @@ def q_binary_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): both strata are tiny (n/23 x n/29 of a sampled
     audit corpus); the pair join is the broadcast of one stratum;
-    everything after is row-local + one 10-key groupBy."""
+    everything after is row-local + one 10-key groupBy. The "sampled
+    audit corpus" contract is ENFORCED: the broadcast stratum is
+    counted first and anything above MAX_BROADCAST_STRATUM rows
+    fails loudly (raise the modulus, not the bound)."""
     t = tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"].select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a = emb.filter(F.col("vec_id") % 23 == 0).select(
@@ -2929,6 +2941,13 @@ def q_binary_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.filter(F.col("vec_id") % 29 == 0).select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
     )
+    n_b = b.count()
+    if n_b > MAX_BROADCAST_STRATUM:
+        raise ValueError(
+            f"binary_embedding_audit: broadcast stratum has {n_b} rows "
+            f"(> {MAX_BROADCAST_STRATUM}); raise the sampling modulus so "
+            "the audit stays a bounded pair sample instead of a corpus join"
+        )
     agree = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: ((x > 0) == (y > 0)).cast("int")),
         F.lit(0),
@@ -3412,9 +3431,14 @@ def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     its survivors (a family spanning sources keeps its single
     survivor in the max_by-chosen source).
 
-    Plan (100 TB): one fingerprint groupBy for survivors
-    (partial-aggregable max_by), one per-(source) conditional count —
-    text shuffles never, ids and counts only."""
+    Plan (100 TB): drops are attributed INSIDE the family
+    aggregation — a partial-aggregable (fp, source) groupBy collapses
+    the corpus to per-source family partials (counts, char sums, and
+    the source's best (nc, -doc_id) candidate), a second groupBy
+    picks each family's winning source, and the two aggregated
+    frames join on fp_md5. Nothing corpus-sized is ever broadcast
+    or joined back to the documents table; text shuffles never, ids
+    and counts only."""
     t = tables(spark, sf_dir, "documents")
     fp = X.fingerprint(t["documents"], "text", "doc_id").select(
         "doc_id", "fp_md5"
@@ -3422,32 +3446,46 @@ def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"].select("doc_id", "source", F.length("text").alias("nc")).join(
         fp, "doc_id"
     )
-    surv = d.groupBy("fp_md5").agg(
+    # Per-(family, source) partials. `best` is the source's top
+    # survivor candidate under the global rule max(nc, -doc_id);
+    # doc_id uniqueness makes the struct key unique, so every max /
+    # max_by below is deterministic.
+    per_src = d.groupBy("fp_md5", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("nc").cast("long").alias("chars"),
+        F.max(
+            F.struct(F.col("nc"), (-F.col("doc_id")).alias("negid"))
+        ).alias("best"),
+    )
+    # Per-family winner: the source holding the global survivor, plus
+    # that survivor's char count (needed to net it out of the winning
+    # source's dropped chars).
+    win = per_src.groupBy("fp_md5").agg(
         F.max_by(
-            F.col("doc_id"), F.struct(F.col("nc"), (-F.col("doc_id")).alias("negid"))
-        ).alias("keep_id")
+            F.struct(
+                F.col("source").alias("wsrc"),
+                F.col("best").getField("nc").alias("wnc"),
+            ),
+            F.col("best"),
+        ).alias("w")
     )
-    flagged = d.join(
-        F.broadcast(surv.select(F.col("keep_id").alias("doc_id"), F.lit(1).alias("keep"))),
-        "doc_id",
-        "left",
-    )
+    j = per_src.join(win, "fp_md5")
+    drop_n = F.when(
+        F.col("source") == F.col("w.wsrc"), F.col("n") - F.lit(1)
+    ).otherwise(F.col("n"))
+    drop_chars = F.when(
+        F.col("source") == F.col("w.wsrc"), F.col("chars") - F.col("w.wnc")
+    ).otherwise(F.col("chars"))
     return (
-        flagged.groupBy("source")
+        j.groupBy("source")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("keep").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
-            F.sum("nc").cast("long").alias("n_chars"),
-            F.sum(F.when(F.col("keep").isNull(), F.col("nc")).otherwise(0))
-            .cast("long")
-            .alias("chars_dropped"),
-            fround(
-                F.sum(F.when(F.col("keep").isNull(), F.col("nc")).otherwise(0))
-                / F.sum("nc"),
-                6,
-            ).alias("char_drop_frac"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(drop_n).cast("long").alias("n_dropped"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum(drop_chars).cast("long").alias("chars_dropped"),
+            fround(F.sum(drop_chars) / F.sum("chars"), 6).alias(
+                "char_drop_frac"
+            ),
         )
         .orderBy("source")
     )

@@ -39,12 +39,23 @@ DEC = "decimal(30,10)"
 
 
 def _bin_col(vmin, vmax, n_bins: int = 10):
-    return F.least(
-        F.greatest(
-            F.floor((F.col("value") - vmin) / ((vmax - vmin) / n_bins)), F.lit(0)
-        ),
-        F.lit(n_bins - 1),
-    ).cast("int")
+    # Degenerate-range guard: a constant-valued reference column makes
+    # (vmax - vmin) zero and the division NaN — which floor/greatest
+    # would propagate into a silent all-rows null bin. Pin everything
+    # to bin 0 instead (one bin is the honest histogram of a constant).
+    return (
+        F.when(vmax == vmin, F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - vmin) / ((vmax - vmin) / n_bins)),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+    )
 
 
 def psi_baseline(ref: DataFrame, *, n_bins: int = 10) -> DataFrame:

@@ -339,6 +339,34 @@ def test_cosine_numpy_matches_bruteforce_exactly(spark, sf_dir):
     assert fast == exact
 
 
+def test_cosine_numpy_query_bound_fails_loud(spark, sf_dir):
+    """The driver-collect contract is enforced, not prose: a query set
+    above max_collected_queries raises before anything is collected."""
+    import pytest as _pytest
+
+    from data_ingestors_spark.operators import cosine_topk_numpy
+    from data_ingestors_spark.queries.base import tables
+
+    emb = tables(spark, sf_dir, "embeddings")["embeddings"]
+    with _pytest.raises(ValueError, match="max_collected_queries"):
+        cosine_topk_numpy(emb, emb, k=3, max_collected_queries=5).count()
+    # at/under the bound the fast path still runs
+    q = emb.filter(F.col("vec_id") < 3)
+    assert cosine_topk_numpy(emb, q, k=3, max_collected_queries=3).count() > 0
+
+
+def test_binary_audit_stratum_bound_fails_loud(spark, sf_dir, monkeypatch):
+    """binary_embedding_audit's broadcast stratum is counted first and
+    fails loudly above MAX_BROADCAST_STRATUM (patched low to prove it)."""
+    import pytest as _pytest
+
+    from data_ingestors_spark.queries import text_llm
+
+    monkeypatch.setattr(text_llm, "MAX_BROADCAST_STRATUM", 1)
+    with _pytest.raises(ValueError, match="broadcast stratum"):
+        text_llm.q_binary_embedding_audit(spark, sf_dir).count()
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     from data_ingestors_spark.operators import cosine_topk_bruteforce, ivf_ann_topk
     from data_ingestors_spark.queries.base import tables
@@ -1953,6 +1981,45 @@ def test_int8_quant_error_bounded(spark):
         assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12, r
 
 
+def test_whale_basket_cap_bounds_fanout(spark, tmp_path):
+    """One customer buying EVERY part (the degenerate whale) must not
+    turn the per-basket O(k²)/O(k³) fan-outs quadratic: the
+    MAX_BASKET_ITEMS cap drops the whale and every basket query
+    completes bounded, with the small baskets' results intact."""
+    from data_ingestors_spark.queries import analytics as A
+
+    # whale: customer 1 / order 1 holds 80 distinct parts; the sane
+    # baskets are orders 2-4 (3 parts each, shared across customers)
+    rows = [(1, p) for p in range(1, 81)]
+    for ok, parts in ((2, [1, 2, 3]), (3, [1, 2, 3]), (4, [2, 3, 4])):
+        rows += [(ok, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    od = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "o_orderkey long, o_custkey long"
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    od.write.parquet(str(tmp_path / "orders.parquet"))
+
+    import unittest.mock as mock
+
+    with mock.patch.object(A, "MAX_BASKET_ITEMS", 10):
+        pairs = A.q_copurchase_pairs(spark, str(tmp_path)).collect()
+        cos = A.q_item_cosine(spark, str(tmp_path)).collect()
+        rules = A.q_assoc_rules(spark, str(tmp_path)).collect()
+        triples = A.q_copurchase_triples(spark, str(tmp_path)).collect()
+    # the whale contributed nothing: no pair involves parts > 4, and
+    # the fan-out stayed at C(3,2) per sane basket
+    assert pairs and all(r.part_b <= 4 for r in pairs)
+    assert cos and all(r.part_b <= 4 for r in cos)
+    assert rules and all(r.consequent <= 4 for r in rules)
+    assert all(r.part_c <= 4 for r in triples)
+    # (1,2,3) is the only triple with support >= the Apriori floor
+    assert [(r.part_a, r.part_b, r.part_c) for r in triples] == [(1, 2, 3)]
+    # uncapped, the whale dominates: the guard is what excluded it
+    whale_pairs = A._cap_baskets(li, "l_orderkey", cap=1000)
+    assert whale_pairs.count() == li.count()  # cap off -> nothing dropped
+
+
 def test_blocking_audit_lossless_on_fixture(spark):
     """FastSS 1-deletion blocking retains every true distance-1 pair
     on the customer fixture (pair completeness 1.0) while pruning the
@@ -1966,10 +2033,14 @@ def test_blocking_audit_lossless_on_fixture(spark):
     # (most pairs differ in a couple of digits), and the audit's
     # deterministic %10 ground-truth sample keeps only 15 rows at
     # sf0.001 — those all share most digits, so blocking can prune
-    # only the minority of this tiny quadratic space; the invariant
-    # is completeness (above) plus genuine, positive pruning
-    assert r["reduction_ratio"] > 0.0
-    assert r["n_candidates"] < r["n_total_pairs"]
+    # only the minority of this tiny quadratic space. The sample and
+    # the blocking are both deterministic, so PIN the exact counts:
+    # any relaxation of the pruning (or the sample) moves these.
+    assert r["n_records"] == 15
+    assert r["n_total_pairs"] == 105
+    assert r["n_candidates"] == 72
+    assert r["n_true"] == 60
+    assert r["reduction_ratio"] == 0.314286
 
 
 @pytest.mark.parametrize(

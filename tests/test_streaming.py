@@ -620,3 +620,21 @@ def test_stream_psi_matches_batch_and_replay(spark, tmp_path):
     q3.awaitTermination(120)
     got2 = {r.event_type: r.psi for r in read_psi(spark, store, base).collect()}
     assert got2 == got
+
+
+def test_psi_baseline_constant_column_degenerate_range(spark):
+    """A constant-valued reference column makes (vmax - vmin) zero;
+    the guarded bin expression must pin every row to bin 0 instead of
+    NaN-ing the division into a silent null bin."""
+    from data_ingestors_spark.streaming.drift import psi_baseline
+
+    ref = spark.createDataFrame(
+        [("a", 7.0)] * 25 + [("b", 7.0)] * 15,
+        "event_type string, value double",
+    )
+    rows = psi_baseline(ref).collect()
+    assert sorted((r.event_type, r.bin, r.c_ref) for r in rows) == [
+        ("a", 0, 25),
+        ("b", 0, 15),
+    ]
+    assert all(r.bin is not None for r in rows)

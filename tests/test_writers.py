@@ -298,3 +298,32 @@ def test_purge_keys_legacy_flat_layout(spark, tmp_path):
     assert n == 2
     rows = {r.data_id for r in spark.read.parquet(t).collect()}
     assert "k3" not in rows and "k4" not in rows and len(rows) == 48
+    # the temp swap dir must not linger after a successful purge
+    import os
+
+    assert not os.path.exists(t + "__purge_tmp")
+
+
+def test_purge_keys_recovers_interrupted_legacy_swap(spark, tmp_path):
+    """Crash window between the legacy path's target delete and the
+    temp-dir rename: target is gone, <target>__purge_tmp holds the
+    full keep-set. The next purge_keys on that target must finish the
+    swap and then apply its own purge — converging, not returning 0."""
+    import shutil
+
+    from data_ingestors_spark.io.writers import purge_keys
+
+    t = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(f"k{i}", i) for i in range(30)], ["data_id", "v"]
+    ).write.parquet(t)
+    # simulate the crash: keep-set (minus k0) durable at the swap
+    # path, target deleted
+    spark.read.parquet(t).filter("data_id <> 'k0'").write.parquet(t + "__purge_tmp")
+    shutil.rmtree(t)
+    # replayed purge (same keys: k0 already gone, k1 still present)
+    victims = spark.createDataFrame([("k0",), ("k1",)], ["data_id"])
+    n = purge_keys(spark, t, victims)
+    assert n == 1  # only k1 remained to delete
+    rows = {r.data_id for r in spark.read.parquet(t).collect()}
+    assert rows == {f"k{i}" for i in range(2, 30)}
