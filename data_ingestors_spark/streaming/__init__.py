@@ -35,3 +35,10 @@ from data_ingestors_spark.streaming.drift import (  # noqa: F401
     read_psi,
     stream_psi_fold,
 )
+from data_ingestors_spark.streaming.monitors import (  # noqa: F401
+    profile_baseline,
+    read_freshness,
+    read_profile_drift,
+    stream_freshness_fold,
+    stream_profile_fold,
+)

@@ -622,6 +622,124 @@ def test_stream_psi_matches_batch_and_replay(spark, tmp_path):
     assert got2 == got
 
 
+def test_stream_freshness_matches_batch_and_replay(spark, tmp_path):
+    """Streaming freshness fold: after two waves, read_freshness must
+    equal the batch audit arithmetic over the union (count/max/min all
+    merge), and a checkpoint replay must not change anything."""
+    import datetime as dt
+
+    from data_ingestors_spark.streaming.monitors import (
+        read_freshness,
+        stream_freshness_fold,
+    )
+
+    schema = "event_type string, ts timestamp"
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda et, secs: (et, t0 + dt.timedelta(seconds=secs))
+    # 'b' goes quiet in wave 2 -> stale at the 1 h SLA
+    wave1 = [mk("a", i) for i in range(10)] + [mk("b", i) for i in range(5)]
+    wave2 = [mk("a", 7200 + i) for i in range(10)] + [mk("b", 60)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: stream_freshness_fold(
+        spark.readStream.schema(schema).parquet(src), store, ckpt, available_now=True
+    )
+    q = run()
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    q2.awaitTermination(120)
+
+    got = {r.event_type: r.asDict() for r in read_freshness(spark, store).collect()}
+
+    # batch ground truth: identical arithmetic over the union
+    union = spark.createDataFrame(wave1 + wave2, schema)
+    per = union.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+    anchor = union.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    for r in per.collect():
+        g = got[r.event_type]
+        assert g["n_events"] == r.n
+        assert g["last_us"] == r.last_us
+        assert g["staleness_us"] == anchor - r.last_us
+        assert g["span_us"] == r.last_us - r.first_us
+    assert got["b"]["is_stale"] is True and got["a"]["is_stale"] is False
+
+    # replay: same checkpoint, no new data -> identical output
+    q3 = run()
+    q3.awaitTermination(120)
+    got2 = {r.event_type: r.asDict() for r in read_freshness(spark, store).collect()}
+    assert got2 == got
+
+
+def test_stream_profile_drift_matches_batch_and_replay(spark, tmp_path):
+    """Streaming profile drift vs a frozen baseline: folded counts,
+    decimal-exact means, and the per-(type, user) partials' mergeable
+    COUNT(DISTINCT) must equal the batch arithmetic over both waves;
+    checkpoint replay must be a no-op."""
+    from data_ingestors_spark.streaming.monitors import (
+        profile_baseline,
+        read_profile_drift,
+        stream_profile_fold,
+    )
+
+    schema = "event_type string, user_id long, value double"
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    ref = spark.createDataFrame(
+        [("a", i % 7, float(i % 10)) for i in range(100)]
+        + [("b", i % 3, 5.0) for i in range(40)],
+        schema,
+    )
+    base = profile_baseline(ref)
+    # stream: value mean shifts up on 'a', user set widens on 'b'
+    wave1 = [("a", i % 5, float(10 + i % 4)) for i in range(30)]
+    wave2 = [("a", 9, 20.0)] * 10 + [("b", 100 + i, 5.5) for i in range(8)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: stream_profile_fold(
+        spark.readStream.schema(schema).parquet(src), store, ckpt, available_now=True
+    )
+    q = run()
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    q2.awaitTermination(120)
+
+    got = {r.event_type: r.asDict() for r in read_profile_drift(spark, store, base).collect()}
+
+    rows = wave1 + wave2
+    for et in ("a", "b"):
+        sub = [r for r in rows if r[0] == et]
+        refsub = [("x", i % 7, float(i % 10)) for i in range(100)] if et == "a" else [
+            ("x", i % 3, 5.0) for i in range(40)
+        ]
+        g = got[et]
+        assert g["n_new"] == len(sub)
+        assert g["ndv_user_new"] == len({r[1] for r in sub})
+        assert g["n_ref"] == len(refsub)
+        assert abs(g["avg_value_new"] - sum(r[2] for r in sub) / len(sub)) < 1e-9
+        assert abs(g["avg_value_ref"] - sum(r[2] for r in refsub) / len(refsub)) < 1e-9
+        assert abs(
+            g["avg_value_delta"] - round(g["avg_value_new"] - g["avg_value_ref"], 4)
+        ) < 1e-9
+    # the engineered drifts register
+    assert got["a"]["avg_value_delta"] > 5
+    assert got["b"]["ndv_user_new"] == 8
+
+    q3 = run()
+    q3.awaitTermination(120)
+    got2 = {r.event_type: r.asDict() for r in read_profile_drift(spark, store, base).collect()}
+    assert got2 == got
+
+
 def test_psi_baseline_constant_column_degenerate_range(spark):
     """A constant-valued reference column makes (vmax - vmin) zero;
     the guarded bin expression must pin every row to bin 0 instead of
