@@ -229,6 +229,8 @@ HEADLINE = [
     "mixture_plan",
     "activity_heatmap",
     "cumulative_users",
+    # r8 batch 1: incremental batch-vs-corpus dedup pre-flight
+    "incremental_dedup",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -817,3 +817,166 @@ def _minlabel_iterative(
         if changed == 0:
             break
     return labels
+
+
+# --- incremental dedup vs a bucketed fingerprint index ------------------
+
+
+def build_fingerprint_index(
+    spark,
+    index_path: str,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> tuple[int, int, int]:
+    """Build / refresh the corpus fingerprint index used by
+    :func:`incremental_dedup_report`: one row per distinct normalized
+    fingerprint, upserted into the hash-bucketed layout of
+    :func:`~data_ingestors_spark.io.writers.upsert` (key = fp_md5).
+    Re-running on new batches merges incrementally — only the touched
+    buckets rewrite. Returns upsert's (updated, inserted, deduped)."""
+    from data_ingestors_spark.io.writers import DEFAULT_N_BUCKETS, upsert
+
+    fps = docs.select(
+        F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
+        F.col(id_col).alias("first_doc_id"),
+        F.length(text_col).alias("nc"),
+    )
+    # one row per fingerprint BEFORE the upsert (its deterministic
+    # in-batch dedup would otherwise pick a hash-ordered winner; the
+    # index contract is min doc id, matching exact_dedup)
+    idx = fps.groupBy("fp_md5").agg(
+        F.min("first_doc_id").alias("first_doc_id"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("nc").cast("long").alias("max_nc"),
+    )
+    return upsert(
+        spark,
+        index_path,
+        idx,
+        key="fp_md5",
+        n_buckets=n_buckets or DEFAULT_N_BUCKETS,
+    )
+
+
+def incremental_dedup_report(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """What would ingesting ``batch`` add? Per source: how many batch
+    documents are exact duplicates of the indexed corpus, duplicates
+    within the batch itself, or novel — plus the novel character mass
+    — WITHOUT scanning the corpus: the batch's fingerprints hash to
+    their buckets and ONLY those bucket partitions of the index are
+    read (same touched-buckets-only contract as upsert/purge_keys; at
+    100 TB a k-fingerprint batch reads O(k) buckets, never the index).
+
+    Semantics match [q_dedup_impact_report]'s survivor rule: among
+    batch-only fingerprint families the (max nc, min doc_id) doc is
+    the novel survivor in ITS source; its family siblings count as
+    in-batch duplicates. Attribution happens inside the family
+    aggregation (per-(fp, source) partials + per-family winner join)
+    — nothing batch- or corpus-sized broadcasts.
+
+    Registry twin: queries/text_llm.py:q_incremental_dedup computes
+    the identical report relationally (corpus = the unindexed split)
+    and is DuckDB-oracle-paired; equality of the two paths is
+    asserted in tests."""
+    from data_ingestors_spark.io.writers import (
+        BUCKET_COL,
+        DEFAULT_N_BUCKETS,
+        path_exists,
+    )
+
+    n_buckets = n_buckets or DEFAULT_N_BUCKETS
+    b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.length(text_col).alias("nc"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
+    )
+    if path_exists(spark, index_path):
+        buckets = b.select(
+            F.pmod(F.xxhash64(F.col("fp_md5")), F.lit(n_buckets))
+            .cast("int")
+            .alias(BUCKET_COL)
+        ).distinct()
+        touched = [r[0] for r in buckets.collect()]
+        idx = (
+            spark.read.parquet(index_path)
+            .filter(F.col(BUCKET_COL).isin(touched))
+            .select("fp_md5", F.lit(1).alias("in_corpus"))
+        )
+    else:
+        idx = spark.createDataFrame(
+            [], "fp_md5 string, in_corpus int"
+        )
+    flag = b.join(idx, "fp_md5", "left")
+    tot = flag.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_corpus"),
+        F.sum("nc").cast("long").alias("n_chars"),
+    )
+    new = flag.filter(F.col("in_corpus").isNull())
+    per_src = new.groupBy("fp_md5", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.struct(F.col("nc"), (-F.col("doc_id")).alias("negid"))).alias(
+            "best"
+        ),
+    )
+    win = per_src.groupBy("fp_md5").agg(
+        F.max_by(
+            F.struct(
+                F.col("source").alias("wsrc"),
+                F.col("best").getField("nc").alias("wnc"),
+            ),
+            F.col("best"),
+        ).alias("w")
+    )
+    fam = (
+        per_src.join(win, "fp_md5")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == F.col("w.wsrc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.sum(
+                F.col("n")
+                - F.when(F.col("source") == F.col("w.wsrc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dup_batch"),
+            F.sum(
+                F.when(F.col("source") == F.col("w.wsrc"), F.col("w.wnc")).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_novel"),
+        )
+    )
+    return (
+        tot.join(fam, "source", "left")
+        .fillna(0, subset=["n_novel", "n_dup_batch", "chars_novel"])
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_corpus",
+            "n_dup_batch",
+            "n_novel",
+            "n_chars",
+            "chars_novel",
+            fround(F.col("n_novel") / F.col("n_docs"), 6).alias("novel_frac"),
+        )
+        .orderBy("source")
+    )

@@ -3522,6 +3522,140 @@ QUERIES["dedup_impact_report"] = q_dedup_impact_report
 ORACLES["dedup_impact_report"] = O_DEDUP_IMPACT_REPORT
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup impact: per source, what would ingesting a
+    NEW batch (the deterministic doc_id % 10 == 0 slice) add to an
+    already-deduped corpus (the % 10 != 0 slice) — exact-dup-vs-corpus
+    count, in-batch-dup count, novel survivors, and novel character
+    mass. The pre-flight report a pipeline runs before committing a
+    feed ([q_dedup_impact_report] is its whole-corpus retrospective
+    sibling; the operator twin
+    operators/dedup.py:incremental_dedup_report computes THIS report
+    against a bucketed fingerprint index reading only the batch's
+    touched buckets — equality of the two paths is test-asserted).
+
+    Survivor rule among batch-only families: (max nc, min doc_id) —
+    same as [q_dedup_canonical]; attribution is family-side (per-
+    (fp, source) partials + winner join), nothing corpus-sized ever
+    broadcasts.
+
+    Plan (100 TB): one distinct over corpus fingerprints (ids only),
+    one fp-keyed left join for the corpus flag, two partial-aggregable
+    groupBys + one fp-keyed aggregated join for the family split."""
+    t = tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.length("text").alias("nc"),
+        F.md5(D.normalize_text(F.col("text"))).alias("fp_md5"),
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select("fp_md5")
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    b = d.filter(F.col("doc_id") % 10 == 0)
+    flag = b.join(corpus, "fp_md5", "left")
+    tot = flag.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_corpus"),
+        F.sum("nc").cast("long").alias("n_chars"),
+    )
+    new = flag.filter(F.col("in_corpus").isNull())
+    per_src = new.groupBy("fp_md5", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.struct(F.col("nc"), (-F.col("doc_id")).alias("negid"))).alias("best"),
+    )
+    win = per_src.groupBy("fp_md5").agg(
+        F.max_by(
+            F.struct(
+                F.col("source").alias("wsrc"),
+                F.col("best").getField("nc").alias("wnc"),
+            ),
+            F.col("best"),
+        ).alias("w")
+    )
+    is_w = F.col("source") == F.col("w.wsrc")
+    fam = (
+        per_src.join(win, "fp_md5")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(is_w, 1).otherwise(0)).cast("long").alias("n_novel"),
+            F.sum(F.col("n") - F.when(is_w, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_batch"),
+            F.sum(F.when(is_w, F.col("w.wnc")).otherwise(0))
+            .cast("long")
+            .alias("chars_novel"),
+        )
+    )
+    return (
+        tot.join(fam, "source", "left")
+        .fillna(0, subset=["n_novel", "n_dup_batch", "chars_novel"])
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_corpus",
+            "n_dup_batch",
+            "n_novel",
+            "n_chars",
+            "chars_novel",
+            fround(F.col("n_novel") / F.col("n_docs"), 6).alias("novel_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+O_INCREMENTAL_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, source, length(text) AS nc,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fp_md5 FROM d WHERE doc_id % 10 <> 0),
+b AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+flag AS (
+  SELECT b.*, (c.fp_md5 IS NOT NULL) AS in_corpus
+  FROM b LEFT JOIN corpus c USING (fp_md5)
+),
+tot AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+         CAST(sum(nc) AS BIGINT) AS n_chars
+  FROM flag GROUP BY 1
+),
+new AS (SELECT * FROM flag WHERE NOT in_corpus),
+fam2 AS (
+  SELECT source,
+         CAST(count(*) FILTER (WHERE is_surv) AS BIGINT) AS n_novel,
+         CAST(count(*) FILTER (WHERE NOT is_surv) AS BIGINT) AS n_dup_batch,
+         CAST(sum(CASE WHEN is_surv THEN nc ELSE 0 END) AS BIGINT) AS chars_novel
+  FROM (
+    SELECT n.source, n.nc,
+           row_number() OVER (PARTITION BY n.fp_md5
+                              ORDER BY n.nc DESC, n.doc_id) = 1 AS is_surv
+    FROM new n
+  )
+  GROUP BY 1
+)
+SELECT t.source, t.n_docs, t.n_dup_corpus,
+       coalesce(f.n_dup_batch, 0) AS n_dup_batch,
+       coalesce(f.n_novel, 0) AS n_novel,
+       t.n_chars,
+       coalesce(f.chars_novel, 0) AS chars_novel,
+       {o_fround("coalesce(f.n_novel, 0) / CAST(t.n_docs AS DOUBLE)", 6)} AS novel_frac
+FROM tot t LEFT JOIN fam2 f USING (source)
+ORDER BY t.source
+"""
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+ORACLES["incremental_dedup"] = O_INCREMENTAL_DEDUP
+
+
 def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-norm hygiene audit per label: L2 norm min / mean / max
     plus the count outside [0.9, 1.1] — the 30-second check that an

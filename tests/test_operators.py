@@ -1981,6 +1981,44 @@ def test_int8_quant_error_bounded(spark):
         assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12, r
 
 
+def test_incremental_dedup_index_path_matches_relational(spark, tmp_path):
+    """The bucketed-index incremental dedup report must be row-for-row
+    identical to the oracle-paired relational registry query on the
+    same corpus/batch split, and its index read must prune to the
+    batch's touched buckets only (PartitionFilters, no full scan)."""
+    from data_ingestors_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_dedup_report,
+    )
+    from data_ingestors_spark.queries.base import tables
+    from data_ingestors_spark.queries.text_llm import q_incremental_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = tables(spark, sf_dir, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx_path = str(tmp_path / "fp_index")
+    build_fingerprint_index(spark, idx_path, corpus, n_buckets=16)
+
+    got = incremental_dedup_report(spark, idx_path, batch, n_buckets=16)
+    want = q_incremental_dedup(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # touched-buckets-only proof: the index scan carries a partition
+    # filter on the bucket column — directory pruning, not a data scan
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    i = plan.index("PartitionFilters")
+    assert "__bucket" in plan[i : i + 300]
+
+    # an empty (absent) index treats every batch row as novel
+    got_empty = incremental_dedup_report(
+        spark, str(tmp_path / "missing"), batch, n_buckets=16
+    ).agg(F.sum("n_dup_corpus")).collect()[0][0]
+    assert got_empty == 0
+
+
 def test_whale_basket_cap_bounds_fanout(spark, tmp_path):
     """One customer buying EVERY part (the degenerate whale) must not
     turn the per-basket O(k²)/O(k³) fan-outs quadratic: the
