@@ -231,6 +231,21 @@ HEADLINE = [
     "cumulative_users",
     # r8 batch 1: incremental batch-vs-corpus dedup pre-flight
     "incremental_dedup",
+    # r8 batch 2: corpus growth/chunking/prefix audits
+    "vocab_growth",
+    "duplicate_prefix_audit",
+    "chunk_overlap_audit",
+    # r8 batch 3: basket shape, invoice dedup, supplier pricing
+    "basket_size_distribution",
+    "duplicate_invoice_detection",
+    "supplier_price_outliers",
+    # r8 batch 4: concordance, variance homogeneity, feature screen
+    "kendall_tau",
+    "levene_test",
+    "info_gain_screen",
+    # r8 batch 5: trade matrix, discount response
+    "nation_trade_balance",
+    "price_elasticity",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

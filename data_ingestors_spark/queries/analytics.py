@@ -3336,3 +3336,360 @@ FROM hhi ORDER BY s_nationkey
 
 QUERIES["supplier_hhi"] = q_supplier_hhi
 ORACLES["supplier_hhi"] = O_SUPPLIER_HHI
+
+
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size histogram: per distinct-item count k, how
+    many orders, their share of all orders, and the decimal-exact
+    average order total — the shape parameter every co-purchase /
+    recommender query in this module implicitly depends on (and the
+    empirical justification for :data:`MAX_BASKET_ITEMS`).
+
+    Plan (100 TB): distinct (order, part) collapses map-side, one
+    |orders|-row count groupBy, one |sizes|-row histogram groupBy;
+    order totals join on the order key (ids + one double). The 1-row
+    total broadcast-cross-joins for the share."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    sizes = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("basket_size"))
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+            ),
+            "l_orderkey",
+        )
+    )
+    tot = sizes.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        sizes.groupBy("basket_size")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            davg(F.col("o_totalprice"), 4).alias("avg_order_total"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "basket_size",
+            "n_orders",
+            fround(F.col("n_orders") / F.col("n_total"), 6).alias("order_share"),
+            "avg_order_total",
+        )
+        .orderBy("basket_size")
+    )
+
+
+O_BASKET_SIZE_DISTRIBUTION = f"""
+WITH sizes AS (
+  SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS basket_size
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT basket_size, o_totalprice
+  FROM sizes JOIN orders ON l_orderkey = o_orderkey
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j)
+SELECT basket_size,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_fround("count(*) / CAST(n_total AS DOUBLE)", 6)} AS order_share,
+       {o_davg("o_totalprice", 4)} AS avg_order_total
+FROM j CROSS JOIN tot
+GROUP BY basket_size, n_total ORDER BY basket_size
+"""
+
+QUERIES["basket_size_distribution"] = q_basket_size_distribution
+ORACLES["basket_size_distribution"] = O_BASKET_SIZE_DISTRIBUTION
+
+
+def q_duplicate_invoice_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice screen: pairs of orders by the SAME customer
+    with the IDENTICAL total price within 7 days of each other — the
+    finance-ops dedup audit (double-billing / replayed feed), the
+    money-domain cousin of [q_dedup_exact].
+
+    Plan (100 TB): equi-join on (custkey, totalprice) — the candidate
+    space is bounded by exact-amount repeats per customer (never
+    corpus-quadratic), and the 7-day predicate prunes the tail before
+    anything aggregates. Output is the full pair list with the gap in
+    days, deterministically ordered."""
+    t = tables(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("od_us"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    day_us = 86_400_000_000
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            F.abs(F.col("a.od_us") - F.col("b.od_us")) <= F.lit(7 * day_us)
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_totalprice").alias("totalprice"),
+            (F.abs(F.col("a.od_us") - F.col("b.od_us")) / F.lit(day_us))
+            .cast("double")
+            .alias("gap_days"),
+        )
+        .withColumn("gap_days", fround(F.col("gap_days"), 6))
+        .orderBy("custkey", "order_a", "order_b")
+    )
+
+
+O_DUPLICATE_INVOICE_DETECTION = f"""
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       a.o_totalprice AS totalprice,
+       {o_fround("abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) / CAST(86400000000 AS DOUBLE)", 6)} AS gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_totalprice = b.o_totalprice
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) <= 7 * 86400000000
+ORDER BY custkey, order_a, order_b
+"""
+
+QUERIES["duplicate_invoice_detection"] = q_duplicate_invoice_detection
+ORACLES["duplicate_invoice_detection"] = O_DUPLICATE_INVOICE_DETECTION
+
+
+def q_supplier_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier pricing-anomaly screen: per (part, supplier), the mean
+    unit price (extendedprice / quantity, decimal-exact mean) against
+    the part's exact median unit price across all suppliers; top-20
+    by absolute log price ratio — the procurement-audit cousin of
+    [q_mad_stats] (which flags rows; this flags SUPPLIERS).
+
+    Parts with a single supplier-price row are excluded (their ratio
+    is identically 1). percentile == quantile_cont on identical
+    doubles (proven portable in key_skew_audit).
+
+    Plan (100 TB): unit price is row-local; per-(part,supp) means and
+    per-part medians are two partial-aggregable groupBys; the stats
+    join streams on the part key (|parts|-sized, NOT broadcast). The
+    top-20 is a TakeOrdered with the rounded key + full tiebreaks."""
+    t = tables(spark, sf_dir, "lineitem")
+    up = t["lineitem"].select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    per_supp = up.groupBy("l_partkey", "l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        (F.sum(F.col("unit_price").cast(DEC)).cast("double") / F.count("*")).alias(
+            "avg_up_raw"
+        ),
+    )
+    per_part = up.groupBy("l_partkey").agg(
+        F.percentile("unit_price", F.lit(0.5)).alias("med_up_raw"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+    )
+    j = per_supp.join(per_part, "l_partkey").filter(F.col("n_supps") > 1)
+    ratio_r = fround(F.col("avg_up_raw") / F.col("med_up_raw"), 6)
+    return (
+        j.select(
+            "l_partkey",
+            "l_suppkey",
+            "n_lines",
+            fround(F.col("avg_up_raw"), 4).alias("avg_unit_price"),
+            fround(F.col("med_up_raw"), 4).alias("part_median_price"),
+            ratio_r.alias("price_ratio"),
+        )
+        .orderBy(
+            F.desc(F.abs(F.log(F.col("price_ratio")))),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .limit(20)
+    )
+
+
+O_SUPPLIER_PRICE_OUTLIERS = f"""
+WITH up AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+),
+per_supp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(unit_price AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_up_raw
+  FROM up GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey,
+         quantile_cont(unit_price, 0.5) AS med_up_raw,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+  FROM up GROUP BY 1
+)
+SELECT l_partkey, l_suppkey, n_lines,
+       {o_fround("avg_up_raw", 4)} AS avg_unit_price,
+       {o_fround("med_up_raw", 4)} AS part_median_price,
+       {o_fround("avg_up_raw / med_up_raw", 6)} AS price_ratio
+FROM per_supp JOIN per_part USING (l_partkey)
+WHERE n_supps > 1
+ORDER BY abs(ln({o_fround("avg_up_raw / med_up_raw", 6)})) DESC, l_partkey, l_suppkey
+LIMIT 20
+"""
+
+QUERIES["supplier_price_outliers"] = q_supplier_price_outliers
+ORACLES["supplier_price_outliers"] = O_SUPPLIER_PRICE_OUTLIERS
+
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation x customer-nation revenue flow matrix —
+    the generalization of [q_volume_shipping] (TPC-H Q7 fixes two
+    nations; BI wants the whole matrix plus each cell's share of the
+    exporting nation's revenue).
+
+    Plan (100 TB): lineitem joins orders on the order key (the one
+    big shuffle), then ids-only supplier/customer bridges to the two
+    25-row nation dims (broadcast); the matrix aggregation is
+    |nations|² cells, partial-aggregated map-side. The per-exporter
+    share joins the cell frame to its own |nations|-row rollup."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flows = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"), "l_suppkey")
+        .join(t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"), "o_custkey")
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            dsum(rev, 2).alias("revenue"),
+        )
+    )
+    exp_tot = flows.groupBy("supp_nation").agg(
+        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("exp_revenue")
+    )
+    return (
+        flows.join(exp_tot, "supp_nation")
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "n_lines",
+            "revenue",
+            fround(F.col("revenue") / F.col("exp_revenue"), 6).alias("exp_share"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+O_NATION_TRADE_BALANCE = f"""
+WITH flows AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         {o_dsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+),
+exp_tot AS (
+  SELECT supp_nation,
+         CAST(sum(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS exp_revenue
+  FROM flows GROUP BY 1
+)
+SELECT supp_nation, cust_nation, n_lines, revenue,
+       {o_fround("revenue / exp_revenue", 6)} AS exp_share
+FROM flows JOIN exp_tot USING (supp_nation)
+ORDER BY supp_nation, cust_nation
+"""
+
+QUERIES["nation_trade_balance"] = q_nation_trade_balance
+ORACLES["nation_trade_balance"] = O_NATION_TRADE_BALANCE
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response screen per brand: the OLS slope (and fit) of
+    quantity on discount — does a deeper discount move more units of
+    this brand? The pricing-team readout next to [q_promo_revenue]'s
+    revenue split. Positive slope = discount-responsive.
+
+    Exactness: the co-moment form slope = (n·Sxy − Sx·Sy) /
+    (n·Sxx − Sx²) over decimal-folded sums — every operand
+    engine-identical; r² from the same sums.
+
+    Plan (100 TB): one part-key join for the brand, ONE
+    partial-aggregable groupBy to |brands| cells; the regression is
+    row-local arithmetic on the cell frame."""
+    t = tables(spark, sf_dir, "lineitem", "part")
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    cells = (
+        t["lineitem"]
+        .join(t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x.cast(DEC)).alias("sx"),
+            F.sum(y.cast(DEC)).alias("sy"),
+            F.sum((x * y).cast(DEC)).alias("sxy"),
+            F.sum((x * x).cast(DEC)).alias("sxx"),
+            F.sum((y * y).cast(DEC)).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return cells.select(
+        "p_brand",
+        "n",
+        fround(cov_n / var_x, 6).alias("slope"),
+        fround(sy / n - (cov_n / var_x) * (sx / n), 6).alias("intercept"),
+        fround((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+O_PRICE_ELASTICITY = f"""
+WITH cells AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_discount * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n,
+       {o_fround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
+       {o_fround("sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)", 6)} AS intercept,
+       {o_fround("pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+FROM cells ORDER BY p_brand
+"""
+
+QUERIES["price_elasticity"] = q_price_elasticity
+ORACLES["price_elasticity"] = O_PRICE_ELASTICITY

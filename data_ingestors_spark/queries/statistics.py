@@ -1703,3 +1703,311 @@ FROM bh ORDER BY source
 
 QUERIES["multi_test_fdr"] = q_multi_test_fdr
 ORACLES["multi_test_fdr"] = O_MULTI_TEST_FDR
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and price on a deterministic
+    order-key sample — the concordance companion to [q_spearman_corr]
+    (tau's pairwise form is robust to the heavy ties both columns
+    carry; the tie-adjusted tau-b denominator handles them exactly).
+
+    Sampling: l_orderkey % 97 == 0 — modulo, never RNG (the bounded-
+    audit rule), keeping the O(m²) pair enumeration a few-million-row
+    job at any SF (raise the modulus at scale, same contract as
+    [q_blocking_audit]).
+
+    Exactness: concordant / discordant / tie counts are pure integer
+    aggregates; tau-b is one double expression over them — engine-
+    identical before rounding.
+
+    Plan (100 TB): the sampled frame self-joins on a constant (it is
+    deliberately tiny); everything else is one count aggregation."""
+    t = tables(spark, sf_dir, "lineitem")
+    s = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.rid") < F.col("b.rid"))
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when((dx != 0) & (dy != 0) & (dx * dy > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when((dx != 0) & (dy != 0) & (dx * dy < 0), 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("long").alias("tied_x"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("tied_y"),
+    )
+    n = s.agg(F.count("*").cast("long").alias("n_sampled"))
+    tau = (F.col("concordant") - F.col("discordant")) / F.sqrt(
+        (F.col("n_pairs") - F.col("tied_x")).cast("double")
+        * (F.col("n_pairs") - F.col("tied_y"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "n_sampled",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            "tied_x",
+            "tied_y",
+            fround(tau, 6).alias("tau_b"),
+        )
+    )
+
+
+O_KENDALL_TAU = f"""
+WITH s AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+pairs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN a.x <> b.x AND a.y <> b.y AND (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN a.x <> b.x AND a.y <> b.y AND (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+         CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+  FROM s a JOIN s b ON a.rid < b.rid
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled FROM s)
+SELECT n_sampled, n_pairs, concordant, discordant, tied_x, tied_y,
+       {o_fround("(concordant - discordant) / sqrt(CAST(n_pairs - tied_x AS DOUBLE) * (n_pairs - tied_y))", 6)} AS tau_b
+FROM pairs CROSS JOIN n
+"""
+
+QUERIES["kendall_tau"] = q_kendall_tau
+ORACLES["kendall_tau"] = O_KENDALL_TAU
+
+
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across event types:
+    the W statistic over |value − group median| deviations — the
+    gatekeeper assumption check before pooled-variance comparisons
+    ([q_seasonality_strength]'s ANOVA assumes it; this audits it).
+    Median-centered (Brown–Forsythe) rather than mean-centered
+    (classic Levene) for heavy-tail robustness.
+
+    Exactness: group medians are quantile_cont twins (proven
+    portable); per-group z sums fold in decimal; the k-term and
+    group-term reductions also fold in decimal so the F ratio is
+    engine-identical before rounding.
+
+    Plan (100 TB): one percentile groupBy (|types| rows, broadcast
+    back), one conditional-aggregate scan for per-group z stats, then
+    arithmetic over a |types|-row frame with a 1-row grand cross
+    join. Nothing sorts."""
+    t = tables(spark, sf_dir, "events")
+    med = t["events"].groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    z = t["events"].join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_j"),
+        F.sum(F.col("z").cast(DEC)).alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("szz"),
+    )
+    grand = g.agg(
+        F.sum("n_j").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum("sz").alias("sz_all"),
+    )
+    zbar_j = F.col("sz").cast("double") / F.col("n_j")
+    zbar = F.col("sz_all").cast("double") / F.col("n_total")
+    num_term = (F.col("n_j") * (zbar_j - zbar) * (zbar_j - zbar)).cast(DEC)
+    den_term = (
+        F.col("szz").cast("double") - F.col("n_j") * zbar_j * zbar_j
+    ).cast(DEC)
+    parts = g.crossJoin(F.broadcast(grand)).agg(
+        F.first("n_total").alias("n_total"),
+        F.first("k_groups").alias("k_groups"),
+        F.sum(num_term).cast("double").alias("num"),
+        F.sum(den_term).cast("double").alias("den"),
+    )
+    w = (
+        (F.col("n_total") - F.col("k_groups"))
+        / (F.col("k_groups") - 1)
+        * F.col("num")
+        / F.col("den")
+    )
+    return parts.select(
+        "k_groups",
+        "n_total",
+        (F.col("k_groups") - 1).cast("long").alias("df1"),
+        (F.col("n_total") - F.col("k_groups")).cast("long").alias("df2"),
+        fround(w, 6).alias("bf_stat"),
+    )
+
+
+O_LEVENE_TEST = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_type, abs(e.value - m.med) AS z
+  FROM events e JOIN med m USING (event_type)
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_j,
+         sum(CAST(z AS DECIMAL(30,10))) AS sz,
+         sum(CAST(z * z AS DECIMAL(30,10))) AS szz
+  FROM z GROUP BY 1
+),
+grand AS (
+  SELECT CAST(sum(n_j) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS k_groups,
+         sum(sz) AS sz_all
+  FROM g
+),
+parts AS (
+  SELECT any_value(n_total) AS n_total, any_value(k_groups) AS k_groups,
+         CAST(sum(CAST(n_j * pow(CAST(sz AS DOUBLE) / n_j - CAST(sz_all AS DOUBLE) / n_total, 2) AS DECIMAL(30,10))) AS DOUBLE) AS num,
+         CAST(sum(CAST(CAST(szz AS DOUBLE) - n_j * pow(CAST(sz AS DOUBLE) / n_j, 2) AS DECIMAL(30,10))) AS DOUBLE) AS den
+  FROM g CROSS JOIN grand
+)
+SELECT k_groups, n_total,
+       CAST(k_groups - 1 AS BIGINT) AS df1,
+       CAST(n_total - k_groups AS BIGINT) AS df2,
+       {o_fround("(n_total - k_groups) / CAST(k_groups - 1 AS DOUBLE) * num / den", 6)} AS bf_stat
+FROM parts
+"""
+
+QUERIES["levene_test"] = q_levene_test
+ORACLES["levene_test"] = O_LEVENE_TEST
+
+
+def q_info_gain_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature screen over the embedding table: the
+    information gain of each of the first 8 dimensions' SIGN bit for
+    predicting the label — the 30-second 'is there any signal here'
+    triage before anyone trains a probe ([q_mutual_information] is
+    its categorical-pair sibling; this screens continuous dims via
+    the cheapest binarization).
+
+    Exactness: every probability is an exact integer ratio; entropy
+    terms use libm log2 on identical doubles and fold in decimal.
+
+    Plan (100 TB): the 8-dim slice explodes to 8 rows per vector and
+    immediately collapses into (dim, bit, label) cells — 8 x 2 x
+    |labels| rows; everything after is arithmetic on that tiny frame.
+    One scan, one shuffle."""
+    t = tables(spark, sf_dir, "embeddings")
+    cells = (
+        t["embeddings"]
+        .select(
+            "label",
+            F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v"),
+        )
+        .groupBy("dim", (F.col("v") > 0).cast("int").alias("bit"), "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_bit = cells.groupBy("dim", "bit").agg(
+        F.sum("c").cast("long").alias("n_b")
+    )
+    # conditional entropy per (dim, bit) from exact cell fractions
+    ent_b = (
+        cells.join(per_bit.select("dim", "bit", "n_b"), ["dim", "bit"])
+        .groupBy("dim", "bit", "n_b")
+        .agg(
+            F.sum(
+                (
+                    -(F.col("c") / F.col("n_b"))
+                    * F.log2(F.col("c") / F.col("n_b"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("h_b")
+        )
+    )
+    # global label entropy (same for every dim): from dim 0's cells
+    lbl = (
+        cells.filter(F.col("dim") == 0)
+        .groupBy("label")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    n_tot = lbl.agg(F.sum("c").cast("long").alias("n"))
+    h_label = (
+        lbl.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.sum(
+                (
+                    -(F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("h_label"),
+            F.first("n").alias("n"),
+        )
+    )
+    gain = (
+        ent_b.crossJoin(F.broadcast(h_label))
+        .groupBy("dim")
+        .agg(
+            F.first("h_label").alias("h_lbl"),
+            F.sum(((F.col("n_b") / F.col("n")) * F.col("h_b")).cast(DEC))
+            .cast("double")
+            .alias("h_cond"),
+        )
+    )
+    return gain.select(
+        F.col("dim").cast("int").alias("dim"),
+        fround(F.col("h_lbl"), 6).alias("h_label"),
+        fround(F.col("h_cond"), 6).alias("h_conditional"),
+        fround(F.col("h_lbl") - F.col("h_cond"), 6).alias("info_gain"),
+    ).orderBy("dim")
+
+
+O_INFO_GAIN_SCREEN = f"""
+WITH cells AS (
+  SELECT d.dim, CAST(embedding[d.dim + 1] > 0 AS INTEGER) AS bit, label,
+         CAST(count(*) AS BIGINT) AS c
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d
+  GROUP BY 1, 2, 3
+),
+per_bit AS (
+  SELECT dim, bit, CAST(sum(c) AS BIGINT) AS n_b FROM cells GROUP BY 1, 2
+),
+ent_b AS (
+  SELECT c.dim, c.bit, p.n_b,
+         CAST(sum(CAST(-(c.c / CAST(p.n_b AS DOUBLE)) * log2(c.c / CAST(p.n_b AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS h_b
+  FROM cells c JOIN per_bit p USING (dim, bit)
+  GROUP BY 1, 2, 3
+),
+lbl AS (
+  SELECT label, CAST(sum(c) AS BIGINT) AS c FROM cells WHERE dim = 0 GROUP BY 1
+),
+n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lbl),
+h_label AS (
+  SELECT CAST(sum(CAST(-(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS h_label,
+         any_value(n) AS n
+  FROM lbl CROSS JOIN n_tot
+),
+gain AS (
+  SELECT dim, any_value(h_label) AS h_lbl,
+         CAST(sum(CAST((n_b / CAST(n AS DOUBLE)) * h_b AS DECIMAL(30,10))) AS DOUBLE) AS h_cond
+  FROM ent_b CROSS JOIN h_label
+  GROUP BY 1
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       {o_fround("h_lbl", 6)} AS h_label,
+       {o_fround("h_cond", 6)} AS h_conditional,
+       {o_fround("h_lbl - h_cond", 6)} AS info_gain
+FROM gain ORDER BY dim
+"""
+
+QUERIES["info_gain_screen"] = q_info_gain_screen
+ORACLES["info_gain_screen"] = O_INFO_GAIN_SCREEN

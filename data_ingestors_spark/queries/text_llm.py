@@ -3656,6 +3656,217 @@ QUERIES["incremental_dedup"] = q_incremental_dedup
 ORACLES["incremental_dedup"] = O_INCREMENTAL_DEDUP
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative token count and
+    cumulative distinct vocabulary at ten doc-id checkpoints, plus the
+    ln V / ln N ratio — the saturation diagnostic that tells a corpus
+    curator whether more of the same feed still adds new vocabulary
+    (flat curve = diminishing returns, pair with [q_doc_novelty]).
+
+    Determinism: checkpoints are integer fractions of max doc_id;
+    'first seen' is min doc_id per word — no ordering ambiguity.
+
+    Plan (100 TB): the token explosion collapses immediately into TWO
+    bounded frames — per-doc token counts (|docs| rows) and per-word
+    first-seen (|vocab| rows); each cross-joins the broadcast 10-row
+    checkpoint grid and partial-aggregates. The corpus is scanned
+    once; nothing doc- or vocab-sized shuffles more than once."""
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "doc_id",
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_doc = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tok"))
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    mx = t["documents"].agg(F.max("doc_id").alias("max_doc"))
+    grid = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "decile",
+            F.floor(F.col("max_doc") * F.col("decile") / 10).alias("cutoff"),
+        )
+    )
+    toks = (
+        per_doc.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.sum("n_tok").cast("long").alias("cum_tokens"))
+    )
+    vocab = (
+        first_seen.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("cum_vocab"))
+    )
+    return (
+        toks.join(vocab, "decile")
+        .select(
+            "decile",
+            "cum_tokens",
+            "cum_vocab",
+            fround(F.log("cum_vocab") / F.log("cum_tokens"), 6).alias("heaps_ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+O_VOCAB_GROWTH = f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM words GROUP BY 1),
+first_seen AS (SELECT w, min(doc_id) AS first_doc FROM words GROUP BY 1),
+grid AS (
+  SELECT CAST(d AS INTEGER) AS decile,
+         CAST(floor((SELECT max(doc_id) FROM documents) * d / 10.0) AS BIGINT) AS cutoff
+  FROM unnest(range(1, 11)) AS t(d)
+),
+toks AS (
+  SELECT decile, CAST(sum(n_tok) AS BIGINT) AS cum_tokens
+  FROM per_doc CROSS JOIN grid WHERE doc_id <= cutoff GROUP BY 1
+),
+vocab AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS cum_vocab
+  FROM first_seen CROSS JOIN grid WHERE first_doc <= cutoff GROUP BY 1
+)
+SELECT decile, cum_tokens, cum_vocab,
+       {o_fround("ln(cum_vocab) / ln(cum_tokens)", 6)} AS heaps_ratio
+FROM toks JOIN vocab USING (decile)
+ORDER BY decile
+"""
+
+QUERIES["vocab_growth"] = q_vocab_growth
+ORACLES["vocab_growth"] = O_VOCAB_GROWTH
+
+
+def q_duplicate_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplication histogram: documents grouped by their
+    first 40 normalized characters, reported as family-size bands —
+    the cheapest template/boilerplate detector (mirror sites and
+    form-letter feeds share openings long before full fingerprints
+    match; [q_dup_span_stats] is the exact-substring deep scan).
+
+    Plan (100 TB): ONE groupBy on a 40-char key (fixed-width, ids
+    never carried), then a |distinct sizes|-row histogram groupBy.
+    Nothing joins; the prefix is computed in codegen."""
+    t = tables(spark, sf_dir, "documents")
+    fam = (
+        t["documents"]
+        .select(
+            F.substring(D.normalize_text(F.col("text")), 1, 40).alias("pfx")
+        )
+        .groupBy("pfx")
+        .agg(F.count("*").cast("long").alias("fam_size"))
+    )
+    return (
+        fam.groupBy("fam_size")
+        .agg(F.count("*").cast("long").alias("n_families"))
+        .select(
+            "fam_size",
+            "n_families",
+            (F.col("fam_size") * F.col("n_families")).cast("long").alias("n_docs"),
+            (F.when(F.col("fam_size") > 1, (F.col("fam_size") - 1) * F.col("n_families"))
+             .otherwise(0)).cast("long").alias("n_redundant"),
+        )
+        .orderBy("fam_size")
+    )
+
+
+O_DUPLICATE_PREFIX_AUDIT = """
+WITH fam AS (
+  SELECT substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 40) AS pfx,
+         CAST(count(*) AS BIGINT) AS fam_size
+  FROM documents GROUP BY 1
+)
+SELECT fam_size,
+       CAST(count(*) AS BIGINT) AS n_families,
+       CAST(fam_size * count(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN fam_size > 1 THEN (fam_size - 1) * count(*) ELSE 0 END AS BIGINT) AS n_redundant
+FROM fam GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["duplicate_prefix_audit"] = q_duplicate_prefix_audit
+ORACLES["duplicate_prefix_audit"] = O_DUPLICATE_PREFIX_AUDIT
+
+
+def q_chunk_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking cost audit: with 200-char chunks on a
+    150-char stride (the RAG-standard overlap), how much character
+    mass does each source DUPLICATE into its chunk store — the
+    storage/compute multiplier to budget before re-embedding a corpus
+    ([q_chunk_documents] materializes chunks; this prices them).
+
+    Per doc: n_chunks = 1 if nc <= 200 else ceil((nc-200)/150)+1;
+    chunk chars = sum_i min(200, nc - 150*i) — exact integer
+    arithmetic, identical in both engines.
+
+    Plan (100 TB): the chunk-start enumeration is a row-local
+    sequence fold (<= nc/150 elements, no explode survives the
+    projection); one partial-aggregable groupBy per source."""
+    t = tables(spark, sf_dir, "documents")
+    size, stride = 200, 150
+    nc = F.col("n_chars")
+    n_chunks = F.when(nc <= size, F.lit(1)).otherwise(
+        F.ceil((nc - size) / F.lit(stride)) + 1
+    )
+    chunk_chars = F.aggregate(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.least(F.lit(size).cast("long"), nc - i * stride),
+    )
+    per_doc = t["documents"].select(
+        "source",
+        nc.alias("nc"),
+        n_chunks.cast("long").alias("n_chunks"),
+        chunk_chars.alias("chunk_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("chunk_chars").cast("long").alias("chunk_chars"),
+            fround(
+                (F.sum("chunk_chars") - F.sum("nc")) / F.sum("nc"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+O_CHUNK_OVERLAP_AUDIT = f"""
+WITH per_doc AS (
+  SELECT source, n_chars AS nc,
+         CASE WHEN n_chars <= 200 THEN 1
+              ELSE CAST(ceil((n_chars - 200) / 150.0) AS BIGINT) + 1 END AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT source, nc, n_chunks,
+         (SELECT sum(least(200, nc - 150 * i))
+          FROM unnest(range(0, n_chunks)) AS t(i)) AS chunk_chars
+  FROM per_doc
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(chunk_chars) AS BIGINT) AS chunk_chars,
+       {o_fround("(sum(chunk_chars) - sum(nc)) / CAST(sum(nc) AS DOUBLE)", 6)} AS dup_ratio
+FROM chunks GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["chunk_overlap_audit"] = q_chunk_overlap_audit
+ORACLES["chunk_overlap_audit"] = O_CHUNK_OVERLAP_AUDIT
+
+
 def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-norm hygiene audit per label: L2 norm min / mean / max
     plus the count outside [0.9, 1.1] — the 30-second check that an

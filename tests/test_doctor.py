@@ -82,8 +82,11 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     # (source / doc_id) window are UNRELATED plan nodes
     "temperature_mix": ("D1", "D2"),
     "tfidf_topk": ("D1", "D2"),     # 1-row corpus-count scalar cross join
-    "copurchase_pairs": ("D1",),    # 1-row n_orders scalar cross join onto top-20
-    "assoc_rules": ("D1",),         # 1-row n_orders scalar cross join (same shape)
+    # D2 on the two basket queries below is the documented conjunction
+    # FP: the 1-row scalar agg's SinglePartition exchange + the r8
+    # MAX_BASKET_ITEMS whale-cap window (partitioned by the basket key)
+    "copurchase_pairs": ("D1", "D2"),  # 1-row n_orders scalar cross join onto top-20
+    "assoc_rules": ("D1", "D2"),    # 1-row n_orders scalar cross join (same shape)
     "degree_assortativity": ("D1",),  # 1-row stats x 1-row node-count cross join
     "freshness_audit": ("D1", "D2"),  # 1-row anchor-ts scalar cross join; D2 is the
     #                                   documented SinglePartition conjunction FP
@@ -92,6 +95,14 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 by the stats gate — never the corpus
     "snm_linkage": ("D2",),         # the global sort rank IS the SNM algorithm;
     #                                 range-partition the sort at scale (docstring)
+    # r8 additions — all deliberate bounded cross joins:
+    "vocab_growth": ("D1",),        # broadcast 10-row checkpoint grid cross join
+    "basket_size_distribution": ("D1",),  # 1-row order-total scalar cross join
+    "kendall_tau": ("D1",),         # deliberate bounded sampled self-join
+    #                                 (modulo-97 sample, O(m^2) by design) +
+    #                                 1-row sample-size scalar cross join
+    "levene_test": ("D1",),         # 1-row grand-totals scalar cross join
+    "info_gain_screen": ("D1",),    # 1-row label-entropy / n scalar cross joins
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
