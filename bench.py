@@ -246,6 +246,14 @@ HEADLINE = [
     # r8 batch 5: trade matrix, discount response
     "nation_trade_balance",
     "price_elasticity",
+    # r8 batch 6: event hygiene, audience overlap, lifecycle, risk
+    "rapid_repeat_events",
+    "user_overlap_matrix",
+    "customer_churn_flags",
+    "supplier_dependency",
+    # r8 batch 7: label balance, int8 clip calibration
+    "label_balance_audit",
+    "embedding_quantile_clip",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -3693,3 +3693,154 @@ FROM cells ORDER BY p_brand
 
 QUERIES["price_elasticity"] = q_price_elasticity
 ORACLES["price_elasticity"] = O_PRICE_ELASTICITY
+
+
+def q_customer_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn audit per nation: customers whose LAST order is more than
+    365 days before the newest order anywhere (the data-derived
+    anchor — reproducible, no wall clock), plus never-ordered
+    customers, and the combined at-risk rate — the lifecycle readout
+    next to [q_new_vs_returning]'s acquisition view.
+
+    Plan (100 TB): per-customer last-order is one partial-aggregable
+    groupBy; the 1-row anchor broadcast-cross-joins; customers LEFT
+    join that |customers|-row frame on the customer key (ids only) so
+    never-ordered rows survive; one |nations|-row aggregate ends it."""
+    t = tables(spark, sf_dir, "orders", "customer", "nation")
+    last = t["orders"].groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us")
+    )
+    anchor = t["orders"].agg(F.max(F.unix_micros("o_orderdate")).alias("anchor_us"))
+    year_us = 365 * 86_400_000_000
+    j = (
+        t["customer"]
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+        .join(last, "o_custkey", "left")
+        .crossJoin(F.broadcast(anchor))
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+    )
+    churned = (F.col("last_us").isNotNull()) & (
+        F.col("anchor_us") - F.col("last_us") > year_us
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("last_us").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_never_ordered"),
+            F.sum(F.when(churned, 1).otherwise(0)).cast("long").alias("n_churned"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            "n_never_ordered",
+            "n_churned",
+            fround(
+                (F.col("n_never_ordered") + F.col("n_churned")) / F.col("n_customers"),
+                6,
+            ).alias("at_risk_rate"),
+        )
+        .orderBy("n_name")
+    )
+
+
+O_CUSTOMER_CHURN_FLAGS = f"""
+WITH last AS (
+  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT max(epoch_us(o_orderdate)) AS anchor_us FROM orders),
+j AS (
+  SELECT n.n_name, l.last_us, a.anchor_us
+  FROM customer c
+  LEFT JOIN last l ON c.c_custkey = l.o_custkey
+  CROSS JOIN anchor a
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN last_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered,
+       CAST(sum(CASE WHEN last_us IS NOT NULL AND anchor_us - last_us > 365 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       {o_fround("(sum(CASE WHEN last_us IS NULL THEN 1 ELSE 0 END) + sum(CASE WHEN last_us IS NOT NULL AND anchor_us - last_us > 365 * 86400000000 THEN 1 ELSE 0 END)) / CAST(count(*) AS DOUBLE)", 6)} AS at_risk_rate
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_churn_flags"] = q_customer_churn_flags
+ORACLES["customer_churn_flags"] = O_CUSTOMER_CHURN_FLAGS
+
+
+def q_supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source-risk bands: per part, the share of shipped
+    quantity held by its TOP supplier, banded into risk tiers — the
+    procurement-resilience histogram next to
+    [q_supplier_price_outliers]' pricing screen and [q_supplier_hhi]'s
+    nation-level concentration.
+
+    Exactness: quantities are exact decimal sums; the top share is an
+    integer-exact max/sum ratio; band edges compare the ROUNDED share
+    so the cut is engine-identical.
+
+    Plan (100 TB): two partial-aggregable groupBys — (part, supp)
+    quantities then per-part max/total via one more groupBy — and a
+    |parts|-row banding projection into a <= 4-row histogram."""
+    t = tables(spark, sf_dir, "lineitem")
+    ps = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        (F.max("qty").cast("double") / F.sum("qty").cast("double")).alias("top_share_raw"),
+        F.count("*").cast("long").alias("n_supps"),
+    )
+    share = fround(F.col("top_share_raw"), 6)
+    band = (
+        F.when(share >= 0.999999, F.lit("single_source"))
+        .when(share >= 0.75, F.lit("dominant"))
+        .when(share >= 0.5, F.lit("majority"))
+        .otherwise(F.lit("diversified"))
+    )
+    return (
+        per_part.select(band.alias("risk_band"), "n_supps")
+        .groupBy("risk_band")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            fround(F.avg("n_supps"), 4).alias("avg_suppliers"),
+        )
+        .orderBy("risk_band")
+    )
+
+
+O_SUPPLIER_DEPENDENCY = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(30,10))) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(max(qty) AS DOUBLE) / CAST(sum(qty) AS DOUBLE) AS top_share_raw,
+         CAST(count(*) AS BIGINT) AS n_supps
+  FROM ps GROUP BY 1
+),
+banded AS (
+  SELECT CASE WHEN {o_fround("top_share_raw", 6)} >= 0.999999 THEN 'single_source'
+              WHEN {o_fround("top_share_raw", 6)} >= 0.75 THEN 'dominant'
+              WHEN {o_fround("top_share_raw", 6)} >= 0.5 THEN 'majority'
+              ELSE 'diversified' END AS risk_band,
+         n_supps
+  FROM per_part
+)
+SELECT risk_band,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       {o_fround("avg(n_supps)", 4)} AS avg_suppliers
+FROM banded GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["supplier_dependency"] = q_supplier_dependency
+ORACLES["supplier_dependency"] = O_SUPPLIER_DEPENDENCY

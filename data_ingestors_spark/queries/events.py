@@ -1222,3 +1222,133 @@ ORDER BY d
 
 QUERIES["cumulative_users"] = q_cumulative_users
 ORACLES["cumulative_users"] = O_CUMULATIVE_USERS
+
+
+def q_rapid_repeat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat audit: per event type, how many events arrive
+    within 1 hour of the SAME user's PREVIOUS event of the same type
+    — the client-retry / double-fire screen an event pipeline runs
+    before trusting counts ([q_inter_event_gaps] profiles the healthy
+    cadence; this flags the pathological tail).
+
+    Determinism: the lag ordering is (ts, event_id) — the proven
+    total order for the event stream.
+
+    Plan (100 TB): ONE window pass partitioned by (user, type) — the
+    same key the sessionization family already shuffles on — then a
+    |types|-row conditional aggregate. No joins."""
+    t = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    g = t["events"].select(
+        "event_type", gap.alias("gap_us")
+    )
+    hour_us = 3_600_000_000
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("gap_us") <= hour_us, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rapid"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_rapid",
+            fround(F.col("n_rapid") / F.col("n_events"), 6).alias("rapid_rate"),
+            "min_gap_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+O_RAPID_REPEAT_EVENTS = f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rapid,
+       {o_fround("sum(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS rapid_rate,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rapid_repeat_events"] = q_rapid_repeat_events
+ORACLES["rapid_repeat_events"] = O_RAPID_REPEAT_EVENTS
+
+
+def q_user_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the
+    distinct-user intersection, union, and Jaccard — the 'do these
+    features share an audience' readout product teams ask for
+    ([q_event_transitions] is sequential; this is set overlap).
+
+    Plan (100 TB): distinct (user, type) collapses map-side to
+    |users|x|types| ids; the pair enumeration self-joins per USER
+    (O(t²) in the user's type count, t <= |types| — bounded by the
+    type vocabulary, never corpus-quadratic); per-type distinct
+    counts are a |types|-row frame broadcast onto the |types|²-row
+    pair frame."""
+    t = tables(spark, sf_dir, "events")
+    ut = t["events"].select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    per = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_users"))
+    return (
+        inter.join(
+            F.broadcast(per.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("long").alias("n_union"),
+            fround(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+O_USER_OVERLAP_MATRIX = f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM ut GROUP BY 1)
+SELECT type_a, type_b, pa.n_users AS n_a, pb.n_users AS n_b, n_both,
+       CAST(pa.n_users + pb.n_users - n_both AS BIGINT) AS n_union,
+       {o_fround("n_both / CAST(pa.n_users + pb.n_users - n_both AS DOUBLE)", 6)} AS jaccard
+FROM inter
+JOIN per pa ON pa.event_type = type_a
+JOIN per pb ON pb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+QUERIES["user_overlap_matrix"] = q_user_overlap_matrix
+ORACLES["user_overlap_matrix"] = O_USER_OVERLAP_MATRIX

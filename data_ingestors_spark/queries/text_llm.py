@@ -3922,3 +3922,99 @@ FROM d GROUP BY 1 ORDER BY 1
 
 QUERIES["embedding_norm_audit"] = q_embedding_norm_audit
 ORACLES["embedding_norm_audit"] = O_EMBEDDING_NORM_AUDIT
+
+
+def q_label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the embedding table's labels: per label
+    the count, corpus share, and imbalance ratio vs the largest class
+    — the first table anyone prints before training a classifier
+    ([q_info_gain_screen] asks if the features carry signal; this
+    asks if the labels are usable at all).
+
+    Plan (100 TB): one |labels|-row count groupBy; the max joins back
+    as a 1-row broadcast. Nothing else."""
+    t = tables(spark, sf_dir, "embeddings")
+    per = t["embeddings"].groupBy("label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.max("n").cast("long").alias("n_max"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            fround(F.col("n") / F.col("n_total"), 6).alias("share"),
+            fround(F.col("n_max") / F.col("n"), 6).alias("imbalance_vs_max"),
+        )
+        .orderBy("label")
+    )
+
+
+O_LABEL_BALANCE_AUDIT = f"""
+WITH per AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, CAST(max(n) AS BIGINT) AS n_max FROM per)
+SELECT label, n,
+       {o_fround("n / CAST(n_total AS DOUBLE)", 6)} AS share,
+       {o_fround("n_max / CAST(n AS DOUBLE)", 6)} AS imbalance_vs_max
+FROM per CROSS JOIN tot ORDER BY label
+"""
+
+QUERIES["label_balance_audit"] = q_label_balance_audit
+ORACLES["label_balance_audit"] = O_LABEL_BALANCE_AUDIT
+
+
+def q_embedding_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile calibration table for clipped int8
+    quantization: p01 / p50 / p99 of every embedding dimension plus
+    the symmetric clip scale max(|p01|, |p99|) — the table
+    [q_int8_quant_audit] assumes exists; this builds it (outlier-
+    robust scales beat min/max by ignoring the 1% tails).
+
+    quantile_cont == F.percentile on identical doubles (proven
+    portable in key_skew_audit and grouped_quantiles).
+
+    Plan (100 TB): the posexplode collapses straight into a 64-key
+    percentile groupBy — map-side combined, one shuffle of digest-
+    sized partials, 64 output rows."""
+    t = tables(spark, sf_dir, "embeddings")
+    dims = t["embeddings"].select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    p01, p50, p99 = (
+        F.percentile("v", F.lit(0.01)),
+        F.percentile("v", F.lit(0.5)),
+        F.percentile("v", F.lit(0.99)),
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            fround(p01, 6).alias("p01"),
+            fround(p50, 6).alias("p50"),
+            fround(p99, 6).alias("p99"),
+            fround(F.greatest(F.abs(p01), F.abs(p99)), 6).alias("clip_scale"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n", "p01", "p50", "p99", "clip_scale")
+        .orderBy("dim")
+    )
+
+
+O_EMBEDDING_QUANTILE_CLIP = f"""
+WITH dims AS (
+  SELECT d.dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       {o_fround("quantile_cont(v, 0.01)", 6)} AS p01,
+       {o_fround("quantile_cont(v, 0.5)", 6)} AS p50,
+       {o_fround("quantile_cont(v, 0.99)", 6)} AS p99,
+       {o_fround("greatest(abs(quantile_cont(v, 0.01)), abs(quantile_cont(v, 0.99)))", 6)} AS clip_scale
+FROM dims GROUP BY dim ORDER BY dim
+"""
+
+QUERIES["embedding_quantile_clip"] = q_embedding_quantile_clip
+ORACLES["embedding_quantile_clip"] = O_EMBEDDING_QUANTILE_CLIP

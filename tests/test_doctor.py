@@ -103,6 +103,8 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 1-row sample-size scalar cross join
     "levene_test": ("D1",),         # 1-row grand-totals scalar cross join
     "info_gain_screen": ("D1",),    # 1-row label-entropy / n scalar cross joins
+    "customer_churn_flags": ("D1",),  # 1-row anchor-date scalar cross join
+    "label_balance_audit": ("D1",),   # 1-row (total, max) scalar cross join
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
