@@ -254,6 +254,12 @@ HEADLINE = [
     # r8 batch 7: label balance, int8 clip calibration
     "label_balance_audit",
     "embedding_quantile_clip",
+    # r8 batch 8: bigram head coverage, source profile cosine,
+    # rolling-z anomaly summary, weekly backlog curve
+    "ngram_coverage_curve",
+    "source_similarity_matrix",
+    "rolling_zscore_anomalies",
+    "order_backlog_curve",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

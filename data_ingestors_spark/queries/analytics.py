@@ -3844,3 +3844,71 @@ FROM banded GROUP BY 1 ORDER BY 1
 
 QUERIES["supplier_dependency"] = q_supplier_dependency
 ORACLES["supplier_dependency"] = O_SUPPLIER_DEPENDENCY
+
+
+def q_order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly order-line backlog curve: lines placed (by order date)
+    vs lines shipped (by ship date) per ISO week, with the running
+    open-line backlog — the fulfillment-health time series next to
+    [q_ship_latency]'s per-line latency distribution.
+
+    date_trunc('week') cast to DATE is the proven engine-portable
+    week key (both ISO Monday).
+
+    Plan (100 TB): two partial-aggregable weekly count scans (placed
+    needs the one order-key join), a full outer join on the ~weeks-
+    sized key, and a cumsum window over the |weeks|-row frame —
+    nothing row-level ever sorts."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].join(
+        t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+        "l_orderkey",
+    )
+    placed = li.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(F.count("*").cast("long").alias("placed"))
+    shipped = t["lineitem"].groupBy(
+        F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week")
+    ).agg(F.count("*").cast("long").alias("shipped"))
+    j = placed.join(shipped, "week", "full").fillna(0, subset=["placed", "shipped"])
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.select(
+            "week",
+            "placed",
+            "shipped",
+            (F.sum("placed").over(w) - F.sum("shipped").over(w))
+            .cast("long")
+            .alias("backlog"),
+        )
+        .orderBy("week")
+    )
+
+
+O_ORDER_BACKLOG_CURVE = """
+WITH placed AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         CAST(count(*) AS BIGINT) AS placed
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+shipped AS (
+  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+         CAST(count(*) AS BIGINT) AS shipped
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT coalesce(p.week, s.week) AS week,
+         coalesce(placed, 0) AS placed,
+         coalesce(shipped, 0) AS shipped
+  FROM placed p FULL JOIN shipped s ON p.week = s.week
+)
+SELECT week, placed, shipped,
+       CAST(sum(placed) OVER w - sum(shipped) OVER w AS BIGINT) AS backlog
+FROM j
+WINDOW w AS (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY week
+"""
+
+QUERIES["order_backlog_curve"] = q_order_backlog_curve
+ORACLES["order_backlog_curve"] = O_ORDER_BACKLOG_CURVE

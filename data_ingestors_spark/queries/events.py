@@ -1352,3 +1352,83 @@ ORDER BY type_a, type_b
 
 QUERIES["user_overlap_matrix"] = q_user_overlap_matrix
 ORACLES["user_overlap_matrix"] = O_USER_OVERLAP_MATRIX
+
+
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly summary: each event type's daily mean
+    value scored against its own trailing-7-day mean/std (rows frame,
+    full windows only); reported as per-type day counts, anomaly
+    counts at |z| > 2, and the max |z| — the baseline detector that
+    [q_stl_anomaly] and [q_cusum_changepoint] refine.
+
+    Exactness: daily means are decimal-exact; rolling sums fold those
+    doubles in decimal (order-free), so mean/std/z are engine-
+    identical doubles before rounding.
+
+    Plan (100 TB): the corpus collapses to |types| x |days| daily
+    cells first; the window slides over THAT aggregated frame
+    partitioned by type. One scan, two bounded shuffles."""
+    t = tables(spark, sf_dir, "events")
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    roll = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("*").over(w).alias("n_w"),
+        (F.sum(F.col("x").cast(DEC)).over(w).cast("double")).alias("s_w"),
+        (F.sum((F.col("x") * F.col("x")).cast(DEC)).over(w).cast("double")).alias("ss_w"),
+    ).filter(F.col("n_w") == 7)
+    mean = F.col("s_w") / 7
+    var = (F.col("ss_w") - 7 * mean * mean) / 6
+    z = (F.col("x") - mean) / F.sqrt(var)
+    scored = roll.select("event_type", z.alias("z"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days_scored"),
+            F.sum(F.when(F.abs(F.col("z")) > 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            fround(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_ROLLING_ZSCORE_ANOMALIES = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+roll AS (
+  SELECT event_type, x,
+         count(*) OVER w AS n_w,
+         CAST(sum(CAST(x AS DECIMAL(30,10))) OVER w AS DOUBLE) AS s_w,
+         CAST(sum(CAST(x * x AS DECIMAL(30,10))) OVER w AS DOUBLE) AS ss_w
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_type,
+         (x - s_w / 7) / sqrt((ss_w - 7 * (s_w / 7) * (s_w / 7)) / 6) AS z
+  FROM roll WHERE n_w = 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       {o_fround("max(abs(z))", 6)} AS max_abs_z
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rolling_zscore_anomalies"] = q_rolling_zscore_anomalies
+ORACLES["rolling_zscore_anomalies"] = O_ROLLING_ZSCORE_ANOMALIES

@@ -4018,3 +4018,179 @@ FROM dims GROUP BY dim ORDER BY dim
 
 QUERIES["embedding_quantile_clip"] = q_embedding_quantile_clip
 ORACLES["embedding_quantile_clip"] = O_EMBEDDING_QUANTILE_CLIP
+
+
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram head-coverage curve: the cumulative share of all bigram
+    occurrences covered by the top-10/30/100/300/1000 bigrams — the
+    'how templated is this corpus' diagnostic ([q_zipf_fit] fits
+    unigrams; template spam shows up as a bigram head that covers
+    everything).
+
+    Ranking is fully tiebroken (count desc, then the bigram text), so
+    the cumulative sums are engine-identical integers.
+
+    Plan (100 TB): bigrams collapse into ONE count groupBy (|vocab|²
+    bounded); the curve is a window cumsum over that aggregated frame
+    — at most |vocab|² rows ever sort, never the corpus."""
+    t = tables(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(D.normalize_text(F.col("text")), " "), lambda x: x != ""
+    )
+    bg = (
+        t["documents"]
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(ws) - 1, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                    ),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("bg"))
+    tot = bg.agg(F.sum("c").cast("long").alias("n_total"))
+    ranked = (
+        bg.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_c",
+            F.sum(F.col("c").cast(DEC)).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .filter(F.col("rnk").isin(10, 30, 100, 300, 1000))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("int").alias("top_k"),
+            F.col("cum_c").alias("cum_occurrences"),
+            "n_total",
+            fround(F.col("cum_c") / F.col("n_total"), 6).alias("coverage"),
+        )
+        .orderBy("top_k")
+    )
+
+
+O_NGRAM_COVERAGE_CURVE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bg
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks)
+),
+bg AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM bg),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, bg) AS rnk,
+         CAST(sum(CAST(c AS DECIMAL(30,10))) OVER (ORDER BY c DESC, bg
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+  FROM bg
+)
+SELECT CAST(rnk AS INTEGER) AS top_k, cum_c AS cum_occurrences, n_total,
+       {o_fround("cum_c / CAST(n_total AS DOUBLE)", 6)} AS coverage
+FROM ranked CROSS JOIN tot
+WHERE rnk IN (10, 30, 100, 300, 1000)
+ORDER BY top_k
+"""
+
+QUERIES["ngram_coverage_curve"] = q_ngram_coverage_curve
+ORACLES["ngram_coverage_curve"] = O_NGRAM_COVERAGE_CURVE
+
+
+def q_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary-profile cosine: each source as its
+    unigram count vector, all pairwise cosines — the corpus-mixing
+    dashboard that shows which feeds are near-clones of each other
+    ([q_vocab_overlap] counts shared types; this weighs them).
+
+    Exactness: dot products and norms fold integer counts in decimal;
+    the final cosine is one double expression.
+
+    Plan (100 TB): the corpus collapses to a (source, word) count
+    frame (|sources| x |vocab| bounded); the pair join is that frame
+    against itself on the WORD key (each word contributes its
+    sources² cells — |sources| is a config-sized dimension, so the
+    fan-out is bounded); norms are a |sources|-row frame broadcast
+    onto |sources|² rows."""
+    t = tables(spark, sf_dir, "documents")
+    sw = (
+        t["documents"]
+        .select(
+            "source",
+            F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = sw.select(F.col("source").alias("source_a"), "w", F.col("c").alias("ca"))
+    b = sw.select(F.col("source").alias("source_b"), "w", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum((F.col("ca") * F.col("cb")).cast(DEC)).cast("double").alias("dot"))
+    )
+    norms = sw.groupBy("source").agg(
+        F.sqrt(F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double")).alias("nrm")
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            fround(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+O_SOURCE_SIMILARITY_MATRIX = f"""
+WITH sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT source,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(CAST(a.c * b.c AS DECIMAL(30,10))) AS DOUBLE) AS dot
+  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT source, sqrt(CAST(sum(CAST(c * c AS DECIMAL(30,10))) AS DOUBLE)) AS nrm
+  FROM sw GROUP BY 1
+)
+SELECT source_a, source_b,
+       {o_fround("dot / (na.nrm * nb.nrm)", 6)} AS cosine
+FROM dots
+JOIN norms na ON na.source = source_a
+JOIN norms nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+QUERIES["source_similarity_matrix"] = q_source_similarity_matrix
+ORACLES["source_similarity_matrix"] = O_SOURCE_SIMILARITY_MATRIX

@@ -105,6 +105,11 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "info_gain_screen": ("D1",),    # 1-row label-entropy / n scalar cross joins
     "customer_churn_flags": ("D1",),  # 1-row anchor-date scalar cross join
     "label_balance_audit": ("D1",),   # 1-row (total, max) scalar cross join
+    "ngram_coverage_curve": ("D1", "D2"),  # 1-row total cross join; the global
+    #                                 rank window rides the AGGREGATED bigram
+    #                                 frame (<= |vocab|^2 rows), never the corpus
+    "order_backlog_curve": ("D2",),  # the cumsum window rides the |weeks|-row
+    #                                 weekly frame; range-partition at scale
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
