@@ -4034,12 +4034,17 @@ def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded); the curve is a window cumsum over that aggregated frame
     — at most |vocab|² rows ever sort, never the corpus."""
     t = tables(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(D.normalize_text(F.col("text")), " "), lambda x: x != ""
+    # materialize the token array ONCE per doc — inlining the
+    # split/filter into every element_at makes the transform O(len²)
+    # per document (measured 11.2 s -> ~1 s at sf0.1)
+    toks = t["documents"].select(
+        F.filter(
+            F.split(D.normalize_text(F.col("text")), " "), lambda x: x != ""
+        ).alias("ws")
     )
+    ws = F.col("ws")
     bg = (
-        t["documents"]
-        .select(
+        toks.select(
             F.explode(
                 F.transform(
                     F.sequence(
