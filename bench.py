@@ -260,6 +260,12 @@ HEADLINE = [
     "source_similarity_matrix",
     "rolling_zscore_anomalies",
     "order_backlog_curve",
+    # r8 batch 9: Neyman sampling plan, dedup-by-length slicing,
+    # composition residuals, label-cluster compactness
+    "stratified_sample_plan",
+    "length_bucket_dedup_rate",
+    "mix_residuals",
+    "cluster_compactness",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

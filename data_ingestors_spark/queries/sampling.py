@@ -413,3 +413,81 @@ ORDER BY source
 
 QUERIES["mixture_plan"] = q_mixture_plan
 ORACLES["mixture_plan"] = O_MIXTURE_PLAN
+
+
+def q_stratified_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation sampling plan over (source, lang) strata for
+    a 10,000-document budget: each stratum's optimal share is
+    N_h·S_h / Σ N_h·S_h (S_h = the stratum's doc-length stddev — the
+    classic variance-optimal allocation), floored to integers, capped
+    at the stratum population — the statistically-grounded sibling of
+    [q_mixture_plan]'s temperature waterfill.
+
+    Exactness: stratum stddevs come from decimal co-moment sums;
+    the allocation is one double expression per stratum; floor makes
+    the integer cut engine-identical.
+
+    Plan (100 TB): ONE partial-aggregable groupBy to |strata| cells,
+    a 1-row total cross join, row-local allocation arithmetic."""
+    t = tables(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    cells = t["documents"].groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum(nc.cast("decimal(30,10)")).alias("s1"),
+        F.sum((nc * nc).cast("decimal(30,10)")).alias("s2"),
+    )
+    n, s1, s2 = (
+        F.col("n_pop").cast("double"),
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    # singleton strata have no variance estimate — weight them 0
+    # (they still appear in the plan, capped at their population)
+    sd = F.when(
+        F.col("n_pop") > 1, F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    ).otherwise(F.lit(0.0))
+    weighted = cells.select(
+        "source", "lang", "n_pop", (n * sd).alias("w")
+    )
+    tot = weighted.agg(
+        F.sum(F.col("w").cast("decimal(30,10)")).cast("double").alias("w_all")
+    )
+    alloc = F.floor(F.lit(10_000) * F.col("w") / F.col("w_all")).cast("long")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_pop",
+            fround(F.col("w") / F.col("w_all"), 6).alias("alloc_share"),
+            F.least(alloc, F.col("n_pop")).alias("n_sample"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+O_STRATIFIED_SAMPLE_PLAN = f"""
+WITH cells AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(sum(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(n_chars * n_chars AS DECIMAL(30,10))) AS DOUBLE) AS s2
+  FROM documents GROUP BY 1, 2
+),
+weighted AS (
+  SELECT source, lang, n_pop,
+         CASE WHEN n_pop > 1
+              THEN n_pop * sqrt((s2 - s1 * s1 / n_pop) / (n_pop - 1))
+              ELSE 0.0 END AS w
+  FROM cells
+),
+tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(30,10))) AS DOUBLE) AS w_all FROM weighted)
+SELECT source, lang, n_pop,
+       {o_fround("w / w_all", 6)} AS alloc_share,
+       CAST(least(CAST(floor(10000 * w / w_all) AS BIGINT), n_pop) AS BIGINT) AS n_sample
+FROM weighted CROSS JOIN tot
+ORDER BY source, lang
+"""
+
+QUERIES["stratified_sample_plan"] = q_stratified_sample_plan
+ORACLES["stratified_sample_plan"] = O_STRATIFIED_SAMPLE_PLAN

@@ -4199,3 +4199,257 @@ ORDER BY source_a, source_b
 
 QUERIES["source_similarity_matrix"] = q_source_similarity_matrix
 ORACLES["source_similarity_matrix"] = O_SOURCE_SIMILARITY_MATRIX
+
+
+def q_length_bucket_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup rate by document-length bucket (powers of two): are the
+    duplicates concentrated in short boilerplate or long mirrored
+    pages? The slicing that decides WHERE a dedup pass pays for
+    itself ([q_dedup_impact_report] slices by source; this slices by
+    length).
+
+    Survivor rule is the global (max nc, min doc_id) — identical to
+    the impact report — and the non-survivor flag attributes inside
+    the family aggregation (per-(fp, bucket) partials + winner join),
+    so nothing corpus-sized broadcasts.
+
+    Plan (100 TB): one fingerprint groupBy family split, one
+    log2-bucket projection, two bounded aggregated joins."""
+    t = tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.md5(D.normalize_text(F.col("text"))).alias("fp_md5"),
+    ).withColumn(
+        "bucket", F.floor(F.log2(F.greatest(F.col("nc"), F.lit(1)))).cast("int")
+    )
+    per_b = d.groupBy("fp_md5", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.struct(F.col("nc"), (-F.col("doc_id")).alias("negid"))).alias("best"),
+    )
+    win = per_b.groupBy("fp_md5").agg(
+        F.max_by(F.col("bucket"), F.col("best")).alias("wbucket")
+    )
+    is_w = F.col("bucket") == F.col("wbucket")
+    return (
+        per_b.join(win, "fp_md5")
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.col("n") - F.when(is_w, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_dropped",
+            fround(F.col("n_dropped") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_LENGTH_BUCKET_DEDUP_RATE = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS nc,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
+         CAST(floor(log2(greatest(length(text), 1))) AS INTEGER) AS bucket
+  FROM documents
+),
+flagged AS (
+  SELECT bucket,
+         row_number() OVER (PARTITION BY fp_md5 ORDER BY nc DESC, doc_id) = 1 AS is_surv
+  FROM d
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE NOT is_surv) AS BIGINT) AS n_dropped,
+       {o_fround("count(*) FILTER (WHERE NOT is_surv) / CAST(count(*) AS DOUBLE)", 6)} AS dup_rate
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["length_bucket_dedup_rate"] = q_length_bucket_dedup_rate
+ORACLES["length_bucket_dedup_rate"] = O_LENGTH_BUCKET_DEDUP_RATE
+
+
+def q_mix_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition residuals: per (lang, source) cell the
+    observed count vs the independence expectation N·p_lang·p_source,
+    with the standardized Pearson residual (obs − exp)/√exp — the
+    cell-level drill-down under [q_mutual_information]'s single
+    dependence number (|residual| > 2 marks the cells skewing the
+    mix).
+
+    Exactness: expectations are products of exact integer marginals
+    over one N; residuals are single double expressions.
+
+    Plan (100 TB): one (lang, source) count groupBy; both marginals
+    derive FROM that |cells|-frame (no second corpus scan); marginal
+    joins are |langs|- and |sources|-row broadcasts."""
+    t = tables(spark, sf_dir, "documents")
+    cells = t["documents"].groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    ml = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("n_lang"))
+    ms = cells.groupBy("source").agg(F.sum("obs").cast("long").alias("n_source"))
+    n = cells.agg(F.sum("obs").cast("long").alias("n_total"))
+    exp = F.col("n_lang") * F.col("n_source") / F.col("n_total")
+    return (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "obs",
+            fround(exp, 4).alias("expected"),
+            fround((F.col("obs") - exp) / F.sqrt(exp), 6).alias("std_residual"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+O_MIX_RESIDUALS = f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2
+),
+ml AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS n_lang FROM cells GROUP BY 1),
+ms AS (SELECT source, CAST(sum(obs) AS BIGINT) AS n_source FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+SELECT lang, source, obs,
+       {o_fround("n_lang * n_source / CAST(n_total AS DOUBLE)", 4)} AS expected,
+       {o_fround("(obs - n_lang * n_source / CAST(n_total AS DOUBLE)) / sqrt(n_lang * n_source / CAST(n_total AS DOUBLE))", 6)} AS std_residual
+FROM cells JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n
+ORDER BY lang, source
+"""
+
+QUERIES["mix_residuals"] = q_mix_residuals
+ORACLES["mix_residuals"] = O_MIX_RESIDUALS
+
+
+def q_cluster_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cluster compactness/separation audit over the embedding
+    table: per label the mean and max Euclidean distance to its own
+    centroid, the nearest OTHER centroid, and the separation margin
+    (nearest-centroid gap / mean radius — a silhouette-style score
+    from exact arithmetic) — the 'are these labels even clusters'
+    check before anyone trusts [q_knn_label_noise]'s votes.
+
+    Exactness: centroids are decimal-exact per-dimension means;
+    distances fold per-dim squares in decimal; the nearest-other
+    choice uses the ROUNDED distance with a label tiebreak.
+
+    Plan (100 TB): centroids via one (label, dim) posexplode groupBy
+    (|labels| x 64 rows, broadcast back); per-vector distances join
+    vectors to their OWN label's centroid array (|labels|-row
+    broadcast); centroid-pair distances are a |labels|²-row job."""
+    t = tables(spark, sf_dir, "embeddings")
+    dims = t["embeddings"].select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count("*")).alias("c")
+    )
+    # per-vector squared distance to own centroid (decimal fold)
+    own = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).cast(DEC))
+                .cast("double")
+            ).alias("dist")
+        )
+    )
+    radius = own.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.col("dist").cast(DEC)).cast("double") / F.count("*")).alias("mean_r_raw"),
+        F.max("dist").alias("max_r_raw"),
+    )
+    # centroid pairwise distances
+    ca = cent.select(F.col("label").alias("la"), "dim", F.col("c").alias("va"))
+    cb = cent.select(F.col("label").alias("lb"), "dim", F.col("c").alias("vb"))
+    cd = (
+        ca.join(cb, "dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))).cast(DEC))
+                .cast("double")
+            ).alias("cdist")
+        )
+    )
+    wnear = Window.partitionBy("la").orderBy(
+        fround(F.col("cdist"), 6).asc(), F.col("lb").asc()
+    )
+    nearest = (
+        cd.withColumn("rn", F.row_number().over(wnear))
+        .filter(F.col("rn") == 1)
+        .select(F.col("la").alias("label"), F.col("lb").alias("nearest_label"), "cdist")
+    )
+    return (
+        radius.join(nearest, "label")
+        .select(
+            "label",
+            "n",
+            fround(F.col("mean_r_raw"), 6).alias("mean_radius"),
+            fround(F.col("max_r_raw"), 6).alias("max_radius"),
+            "nearest_label",
+            fround(F.col("cdist"), 6).alias("nearest_centroid_dist"),
+            fround(F.col("cdist") / F.col("mean_r_raw"), 6).alias("separation"),
+        )
+        .orderBy("label")
+    )
+
+
+O_CLUSTER_COMPACTNESS = f"""
+WITH dims AS (
+  SELECT vec_id, label, d.dim AS dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+  FROM dims GROUP BY 1, 2
+),
+own AS (
+  SELECT vec_id, d.label,
+         sqrt(CAST(sum(CAST((v - c) * (v - c) AS DECIMAL(30,10))) AS DOUBLE)) AS dist
+  FROM dims d JOIN cent USING (label, dim)
+  GROUP BY 1, 2
+),
+radius AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(dist AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean_r_raw,
+         max(dist) AS max_r_raw
+  FROM own GROUP BY 1
+),
+cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(CAST(sum(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(30,10))) AS DOUBLE)) AS cdist
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2
+),
+nearest AS (
+  SELECT la AS label, lb AS nearest_label, cdist
+  FROM (SELECT la, lb, cdist,
+               row_number() OVER (PARTITION BY la
+                                  ORDER BY {o_fround("cdist", 6)} ASC, lb ASC) AS rn
+        FROM cd)
+  WHERE rn = 1
+)
+SELECT r.label, n,
+       {o_fround("mean_r_raw", 6)} AS mean_radius,
+       {o_fround("max_r_raw", 6)} AS max_radius,
+       nearest_label,
+       {o_fround("cdist", 6)} AS nearest_centroid_dist,
+       {o_fround("cdist / mean_r_raw", 6)} AS separation
+FROM radius r JOIN nearest USING (label)
+ORDER BY r.label
+"""
+
+QUERIES["cluster_compactness"] = q_cluster_compactness
+ORACLES["cluster_compactness"] = O_CLUSTER_COMPACTNESS

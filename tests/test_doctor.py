@@ -110,6 +110,8 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 frame (<= |vocab|^2 rows), never the corpus
     "order_backlog_curve": ("D2",),  # the cumsum window rides the |weeks|-row
     #                                 weekly frame; range-partition at scale
+    "stratified_sample_plan": ("D1",),  # 1-row allocation-total scalar cross join
+    "mix_residuals": ("D1",),       # 1-row corpus-count scalar cross join
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
