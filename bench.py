@@ -266,6 +266,11 @@ HEADLINE = [
     "length_bucket_dedup_rate",
     "mix_residuals",
     "cluster_compactness",
+    # r8 batch 10: weekly growth volatility, discount-vs-returns,
+    # 80/20 revenue concentration headcount
+    "weekly_volatility",
+    "discount_return_rate",
+    "revenue_concentration_8020",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

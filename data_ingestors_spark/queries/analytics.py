@@ -3912,3 +3912,266 @@ ORDER BY week
 
 QUERIES["order_backlog_curve"] = q_order_backlog_curve
 ORACLES["order_backlog_curve"] = O_ORDER_BACKLOG_CURVE
+
+
+def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-volatility profile per nation: week-over-week growth
+    rates on a GAP-FREE week spine (the [q_period_over_period]
+    discipline at week grain), summarized as mean growth, growth
+    stddev, and the worst single week — the risk column next to the
+    trend dashboards.
+
+    Weeks with zero prior revenue are excluded from growth stats
+    (division by zero is not a growth rate) in both engines.
+
+    Plan (100 TB): one (nation, week) revenue groupBy, a broadcast
+    |weeks|-row spine cross join per nation for gap-freeness, one lag
+    window over the |nations| x |weeks| aggregated frame, one final
+    |nations|-row aggregate."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    weekly = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .join(
+            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week"),
+        )
+        .agg(F.sum(rev.cast(DEC)).cast("double").alias("wrev"))
+    )
+    bounds = weekly.agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    )
+    spine = (
+        weekly.select("n_name")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n_name",
+            F.explode(F.sequence(F.col("w0"), F.col("w1"), F.expr("interval 7 days"))).alias("week"),
+        )
+    )
+    filled = spine.join(weekly, ["n_name", "week"], "left").fillna(
+        0.0, subset=["wrev"]
+    )
+    w = Window.partitionBy("n_name").orderBy("week")
+    g = filled.withColumn("prev", F.lag("wrev").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") > 0)
+    ).withColumn("growth", F.col("wrev") / F.col("prev") - 1)
+    return (
+        g.groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_weeks"),
+            fround(
+                F.sum(F.col("growth").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("mean_growth"),
+            fround(
+                F.sqrt(
+                    (
+                        F.sum((F.col("growth") * F.col("growth")).cast(DEC)).cast("double")
+                        - F.pow(F.sum(F.col("growth").cast(DEC)).cast("double"), 2)
+                        / F.count("*")
+                    )
+                    / (F.count("*") - 1)
+                ),
+                6,
+            ).alias("growth_std"),
+            fround(F.min("growth"), 6).alias("worst_week"),
+        )
+        .orderBy("n_name")
+    )
+
+
+O_WEEKLY_VOLATILITY = f"""
+WITH weekly AS (
+  SELECT n_name, CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS wrev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(week) AS w0, max(week) AS w1 FROM weekly),
+spine AS (
+  SELECT n_name, CAST(unnest(range(CAST(w0 AS TIMESTAMP), CAST(w1 AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 7 DAY)) AS DATE) AS week
+  FROM (SELECT DISTINCT n_name FROM weekly) CROSS JOIN bounds
+),
+filled AS (
+  SELECT s.n_name, s.week, coalesce(w.wrev, 0.0) AS wrev
+  FROM spine s LEFT JOIN weekly w ON s.n_name = w.n_name AND s.week = w.week
+),
+g AS (
+  SELECT n_name, wrev / prev - 1 AS growth
+  FROM (SELECT n_name, wrev,
+               lag(wrev) OVER (PARTITION BY n_name ORDER BY week) AS prev
+        FROM filled)
+  WHERE prev IS NOT NULL AND prev > 0
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_weeks,
+       {o_fround("CAST(sum(CAST(growth AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mean_growth,
+       {o_fround("sqrt((CAST(sum(CAST(growth * growth AS DECIMAL(30,10))) AS DOUBLE) - pow(CAST(sum(CAST(growth AS DECIMAL(30,10))) AS DOUBLE), 2) / count(*)) / (count(*) - 1))", 6)} AS growth_std,
+       {o_fround("min(growth)", 6)} AS worst_week
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekly_volatility"] = q_weekly_volatility
+ORACLES["weekly_volatility"] = O_WEEKLY_VOLATILITY
+
+
+def q_discount_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate by discount depth: per discount level, line count,
+    returned-line rate, and average quantity — does discounting move
+    units that come straight back? The margin-quality check next to
+    [q_price_elasticity]'s volume slope.
+
+    Discounts are a small discrete set in this schema, so the group
+    key is the exact value — no binning ambiguity.
+
+    Plan (100 TB): ONE conditional-aggregate scan to |discounts|
+    cells. Nothing joins."""
+    t = tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy(fround(F.col("l_discount"), 2).alias("discount"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+            davg(F.col("l_quantity"), 4).alias("avg_qty"),
+        )
+        .select(
+            "discount",
+            "n_lines",
+            "n_returned",
+            fround(F.col("n_returned") / F.col("n_lines"), 6).alias("return_rate"),
+            "avg_qty",
+        )
+        .orderBy("discount")
+    )
+
+
+O_DISCOUNT_RETURN_RATE = f"""
+SELECT {o_fround("l_discount", 2)} AS discount,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       {o_fround("sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS return_rate,
+       {o_davg("l_quantity", 4)} AS avg_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["discount_return_rate"] = q_discount_return_rate
+ORACLES["discount_return_rate"] = O_DISCOUNT_RETURN_RATE
+
+
+def q_revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 number per nation: how many customers — and what
+    fraction of the customer base — fund 80% of the nation's revenue.
+    [q_gini_concentration] scores the inequality; this is the
+    operational headcount a sales team actually plans around.
+
+    Determinism: customers rank by (spend desc, custkey asc) —
+    decimal-exact spend, full tiebreak; the 80% threshold compares
+    decimal-exact cumulative sums, so the cut row is engine-exact.
+
+    Plan (100 TB): per-customer spend is one groupBy; the rank and
+    running sum ride a window partitioned BY NATION (no global
+    sort); the answer is one more |nations|-row aggregate."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    spend = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(
+            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                t["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .groupBy("n_name", "o_custkey")
+        .agg(F.sum(rev.cast(DEC)).alias("spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    wtot = Window.partitionBy("n_name")
+    ranked = spend.select(
+        "n_name",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("spend").over(wtot).alias("tot"),
+        F.count("*").over(wtot).alias("n_cust"),
+    )
+    hit = ranked.filter(
+        F.col("cum").cast("double") >= 0.8 * F.col("tot").cast("double")
+    )
+    return (
+        hit.groupBy("n_name")
+        .agg(
+            F.min("rnk").cast("long").alias("n_top_customers"),
+            F.first("n_cust").cast("long").alias("n_customers"),
+        )
+        .select(
+            "n_name",
+            "n_top_customers",
+            "n_customers",
+            fround(F.col("n_top_customers") / F.col("n_customers"), 6).alias(
+                "top_frac"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+O_REVENUE_CONCENTRATION_8020 = f"""
+WITH spend AS (
+  SELECT n_name, o_custkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS spend
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT n_name,
+         row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS rnk,
+         sum(spend) OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(spend) OVER (PARTITION BY n_name) AS tot,
+         count(*) OVER (PARTITION BY n_name) AS n_cust
+  FROM spend
+)
+SELECT n_name,
+       CAST(min(rnk) AS BIGINT) AS n_top_customers,
+       CAST(any_value(n_cust) AS BIGINT) AS n_customers,
+       {o_fround("min(rnk) / CAST(any_value(n_cust) AS DOUBLE)", 6)} AS top_frac
+FROM ranked
+WHERE CAST(cum AS DOUBLE) >= 0.8 * CAST(tot AS DOUBLE)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["revenue_concentration_8020"] = q_revenue_concentration_8020
+ORACLES["revenue_concentration_8020"] = O_REVENUE_CONCENTRATION_8020

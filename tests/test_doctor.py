@@ -112,6 +112,9 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 weekly frame; range-partition at scale
     "stratified_sample_plan": ("D1",),  # 1-row allocation-total scalar cross join
     "mix_residuals": ("D1",),       # 1-row corpus-count scalar cross join
+    "weekly_volatility": ("D1", "D2"),  # 1-row week-bounds cross join builds the
+    #                                 gap-free spine; D2 is the SinglePartition
+    #                                 conjunction FP (lag window IS nation-keyed)
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
