@@ -3440,11 +3440,14 @@ def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     or joined back to the documents table; text shuffles never, ids
     and counts only."""
     t = tables(spark, sf_dir, "documents")
-    fp = X.fingerprint(t["documents"], "text", "doc_id").select(
-        "doc_id", "fp_md5"
-    )
-    d = t["documents"].select("doc_id", "source", F.length("text").alias("nc")).join(
-        fp, "doc_id"
+    # fingerprint computed INLINE (same md5-of-normalized-text as
+    # operators/text.py:fingerprint) — joining the corpus to its own
+    # fingerprint frame on doc_id would add a full extra shuffle
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.length("text").alias("nc"),
+        F.md5(D.normalize_text(F.col("text"))).alias("fp_md5"),
     )
     # Per-(family, source) partials. `best` is the source's top
     # survivor candidate under the global rule max(nc, -doc_id);
