@@ -271,6 +271,14 @@ HEADLINE = [
     "weekly_volatility",
     "discount_return_rate",
     "revenue_concentration_8020",
+    # r8 batch 11: lang contamination, survivor quality, rank tests,
+    # proportion CI, bot-rate screen, segment P&L
+    "cross_lang_contamination",
+    "dedup_survivor_quality",
+    "mann_whitney",
+    "wilson_ci",
+    "rate_outlier_users",
+    "segment_revenue_profile",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

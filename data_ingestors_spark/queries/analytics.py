@@ -4178,3 +4178,75 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["revenue_concentration_8020"] = q_revenue_concentration_8020
 ORACLES["revenue_concentration_8020"] = O_REVENUE_CONCENTRATION_8020
+
+
+def q_segment_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment P&L profile: per c_mktsegment the customer
+    count, order count, decimal-exact revenue, revenue share, and
+    average order value — the first slice every commercial dashboard
+    opens with (the customer dimension [q_rfm_segments] computes
+    behaviorally, this reads declaratively).
+
+    Plan (100 TB): lineitem joins orders on the order key (the one
+    big shuffle), the |customers|-sized segment bridge streams on the
+    customer key; ONE |segments|-row aggregate + a 1-row total
+    broadcast."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(
+            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "o_custkey",
+        )
+    )
+    per = j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum(rev.cast(DEC)).alias("rev_dec"),
+    )
+    tot = per.agg(F.sum("rev_dec").alias("rev_all"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_orders",
+            fround(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            fround(
+                F.col("rev_dec").cast("double") / F.col("rev_all").cast("double"), 6
+            ).alias("rev_share"),
+            fround(F.col("rev_dec").cast("double") / F.col("n_orders"), 4).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O_SEGMENT_REVENUE_PROFILE = f"""
+WITH per AS (
+  SELECT c_mktsegment,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+tot AS (SELECT sum(rev_dec) AS rev_all FROM per)
+SELECT c_mktsegment, n_customers, n_orders,
+       {o_fround("CAST(rev_dec AS DOUBLE)", 2)} AS revenue,
+       {o_fround("CAST(rev_dec AS DOUBLE) / CAST(rev_all AS DOUBLE)", 6)} AS rev_share,
+       {o_fround("CAST(rev_dec AS DOUBLE) / n_orders", 4)} AS avg_order_value
+FROM per CROSS JOIN tot
+ORDER BY c_mktsegment
+"""
+
+QUERIES["segment_revenue_profile"] = q_segment_revenue_profile
+ORACLES["segment_revenue_profile"] = O_SEGMENT_REVENUE_PROFILE

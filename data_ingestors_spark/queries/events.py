@@ -1432,3 +1432,63 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 QUERIES["rolling_zscore_anomalies"] = q_rolling_zscore_anomalies
 ORACLES["rolling_zscore_anomalies"] = O_ROLLING_ZSCORE_ANOMALIES
+
+
+def q_rate_outlier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse rate screen: the 20 users with the highest events-
+    per-active-day rate, with the global mean rate for context — the
+    traffic-hygiene cut before any per-user statistic trusts the
+    stream ([q_rapid_repeat_events] flags burst timing; this flags
+    sustained volume).
+
+    Determinism: top-20 by (rate desc, user_id asc), rates are exact
+    integer ratios rounded for output only.
+
+    Plan (100 TB): per-user (events, active days) is one groupBy with
+    a distinct-day conditional; the global mean is a 1-row broadcast;
+    the top-20 is a TakeOrdered, no global sort."""
+    t = tables(spark, sf_dir, "events")
+    per = t["events"].groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct(F.date_trunc("day", F.col("ts")).cast("date"))
+        .cast("long")
+        .alias("days_active"),
+    )
+    rate = F.col("n_events") / F.col("days_active")
+    glob = per.agg(
+        (F.sum("n_events") / F.sum("days_active")).alias("global_rate")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "user_id",
+            "n_events",
+            "days_active",
+            fround(rate, 6).alias("events_per_day"),
+            fround(F.col("global_rate"), 6).alias("global_rate"),
+            fround(rate / F.col("global_rate"), 6).alias("rate_ratio"),
+        )
+        .orderBy(F.desc("events_per_day"), "user_id")
+        .limit(20)
+    )
+
+
+O_RATE_OUTLIER_USERS = f"""
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS days_active
+  FROM events GROUP BY 1
+),
+gtot AS (SELECT sum(n_events) / CAST(sum(days_active) AS DOUBLE) AS global_rate FROM per)
+SELECT user_id, n_events, days_active,
+       {o_fround("n_events / CAST(days_active AS DOUBLE)", 6)} AS events_per_day,
+       {o_fround("global_rate", 6)} AS global_rate,
+       {o_fround("(n_events / CAST(days_active AS DOUBLE)) / global_rate", 6)} AS rate_ratio
+FROM per CROSS JOIN gtot
+ORDER BY events_per_day DESC, user_id
+LIMIT 20
+"""
+
+QUERIES["rate_outlier_users"] = q_rate_outlier_users
+ORACLES["rate_outlier_users"] = O_RATE_OUTLIER_USERS

@@ -2011,3 +2011,151 @@ FROM gain ORDER BY dim
 
 QUERIES["info_gain_screen"] = q_info_gain_screen
 ORACLES["info_gain_screen"] = O_INFO_GAIN_SCREEN
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between the first and second time halves of
+    each event type's value distribution — the nonparametric
+    complement to [q_profile_drift]'s mean deltas (a median shift
+    registers here even when means agree). Average ranks handle ties
+    (the fractional-rank treatment proven portable in
+    [q_spearman_corr]); the normal approximation z is reported
+    without tie correction — identical formula both engines.
+
+    Plan (100 TB): one 1-row midpoint broadcast; ranks are one window
+    pass partitioned BY EVENT TYPE (the same key every other
+    per-type statistic shuffles on); one conditional aggregate ends
+    it. Rank sums fold in decimal."""
+    t = tables(spark, sf_dir, "events")
+    rng = t["events"].agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    ev = t["events"].crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") < F.col("mid_us")).alias("in_a"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wg = Window.partitionBy("event_type", "value")
+    ranked = ev.select(
+        "event_type",
+        "in_a",
+        (F.rank().over(wv) + (F.count("*").over(wg) - 1) / 2.0).alias("arank"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("arank")).otherwise(0).cast(DEC))
+        .cast("double")
+        .alias("r_a"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u = F.col("r_a") - na * (na + 1) / 2
+    z = (u - na * nb / 2) / F.sqrt(na * nb * (na + nb + 1) / 12)
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        fround(u, 4).alias("u_stat"),
+        fround(z, 6).alias("z_score"),
+    ).orderBy("event_type")
+
+
+O_MANN_WHITNEY = f"""
+WITH rng AS (
+  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid_us
+  FROM events
+),
+ranked AS (
+  SELECT event_type,
+         epoch_us(ts) < mid_us AS in_a,
+         rank() OVER (PARTITION BY event_type ORDER BY value)
+           + (count(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS arank
+  FROM events CROSS JOIN rng
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CAST(CASE WHEN in_a THEN arank ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE) AS r_a
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       {o_fround("r_a - n_a * (n_a + 1.0) / 2", 4)} AS u_stat,
+       {o_fround("(r_a - n_a * (n_a + 1.0) / 2 - CAST(n_a AS DOUBLE) * n_b / 2) / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12)", 6)} AS z_score
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["mann_whitney"] = q_mann_whitney
+ORACLES["mann_whitney"] = O_MANN_WHITNEY
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-half volume share per event type with its Wilson 95%
+    confidence interval — is the apparent growth/decline of each
+    stream statistically distinguishable from a 50/50 split? The
+    interval-bearing companion to [q_profile_drift]'s point
+    volume_ratio (Wilson, not Wald: correct coverage at extreme
+    shares and small n).
+
+    Exactness: p-hat is an exact integer ratio; the Wilson bounds are
+    one closed-form double expression with z = 1.96 — identical libm
+    sqrt both engines.
+
+    Plan (100 TB): one 1-row midpoint broadcast, ONE conditional
+    aggregate to |types| rows, row-local arithmetic."""
+    t = tables(spark, sf_dir, "events")
+    rng = t["events"].agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    agg = (
+        t["events"]
+        .crossJoin(F.broadcast(rng))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.unix_micros("ts") >= F.col("mid_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    z = F.lit(1.96)
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    p = x / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return agg.select(
+        "event_type",
+        "n",
+        "x",
+        fround(p, 6).alias("p_hat"),
+        fround(center - half, 6).alias("wilson_lo"),
+        fround(center + half, 6).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+O_WILSON_CI = f"""
+WITH rng AS (
+  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2) AS BIGINT) AS mid_us
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events CROSS JOIN rng GROUP BY 1
+)
+SELECT event_type, n, x,
+       {o_fround("x / CAST(n AS DOUBLE)", 6)} AS p_hat,
+       {o_fround("((x / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)) / (1 + 1.96 * 1.96 / n) - (1.96 / (1 + 1.96 * 1.96 / n)) * sqrt((x / CAST(n AS DOUBLE)) * (1 - x / CAST(n AS DOUBLE)) / n + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * n))", 6)} AS wilson_lo,
+       {o_fround("((x / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)) / (1 + 1.96 * 1.96 / n) + (1.96 / (1 + 1.96 * 1.96 / n)) * sqrt((x / CAST(n AS DOUBLE)) * (1 - x / CAST(n AS DOUBLE)) / n + 1.96 * 1.96 / (4 * CAST(n AS DOUBLE) * n))", 6)} AS wilson_hi
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["wilson_ci"] = q_wilson_ci
+ORACLES["wilson_ci"] = O_WILSON_CI

@@ -4456,3 +4456,147 @@ ORDER BY r.label
 
 QUERIES["cluster_compactness"] = q_cluster_compactness
 ORACLES["cluster_compactness"] = O_CLUSTER_COMPACTNESS
+
+
+def q_cross_lang_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix contamination screen: per source, its majority
+    language (by doc count, ties to the smaller code), how many docs
+    deviate from it, and the contamination rate — the routing check
+    before per-language corpora are carved out of multi-feed ingest
+    ([q_mix_residuals] scores the whole matrix; this names each
+    feed's outliers).
+
+    Plan (100 TB): one (source, lang) count groupBy; the majority
+    pick is a row_number over the |cells|-row aggregated frame; one
+    final |sources|-row aggregate."""
+    t = tables(spark, sf_dir, "documents")
+    cells = t["documents"].groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    maj = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("majority_lang"))
+    )
+    return (
+        cells.join(maj, "source")
+        .groupBy("source", "majority_lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("lang") != F.col("majority_lang"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_off_lang"),
+        )
+        .select(
+            "source",
+            "majority_lang",
+            "n_docs",
+            "n_off_lang",
+            fround(F.col("n_off_lang") / F.col("n_docs"), 6).alias("contamination"),
+        )
+        .orderBy("source")
+    )
+
+
+O_CROSS_LANG_CONTAMINATION = f"""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+maj AS (
+  SELECT source, lang AS majority_lang
+  FROM (SELECT source, lang, n,
+               row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+        FROM cells)
+  WHERE rn = 1
+)
+SELECT source, majority_lang,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN lang <> majority_lang THEN n ELSE 0 END) AS BIGINT) AS n_off_lang,
+       {o_fround("sum(CASE WHEN lang <> majority_lang THEN n ELSE 0 END) / CAST(sum(n) AS DOUBLE)", 6)} AS contamination
+FROM cells JOIN maj USING (source)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+QUERIES["cross_lang_contamination"] = q_cross_lang_contamination
+ORACLES["cross_lang_contamination"] = O_CROSS_LANG_CONTAMINATION
+
+
+def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the dedup survivor rule keep the GOOD copy? Mean quality
+    score (the [q_quality_score] 0-5 tier) of survivors vs dropped
+    duplicates, per family-size band — the sanity check on the
+    (max nc, min doc_id) rule before it deletes petabytes
+    ([q_dedup_impact_report] counts what drops; this scores it).
+
+    Plan (100 TB): quality is a row-local projection; the family
+    split is one fingerprint window (same shuffle the dedup pass
+    already pays); one banded aggregate ends it. Nothing joins."""
+    t = tables(spark, sf_dir, "documents")
+    q = X.quality_score(t["documents"], "text", "doc_id")
+    d = t["documents"].select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.md5(D.normalize_text(F.col("text"))).alias("fp_md5"),
+    ).join(q, "doc_id")
+    wf = Window.partitionBy("fp_md5")
+    wr = Window.partitionBy("fp_md5").orderBy(F.desc("nc"), F.asc("doc_id"))
+    fam = d.select(
+        "quality",
+        F.count("*").over(wf).alias("fam_size"),
+        (F.row_number().over(wr) == 1).alias("is_surv"),
+    ).filter(F.col("fam_size") > 1)
+    band = F.when(F.col("fam_size") >= 5, F.lit("5+")).otherwise(
+        F.col("fam_size").cast("string")
+    )
+    return (
+        fam.groupBy(band.alias("family_size"))
+        .agg(
+            F.sum(F.when(F.col("is_surv"), 1).otherwise(0)).cast("long").alias("n_survivors"),
+            F.sum(F.when(~F.col("is_surv"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+            fround(
+                F.sum(F.when(F.col("is_surv"), F.col("quality")).otherwise(0).cast(DEC)).cast("double")
+                / F.sum(F.when(F.col("is_surv"), 1).otherwise(0)),
+                6,
+            ).alias("avg_quality_kept"),
+            fround(
+                F.sum(F.when(~F.col("is_surv"), F.col("quality")).otherwise(0).cast(DEC)).cast("double")
+                / F.sum(F.when(~F.col("is_surv"), 1).otherwise(0)),
+                6,
+            ).alias("avg_quality_dropped"),
+        )
+        .orderBy("family_size")
+    )
+
+
+O_DEDUP_SURVIVOR_QUALITY = f"""
+WITH stats AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
+         (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+          + CASE WHEN len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) >= 20 THEN 1 ELSE 0 END
+          + CASE WHEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) / CAST(length(text) AS DOUBLE) <= 0.10 THEN 1 ELSE 0 END
+          + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE) <= 0.20 THEN 1 ELSE 0 END
+          + CASE WHEN length(text) / CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END
+         ) AS quality
+  FROM documents
+),
+fam AS (
+  SELECT quality,
+         count(*) OVER (PARTITION BY fp_md5) AS fam_size,
+         row_number() OVER (PARTITION BY fp_md5 ORDER BY nc DESC, doc_id) = 1 AS is_surv
+  FROM stats
+)
+SELECT CASE WHEN fam_size >= 5 THEN '5+' ELSE CAST(fam_size AS VARCHAR) END AS family_size,
+       CAST(count(*) FILTER (WHERE is_surv) AS BIGINT) AS n_survivors,
+       CAST(count(*) FILTER (WHERE NOT is_surv) AS BIGINT) AS n_dropped,
+       {o_fround("CAST(sum(CASE WHEN is_surv THEN CAST(quality AS DECIMAL(30,10)) ELSE 0 END) AS DOUBLE) / count(*) FILTER (WHERE is_surv)", 6)} AS avg_quality_kept,
+       {o_fround("CAST(sum(CASE WHEN NOT is_surv THEN CAST(quality AS DECIMAL(30,10)) ELSE 0 END) AS DOUBLE) / count(*) FILTER (WHERE NOT is_surv)", 6)} AS avg_quality_dropped
+FROM fam WHERE fam_size > 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dedup_survivor_quality"] = q_dedup_survivor_quality
+ORACLES["dedup_survivor_quality"] = O_DEDUP_SURVIVOR_QUALITY

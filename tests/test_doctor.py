@@ -115,6 +115,11 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "weekly_volatility": ("D1", "D2"),  # 1-row week-bounds cross join builds the
     #                                 gap-free spine; D2 is the SinglePartition
     #                                 conjunction FP (lag window IS nation-keyed)
+    "mann_whitney": ("D1", "D2"),   # 1-row midpoint cross join; D2 is the same
+    #                                 conjunction FP (ranks ARE type-keyed)
+    "wilson_ci": ("D1",),           # 1-row midpoint scalar cross join
+    "rate_outlier_users": ("D1",),  # 1-row global-rate scalar cross join
+    "segment_revenue_profile": ("D1",),  # 1-row revenue-total scalar cross join
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
