@@ -279,6 +279,14 @@ HEADLINE = [
     "wilson_ci",
     "rate_outlier_users",
     "segment_revenue_profile",
+    # r8 batch 12: JSON props profile, latency trend, loyalty, dead
+    # stock, exact per-lang quantiles, first-order LTV signal
+    "props_value_profile",
+    "latency_trend",
+    "brand_loyalty",
+    "parts_never_sold",
+    "lang_length_quantiles",
+    "first_order_ltv_corr",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

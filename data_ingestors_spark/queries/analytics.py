@@ -4250,3 +4250,259 @@ ORDER BY c_mktsegment
 
 QUERIES["segment_revenue_profile"] = q_segment_revenue_profile
 ORACLES["segment_revenue_profile"] = O_SEGMENT_REVENUE_PROFILE
+
+
+def q_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly fulfillment-latency trend: decimal-exact mean and exact
+    p90 of order-to-ship days per order month — the time dimension
+    [q_ship_latency]'s per-priority snapshot lacks; a drifting p90 is
+    the early warning before SLAs breach.
+
+    Latency = integer microsecond delta / 86400e6 — identical doubles;
+    percentile == quantile_cont (proven portable).
+
+    Plan (100 TB): one order-key join, one month groupBy (percentile
+    partials, no global sort)."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    lat = (
+        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
+        / F.lit(86_400_000_000.0)
+    )
+    j = t["lineitem"].join(
+        t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+        "l_orderkey",
+    ).select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        lat.alias("lat"),
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            fround(
+                F.sum(F.col("lat").cast(DEC)).cast("double") / F.count("*"), 6
+            ).alias("mean_days"),
+            fround(F.percentile("lat", F.lit(0.9)), 6).alias("p90_days"),
+        )
+        .orderBy("month")
+    )
+
+
+O_LATENCY_TREND = f"""
+WITH j AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         (epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0 AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {o_fround("CAST(sum(CAST(lat AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mean_days,
+       {o_fround("quantile_cont(lat, 0.9)", 6)} AS p90_days
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["latency_trend"] = q_latency_trend
+ORACLES["latency_trend"] = O_LATENCY_TREND
+
+
+def q_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand repeat-purchase loyalty: per brand, distinct buyers, the
+    buyers who came back (>= 2 distinct orders containing the brand),
+    and the repeat rate — the loyalty readout next to
+    [q_price_elasticity]'s discount response.
+
+    Plan (100 TB): (brand, customer) order counts collapse through
+    TWO partial-aggregable groupBys (distinct (brand, cust, order)
+    first, then counts); the brand bridge joins stream on the part
+    key. One |brands|-row output."""
+    t = tables(spark, sf_dir, "lineitem", "orders", "part")
+    bco = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(
+            t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+            "l_partkey",
+        )
+        .select("p_brand", "o_custkey", "l_orderkey")
+        .distinct()
+    )
+    per_cust = bco.groupBy("p_brand", "o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    return (
+        per_cust.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_buyers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat_buyers"),
+        )
+        .select(
+            "p_brand",
+            "n_buyers",
+            "n_repeat_buyers",
+            fround(F.col("n_repeat_buyers") / F.col("n_buyers"), 6).alias(
+                "repeat_rate"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+O_BRAND_LOYALTY = f"""
+WITH bco AS (
+  SELECT DISTINCT p_brand, o_custkey, l_orderkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+per_cust AS (
+  SELECT p_brand, o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM bco GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_buyers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_buyers,
+       {o_fround("sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS repeat_rate
+FROM per_cust GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["brand_loyalty"] = q_brand_loyalty
+ORACLES["brand_loyalty"] = O_BRAND_LOYALTY
+
+
+def q_parts_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock audit: parts with NO lineitem at all, counted per
+    brand with the dead share — the catalog-hygiene anti-join
+    ([q_orphan_audit] checks the FK the other way).
+
+    Plan (100 TB): one left-anti join on the part key (ids only),
+    one |brands|-row aggregate over the full catalog for the
+    denominators."""
+    t = tables(spark, sf_dir, "part", "lineitem")
+    sold = t["lineitem"].select(F.col("l_partkey").alias("p_partkey")).distinct()
+    dead = t["part"].join(sold, "p_partkey", "left_anti").groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_dead")
+    )
+    allb = t["part"].groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    return (
+        allb.join(dead, "p_brand", "left")
+        .fillna(0, subset=["n_dead"])
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_dead",
+            fround(F.col("n_dead") / F.col("n_parts"), 6).alias("dead_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+O_PARTS_NEVER_SOLD = f"""
+WITH dead AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
+  FROM part
+  WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+  GROUP BY 1
+),
+allb AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
+)
+SELECT p_brand, n_parts, coalesce(n_dead, 0) AS n_dead,
+       {o_fround("coalesce(n_dead, 0) / CAST(n_parts AS DOUBLE)", 6)} AS dead_share
+FROM allb LEFT JOIN dead USING (p_brand)
+ORDER BY p_brand
+"""
+
+QUERIES["parts_never_sold"] = q_parts_never_sold
+ORACLES["parts_never_sold"] = O_PARTS_NEVER_SOLD
+
+
+def q_first_order_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a customer's FIRST order value predict their lifetime
+    value? Pearson correlation (decimal co-moments) between first-
+    order total and total spend, plus the mean LTV multiple — the
+    one-number justification for first-order-based acquisition
+    bidding ([q_cohort_ltv] gives the curve; this gives the signal
+    strength).
+
+    First order = (min date, tie to min orderkey) — deterministic.
+
+    Plan (100 TB): per-customer first order via one max_by groupBy
+    (no window over the fact table), totals in the same pass; the
+    correlation is a 1-row decimal co-moment aggregate."""
+    t = tables(spark, sf_dir, "orders")
+    per = t["orders"].groupBy("o_custkey").agg(
+        F.min_by(
+            F.col("o_totalprice"),
+            F.struct(F.unix_micros("o_orderdate").alias("us"), F.col("o_orderkey")),
+        ).alias("first_val"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("ltv"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    x, y = F.col("first_val"), F.col("ltv")
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(x.cast(DEC)).alias("sx"),
+        F.sum(y.cast(DEC)).alias("sy"),
+        F.sum((x * y).cast(DEC)).alias("sxy"),
+        F.sum((x * x).cast(DEC)).alias("sxx"),
+        F.sum((y * y).cast(DEC)).alias("syy"),
+    )
+    n = F.col("n_customers").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        "n_customers",
+        fround(corr, 6).alias("first_ltv_corr"),
+        fround(sy / sx, 6).alias("mean_ltv_multiple"),
+    )
+
+
+O_FIRST_ORDER_LTV_CORR = f"""
+WITH firsts AS (
+  SELECT o_custkey, o_totalprice AS first_val
+  FROM (SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders)
+  WHERE rn = 1
+),
+tots AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS ltv
+  FROM orders GROUP BY 1
+),
+per AS (
+  SELECT f.o_custkey, f.first_val, t.ltv
+  FROM firsts f JOIN tots t USING (o_custkey)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(first_val AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ltv AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(first_val * ltv AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(first_val * first_val AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ltv * ltv AS DECIMAL(30,10))) AS DOUBLE) AS syy
+  FROM per
+)
+SELECT n_customers,
+       {o_fround("(n_customers * sxy - sx * sy) / sqrt((n_customers * sxx - sx * sx) * (n_customers * syy - sy * sy))", 6)} AS first_ltv_corr,
+       {o_fround("sy / sx", 6)} AS mean_ltv_multiple
+FROM agg
+"""
+
+QUERIES["first_order_ltv_corr"] = q_first_order_ltv_corr
+ORACLES["first_order_ltv_corr"] = O_FIRST_ORDER_LTV_CORR

@@ -1492,3 +1492,56 @@ LIMIT 20
 
 QUERIES["rate_outlier_users"] = q_rate_outlier_users
 ORACLES["rate_outlier_users"] = O_RATE_OUTLIER_USERS
+
+
+def q_props_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-props profile: the payload key ``k`` extracted from the
+    props JSON column per event type — coverage (non-null rate),
+    distinct values, exact decimal mean, and max — the payload-schema
+    audit a pipeline runs before promoting a JSON field to a real
+    column ([map_funcs] exercises the scalar surface; this aggregates
+    through the extraction).
+
+    get_json_object('$.k') == DuckDB json_extract ->> casts: both
+    yield the integer string, cast to BIGINT identically.
+
+    Plan (100 TB): the JSON path is a row-local projection; ONE
+    conditional aggregate to |types| rows."""
+    t = tables(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_k"),
+            F.countDistinct("k").cast("long").alias("ndv_k"),
+            fround(
+                F.sum(F.col("k").cast(DEC)).cast("double")
+                / F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)),
+                6,
+            ).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_PROPS_VALUE_PROFILE = f"""
+WITH x AS (
+  SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS ndv_k,
+       {o_fround("CAST(sum(CAST(k AS DECIMAL(30,10))) AS DOUBLE) / sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)", 6)} AS avg_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["props_value_profile"] = q_props_value_profile
+ORACLES["props_value_profile"] = O_PROPS_VALUE_PROFILE

@@ -4600,3 +4600,56 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["dedup_survivor_quality"] = q_dedup_survivor_quality
 ORACLES["dedup_survivor_quality"] = O_DEDUP_SURVIVOR_QUALITY
+
+
+def q_lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length quantiles (p25/p50/p75/p95)
+    plus count and decimal-exact mean — the length profile that sets
+    per-language chunking and truncation budgets (the ORACLE-PAIRED
+    exact sibling of the digest-based [grouped_quantiles]).
+
+    percentile(array) == quantile_cont per element on identical
+    integer inputs (proven portable).
+
+    Plan (100 TB): ONE groupBy with a single array-quantile buffer
+    per language (no global sort, no window)."""
+    t = tables(spark, sf_dir, "documents")
+    qs = F.percentile(
+        "n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            fround(
+                F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count("*"), 4
+            ).alias("mean_chars"),
+            qs.alias("qs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "mean_chars",
+            fround(F.col("qs")[0], 4).alias("p25"),
+            fround(F.col("qs")[1], 4).alias("p50"),
+            fround(F.col("qs")[2], 4).alias("p75"),
+            fround(F.col("qs")[3], 4).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_LANG_LENGTH_QUANTILES = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {o_fround("CAST(sum(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS mean_chars,
+       {o_fround("quantile_cont(n_chars, 0.25)", 4)} AS p25,
+       {o_fround("quantile_cont(n_chars, 0.5)", 4)} AS p50,
+       {o_fround("quantile_cont(n_chars, 0.75)", 4)} AS p75,
+       {o_fround("quantile_cont(n_chars, 0.95)", 4)} AS p95
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lang_length_quantiles"] = q_lang_length_quantiles
+ORACLES["lang_length_quantiles"] = O_LANG_LENGTH_QUANTILES
