@@ -287,6 +287,14 @@ HEADLINE = [
     "parts_never_sold",
     "lang_length_quantiles",
     "first_order_ltv_corr",
+    # r8 batch 13: day-mix control, size-latency coupling, credit
+    # risk, priority composition drift, token lengths, sign balance
+    "weekend_effect",
+    "order_size_vs_latency",
+    "balance_vs_spend",
+    "priority_mix_trend",
+    "token_length_histogram",
+    "embedding_sign_balance",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

@@ -4506,3 +4506,253 @@ FROM agg
 
 QUERIES["first_order_ltv_corr"] = q_first_order_ltv_corr
 ORACLES["first_order_ltv_corr"] = O_FIRST_ORDER_LTV_CORR
+
+
+def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday commerce profile: order counts, decimal-
+    exact revenue, average order value, and the weekend/weekday AOV
+    ratio — the day-mix control every promo analysis needs before
+    crediting a campaign ([q_activity_heatmap] is the event-side
+    grid; this is the money side).
+
+    dayofweek: Spark's is 1=Sunday; DuckDB dow() is 0=Sunday — both
+    sides classify weekend as {Sat, Sun} explicitly, so the mapping
+    difference cannot leak.
+
+    Plan (100 TB): ONE conditional-aggregate scan of orders into two
+    cells; the ratio cross-joins two 1-row frames."""
+    t = tables(spark, sf_dir, "orders")
+    is_wknd = F.dayofweek("o_orderdate").isin(1, 7)  # Sun=1, Sat=7
+    per = t["orders"].groupBy(
+        is_wknd.alias("is_weekend")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+    )
+    return per.select(
+        "is_weekend",
+        "n_orders",
+        fround(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        fround(F.col("rev_dec").cast("double") / F.col("n_orders"), 4).alias(
+            "avg_order_value"
+        ),
+    ).orderBy("is_weekend")
+
+
+O_WEEKEND_EFFECT = f"""
+SELECT dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {o_fround("CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue,
+       {o_fround("CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_order_value
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekend_effect"] = q_weekend_effect
+ORACLES["weekend_effect"] = O_WEEKEND_EFFECT
+
+
+def q_order_size_vs_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do bigger orders ship slower? Per order-priority, the Pearson
+    correlation (decimal co-moments) between basket line count and
+    the order's mean ship latency — the ops question behind
+    [q_latency_trend]'s drift and [q_ship_latency]'s tails.
+
+    Plan (100 TB): per-order (lines, mean latency) is one groupBy on
+    the order key carrying the priority along; the correlation is a
+    |priorities|-row co-moment aggregate."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    lat = (
+        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
+        / F.lit(86_400_000_000.0)
+    )
+    per_order = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderdate",
+                "o_orderpriority",
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (F.sum(lat.cast(DEC)).cast("double") / F.count("*")).alias("mlat"),
+        )
+    )
+    x, y = F.col("n_lines").cast("double"), F.col("mlat")
+    agg = per_order.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(x.cast(DEC)).alias("sx"),
+        F.sum(y.cast(DEC)).alias("sy"),
+        F.sum((x * y).cast(DEC)).alias("sxy"),
+        F.sum((x * x).cast(DEC)).alias("sxx"),
+        F.sum((y * y).cast(DEC)).alias("syy"),
+    )
+    n = F.col("n_orders").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        fround(corr, 6).alias("size_latency_corr"),
+        fround(sy / n, 4).alias("mean_latency_days"),
+    ).orderBy("o_orderpriority")
+
+
+O_ORDER_SIZE_VS_LATENCY = f"""
+WITH per_order AS (
+  SELECT l_orderkey, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0 AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mlat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(n_lines AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(mlat AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(n_lines * mlat AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(n_lines * CAST(n_lines AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(mlat * mlat AS DECIMAL(30,10))) AS DOUBLE) AS syy
+  FROM per_order GROUP BY 1
+)
+SELECT o_orderpriority, n_orders,
+       {o_fround("(n_orders * sxy - sx * sy) / sqrt((n_orders * sxx - sx * sx) * (n_orders * syy - sy * sy))", 6)} AS size_latency_corr,
+       {o_fround("sy / n_orders", 4)} AS mean_latency_days
+FROM agg ORDER BY o_orderpriority
+"""
+
+QUERIES["order_size_vs_latency"] = q_order_size_vs_latency
+ORACLES["order_size_vs_latency"] = O_ORDER_SIZE_VS_LATENCY
+
+
+def q_balance_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance vs realized-spend screen per market segment:
+    Pearson correlation between c_acctbal and the customer's total
+    order value, plus the revenue share carried by NEGATIVE-balance
+    customers — the credit-risk lens on the commercial base
+    ([q_customer_churn_flags] is the activity lens).
+
+    Customers with no orders count as zero spend (left join), so the
+    correlation covers the whole base, not just actives.
+
+    Plan (100 TB): per-customer spend is one groupBy; the |customers|
+    frame joins customers on the customer key (ids + one double);
+    one |segments|-row co-moment aggregate ends it."""
+    t = tables(spark, sf_dir, "orders", "customer")
+    spend = t["orders"].groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend")
+    )
+    j = (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .join(spend, "c_custkey", "left")
+        .fillna(0.0, subset=["spend"])
+    )
+    x, y = F.col("c_acctbal"), F.col("spend")
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(x.cast(DEC)).alias("sx"),
+        F.sum(y.cast(DEC)).alias("sy"),
+        F.sum((x * y).cast(DEC)).alias("sxy"),
+        F.sum((x * x).cast(DEC)).alias("sxx"),
+        F.sum((y * y).cast(DEC)).alias("syy"),
+        F.sum(F.when(x < 0, y).otherwise(0).cast(DEC)).alias("neg_spend"),
+    )
+    n = F.col("n_customers").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        fround(corr, 6).alias("balance_spend_corr"),
+        fround(F.col("neg_spend").cast("double") / sy, 6).alias(
+            "neg_balance_rev_share"
+        ),
+    ).orderBy("c_mktsegment")
+
+
+O_BALANCE_VS_SPEND = f"""
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.c_mktsegment, c.c_acctbal, coalesce(s.spend, 0.0) AS spend
+  FROM customer c LEFT JOIN spend s USING (c_custkey)
+),
+agg AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(spend AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(c_acctbal * spend AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(spend * spend AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CASE WHEN c_acctbal < 0 THEN spend ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE) AS neg_spend
+  FROM j GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+       {o_fround("(n_customers * sxy - sx * sy) / sqrt((n_customers * sxx - sx * sx) * (n_customers * syy - sy * sy))", 6)} AS balance_spend_corr,
+       {o_fround("neg_spend / sy", 6)} AS neg_balance_rev_share
+FROM agg ORDER BY c_mktsegment
+"""
+
+QUERIES["balance_vs_spend"] = q_balance_vs_spend
+ORACLES["balance_vs_spend"] = O_BALANCE_VS_SPEND
+
+
+def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority composition drift: per year, each priority's
+    share of orders — the upstream-mix shift that silently moves
+    every latency SLA downstream ([q_latency_trend] would show the
+    symptom; this shows the cause).
+
+    Plan (100 TB): ONE (year, priority) count groupBy; yearly totals
+    derive from the aggregated frame and broadcast back."""
+    t = tables(spark, sf_dir, "orders")
+    cells = t["orders"].groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_orderpriority"
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = cells.groupBy("yr").agg(F.sum("n").cast("long").alias("n_yr"))
+    return (
+        cells.join(F.broadcast(tot), "yr")
+        .select(
+            "yr",
+            "o_orderpriority",
+            "n",
+            fround(F.col("n") / F.col("n_yr"), 6).alias("share"),
+        )
+        .orderBy("yr", "o_orderpriority")
+    )
+
+
+O_PRIORITY_MIX_TREND = f"""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT yr, CAST(sum(n) AS BIGINT) AS n_yr FROM cells GROUP BY 1)
+SELECT yr, o_orderpriority, n,
+       {o_fround("n / CAST(n_yr AS DOUBLE)", 6)} AS share
+FROM cells JOIN tot USING (yr)
+ORDER BY yr, o_orderpriority
+"""
+
+QUERIES["priority_mix_trend"] = q_priority_mix_trend
+ORACLES["priority_mix_trend"] = O_PRIORITY_MIX_TREND

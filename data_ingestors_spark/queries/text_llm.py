@@ -4653,3 +4653,106 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 QUERIES["lang_length_quantiles"] = q_lang_length_quantiles
 ORACLES["lang_length_quantiles"] = O_LANG_LENGTH_QUANTILES
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length histogram over the whole corpus: per character
+    length, token occurrences, distinct types, and the occurrence
+    share — the sizing table behind byte-vs-word tokenizer budgets
+    ([q_token_fertility] measures a specific tokenizer; this profiles
+    the raw text it must cover).
+
+    Plan (100 TB): the explode collapses into one (length) count
+    groupBy carrying a distinct-type conditional; the 1-row total
+    broadcasts. Bounded by max word length."""
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per = words.groupBy(F.length("w").alias("wlen")).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("n_all"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("wlen").cast("int").alias("wlen"),
+            "n_tokens",
+            "n_types",
+            fround(F.col("n_tokens") / F.col("n_all"), 6).alias("token_share"),
+        )
+        .orderBy("wlen")
+    )
+
+
+O_TOKEN_LENGTH_HISTOGRAM = f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+per AS (
+  SELECT length(w) AS wlen,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT w) AS BIGINT) AS n_types
+  FROM words GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_all FROM per)
+SELECT CAST(wlen AS INTEGER) AS wlen, n_tokens, n_types,
+       {o_fround("n_tokens / CAST(n_all AS DOUBLE)", 6)} AS token_share
+FROM per CROSS JOIN tot ORDER BY wlen
+"""
+
+QUERIES["token_length_histogram"] = q_token_length_histogram
+ORACLES["token_length_histogram"] = O_TOKEN_LENGTH_HISTOGRAM
+
+
+def q_embedding_sign_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension sign balance of the embedding table: the
+    positive fraction and its deviation from 1/2 for every dimension
+    — the bias audit that decides whether the 1-bit sign sketch
+    ([q_binary_embedding_audit]) can work at all (a dimension that is
+    90% positive carries almost no sign information).
+
+    Plan (100 TB): posexplode straight into a 64-key conditional
+    count groupBy — one scan, one bounded shuffle."""
+    t = tables(spark, sf_dir, "embeddings")
+    dims = t["embeddings"].select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("v") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "n_pos",
+            fround(F.col("n_pos") / F.col("n"), 6).alias("pos_frac"),
+            fround(F.abs(F.col("n_pos") / F.col("n") - 0.5), 6).alias("bias"),
+        )
+        .orderBy("dim")
+    )
+
+
+O_EMBEDDING_SIGN_BALANCE = f"""
+WITH dims AS (
+  SELECT d.dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       {o_fround("sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS pos_frac,
+       {o_fround("abs(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) - 0.5)", 6)} AS bias
+FROM dims GROUP BY dim ORDER BY dim
+"""
+
+QUERIES["embedding_sign_balance"] = q_embedding_sign_balance
+ORACLES["embedding_sign_balance"] = O_EMBEDDING_SIGN_BALANCE
