@@ -295,6 +295,11 @@ HEADLINE = [
     "priority_mix_trend",
     "token_length_histogram",
     "embedding_sign_balance",
+    # r8 batch 14: stopword head coverage, dim variance triage,
+    # tax-rate vocabulary audit
+    "stopword_coverage",
+    "embedding_dim_variance",
+    "tax_rate_audit",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

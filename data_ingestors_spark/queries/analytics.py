@@ -4756,3 +4756,50 @@ ORDER BY yr, o_orderpriority
 
 QUERIES["priority_mix_trend"] = q_priority_mix_trend
 ORACLES["priority_mix_trend"] = O_PRIORITY_MIX_TREND
+
+
+def q_tax_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tax-rate vocabulary audit: every distinct l_tax value with its
+    line count, share, and decimal-exact collected tax — the
+    reference-data check that catches a feed quietly introducing a
+    new rate ([q_fd_audit] would flag the dependency break; this
+    names the offending value and prices it).
+
+    Plan (100 TB): ONE |rates|-cell groupBy + a 1-row total
+    broadcast."""
+    t = tables(spark, sf_dir, "lineitem")
+    per = t["lineitem"].groupBy(
+        fround(F.col("l_tax"), 2).alias("tax_rate")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((F.col("l_extendedprice") * F.col("l_tax")).cast(DEC)).alias("tax_dec"),
+    )
+    tot = per.agg(F.sum("n_lines").cast("long").alias("n_all"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "tax_rate",
+            "n_lines",
+            fround(F.col("n_lines") / F.col("n_all"), 6).alias("line_share"),
+            fround(F.col("tax_dec").cast("double"), 2).alias("tax_collected"),
+        )
+        .orderBy("tax_rate")
+    )
+
+
+O_TAX_RATE_AUDIT = f"""
+WITH per AS (
+  SELECT {o_fround("l_tax", 2)} AS tax_rate,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,10))) AS tax_dec
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS n_all FROM per)
+SELECT tax_rate, n_lines,
+       {o_fround("n_lines / CAST(n_all AS DOUBLE)", 6)} AS line_share,
+       {o_fround("CAST(tax_dec AS DOUBLE)", 2)} AS tax_collected
+FROM per CROSS JOIN tot ORDER BY tax_rate
+"""
+
+QUERIES["tax_rate_audit"] = q_tax_rate_audit
+ORACLES["tax_rate_audit"] = O_TAX_RATE_AUDIT

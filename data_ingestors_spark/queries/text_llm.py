@@ -4756,3 +4756,134 @@ FROM dims GROUP BY dim ORDER BY dim
 
 QUERIES["embedding_sign_balance"] = q_embedding_sign_balance
 ORACLES["embedding_sign_balance"] = O_EMBEDDING_SIGN_BALANCE
+
+
+def q_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword coverage per source: the share of tokens taken by the
+    corpus's own df-top-5 words — the head-end complement to
+    [q_oov_rate]'s tail (machine-generated feeds skew BOTH ends, and
+    a source whose stopword share diverges from the corpus norm reads
+    differently downstream).
+
+    The stopword list is data-derived (top-5 by global count, ties to
+    the word) — deterministic, no external lexicon.
+
+    Plan (100 TB): one word-count groupBy + top-5 (TakeOrdered), one
+    (source, word) partial-agg frame joined to the 5-row broadcast."""
+    t = tables(spark, sf_dir, "documents")
+    words = t["documents"].select(
+        "source",
+        F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    stop = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "w")
+        .limit(5)
+        .select("w", F.lit(1).alias("is_stop"))
+    )
+    per = words.groupBy("source", "w").agg(F.count("*").cast("long").alias("n"))
+    return (
+        per.join(F.broadcast(stop), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("is_stop").isNotNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_stop"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_stop",
+            fround(F.col("n_stop") / F.col("n_tokens"), 6).alias("stop_share"),
+        )
+        .orderBy("source")
+    )
+
+
+O_STOPWORD_COVERAGE = f"""
+WITH words AS (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+stop AS (
+  SELECT w, 1 AS is_stop
+  FROM (SELECT w, count(*) AS tf FROM words GROUP BY 1)
+  ORDER BY tf DESC, w LIMIT 5
+),
+per AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN is_stop IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS n_stop,
+       {o_fround("sum(CASE WHEN is_stop IS NOT NULL THEN n ELSE 0 END) / CAST(sum(n) AS DOUBLE)", 6)} AS stop_share
+FROM per LEFT JOIN stop USING (w)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["stopword_coverage"] = q_stopword_coverage
+ORACLES["stopword_coverage"] = O_STOPWORD_COVERAGE
+
+
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding table: sample
+    variance (decimal co-moments) and the dead-dimension flag
+    (variance < 1e-6) for all 64 dims, ranked most-informative first
+    — the PCA-free feature triage next to [q_embedding_sign_balance]
+    and [q_info_gain_screen] ([q_matryoshka_audit] asks the same of
+    PREFIXES; this asks it per dimension).
+
+    Plan (100 TB): posexplode into one 64-key co-moment groupBy;
+    the rank is a window over 64 rows."""
+    t = tables(spark, sf_dir, "embeddings")
+    dims = t["embeddings"].select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    per = dims.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast(DEC)).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n) / (n - 1)
+    scored = per.select(
+        F.col("dim").cast("int").alias("dim"),
+        fround(var, 6).alias("variance"),
+        (fround(var, 6) < 1e-6).alias("is_dead"),
+    )
+    w = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("dim")
+
+
+O_EMBEDDING_DIM_VARIANCE = f"""
+WITH dims AS (
+  SELECT d.dim, CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+),
+per AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE) AS s2
+  FROM dims GROUP BY 1
+),
+scored AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         {o_fround("(s2 - s1 * s1 / n) / (n - 1)", 6)} AS variance,
+         {o_fround("(s2 - s1 * s1 / n) / (n - 1)", 6)} < 1e-6 AS is_dead
+  FROM per
+)
+SELECT dim, variance, is_dead,
+       CAST(row_number() OVER (ORDER BY variance DESC, dim) AS INTEGER) AS rank
+FROM scored ORDER BY dim
+"""
+
+QUERIES["embedding_dim_variance"] = q_embedding_dim_variance
+ORACLES["embedding_dim_variance"] = O_EMBEDDING_DIM_VARIANCE

@@ -121,6 +121,8 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "rate_outlier_users": ("D1",),  # 1-row global-rate scalar cross join
     "segment_revenue_profile": ("D1",),  # 1-row revenue-total scalar cross join
     "token_length_histogram": ("D1",),   # 1-row token-total scalar cross join
+    "embedding_dim_variance": ("D2",),   # the rank window rides exactly 64 rows
+    "tax_rate_audit": ("D1",),           # 1-row line-total scalar cross join
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
