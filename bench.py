@@ -300,6 +300,9 @@ HEADLINE = [
     "stopword_coverage",
     "embedding_dim_variance",
     "tax_rate_audit",
+    # r8 batch 15: cross-lang dup families, per-type volume Gini
+    "cross_lang_dup_families",
+    "events_user_gini",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

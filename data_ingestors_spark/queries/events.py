@@ -1545,3 +1545,63 @@ FROM x GROUP BY 1 ORDER BY 1
 
 QUERIES["props_value_profile"] = q_props_value_profile
 ORACLES["props_value_profile"] = O_PROPS_VALUE_PROFILE
+
+
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event volume across users, per event type —
+    the one-number inequality readout behind [q_rate_outlier_users]'
+    top-20 (a type whose volume Gini approaches 1 is a bot funnel,
+    not a feature).
+
+    Uses the ranked-cumulative form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over per-user counts sorted ascending (ties broken by user id) —
+    the same engine-exact construction as [q_gini_concentration].
+
+    Plan (100 TB): per-(type, user) counts collapse first; the rank
+    window rides that aggregated frame partitioned BY TYPE."""
+    t = tables(spark, sf_dir, "events")
+    per = t["events"].groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("i"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("n_events"),
+            fround(
+                2
+                * F.sum((F.col("i") * F.col("x")).cast(DEC)).cast("double")
+                / (F.count("*") * F.sum("x").cast(DEC).cast("double"))
+                - (F.count("*") + 1) / F.count("*").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_EVENTS_USER_GINI = f"""
+WITH per AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+  FROM per
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS n_events,
+       {o_fround("2 * CAST(sum(CAST(i * x AS DECIMAL(30,10))) AS DOUBLE) / (count(*) * CAST(CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS DOUBLE)) - (count(*) + 1) / CAST(count(*) AS DOUBLE)", 6)} AS gini
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_user_gini"] = q_events_user_gini
+ORACLES["events_user_gini"] = O_EVENTS_USER_GINI

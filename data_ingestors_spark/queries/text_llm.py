@@ -4887,3 +4887,56 @@ FROM scored ORDER BY dim
 
 QUERIES["embedding_dim_variance"] = q_embedding_dim_variance
 ORACLES["embedding_dim_variance"] = O_EMBEDDING_DIM_VARIANCE
+
+
+def q_cross_lang_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate families: exact-fingerprint families
+    grouped by how many distinct languages they span — the
+    mislabeled-language / copy-paste detector ([q_cross_source_dups]
+    slices families by feed; this slices by language, where >1 lang
+    on IDENTICAL text means the lang tag, not the text, is wrong).
+
+    Plan (100 TB): one (fp) groupBy carrying a distinct-lang count,
+    one histogram groupBy over the aggregated frame."""
+    t = tables(spark, sf_dir, "documents")
+    fam = (
+        t["documents"]
+        .select(
+            F.md5(D.normalize_text(F.col("text"))).alias("fp_md5"),
+            "lang",
+        )
+        .groupBy("fp_md5")
+        .agg(
+            F.count("*").cast("long").alias("fam_size"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .filter(F.col("fam_size") > 1)
+    )
+    return (
+        fam.groupBy("n_langs")
+        .agg(
+            F.count("*").cast("long").alias("n_families"),
+            F.sum("fam_size").cast("long").alias("n_docs"),
+            F.max("fam_size").alias("max_family"),
+        )
+        .orderBy("n_langs")
+    )
+
+
+O_CROSS_LANG_DUP_FAMILIES = """
+WITH fam AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5,
+         CAST(count(*) AS BIGINT) AS fam_size,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY 1
+  HAVING count(*) > 1
+)
+SELECT n_langs,
+       CAST(count(*) AS BIGINT) AS n_families,
+       CAST(sum(fam_size) AS BIGINT) AS n_docs,
+       CAST(max(fam_size) AS BIGINT) AS max_family
+FROM fam GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cross_lang_dup_families"] = q_cross_lang_dup_families
+ORACLES["cross_lang_dup_families"] = O_CROSS_LANG_DUP_FAMILIES
