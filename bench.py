@@ -303,6 +303,11 @@ HEADLINE = [
     # r8 batch 15: cross-lang dup families, per-type volume Gini
     "cross_lang_dup_families",
     "events_user_gini",
+    # r8 batch 16: SKU adoption curve, supply-base breadth, whale
+    # value concentration
+    "part_adoption_curve",
+    "supplier_breadth",
+    "value_concentration_topk",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

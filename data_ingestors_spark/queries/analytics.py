@@ -4803,3 +4803,154 @@ FROM per CROSS JOIN tot ORDER BY tax_rate
 
 QUERIES["tax_rate_audit"] = q_tax_rate_audit
 ORACLES["tax_rate_audit"] = O_TAX_RATE_AUDIT
+
+
+def q_part_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-SKU adoption curve: per month, how many parts recorded
+    their FIRST EVER sale, with the running distinct-catalog-sold
+    cumulative — the assortment-velocity readout next to
+    [q_parts_never_sold]'s dead stock.
+
+    First sale = min (orderdate, orderkey tiebreak irrelevant: min
+    date suffices for month grain) per part.
+
+    Plan (100 TB): per-part first month is one partial-aggregable
+    min groupBy; the curve is a |months|-row count + cumsum window
+    over that aggregated frame."""
+    t = tables(spark, sf_dir, "lineitem", "orders")
+    first = (
+        t["lineitem"]
+        .join(
+            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+            "l_orderkey",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias(
+                "first_month"
+            )
+        )
+    )
+    per = first.groupBy(F.col("first_month").alias("month")).agg(
+        F.count("*").cast("long").alias("n_new_parts")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "month",
+        "n_new_parts",
+        F.sum("n_new_parts").over(w).cast("long").alias("cum_parts_sold"),
+    ).orderBy("month")
+
+
+O_PART_ADOPTION_CURVE = """
+WITH first AS (
+  SELECT l_partkey,
+         min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+per AS (
+  SELECT first_month AS month, CAST(count(*) AS BIGINT) AS n_new_parts
+  FROM first GROUP BY 1
+)
+SELECT month, n_new_parts,
+       CAST(sum(n_new_parts) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_parts_sold
+FROM per ORDER BY month
+"""
+
+QUERIES["part_adoption_curve"] = q_part_adoption_curve
+ORACLES["part_adoption_curve"] = O_PART_ADOPTION_CURVE
+
+
+def q_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier catalog-breadth profile per nation: distinct parts
+    supplied per supplier (decimal-exact mean, exact max) and the
+    nation's catalog coverage — the supply-base depth view next to
+    [q_supplier_dependency]'s per-part risk bands.
+
+    Plan (100 TB): distinct (supplier, part) collapses map-side; one
+    per-supplier count, one |nations|-row aggregate; the catalog
+    total is a 1-row broadcast."""
+    t = tables(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    sp = t["lineitem"].select("l_suppkey", "l_partkey").distinct()
+    per_supp = sp.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    cat = t["part"].agg(F.count("*").cast("long").alias("n_catalog"))
+    nat_parts = (
+        sp.join(
+            t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+            "l_suppkey",
+        )
+        .select("s_nationkey", "l_partkey")
+        .distinct()
+        .groupBy("s_nationkey")
+        .agg(F.count("*").cast("long").alias("nation_parts"))
+    )
+    j = (
+        per_supp.join(
+            t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+            "l_suppkey",
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            fround(
+                F.sum(F.col("n_parts").cast(DEC)).cast("double") / F.count("*"), 4
+            ).alias("avg_parts_per_supplier"),
+            F.max("n_parts").alias("max_parts"),
+        )
+    )
+    return (
+        j.join(nat_parts, "s_nationkey")
+        .join(
+            F.broadcast(
+                t["nation"].select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+            ),
+            "s_nationkey",
+        )
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_name",
+            "n_suppliers",
+            "avg_parts_per_supplier",
+            "max_parts",
+            fround(F.col("nation_parts") / F.col("n_catalog"), 6).alias(
+                "catalog_coverage"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+O_SUPPLIER_BREADTH = f"""
+WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+per_supp AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts FROM sp GROUP BY 1
+),
+cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part),
+nat_parts AS (
+  SELECT s_nationkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nation_parts
+  FROM sp JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+j AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         {o_fround("CAST(sum(CAST(n_parts AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_parts_per_supplier,
+         CAST(max(n_parts) AS BIGINT) AS max_parts
+  FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT n_name, n_suppliers, avg_parts_per_supplier, max_parts,
+       {o_fround("nation_parts / CAST(n_catalog AS DOUBLE)", 6)} AS catalog_coverage
+FROM j
+JOIN nat_parts USING (s_nationkey)
+JOIN nation ON s_nationkey = n_nationkey
+CROSS JOIN cat
+ORDER BY n_name
+"""
+
+QUERIES["supplier_breadth"] = q_supplier_breadth
+ORACLES["supplier_breadth"] = O_SUPPLIER_BREADTH

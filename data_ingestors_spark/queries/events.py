@@ -1605,3 +1605,65 @@ FROM ranked GROUP BY 1 ORDER BY 1
 
 QUERIES["events_user_gini"] = q_events_user_gini
 ORACLES["events_user_gini"] = O_EVENTS_USER_GINI
+
+
+def q_value_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value concentration per event type: the share of total event
+    value carried by the type's top-10 users — the whale-dependence
+    number next to [q_events_user_gini]'s distribution-wide score
+    (a type where 10 users carry half the value is a partnership,
+    not a product).
+
+    Determinism: top-10 by (decimal-exact user value desc, user_id).
+
+    Plan (100 TB): per-(type, user) value sums collapse first; the
+    rank window rides that aggregated frame partitioned BY TYPE; one
+    conditional aggregate ends it."""
+    t = tables(spark, sf_dir, "events")
+    per = t["events"].groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(DEC)).alias("uval")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("uval"), F.asc("user_id"))
+    ranked = per.select(
+        "event_type",
+        "uval",
+        F.row_number().over(w).alias("rnk"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            fround(F.sum(F.col("uval")).cast("double"), 2).alias("total_value"),
+            fround(
+                F.sum(F.when(F.col("rnk") <= 10, F.col("uval")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.col("uval")).cast("double"),
+                6,
+            ).alias("top10_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_VALUE_CONCENTRATION_TOPK = f"""
+WITH per AS (
+  SELECT event_type, user_id,
+         sum(CAST(value AS DECIMAL(30,10))) AS uval
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, uval,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY uval DESC, user_id) AS rnk
+  FROM per
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       {o_fround("CAST(sum(uval) AS DOUBLE)", 2)} AS total_value,
+       {o_fround("CAST(sum(CASE WHEN rnk <= 10 THEN uval ELSE 0 END) AS DOUBLE) / CAST(sum(uval) AS DOUBLE)", 6)} AS top10_share
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_concentration_topk"] = q_value_concentration_topk
+ORACLES["value_concentration_topk"] = O_VALUE_CONCENTRATION_TOPK

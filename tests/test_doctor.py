@@ -123,6 +123,9 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "token_length_histogram": ("D1",),   # 1-row token-total scalar cross join
     "embedding_dim_variance": ("D2",),   # the rank window rides exactly 64 rows
     "tax_rate_audit": ("D1",),           # 1-row line-total scalar cross join
+    "part_adoption_curve": ("D2",),      # the cumsum window rides the |months|-row
+    #                                      monthly frame; range-partition at scale
+    "supplier_breadth": ("D1",),         # 1-row catalog-count scalar cross join
     "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
     #                                    join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
