@@ -49,16 +49,19 @@ _DRIVER_SAMPLE_ANCHORS = [
     "correlated_exists", "in_subquery", "intersect_all",
 ]
 _DRIVER_SAMPLE_ROTATION = [
-    # r8 rotation: r6/r7 analytics/text_llm/planning queries with
-    # DuckDB oracles that the driver has never checked
-    "dedup_impact_report", "psi_drift", "woe_iv", "retrieval_eval",
-    "binary_embedding_audit", "embedding_dim_corr",
-    "embedding_norm_audit", "knn_label_noise", "prefix_filter_join",
-    "blocking_audit", "snm_linkage", "cross_source_dups",
-    "k_anonymity", "freshness_audit", "profile_drift", "rrf_fusion",
-    "lsh_tuning_curve", "item_cosine", "copurchase_triples",
-    "assoc_rules", "brand_share_shift", "dedup_family_stats",
-    "conversion_latency", "repeat_purchase_gaps", "oov_rate",
+    # r9 rotation: 25 more never-driver-checked oracle-paired queries
+    # (105 distinct names checked through r8; these bring it to 130).
+    # dup_ngram_chars + copurchase_pairs changed this round (lambda
+    # let-bind fix / oracle cap mirror) — driver-verify them first.
+    "dup_ngram_chars", "copurchase_pairs", "incremental_dedup",
+    "length_bucket_dedup_rate", "ngram_coverage_curve",
+    "supplier_price_outliers", "price_elasticity", "kendall_tau",
+    "mann_whitney", "cross_lang_contamination", "vocab_growth",
+    "cluster_compactness", "weekly_volatility", "pagerank",
+    "triangle_count", "winnowing", "gopher_quality", "c4_filter",
+    "semantic_dedup_cells", "int8_quant_audit", "funnel_analysis",
+    "cohort_retention", "spearman_corr", "weighted_median",
+    "scd2_build",
 ]
 
 

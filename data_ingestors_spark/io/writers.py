@@ -50,6 +50,15 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jpath)
 
 
+def _fs_must(ok: bool, op: str, *paths) -> None:
+    """Hadoop FileSystem reports most rename/delete failures by
+    returning ``false`` rather than raising — swallow that and a
+    failed purge swap would report success while leaving the table
+    absent. Raise with the paths instead."""
+    if not ok:
+        raise IOError(f"hadoop fs.{op} failed: {', '.join(str(p) for p in paths)}")
+
+
 def write_table(
     df: DataFrame, path: str, mode: str = "overwrite", partition_cols: list[str] | None = None
 ) -> None:
@@ -299,7 +308,7 @@ def purge_keys(
         if path_exists(spark, tmp_swap):
             fs, tgt = hadoop_fs(spark, target_path)
             _, tmpp = hadoop_fs(spark, tmp_swap)
-            fs.rename(tmpp, tgt)
+            _fs_must(fs.rename(tmpp, tgt), "rename", tmpp, tgt)
         else:
             return 0
     keyset = (
@@ -332,8 +341,8 @@ def purge_keys(
             n_after = spark.read.parquet(tmp_swap).count()
             fs, tgt = hadoop_fs(spark, target_path)
             _, tmpp = hadoop_fs(spark, tmp_swap)
-            fs.delete(tgt, True)
-            fs.rename(tmpp, tgt)
+            _fs_must(fs.delete(tgt, True), "delete", tgt)
+            _fs_must(fs.rename(tmpp, tgt), "rename", tmpp, tgt)
             return n_before - n_after
         current = all_current.filter(F.col(BUCKET_COL).isin(touched))
         n_before = current.count()
@@ -358,7 +367,10 @@ def purge_keys(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         for b in emptied:
             fs, p = hadoop_fs(spark, f"{target_path}/{BUCKET_COL}={b}")
-            fs.delete(p, True)
+            # deleting an already-absent dir returns false too — only
+            # fail when the bucket dir is still there afterwards
+            if not fs.delete(p, True) and fs.exists(p):
+                _fs_must(False, "delete", p)
         # if the purge emptied the LAST bucket of the whole table,
         # leave a schema-bearing empty parquet (flat layout — upsert's
         # legacy path re-buckets on next write) so readers don't hit

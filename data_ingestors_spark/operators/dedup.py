@@ -836,9 +836,24 @@ def build_fingerprint_index(
     fingerprint, upserted into the hash-bucketed layout of
     :func:`~data_ingestors_spark.io.writers.upsert` (key = fp_md5).
     Re-running on new batches merges incrementally — only the touched
-    buckets rewrite. Returns upsert's (updated, inserted, deduped)."""
-    from data_ingestors_spark.io.writers import DEFAULT_N_BUCKETS, upsert
+    buckets rewrite, and the stat columns stay CORPUS-CUMULATIVE: a
+    fingerprint seen in several batches keeps min(first_doc_id),
+    sum(n_docs), max(max_nc) across batches (the upsert alone is
+    batch-wins, which would reset them to the latest batch's values).
+    Consequence: this is at-least-once — REPLAYING a batch adds its
+    n_docs again (first_doc_id / max_nc stay correct, min/max are
+    idempotent). For exactly-once counting under replay, use the
+    batch-id-keyed streaming fold (streaming/neardup.py
+    stream_incremental_dedup_fold), which overwrites its own batch
+    partition. Returns upsert's (updated, inserted, deduped)."""
+    from data_ingestors_spark.io.writers import (
+        BUCKET_COL,
+        DEFAULT_N_BUCKETS,
+        path_exists,
+        upsert,
+    )
 
+    n_buckets = n_buckets or DEFAULT_N_BUCKETS
     fps = docs.select(
         F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
         F.col(id_col).alias("first_doc_id"),
@@ -852,12 +867,42 @@ def build_fingerprint_index(
         F.count("*").cast("long").alias("n_docs"),
         F.max("nc").cast("long").alias("max_nc"),
     )
+    if path_exists(spark, index_path):
+        # fold the already-indexed stats for fingerprints this batch
+        # touches into the batch rows, reading ONLY the touched bucket
+        # partitions (same O(batch) contract as the report itself)
+        touched = [
+            r[0]
+            for r in idx.select(
+                F.pmod(F.xxhash64(F.col("fp_md5").cast("string")), F.lit(n_buckets))
+                .cast("int")
+                .alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
+        ]
+        if touched:
+            existing = (
+                spark.read.parquet(index_path)
+                .filter(F.col(BUCKET_COL).isin(touched))
+                .join(idx.select("fp_md5"), "fp_md5", "leftsemi")
+                .select("fp_md5", "first_doc_id", "n_docs", "max_nc")
+            )
+            idx = (
+                idx.unionByName(existing)
+                .groupBy("fp_md5")
+                .agg(
+                    F.min("first_doc_id").alias("first_doc_id"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.max("max_nc").cast("long").alias("max_nc"),
+                )
+            )
     return upsert(
         spark,
         index_path,
         idx,
         key="fp_md5",
-        n_buckets=n_buckets or DEFAULT_N_BUCKETS,
+        n_buckets=n_buckets,
     )
 
 
@@ -919,7 +964,16 @@ def incremental_dedup_report(
         idx = spark.createDataFrame(
             [], "fp_md5 string, in_corpus int"
         )
-    flag = b.join(idx, "fp_md5", "left")
+    return _novelty_report(b.join(idx, "fp_md5", "left"))
+
+
+def _novelty_report(flag: DataFrame) -> DataFrame:
+    """Per-source novelty report from a corpus-flagged batch frame
+    (doc_id, source, nc, fp_md5, in_corpus nullable). Shared by the
+    batch index report above and the streaming fold
+    (streaming/neardup.py incremental_dedup_fold_batch) so the two
+    paths can't drift. Survivor rule and family-side attribution are
+    documented on :func:`incremental_dedup_report`."""
     tot = flag.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0))

@@ -661,8 +661,14 @@ def q_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the doc_id key; the trigram text itself never shuffles beyond
     the per-doc agg."""
     t = tables(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    base = t["documents"].select(
+    # Materialize the token array in its own projection before the HOF:
+    # referencing an unmaterialized split() expression inside the
+    # transform lambda re-evaluates the split once per trigram index
+    # (O(words^2) char work per doc) — same let-bind fix as
+    # bigram_logprob / ngram_coverage_curve.
+    toks = t["documents"].select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    base = toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1087,7 +1093,9 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_COPURCHASE_PAIRS = f"""
 WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  -- mirror MAX_BASKET_ITEMS: Spark drops whale baskets before the fan-out
+  SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET_ITEMS}
 ), top AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          CAST(count(*) AS BIGINT) AS n_both
@@ -2114,8 +2122,11 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_ITEM_COSINE = f"""
 WITH bought AS (
-  SELECT DISTINCT o_custkey, l_partkey
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  -- mirror MAX_BASKET_ITEMS: Spark drops whale baskets before the fan-out
+  SELECT o_custkey, l_partkey
+  FROM (SELECT DISTINCT o_custkey, l_partkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+  QUALIFY count(*) OVER (PARTITION BY o_custkey) <= {MAX_BASKET_ITEMS}
 ), co AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
          CAST(count(*) AS BIGINT) AS n_both
@@ -2802,12 +2813,17 @@ def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_COPURCHASE_TRIPLES = """
+O_COPURCHASE_TRIPLES = f"""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 freq AS (
   SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 3
 ),
-f AS (SELECT * FROM items WHERE l_partkey IN (SELECT l_partkey FROM freq))
+f AS (
+  -- mirror MAX_BASKET_ITEMS: Spark caps AFTER the frequent-item semi join
+  SELECT l_orderkey, l_partkey
+  FROM items WHERE l_partkey IN (SELECT l_partkey FROM freq)
+  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET_ITEMS}
+)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM f a
@@ -2892,7 +2908,11 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_ASSOC_RULES = f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH items AS (
+  -- mirror MAX_BASKET_ITEMS: Spark drops whale baskets before the fan-out
+  SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET_ITEMS}
+),
 co AS (
   SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
          CAST(count(*) AS BIGINT) AS n_both

@@ -12,7 +12,10 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
 )
 from data_ingestors_spark.streaming.neardup import (  # noqa: F401
     compact_neardup_index,
+    incremental_dedup_fold_batch,
     neardup_fold_batch,
+    read_incremental_dedup,
+    stream_incremental_dedup,
     stream_neardup,
 )
 from data_ingestors_spark.streaming.fuzzy import (  # noqa: F401

@@ -255,3 +255,144 @@ def compact_neardup_index(spark, index_path: str) -> None:
             ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+# ------------------------------------------------- incremental dedup monitor
+
+
+def incremental_dedup_fold_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    reports_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int | None = None,
+) -> None:
+    """Fold one document batch into the streaming fingerprint index
+    and emit its per-source novelty report — the continuous form of
+    operators/dedup.py incremental_dedup_report (the two share the
+    report computation, _novelty_report, so they cannot drift).
+
+    Exactly-once under checkpoint replay, monitors.py-style: both the
+    report rows and the batch's fingerprint rows land in partitions
+    keyed by ``__batch``; the corpus probe EXCLUDES the current batch
+    id, so a replayed batch sees the identical prior-corpus state and
+    overwrites its own partitions with identical content (unlike the
+    batch-API build_fingerprint_index, whose merge fold is
+    at-least-once).
+
+    Scale: the index holds (fp_md5) per (__batch, __bucket) partition
+    — ids only, never text. The probe reads ONLY the batch's touched
+    bucket directories across prior batches (two-level partition
+    pruning); per-batch cost is O(|batch| fingerprints + touched
+    buckets), the stream never rescans the corpus."""
+    from data_ingestors_spark.io.writers import (
+        BUCKET_COL,
+        DEFAULT_N_BUCKETS,
+        path_exists,
+    )
+    from data_ingestors_spark.operators.dedup import _novelty_report, normalize_text
+
+    n_buckets = n_buckets or DEFAULT_N_BUCKETS
+    fps_dir = f"{index_path}/fps"
+    b = (
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.length(text_col).alias("nc"),
+            F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
+        )
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col("fp_md5")), F.lit(n_buckets)).cast("int"),
+        )
+        .persist()
+    )
+    try:
+        touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
+        if path_exists(spark, fps_dir) and touched:
+            idx = (
+                spark.read.parquet(fps_dir)
+                .filter(
+                    (F.col(BATCH_PART_COL) != int(batch_id))
+                    & F.col(BUCKET_COL).isin(touched)
+                )
+                .select("fp_md5")
+                .distinct()
+                .select("fp_md5", F.lit(1).alias("in_corpus"))
+            )
+        else:
+            idx = spark.createDataFrame([], "fp_md5 string, in_corpus int")
+        report = _novelty_report(
+            b.drop(BUCKET_COL).join(idx, "fp_md5", "left")
+        ).withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
+        new_fps = (
+            b.select("fp_md5", BUCKET_COL)
+            .distinct()
+            .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            report.write.mode(
+                "overwrite" if path_exists(spark, reports_path) else "errorifexists"
+            ).partitionBy(BATCH_PART_COL).parquet(reports_path)
+            new_fps.write.mode(
+                "overwrite" if path_exists(spark, fps_dir) else "errorifexists"
+            ).partitionBy(BATCH_PART_COL, BUCKET_COL).parquet(fps_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        b.unpersist()
+
+
+def stream_incremental_dedup(
+    docs: DataFrame,
+    index_path: str,
+    reports_path: str,
+    checkpoint: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int | None = None,
+    available_now: bool = False,
+):
+    """Continuous incremental-dedup monitor over a document stream:
+    per micro-batch, the per-source novelty report vs everything seen
+    in PRIOR batches. Read results with :func:`read_incremental_dedup`."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_dedup_fold_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_path,
+            reports_path,
+            text_col=text_col,
+            id_col=id_col,
+            source_col=source_col,
+            n_buckets=n_buckets,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_dedup(spark, reports_path: str) -> DataFrame:
+    """The accumulated per-batch novelty reports, one row per
+    (__batch, source) — same columns as the batch report plus the
+    batch id."""
+    return spark.read.parquet(reports_path).orderBy(BATCH_PART_COL, "source")

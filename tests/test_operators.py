@@ -2118,3 +2118,32 @@ def test_prefix_filter_lossless_open_vocab(spark, mask_vocab_limit, n_docs):
             want.add((a, b))
     assert got == want
     assert want  # non-vacuous
+
+
+def test_fingerprint_index_multi_batch_cumulative(spark, tmp_path):
+    """A fingerprint seen across batches keeps CORPUS-CUMULATIVE stats
+    — min(first_doc_id), sum(n_docs), max(max_nc) — not the latest
+    batch's values (the bare upsert is batch-wins and would reset
+    them; r8 ADVICE)."""
+    from data_ingestors_spark.operators.dedup import build_fingerprint_index
+
+    idx_path = str(tmp_path / "fp_idx")
+    # "Hello  World!" and "hello world" normalize to the same
+    # fingerprint but differ in raw length (13 vs 11) — max_nc must be
+    # the max across batches, first_doc_id the min (3 < 5)
+    b1 = spark.createDataFrame(
+        [(5, "Hello  World!"), (7, "only batch one")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "hello world"), (9, "only batch two")], "doc_id long, text string"
+    )
+    build_fingerprint_index(spark, idx_path, b1, n_buckets=8)
+    build_fingerprint_index(spark, idx_path, b2, n_buckets=8)
+    rows = spark.read.parquet(idx_path).collect()
+    assert len(rows) == 3
+    shared = [r for r in rows if r["n_docs"] == 2]
+    assert len(shared) == 1, rows
+    assert shared[0]["first_doc_id"] == 3
+    assert shared[0]["max_nc"] == 13
+    singles = {r["first_doc_id"]: r["n_docs"] for r in rows if r["n_docs"] == 1}
+    assert singles == {7: 1, 9: 1}

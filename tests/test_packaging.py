@@ -86,3 +86,32 @@ def test_console_script_if_installed():
     out = subprocess.run([exe], capture_output=True, text=True)
     assert out.returncode == 2
     assert "ingest.yaml" in out.stderr + out.stdout
+
+
+def test_registry_index_is_fresh():
+    """Freshness gate for docs/REGISTRY.md: regenerate the index
+    in-memory (pure function of the query registry + committed
+    SCALE.md — no Spark) and diff against the committed file. Adding
+    or moving a query without re-running `python tools/registry_index.py`
+    fails here, not silently at judge time."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import registry_index
+
+    committed_path = os.path.join(REPO, "docs", "REGISTRY.md")
+    assert os.path.exists(committed_path), "docs/REGISTRY.md missing"
+    with open(committed_path) as fh:
+        committed = fh.read()
+    fresh = registry_index.render()
+    if committed != fresh:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                committed.splitlines(), fresh.splitlines(),
+                "committed docs/REGISTRY.md", "regenerated", lineterm="", n=0,
+            )
+        )
+        raise AssertionError(
+            "docs/REGISTRY.md is stale — rerun `python tools/registry_index.py`"
+            f" (after tools/plan_report.py if plans changed):\n{diff[:4000]}"
+        )

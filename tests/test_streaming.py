@@ -756,3 +756,79 @@ def test_psi_baseline_constant_column_degenerate_range(spark):
         ("b", 0, 15),
     ]
     assert all(r.bin is not None for r in rows)
+
+
+def test_stream_incremental_dedup_matches_batch_and_replay(spark, tmp_path):
+    """Streaming incremental-dedup monitor: wave 2's folded report
+    must equal BOTH the oracle-paired registry query (same corpus /
+    batch split) and the batch index operator; a checkpoint replay
+    with no new data must leave the store byte-identical (exactly-once
+    effect — the corpus probe excludes the replayed batch's own
+    partitions)."""
+    from data_ingestors_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_dedup_report,
+    )
+    from data_ingestors_spark.queries.base import tables
+    from data_ingestors_spark.queries.text_llm import q_incremental_dedup
+    from data_ingestors_spark.streaming import (
+        read_incremental_dedup,
+        stream_incremental_dedup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "text"
+    )
+    schema = "doc_id long, source string, text string"
+    src = str(tmp_path / "src")
+    index = str(tmp_path / "index")
+    reports = str(tmp_path / "reports")
+    ckpt = str(tmp_path / "ckpt")
+    # wave 1 = the registry query's corpus slice, wave 2 = its batch
+    # slice, so wave 2's streamed report must equal the DuckDB-paired
+    # relational query verbatim
+    docs.filter(F.col("doc_id") % 10 != 0).coalesce(1).write.mode("append").parquet(src)
+
+    run = lambda: stream_incremental_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        index, reports, ckpt, n_buckets=16, available_now=True,
+    )
+    q = run()
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    q2.awaitTermination(120)
+
+    rep = read_incremental_dedup(spark, reports)
+    batches = sorted(r[0] for r in rep.select("__batch").distinct().collect())
+    assert len(batches) == 2
+    wave2 = [
+        tuple(r)
+        for r in rep.filter(F.col("__batch") == batches[1])
+        .drop("__batch")
+        .orderBy("source")
+        .collect()
+    ]
+    want = [tuple(r) for r in q_incremental_dedup(spark, sf_dir).collect()]
+    assert wave2 == want and want
+
+    # ... and the batch index operator agrees (three-way equality)
+    idx2 = str(tmp_path / "batch_index")
+    build_fingerprint_index(
+        spark, idx2, docs.filter(F.col("doc_id") % 10 != 0), n_buckets=16
+    )
+    got_op = [
+        tuple(r)
+        for r in incremental_dedup_report(
+            spark, idx2, docs.filter(F.col("doc_id") % 10 == 0), n_buckets=16
+        ).collect()
+    ]
+    assert got_op == want
+
+    # replay: same checkpoint, no new files -> identical reports
+    before = sorted(tuple(r) for r in rep.collect())
+    q3 = run()
+    q3.awaitTermination(120)
+    after = sorted(tuple(r) for r in read_incremental_dedup(spark, reports).collect())
+    assert after == before

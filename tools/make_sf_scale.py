@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Generate a synthetic sf1 (or any multiple) from the sf0.1 testdata
+by replicating fact tables K times with per-replica key offsets —
+seed-free and fully deterministic, so repeated runs produce identical
+parquet. The driver ships no sf1; this gives the scale-proof runs
+(BASELINE.md §r9) a measured 10× point beyond sf0.1.
+
+Semantics of the replication (chosen so per-query work scales the way
+a real corpus grows, not degenerately):
+
+- region/nation: dimension tables, copied as-is.
+- customer/supplier/part/orders/lineitem/events: keys shifted by
+  ``replica * offset`` with offsets = max(key)+1 of the base table, so
+  referential integrity holds within each replica and key spaces never
+  collide. Dates/timestamps stay as-is — date-grouped aggregates grow
+  K× per group, which is exactly what a K× corpus does.
+- documents: doc_id shifted; replica > 0 text gets a 2-token replica
+  prefix so documents are DISTINCT across replicas while each replica
+  keeps the base corpus's full duplicate-family structure → total dup
+  pairs scale ~linearly (real corpus growth), not quadratically
+  (which 10 identical copies of every family would force on ANY plan).
+- embeddings: vec_id shifted; replica > 0 gets dimension 1 perturbed
+  by ``replica * 0.05`` — a direction change, so cosine-based ops see
+  distinct points (a pure rescale would keep cosine = 1.0 and make
+  every near-dup cell degenerate).
+
+Usage: python tools/make_sf_scale.py [out_dir] [k] [base_dir]
+Defaults: /tmp/sf1 10 /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES_AS_IS = ["region", "nation"]
+# table -> [(key_col, offset_source_table, offset_source_col)]
+SHIFTS: dict[str, list[tuple[str, str, str]]] = {
+    "customer": [("c_custkey", "customer", "c_custkey")],
+    "supplier": [("s_suppkey", "supplier", "s_suppkey")],
+    "part": [("p_partkey", "part", "p_partkey")],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "events": [
+        ("event_id", "events", "event_id"),
+        ("user_id", "events", "user_id"),
+    ],
+    "documents": [("doc_id", "documents", "doc_id")],
+    "embeddings": [("vec_id", "embeddings", "vec_id")],
+}
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")  # leave CPUs for a concurrent Spark JVM
+
+    offsets: dict[tuple[str, str], int] = {}
+    for shifts in SHIFTS.values():
+        for _, src_t, src_c in shifts:
+            if (src_t, src_c) not in offsets:
+                offsets[(src_t, src_c)] = con.execute(
+                    f"SELECT max({src_c}) + 1 FROM '{base}/{src_t}.parquet'"
+                ).fetchone()[0]
+
+    for t in TABLES_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM '{base}/{t}.parquet') TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: copied")
+
+    for t, shifts in SHIFTS.items():
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM '{base}/{t}.parquet'").fetchall()
+        ]
+        shifted = {c: f"{c} + r.i * {offsets[(st, sc)]}" for c, st, sc in shifts}
+        if t == "documents":
+            shifted["text"] = (
+                "CASE WHEN r.i = 0 THEN text ELSE 'replica' || r.i || ' copy ' || text END"
+            )
+            shifted["n_chars"] = (
+                "CASE WHEN r.i = 0 THEN n_chars "
+                "ELSE n_chars + length('replica' || r.i || ' copy ') END"
+            )
+        if t == "embeddings":
+            shifted["embedding"] = (
+                "CASE WHEN r.i = 0 THEN embedding ELSE "
+                "list_concat([CAST(embedding[1] + r.i * 0.05 AS FLOAT)], embedding[2:]) END"
+            )
+        sel = ", ".join(f"{shifted.get(c, c)} AS {c}" for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{base}/{t}.parquet' "
+            f"CROSS JOIN (SELECT unnest(range({k})) AS i) r) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        n = con.execute(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows ({k}x)")
+    print(f"wrote {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
