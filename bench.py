@@ -561,8 +561,21 @@ def main() -> None:
     }
     if ingest_rows_per_sec is not None:
         compact["ingest_rows_per_sec"] = ingest_rows_per_sec
+    # self-contained driver artifact: the 20 most expensive queries by
+    # median ride along inline (full per-query stats stay in full_path)
+    compact["top20_med"] = {
+        n: round(s["med"], 3)
+        for n, s in sorted(stats.items(), key=lambda kv: -kv[1]["med"])[:20]
+    }
     line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    # the driver captures only a ~2000-char stdout tail; degrade by
+    # dropping detail maps rather than assert (stripped under -O, and
+    # firing after all measurements would lose the line entirely)
+    for drop in ("top20_med", "queries"):
+        if len(line) < 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
     print(line)
 
 
