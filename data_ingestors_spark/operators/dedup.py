@@ -553,24 +553,33 @@ def prefix_filter_pairs(
     if vocab_n <= mask_vocab_limit:
         # dictionary-encode: wid ordered by (df asc, w) — prefix order
         # and mask order share the dictionary; the wid window runs on
-        # the <=limit-row vocab frame, not the corpus
+        # the <=limit-row vocab frame, not the corpus. The mask is nw
+        # SCALAR LONG COLUMNS (mask0..mask{nw-1}), never an array:
+        # every per-pair op below stays a codegen'd bit op, and the
+        # min-common-token dedup applies at ANY nw — the r9 sf1 scale
+        # proof measured the earlier array-mask branch (per-element
+        # HOF folds + a match-sized distinct) at 48x on 10x data;
+        # scalar columns + row-local dedup returned it to ~linear.
         vocab = dft.withColumn(
             "wid", F.row_number().over(Window.orderBy("df", "w")) - 1
         )
         nw = int((vocab_n + 63) // 64)
         enc = tok.join(F.broadcast(vocab), "w")
         pos_w = Window.partitionBy("doc_id").orderBy("wid")
-        if nw == 1:
-            # vocab <= 64: the whole set is ONE long — scalar bit ops,
-            # no arrays, no per-row HOF folds
-            mask_sql = "aggregate(ids, 0L, (acc, i) -> acc | shiftleft(1L, CAST(i AS INT)))"
-        else:
-            mask_sql = (
-                f"aggregate(ids, array_repeat(0L, {nw}), "
-                "(acc, i) -> transform(acc, (x, k) -> "
-                "IF(k = CAST(i DIV 64 AS INT), x | shiftleft(1L, CAST(i % 64 AS INT)), x)))"
-            )
-        docs = (
+        mask_cols = [
+            F.expr(
+                f"aggregate(filter(ids, i -> CAST(i DIV 64 AS INT) = {k}), 0L, "
+                "(acc, i) -> acc | shiftleft(1L, CAST(i % 64 AS INT)))"
+            ).alias(f"mask{k}")
+            for k in range(nw)
+        ]
+        # MATERIALIZE the masks before the explode/join boundary:
+        # left lazy, Catalyst collapses this projection into the join
+        # output and re-evaluates every mask HOF once per candidate
+        # row (measured at sf1: >570 s vs 6 s — the dup_ngram_chars
+        # re-evaluation trap at join scale). The persisted frame is
+        # |docs| rows of longs and serves both self-join sides.
+        docs = _materialize(
             enc.withColumn("pos", F.row_number().over(pos_w))
             .groupBy("doc_id")
             .agg(
@@ -580,10 +589,8 @@ def prefix_filter_pairs(
                     "pfx"
                 ),
             )
-            .select(
-                "doc_id", "sz", F.expr(mask_sql).alias("mask"), F.explode("pfx").alias("w")
-            )
-        )
+            .select("doc_id", "sz", *mask_cols, F.col("pfx"))
+        ).select("doc_id", "sz", *[f"mask{k}" for k in range(nw)], F.explode("pfx").alias("w"))
         a, b = docs.alias("a"), docs.alias("b")
         joined = a.join(
             b,
@@ -591,44 +598,40 @@ def prefix_filter_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & sz_filter,
         )
-        if nw == 1:
-            # each pair appears once per SHARED prefix token; instead
-            # of a distinct (a match-sized shuffle), keep only the row
-            # whose join token is the pair's MINIMUM common token —
-            # the theorem above puts that token inside both prefixes,
-            # so every true pair survives exactly once, row-locally:
-            # no common bit may sit below w.
-            common = F.col("a.mask").bitwiseAND(F.col("b.mask"))
-            low = F.expr("shiftleft(1L, CAST(a.w AS INT)) - 1")
-            inter = F.bit_count(common).cast("double")
-            j = (
-                joined.filter(common.bitwiseAND(low) == 0)
-                .withColumn(
-                    "jaccard", inter / (F.col("a.sz") + F.col("b.sz") - inter)
-                )
-                .filter(F.col("jaccard") >= threshold)
+        # each pair appears once per SHARED prefix token; instead of a
+        # distinct (a match-sized shuffle), keep only the row whose
+        # join token is the pair's MINIMUM common token — the theorem
+        # above puts that token inside both prefixes, so every true
+        # pair survives exactly once, row-locally: no common bit may
+        # sit below w (strictly-lower words all zero, same word masked
+        # below the token's bit).
+        common = [
+            F.col(f"a.mask{k}").bitwiseAND(F.col(f"b.mask{k}")) for k in range(nw)
+        ]
+        wd = F.expr("CAST(a.w DIV 64 AS INT)")
+        # low bits below the token's bit: ~shiftleft(-1L, k), NOT
+        # shiftleft(1L, k) - 1 — the latter overflows under ANSI at
+        # k = 63 (hit whenever the vocab spans a full word; caught by
+        # the r9 sf1 scale run, latent in the old nw=1 path too)
+        low = F.expr("~shiftleft(-1L, CAST(a.w % 64 AS INT))")
+        below = None
+        for k in range(nw):
+            term = (
+                F.when(F.lit(k) < wd, common[k])
+                .when(F.lit(k) == wd, common[k].bitwiseAND(low))
+                .otherwise(F.lit(0))
             )
-            return j.select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                fround(F.col("jaccard"), 6).alias("jaccard"),
-            )
-        inter = F.expr(
-            "CAST(aggregate(zip_with(a.mask, b.mask, (x, y) -> bit_count(x & y)), "
-            "0, (acc, v) -> acc + v) AS DOUBLE)"
-        )
+            below = term if below is None else below.bitwiseOR(term)
+        inter = sum(F.bit_count(c) for c in common).cast("double")
         j = (
-            joined.withColumn(
-                "jaccard", inter / (F.col("a.sz") + F.col("b.sz") - inter)
-            ).filter(F.col("jaccard") >= threshold)
+            joined.filter(below == 0)
+            .withColumn("jaccard", inter / (F.col("a.sz") + F.col("b.sz") - inter))
+            .filter(F.col("jaccard") >= threshold)
         )
-        return (
-            j.select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                fround(F.col("jaccard"), 6).alias("jaccard"),
-            )
-            .distinct()
+        return j.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            fround(F.col("jaccard"), 6).alias("jaccard"),
         )
     # open-vocabulary path: canonical position within each set
     # (global df asc, token asc), ids-only candidates, array verify

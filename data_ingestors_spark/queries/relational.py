@@ -235,17 +235,82 @@ FROM region CROSS JOIN supplier
 # --- Q9: non-equi (theta/range) join ------------------------------------
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band join: customers within ±100 acctbal of each supplier.
-    Small side broadcast → BroadcastNestedLoopJoin; at cluster scale the
-    supplier side stays dimension-sized so this remains broadcastable."""
+
+    r9 scale rewrite (reference parity unchanged): the broadcast-BNLJ
+    form evaluates |customer| × |supplier| predicates and streams a
+    pair set that grows QUADRATICALLY when both sides scale inside a
+    fixed value domain — the sf1 scale proof measured 18.8× on 10×
+    data. The query only needs a per-supplier COUNT and exact DECIMAL
+    SUM over a value interval, so compute prefix sums over the
+    customer acctbal VALUE-COUNT frame and answer each supplier with
+    two boundary lookups (an order-statistics band join) — the pair
+    stream never materializes, cost is O(NDV + |supplier|) past the
+    value-count aggregation. The single-partition cumulative window
+    rides the NDV-bounded value frame (2-decimal currency domain:
+    ≤ ~1.1M distinct values at ANY corpus size — the roc_auc /
+    quantile_normalize pattern), never the fact table.
+
+    Boundary lookup = the asof union trick: supplier bound rows
+    interleave into the cumulative frame ordered by (val, tie); hi
+    bounds (s+100) sort AFTER equal-valued customer rows (inclusive),
+    lo bounds (s−100) BEFORE (a customer at exactly s−100 is in-band),
+    so band_count = cum(hi) − cum(lo⁻) with double-exact boundary
+    semantics identical to the BNLJ predicate."""
     t = tables(spark, sf_dir, "supplier", "customer")
-    s, c = F.broadcast(t["supplier"]), t["customer"]
-    cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 100.0) & (
-        F.col("c_acctbal") <= F.col("s_acctbal") + 100.0
+    vc = t["customer"].groupBy("c_acctbal").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("vsum"),
     )
+    base = vc.select(
+        F.col("c_acctbal").alias("val"),
+        F.lit(0).alias("tie"),
+        "cnt",
+        "vsum",
+        F.lit(None).cast("long").alias("s_suppkey"),
+        F.lit(None).cast("string").alias("side"),
+    )
+    sup = t["supplier"]
+    bound_cols = lambda val, tie, side: [  # noqa: E731
+        val.alias("val"),
+        F.lit(tie).alias("tie"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast(DEC).alias("vsum"),
+        F.col("s_suppkey"),
+        F.lit(side).alias("side"),
+    ]
+    hi = sup.select(*bound_cols(F.col("s_acctbal") + 100.0, 1, "hi"))
+    lo = sup.select(*bound_cols(F.col("s_acctbal") - 100.0, -1, "lo"))
+    w = Window.orderBy("val", "tie").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        base.unionByName(hi)
+        .unionByName(lo)
+        .select(
+            "s_suppkey",
+            "side",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("ccnt"),
+            F.coalesce(F.sum("vsum").over(w), F.lit(0).cast(DEC)).alias("csum"),
+        )
+        .filter(F.col("s_suppkey").isNotNull())
+    )
+    is_hi = F.col("side") == "hi"
     return (
-        c.join(s, cond, "inner")
-        .groupBy("s_suppkey")
-        .agg(F.count("*").alias("n_near"), davg(F.col("c_acctbal")).alias("avg_near_bal"))
+        cum.groupBy("s_suppkey")
+        .agg(
+            F.sum(F.when(is_hi, F.col("ccnt")).otherwise(-F.col("ccnt")))
+            .cast("long")
+            .alias("n_near"),
+            F.sum(F.when(is_hi, F.col("csum")).otherwise(-F.col("csum"))).alias(
+                "bsum"
+            ),
+        )
+        .filter(F.col("n_near") > 0)
+        .select(
+            "s_suppkey",
+            "n_near",
+            fround(F.col("bsum").cast("double") / F.col("n_near"), 4).alias(
+                "avg_near_bal"
+            ),
+        )
     )
 
 

@@ -2464,21 +2464,33 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ground truth here is the exhaustive all-pairs edit-distance
     scan, so the audit is corpus-quadratic BY CONSTRUCTION — the query
-    therefore runs it on a bounded DETERMINISTIC sample (id % 10 == 0;
-    the metrics are ratios, so a sample estimates them unbiasedly, and
-    a modulo predicate is engine-portable where RNG sampling is not).
-    At 100 TB you raise the modulus until the sample is ~10^4 rows;
-    exact-on-the-sample is what lets the oracle check it. The
-    candidate side joins raw deletion keys (the production path's
-    xxhash64 keys would add a ~2⁻⁶⁴ collision term to the audit
-    itself).
+    therefore runs it on a bounded DETERMINISTIC sample (the metrics
+    are ratios, so a sample estimates them unbiasedly, and a modulo
+    predicate is engine-portable where RNG sampling is not). The
+    modulus ADAPTS to corpus size (r9 — measured 7.6 s → >10 min on a
+    10× sf1 with the fixed %10): the smallest power of 10 that keeps
+    the sample ≤ ~1500 rows, floored at 10, computed integer-exactly
+    in BOTH engines as '1' || repeat('0', digits(ceil(n/1500) − 1)) —
+    no float log10 whose ULP could flip the modulus between engines.
+    The sample, and with it the quadratic truth scan, stays constant
+    as the corpus grows. Exact-on-the-sample is what lets the oracle
+    check it. The candidate side joins raw deletion keys (the
+    production path's xxhash64 keys would add a ~2⁻⁶⁴ collision term
+    to the audit itself).
     """
     from data_ingestors_spark.operators.fuzzy import _deletion_keys
 
     t = tables(spark, sf_dir, "customer")
+    mod = t["customer"].agg(
+        F.expr(
+            "CAST(concat('1', repeat('0', "
+            "length(CAST((count(*) + 1499) DIV 1500 - 1 AS STRING)))) AS BIGINT)"
+        ).alias("m")
+    )
     cust = (
         t["customer"]
-        .filter(F.col("c_custkey") % 10 == 0)
+        .crossJoin(F.broadcast(mod))
+        .filter(F.col("c_custkey") % F.greatest(F.col("m"), F.lit(10)) == 0)
         .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("v"))
     )
     keys = cust.select("id", F.explode(_deletion_keys("v")).alias("k"))
@@ -2522,8 +2534,14 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_BLOCKING_AUDIT = f"""
-WITH cust AS (
-  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 0
+WITH mod AS (
+  SELECT greatest(CAST('1' || repeat('0',
+           length(CAST((count(*) + 1499) // 1500 - 1 AS VARCHAR))) AS BIGINT),
+         10) AS m
+  FROM customer
+),
+cust AS (
+  SELECT c_custkey, c_name FROM customer, mod WHERE c_custkey % mod.m = 0
 ),
 keys AS (
   SELECT c_custkey AS id, c_name AS k FROM cust

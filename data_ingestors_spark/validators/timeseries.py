@@ -83,6 +83,36 @@ def validate_time_ordered(
     )
 
 
+def _ordered_partition_agg(df: DataFrame, ts_col: str) -> DataFrame:
+    """The parallel core of :func:`validate_time_ordered_scalable`:
+    per scan partition, the within-partition out-of-order count plus
+    the (first, last) boundary rows — ONE aggregation, partitioned by
+    spark_partition_id, so the plan carries no SinglePartition
+    exchange at any input size (plan-asserted in tests)."""
+    base = (
+        df.select(F.col(ts_col).cast("timestamp").alias("__ts"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pos", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("__pid").orderBy("__pos")
+    within = base.withColumn(
+        "__ooo", F.when(F.col("__ts") < F.lag("__ts").over(w), 1).otherwise(0)
+    )
+    return (
+        within.groupBy("__pid")
+        .agg(
+            F.sum("__ooo").alias("n_ooo"),
+            F.min(F.struct(F.col("__pos").alias("pos"), F.col("__ts").alias("ts"))).alias(
+                "first_row"
+            ),
+            F.max(F.struct(F.col("__pos").alias("pos"), F.col("__ts").alias("ts"))).alias(
+                "last_row"
+            ),
+        )
+        .orderBy("__pid")
+    )
+
+
 def validate_time_ordered_scalable(df: DataFrame, ts_col: str) -> ValidationResult:
     """V4 at 100 TB (SURVEY.md §7 hard part 4): monotonicity without a
     single-partition global window. Two parallel pieces:
@@ -100,31 +130,8 @@ def validate_time_ordered_scalable(df: DataFrame, ts_col: str) -> ValidationResu
     partition-id-then-position order of the scan (parquet/CSV file
     splits), which is the reference's definition of "row order".
     """
-    base = (
-        df.select(F.col(ts_col).cast("timestamp").alias("__ts"))
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__pos", F.monotonically_increasing_id())
-    )
-    w = Window.partitionBy("__pid").orderBy("__pos")
-    within = base.withColumn(
-        "__ooo", F.when(F.col("__ts") < F.lag("__ts").over(w), 1).otherwise(0)
-    )
-    # one aggregation computes BOTH the within-partition violation count
-    # and the per-partition boundary rows
-    agg = (
-        within.groupBy("__pid")
-        .agg(
-            F.sum("__ooo").alias("n_ooo"),
-            F.min(F.struct(F.col("__pos").alias("pos"), F.col("__ts").alias("ts"))).alias(
-                "first_row"
-            ),
-            F.max(F.struct(F.col("__pos").alias("pos"), F.col("__ts").alias("ts"))).alias(
-                "last_row"
-            ),
-        )
-        .orderBy("__pid")
-        .collect()  # one row per partition — bounded, driver-safe
-    )
+    agg = _ordered_partition_agg(df, ts_col).collect()
+    # ^ one row per partition — bounded, driver-safe
     n_within = sum(r.n_ooo or 0 for r in agg)
     n_boundary = sum(
         1

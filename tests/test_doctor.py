@@ -69,7 +69,12 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "cross_join": ("D1",),          # the cross-join operator itself (dim x dim)
     "scalar_subquery": ("D1",),     # 1-row aggregate cross join
     "funnel_analysis": ("D1",),     # 1x1 stage-count joins
-    "range_join": ("D1",),          # BNLJ against a broadcast-sized dim
+    "range_join": ("D2",),          # r9 order-statistics band join: the
+    #                                 cumulative window rides the acctbal
+    #                                 VALUE-COUNT frame (2-decimal currency
+    #                                 domain, NDV-bounded at any corpus size
+    #                                 — the roc_auc pattern), plus supplier
+    #                                 bound rows; never the fact table
     "embedding_topk": ("D1",),      # broadcast fixed query set
     "unigram_logprob": ("D1",),     # 1-row (n_tokens, n_vocab) scalar cross join
     "bigram_logprob": ("D1",),      # 1-row vocab-size scalar cross join

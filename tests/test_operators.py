@@ -2084,8 +2084,10 @@ def test_blocking_audit_lossless_on_fixture(spark):
 @pytest.mark.parametrize(
     ("mask_vocab_limit", "n_docs"),
     [
-        (4096, 40),  # vocab 67 > 64: array-mask verify + end distinct
-        (4096, 30),  # vocab 50 <= 64: scalar-long masks + min-common dedup
+        (4096, 40),  # vocab 67 > 64: nw=2 scalar mask columns (r9: spans
+        #              the word boundary, exercising the multi-word
+        #              min-common dedup + the bit-63 overflow-free low mask)
+        (4096, 30),  # vocab 50 <= 64: nw=1 scalar-long masks + min-common dedup
         (0, 40),  # forced open-vocabulary array-intersect path
     ],
 )

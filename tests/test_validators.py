@@ -311,3 +311,44 @@ def test_time_ordered_scalable_matches_global(spark, tmp_path):
     assert not res2.is_valid
     assert res2.metadata["n_at_partition_boundary"] == 1
     assert res2.metadata["n_within_partition"] == 0
+
+
+def test_time_ordered_scalable_many_partitions_no_single_exchange(spark):
+    """SURVEY §7 hard part 4 at width: a sorted series spread over
+    MORE partitions than local cores exercises the boundary-merge path
+    (n-1 boundary comparisons on the driver, all green), and the plan
+    of the parallel core carries NO SinglePartition exchange — global
+    monotonicity without a global sort, at any input size."""
+    import datetime as dt
+
+    from data_ingestors_spark.validators.timeseries import (
+        _ordered_partition_agg,
+        validate_time_ordered_scalable,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [((t0 + dt.timedelta(seconds=i)).isoformat(),) for i in range(4000)]
+    # explicit 40 slices pin the physical layout (> the 32 local cores;
+    # no shuffle, so AQE cannot coalesce the partitions away)
+    rdd = spark.sparkContext.parallelize(rows, 40)
+    df = spark.createDataFrame(rdd, "timestamp string")
+    res = validate_time_ordered_scalable(df, "timestamp")
+    assert res.is_valid
+    assert res.metadata["n_partitions"] == 40
+    assert res.metadata["n_at_partition_boundary"] == 0
+
+    plan = _ordered_partition_agg(df, "timestamp")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan, plan
+    # swapping the last two 100-row blocks keeps every partition
+    # internally sorted but partition 38 now ENDS after partition 39
+    # BEGINS — caught only by the boundary merge
+    flipped = rows[:3800] + rows[3900:4000] + rows[3800:3900]
+    res2 = validate_time_ordered_scalable(
+        spark.createDataFrame(spark.sparkContext.parallelize(flipped, 40), "timestamp string"),
+        "timestamp",
+    )
+    assert not res2.is_valid
+    assert res2.metadata["n_at_partition_boundary"] == 1
+    assert res2.metadata["n_within_partition"] == 0

@@ -14,15 +14,20 @@ a real corpus grows, not degenerately):
   referential integrity holds within each replica and key spaces never
   collide. Dates/timestamps stay as-is — date-grouped aggregates grow
   K× per group, which is exactly what a K× corpus does.
-- documents: doc_id shifted; replica > 0 text gets a 2-token replica
-  prefix so documents are DISTINCT across replicas while each replica
-  keeps the base corpus's full duplicate-family structure → total dup
-  pairs scale ~linearly (real corpus growth), not quadratically
-  (which 10 identical copies of every family would force on ANY plan).
-- embeddings: vec_id shifted; replica > 0 gets dimension 1 perturbed
-  by ``replica * 0.05`` — a direction change, so cosine-based ops see
-  distinct points (a pure rescale would keep cosine = 1.0 and make
-  every near-dup cell degenerate).
+- documents: doc_id shifted; replica > 0 gets a per-WORD replica tag
+  (``word`` → ``r<i>word``), so every shingle/n-gram differs from the
+  base corpus while each replica keeps the base corpus's full
+  duplicate-family structure internally → dup/near-dup pair counts
+  scale ~linearly, the shape of real corpus growth. (First cut used a
+  2-token document PREFIX — measured: MinHash Jaccard between a doc
+  and its replica stayed ≈0.94 > threshold, so near-dup families grew
+  10× and cluster edge sets 100×, a data artifact no plan can fix.)
+- embeddings: vec_id shifted; replica i is the base vector ROTATED by
+  i positions — within a replica all pairwise dot products equal the
+  base corpus's exactly (structure preserved), across replicas the
+  rotated directions decorrelate (no artificial cross-replica
+  near-dup mass). A dimension-1 nudge (first cut) kept cosine ≈0.999
+  and had the same quadratic-family artifact.
 
 Usage: python tools/make_sf_scale.py [out_dir] [k] [base_dir]
 Defaults: /tmp/sf1 10 /root/testdata/sf0.1
@@ -89,16 +94,18 @@ def main() -> None:
         shifted = {c: f"{c} + r.i * {offsets[(st, sc)]}" for c, st, sc in shifts}
         if t == "documents":
             shifted["text"] = (
-                "CASE WHEN r.i = 0 THEN text ELSE 'replica' || r.i || ' copy ' || text END"
+                "CASE WHEN r.i = 0 THEN text ELSE "
+                "array_to_string([('r' || r.i || w) for w in string_split(text, ' ')], ' ') END"
             )
             shifted["n_chars"] = (
-                "CASE WHEN r.i = 0 THEN n_chars "
-                "ELSE n_chars + length('replica' || r.i || ' copy ') END"
+                "CASE WHEN r.i = 0 THEN n_chars ELSE CAST(length("
+                "array_to_string([('r' || r.i || w) for w in string_split(text, ' ')], ' ')"
+                ") AS BIGINT) END"
             )
         if t == "embeddings":
             shifted["embedding"] = (
                 "CASE WHEN r.i = 0 THEN embedding ELSE "
-                "list_concat([CAST(embedding[1] + r.i * 0.05 AS FLOAT)], embedding[2:]) END"
+                "list_concat(embedding[(r.i % 64) + 1:], embedding[1:(r.i % 64)]) END"
             )
         sel = ", ".join(f"{shifted.get(c, c)} AS {c}" for c in cols)
         con.execute(
