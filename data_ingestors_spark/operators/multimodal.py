@@ -2,12 +2,14 @@
 ``binary`` columns with typed metadata structs.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
-mapInPandas signatures — is real and tested. The codec layer is
-STUBBED: this container ships no imaging/audio libraries, so each
-``_decode_*`` uses the deterministic fake formats below when PIL/etc.
-are absent, and raises ``NotImplementedError`` for genuinely unknown
-payloads. Swapping in a real codec is a one-function change; nothing
-in the distributed plan moves.
+mapInPandas signatures — is real and tested. Most of the codec layer
+is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG/MJPEG-AVI images
+and frames; WAV PCM 8/16/24/32-bit, IEEE float, G.711, IMA ADPCM
+audio); each ``_decode_*`` additionally accepts the deterministic
+fake formats below for tests, and raises ``NotImplementedError`` for
+the honestly-stubbed remainder (lossless/arithmetic/12-bit JPEG,
+perceptual audio, inter-frame video). Swapping in a further codec is
+a one-function change; nothing in the distributed plan moves.
 
 Fake fixture formats (produced by tests):
 - image: ``FAKEIMG:<w>x<h>:<pixel-bytes>``  (1 byte per pixel, row-major)
@@ -978,11 +980,13 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, float samples in [-1, 1)). WAV/PCM is decoded for
-    REAL — stdlib ``wave`` + numpy, no external codec needed (8/16/32-bit
-    PCM, multi-channel averaged to mono); the FAKEAUD fixture format
-    remains for deterministic tests. Compressed formats (mp3/ogg/flac)
-    stay behind the honest stub boundary."""
+    """(sample_rate, float samples in [-1, 1)). WAV is decoded for
+    REAL — stdlib ``wave`` + numpy, no external codec needed:
+    8/16/24/32-bit PCM, IEEE float32/64 (fmt 3), G.711 A-law/mu-law
+    (fmt 6/7) and IMA ADPCM (fmt 0x11); multi-channel averaged to
+    mono. The FAKEAUD fixture format remains for deterministic tests.
+    Perceptual codecs (mp3/ogg/flac) stay behind the honest stub
+    boundary."""
     if content.startswith(AUD_MAGIC):
         head, payload = content[len(AUD_MAGIC):].split(b":", 1)
         sr = int(head.decode())
@@ -992,7 +996,8 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
         import io
         import wave
 
-        fmt_code, sr_, nch_, data = _wav_chunks(content)
+        wv = _wav_chunks(content)
+        fmt_code, sr_, nch_, data = wv["fmt"], wv["sr"], wv["nch"], wv["data"]
         if fmt_code in (6, 7):  # G.711 A-law / mu-law — stdlib wave
             # refuses non-PCM, but the expansion is a 256-entry table
             table = _alaw_table() if fmt_code == 6 else _mulaw_table()
@@ -1000,6 +1005,20 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
             if nch_ > 1:
                 x = x.reshape(-1, nch_).mean(axis=1)
             return sr_, x
+        if fmt_code == 3:  # IEEE float — already in [-1, 1)
+            if wv["bits"] not in (32, 64):
+                raise NotImplementedError(
+                    f"IEEE-float WAV with {wv['bits']} bits"
+                )
+            dt = np.dtype("<f4" if wv["bits"] == 32 else "<f8")
+            n = len(data) // dt.itemsize
+            x = np.frombuffer(data[: n * dt.itemsize], dtype=dt).astype(np.float64)
+            if nch_ > 1:
+                x = x[: n - n % nch_].reshape(-1, nch_).mean(axis=1)
+            return sr_, x
+        if fmt_code == 0x11:  # IMA / DVI ADPCM
+            x = _ima_adpcm_decode(data, nch_, wv["block_align"], wv["fact"])
+            return sr_, x / 32768.0
         with wave.open(io.BytesIO(content)) as wf:
             sr = wf.getframerate()
             sw = wf.getsampwidth()
@@ -1010,6 +1029,12 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
             x = (x - 128.0) / 128.0
         elif sw == 2:
             x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 3:  # 24-bit PCM: manual little-endian assembly
+            b = np.frombuffer(raw, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / 8388608.0
         elif sw == 4:
             x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
         else:
@@ -1020,12 +1045,97 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
     raise NotImplementedError("no audio codec available for this payload")
 
 
-def _wav_chunks(content: bytes) -> tuple[int, int, int, bytes]:
-    """Raw RIFF/WAVE walk: (format code, sample rate, channels, data
-    bytes) — needed because stdlib ``wave`` rejects non-PCM formats
-    before we can see the G.711 payload."""
+# IMA ADPCM step-size table (89 entries) and index-adjust table — the
+# standard DVI/IMA constants (IMA Digital Audio Focus/Technical Working
+# Groups, "Recommended Practices for Enhancing Digital Audio
+# Compatibility", rev 3.00, 1992).
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode(
+    data: bytes, nch: int, block_align: int, fact: int | None
+) -> np.ndarray:
+    """IMA ADPCM (WAV fmt 0x11) → mono float64 in int16 range.
+
+    Block layout per the IMA WAV mapping: each ``block_align``-byte
+    block opens with a 4-byte header PER CHANNEL (int16 predictor,
+    uint8 step index, reserved), then 4-byte nibble groups interleaved
+    round-robin across channels (8 samples per group, low nibble
+    first). Blocks are independent, so the sequential nibble recursion
+    is vectorized ACROSS blocks (and channels) — the Python-level loop
+    is only samples-per-block long, not total-samples long. A trailing
+    short block decodes through the same path; ``fact`` (total samples
+    per channel) trims encoder padding."""
+    hdr = 4 * nch
+    if block_align is None or block_align <= hdr:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+
+    def blockset(arr: np.ndarray) -> np.ndarray:
+        # arr: (nblk, nbytes) uint8 → (nblk, samples_per_block) mono
+        nblk, nbytes = arr.shape
+        head = arr[:, :hdr].reshape(nblk, nch, 4).astype(np.int64)
+        pred = head[:, :, 0] | (head[:, :, 1] << 8)
+        pred = np.where(pred >= 32768, pred - 65536, pred)
+        idx = np.clip(head[:, :, 2], 0, 88)
+        ngroups = (nbytes - hdr) // (4 * nch)
+        body = arr[:, hdr : hdr + ngroups * 4 * nch].astype(np.int64)
+        body = body.reshape(nblk, ngroups, nch, 4)
+        nib = np.empty((nblk, ngroups, nch, 8), dtype=np.int64)
+        nib[..., 0::2] = body & 0x0F
+        nib[..., 1::2] = body >> 4
+        out = np.empty((nblk, ngroups * 8 + 1, nch), dtype=np.float64)
+        out[:, 0] = pred
+        for g in range(ngroups):
+            for k in range(8):
+                n = nib[:, g, :, k]
+                step = _IMA_STEPS[idx]
+                diff = (
+                    (step >> 3)
+                    + np.where(n & 1, step >> 2, 0)
+                    + np.where(n & 2, step >> 1, 0)
+                    + np.where(n & 4, step, 0)
+                )
+                pred = np.clip(
+                    np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+                )
+                idx = np.clip(idx + _IMA_INDEX_ADJ[n & 7], 0, 88)
+                out[:, g * 8 + k + 1] = pred
+        return out.mean(axis=2).reshape(nblk, -1)
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nfull = len(buf) // block_align
+    parts = []
+    if nfull:
+        parts.append(blockset(buf[: nfull * block_align].reshape(nfull, block_align)).ravel())
+    tail = buf[nfull * block_align :]
+    if len(tail) > hdr:
+        parts.append(blockset(tail.reshape(1, -1)).ravel())
+    if not parts:
+        raise ValueError("IMA ADPCM payload shorter than one block header")
+    x = np.concatenate(parts)
+    if fact is not None:
+        x = x[:fact]
+    return x
+
+
+def _wav_chunks(content: bytes) -> dict:
+    """Raw RIFF/WAVE walk — needed because stdlib ``wave`` rejects
+    non-PCM formats before we can see the payload. Returns ``fmt``
+    (format code), ``nch``, ``sr``, ``bits`` (bits per sample),
+    ``block_align``, ``data`` (payload bytes) and ``fact`` (total
+    samples per channel from the fact chunk, or None) — the last three
+    are what the float / ADPCM branches need."""
     pos = 12
-    fmt_code = sr = nch = None
+    fmt_code = sr = nch = bits = block_align = fact = None
     data = b""
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
@@ -1035,12 +1145,19 @@ def _wav_chunks(content: bytes) -> tuple[int, int, int, bytes]:
             fmt_code = int.from_bytes(body[0:2], "little")
             nch = int.from_bytes(body[2:4], "little")
             sr = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"fact" and sz >= 4:
+            fact = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)
     if fmt_code is None:
         raise ValueError("WAV missing fmt chunk")
-    return fmt_code, sr, nch, data
+    return {
+        "fmt": fmt_code, "nch": nch, "sr": sr, "bits": bits,
+        "block_align": block_align, "data": data, "fact": fact,
+    }
 
 
 def _mulaw_table() -> np.ndarray:

@@ -88,5 +88,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=None)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--all-bench", action="store_true",
+        help="prove EVERY bench.py query (HEADLINE + TPCH) at sf1",
+    )
     args = ap.parse_args()
-    run(args.queries.split(",") if args.queries else DEFAULT, args.reps)
+    if args.all_bench:
+        import bench
+
+        names = list(dict.fromkeys(bench.HEADLINE + bench.TPCH_SUITE + bench.TPCH_EXTRA))
+    else:
+        names = args.queries.split(",") if args.queries else DEFAULT
+    run(names, args.reps)
