@@ -648,7 +648,7 @@ def _jpeg_parse(content: bytes) -> dict:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    meta: dict = {"comps": [], "scans": [], "progressive": False}
+    meta: dict = {"comps": [], "scans": [], "progressive": False, "lossless": False}
     restart = 0
     pos = 2
     while pos + 2 <= len(content):
@@ -663,17 +663,23 @@ def _jpeg_parse(content: bytes) -> dict:
         seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
         data = content[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (pq=0: 8-bit values, pq=1: 16-bit)
             i = 0
             while i < len(data):
                 pq, tq = data[i] >> 4, data[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
+                if pq == 0:
+                    vals = list(data[i + 1 : i + 65])
+                    i += 65
+                else:
+                    vals = [
+                        int.from_bytes(data[i + 1 + 2 * z : i + 3 + 2 * z], "big")
+                        for z in range(64)
+                    ]
+                    i += 129
                 tbl = np.zeros((8, 8))
                 for z, (r, c) in enumerate(JPEG_ZIGZAG):
-                    tbl[r, c] = data[i + 1 + z]
+                    tbl[r, c] = vals[z]
                 qt[tq] = tbl
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(data):
@@ -683,10 +689,18 @@ def _jpeg_parse(content: bytes) -> dict:
                 symbols = data[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
-            if data[0] != 8:
-                raise NotImplementedError("non-8-bit JPEG")
-            meta["progressive"] = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # baseline / ext. sequential / progressive / LOSSLESS
+            prec = data[0]
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless JPEG precision {prec} invalid")
+                meta["lossless"] = True
+            else:
+                if prec not in (8, 12):
+                    raise NotImplementedError(f"{prec}-bit DCT JPEG")
+                meta["progressive"] = marker == 0xC2
+            meta["prec"] = prec
             meta["h"] = int.from_bytes(data[1:3], "big")
             meta["w"] = int.from_bytes(data[3:5], "big")
             nc = data[5]
@@ -694,9 +708,9 @@ def _jpeg_parse(content: bytes) -> dict:
                 (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/hierarchical) "
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical) "
                 "not decodable without PIL"
             )
         elif marker == 0xDD:  # DRI
@@ -822,6 +836,112 @@ def _jpeg_block_ac_refine(bits, block, ac_tbl, ss, se, al, eobrun):
     return eobrun
 
 
+def _jpeg_to_gray8(vals: np.ndarray, prec: int) -> np.ndarray:
+    """Scale a [0, 2^prec) integer plane to uint8 by bit shift —
+    the standard display mapping for >8-bit JPEG (never rescaled to
+    the data's own min/max, which would be content-dependent)."""
+    v = np.clip(vals, 0, (1 << prec) - 1).astype(np.int64)
+    if prec > 8:
+        v >>= prec - 8
+    elif prec < 8:
+        v <<= 8 - prec
+    return v.astype(np.uint8)
+
+
+def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
+    """LOSSLESS JPEG (SOF3, ITU T.81 Annex H): per-sample Huffman-coded
+    prediction residuals, predictors 1-7, point transform Pt, modulo-2^16
+    arithmetic, multi-scan or interleaved (sampling factors 1) layouts.
+
+    Prediction rules (H.1.2): the first sample of the scan — and the
+    first sample after a restart marker — is predicted as
+    2^(P - Pt - 1); other samples of the image's first line use Ra;
+    the first sample of every other line uses Rb; everything else uses
+    the scan's selected predictor. Category 16 means DIFF = 32768 with
+    no appended bits. The decoded plane is (pred + DIFF) mod 2^16,
+    shifted left by Pt, rendered to 8-bit gray by ``_jpeg_to_gray8``.
+
+    Reference parity: image_validator.py:73-382 (resolution checks)
+    needs width/height + a real pixel plane; DICOM-style lossless
+    gray is the main real-world SOF3 payload.
+    """
+    comps = meta["comps"]
+    prec = meta["prec"]
+    w, h = meta["w"], meta["h"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes: list[np.ndarray] = []
+    dims: list[tuple[int, int]] = []
+    for _cid, hi, vi, _tq in comps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        planes.append(np.zeros((ch, cw), dtype=np.int64))
+        dims.append((ch, cw))
+
+    pts = [0] * len(comps)
+    for scan in meta["scans"]:
+        sel, pt = scan["ss"], scan["al"]
+        if not 1 <= sel <= 7:
+            raise ValueError(f"lossless JPEG predictor {sel} invalid")
+        scomps = scan["comps"]
+        for ci, _, _ in scomps:
+            pts[ci] = pt
+        interleaved = len(scomps) > 1
+        if interleaved and any(
+            comps[ci][1] != 1 or comps[ci][2] != 1 for ci, _, _ in scomps
+        ):
+            raise NotImplementedError(
+                "interleaved lossless JPEG with sampling factors != 1"
+            )
+        restart = scan["restart"]
+        if restart == 0 and len(scan["segments"]) > 1:
+            raise ValueError("restart markers without DRI")
+        default = 1 << (prec - pt - 1)
+        ch0, cw0 = dims[scomps[0][0]]
+        n_mcus = ch0 * cw0
+        unit = 0
+        for seg in scan["segments"]:
+            bits = _JpegBits(seg)
+            fresh = {ci: True for ci, _, _ in scomps}
+            limit = min(unit + restart, n_mcus) if restart else n_mcus
+            while unit < limit:
+                r, c = divmod(unit, cw0)
+                for ci, tdc, _tac in scomps:
+                    t = bits.huff(scan["dc"][tdc])
+                    if t == 16:
+                        diff = 32768
+                    else:
+                        diff = _jpeg_extend(bits.bits(t), t)
+                    p = planes[ci]
+                    if fresh[ci]:
+                        pred = default
+                        fresh[ci] = False
+                    elif r == 0:
+                        pred = int(p[r, c - 1])
+                    elif c == 0:
+                        pred = int(p[r - 1, c])
+                    else:
+                        ra = int(p[r, c - 1])
+                        rb = int(p[r - 1, c])
+                        rc = int(p[r - 1, c - 1])
+                        pred = (
+                            ra, rb, rc,
+                            ra + rb - rc,
+                            ra + ((rb - rc) >> 1),
+                            rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1,
+                        )[sel - 1]
+                    p[r, c] = (pred + diff) & 0xFFFF
+                unit += 1
+            if unit >= n_mcus:
+                break
+        if unit < n_mcus:
+            raise ValueError("lossless JPEG entropy data ended before the last sample")
+
+    luma = meta["scans"][0]["comps"][0][0]
+    return w, h, _jpeg_to_gray8(planes[luma] << pts[luma], prec)
+
+
 def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     """REAL pixel decode for 8-bit Huffman JPEG — baseline (SOF0),
     extended sequential (SOF1), and PROGRESSIVE (SOF2: spectral
@@ -832,9 +952,12 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     vectorized dequantize + IDCT pass then renders the luma plane.
     Grayscale output IS the luma — chroma scans are entropy-decoded
     (the bitstream interleaves or sequences them) and discarded.
-    Lossless/arithmetic/hierarchical JPEG and 12-bit precision stay
-    behind the fail-loud boundary."""
+    12-bit precision (SOF0/SOF1, 16-bit DQT) and LOSSLESS (SOF3,
+    `_decode_jpeg_lossless`) decode for real; arithmetic/hierarchical
+    JPEG stays behind the fail-loud boundary."""
     meta = _jpeg_parse(content)
+    if meta["lossless"]:
+        return _decode_jpeg_lossless(meta)
     comps = meta["comps"]
     w, h = meta["w"], meta["h"]
     hmax = max(c[1] for c in comps)
@@ -941,13 +1064,16 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
             blk = grids[y_comp][by][bx]
             if blk is not None:
                 coeffs[by * bx_r + bx, zz_rows, zz_cols] = blk
-    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + 128.0
+    prec = meta["prec"]
+    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + float(
+        1 << (prec - 1)
+    )
     Y = (
         blocks.reshape(by_r, bx_r, 8, 8)
         .transpose(0, 2, 1, 3)
         .reshape(by_r * 8, bx_r * 8)
     )
-    return w, h, np.clip(Y[:h, :w], 0, 255).astype(np.uint8)
+    return w, h, _jpeg_to_gray8(Y[:h, :w], prec)
 
 
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:

@@ -639,10 +639,12 @@ def _encode_jpeg_420(gray, chroma):
     )
 
 
-def _encode_jpeg(gray, *, restart=0, chroma=None):
-    """Reference baseline JPEG encoder: flat quant table (all ones),
-    single-length Huffman tables, 1 component (or 3 at 4:4:4 when
-    ``chroma`` is given), optional restart interval."""
+def _encode_jpeg(gray, *, restart=0, chroma=None, prec=8, qval=1):
+    """Reference sequential JPEG encoder: flat quant table (all
+    ``qval``; 16-bit DQT when qval > 255), single-length Huffman
+    tables, 1 component (or 3 at 4:4:4 when ``chroma`` is given),
+    optional restart interval. ``prec`` 12 emits SOF1 (extended
+    sequential) with the 2^11 level shift."""
     import struct
 
     import numpy as np
@@ -657,9 +659,10 @@ def _encode_jpeg(gray, *, restart=0, chroma=None):
     ac = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
     h, w = gray.shape
     H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    shift = float(1 << (prec - 1))
     planes = [gray] if chroma is None else [gray, chroma, chroma]
     padded = [
-        np.pad(p.astype(np.float64) - 128, ((0, H - h), (0, W - w)), mode="edge")
+        np.pad(p.astype(np.float64) - shift, ((0, H - h), (0, W - w)), mode="edge")
         for p in planes
     ]
 
@@ -681,7 +684,7 @@ def _encode_jpeg(gray, *, restart=0, chroma=None):
             preds = [0] * len(planes)
         for ci, plane in enumerate(padded):
             block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-            F = np.rint(A @ block @ A.T).astype(int)  # quant = all ones
+            F = np.rint(np.rint(A @ block @ A.T) / qval).astype(int)
             zz = [F[r, c] for (r, c) in JPEG_ZIGZAG]
             diff = zz[0] - preds[ci]
             preds[ci] = zz[0]
@@ -712,9 +715,14 @@ def _encode_jpeg(gray, *, restart=0, chroma=None):
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    qtab = bytes([0]) + bytes([1] * 64)
+    if qval > 255:
+        qtab = bytes([0x10]) + b"".join(
+            int(qval).to_bytes(2, "big") for _ in range(64)
+        )
+    else:
+        qtab = bytes([0]) + bytes([qval] * 64)
     nc = len(planes)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])
     dht = (
@@ -722,7 +730,8 @@ def _encode_jpeg(gray, *, restart=0, chroma=None):
         + bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMBOLS
     )
     sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + bytes([0, 63, 0])
-    out = b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC0, sof) + seg(0xC4, dht)
+    sof_marker = 0xC0 if prec == 8 else 0xC1
+    out = b"\xff\xd8" + seg(0xDB, qtab) + seg(sof_marker, sof) + seg(0xC4, dht)
     if restart:
         out += seg(0xDD, struct.pack(">H", restart))
     out += seg(0xDA, sos) + bytes(wr.out) + b"\xff\xd9"
@@ -940,11 +949,13 @@ def test_real_jpeg_decode(spark):
     row = image_metadata(df, "id", "img").collect()[0]
     assert (row.width, row.height, row.error) == (24, 17, None)
 
-    # lossless (SOF3) stays fail-loud
+    # SOF3 decodes for real now — a baseline stream RELABELED lossless
+    # is structurally invalid (its scan header's ss=0 is not a legal
+    # predictor) and must still fail loud, not mis-decode
     lossless = bytearray(_encode_jpeg(gray))
     i = lossless.index(b"\xff\xc0")
     lossless[i + 1] = 0xC3
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         _decode_jpeg(bytes(lossless))
 
 
@@ -985,6 +996,204 @@ def test_progressive_jpeg_decodes_identical_to_baseline(spark):
     )
     row = image_metadata(df, "id", "img").collect()[0]
     assert (row.width, row.height, row.error) == (24, 17, None)
+
+
+_JPEG_LL_DC_COUNTS = bytes([0, 0, 0, 0, 17] + [0] * 11)  # 17 syms @ len 5
+_JPEG_LL_DC_SYMBOLS = bytes(range(17))
+
+
+def _encode_jpeg_lossless(planes, prec=8, sel=1, pt=0, *, restart=0,
+                          interleaved=True):
+    """Reference LOSSLESS JPEG (SOF3, T.81 Annex H) encoder: Huffman-
+    coded prediction residuals mod 2^16, predictors 1-7, point
+    transform Pt, optional restart interval (in MCUs), interleaved
+    (one sample per component per MCU) or one scan per component.
+    ``planes`` is a list of equal-shape 2-D integer arrays already in
+    [0, 2^prec); the encoder codes ``x >> pt`` per Annex H."""
+    import struct
+
+    dc = _jpeg_canonical(_JPEG_LL_DC_COUNTS, _JPEG_LL_DC_SYMBOLS)
+    h, w = planes[0].shape
+    shifted = [(p.astype(int) >> pt) for p in planes]
+    default = 1 << (prec - pt - 1)
+
+    def put_diff(wr, sample, pred):
+        v = (sample - pred) & 0xFFFF
+        if v == 32768:
+            code, width = dc[16]
+            wr.put(code, width)
+            return
+        signed = v - 65536 if v > 32768 else v
+        s = 0 if signed == 0 else abs(signed).bit_length()
+        code, width = dc[s]
+        wr.put(code, width)
+        if s:
+            wr.put(signed if signed >= 0 else signed + (1 << s) - 1, s)
+
+    def pred_at(p, r, c, fresh):
+        if fresh:
+            return default
+        if r == 0:
+            return int(p[r, c - 1])
+        if c == 0:
+            return int(p[r - 1, c])
+        ra, rb, rc = int(p[r, c - 1]), int(p[r - 1, c]), int(p[r - 1, c - 1])
+        return (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                rb + ((ra - rc) >> 1), (ra + rb) >> 1)[sel - 1]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    nc = len(planes)
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    dht = bytes([0x00]) + _JPEG_LL_DC_COUNTS + _JPEG_LL_DC_SYMBOLS
+    out = b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    def scan_bytes(comp_ids):
+        wr = _JpegWriter()
+        rst = 0
+        fresh = dict.fromkeys(comp_ids, True)
+        for unit in range(h * w):
+            if restart and unit and unit % restart == 0:
+                wr.align()
+                wr.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                fresh = dict.fromkeys(comp_ids, True)
+            r, c = divmod(unit, w)
+            for ci in comp_ids:
+                p = shifted[ci]
+                put_diff(wr, int(p[r, c]), pred_at(p, r, c, fresh[ci]))
+                fresh[ci] = False
+        wr.align()
+        sos = bytes([len(comp_ids)])
+        sos += b"".join(bytes([ci + 1, 0x00]) for ci in comp_ids)
+        sos += bytes([sel, 0, pt])
+        return seg(0xDA, sos) + bytes(wr.out)
+
+    if interleaved or nc == 1:
+        out += scan_bytes(list(range(nc)))
+    else:
+        for ci in range(nc):
+            out += scan_bytes([ci])
+    return out + b"\xff\xd9"
+
+
+def test_lossless_jpeg_roundtrip_all_predictors():
+    """LOSSLESS JPEG (SOF3): decode is BIT-EXACT for every predictor
+    1-7 — with a lossless codec the test oracle is equality with the
+    source pixels, no tolerance band."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(13, 19)).astype(np.uint8)
+    for sel in range(1, 8):
+        w, h, arr = _decode_jpeg(_encode_jpeg_lossless([gray], sel=sel))
+        assert (w, h) == (19, 13)
+        assert np.array_equal(arr, gray), f"predictor {sel}"
+
+
+def test_lossless_jpeg_precision_pt_restart_multicomp(spark):
+    """SOF3 variants: 12/16-bit precision (gray8 = plane >> (P-8)),
+    point transform Pt (low bits zeroed), restart markers, interleaved
+    3-component and one-scan-per-component layouts, and the Spark
+    image_metadata path end-to-end."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        _decode_jpeg,
+        image_metadata,
+    )
+
+    rng = np.random.RandomState(12)
+    gray = rng.randint(0, 256, size=(9, 14)).astype(np.uint8)
+
+    # 12- and 16-bit precision: decoded gray8 is the top 8 bits
+    for prec in (12, 16):
+        hi = rng.randint(0, 1 << prec, size=(9, 14)).astype(np.int64)
+        _, _, arr = _decode_jpeg(_encode_jpeg_lossless([hi], prec=prec, sel=4))
+        assert np.array_equal(arr, (hi >> (prec - 8)).astype(np.uint8)), prec
+
+    # point transform: low Pt bits are zeroed, the rest exact
+    _, _, arr_pt = _decode_jpeg(_encode_jpeg_lossless([gray], pt=2, sel=7))
+    assert np.array_equal(arr_pt, (gray >> 2) << 2)
+
+    # restart markers: same pixels, segmented entropy stream
+    _, _, arr_rst = _decode_jpeg(_encode_jpeg_lossless([gray], sel=5, restart=7))
+    assert np.array_equal(arr_rst, gray)
+
+    # interleaved 3-component: the returned plane is the LUMA
+    c1 = rng.randint(0, 256, size=gray.shape).astype(np.uint8)
+    c2 = rng.randint(0, 256, size=gray.shape).astype(np.uint8)
+    _, _, arr3 = _decode_jpeg(_encode_jpeg_lossless([gray, c1, c2], sel=6))
+    assert np.array_equal(arr3, gray)
+
+    # one scan per component
+    _, _, arr3s = _decode_jpeg(
+        _encode_jpeg_lossless([gray, c1, c2], sel=2, interleaved=False)
+    )
+    assert np.array_equal(arr3s, gray)
+
+    # Spark path end-to-end
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_jpeg_lossless([gray], sel=4)))],
+        "id long, img binary",
+    )
+    row = image_metadata(df, "id", "img").collect()[0]
+    assert (row.width, row.height, row.error) == (14, 9, None)
+
+
+def test_12bit_sequential_jpeg_with_16bit_dqt():
+    """12-bit extended-sequential JPEG (SOF1) with a 16-bit quant
+    table (DQT pq=1): the decoder must dequantize with the 16-bit
+    values, level-shift by 2^11, clip to [0, 4095], and render gray8
+    as the top 8 bits — asserted BIT-EXACT against an independent
+    numpy reconstruction from the same quantized coefficients."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _decode_jpeg,
+        _jpeg_idct_matrix,
+    )
+
+    rng = np.random.RandomState(13)
+    yy, xx = np.mgrid[0:11, 0:18]
+    img12 = (
+        2048 + 900 * np.sin(xx / 3.0) * np.cos(yy / 2.0)
+        + rng.randint(-300, 300, (11, 18))
+    ).clip(0, 4095).astype(np.int64)
+    qval = 300  # > 255 forces the 16-bit DQT form
+
+    w, h, arr = _decode_jpeg(_encode_jpeg(img12, prec=12, qval=qval))
+    assert (w, h) == (18, 11)
+
+    # expected: replicate encoder quantization + decoder IDCT exactly
+    A = _jpeg_idct_matrix()
+    H, W = 16, 24
+    p = np.pad(img12.astype(np.float64) - 2048, ((0, H - 11), (0, W - 18)),
+               mode="edge")
+    zz_rows = [r for r, _ in JPEG_ZIGZAG]
+    zz_cols = [c for _, c in JPEG_ZIGZAG]
+    coeffs = np.zeros((6, 8, 8))
+    for my in range(2):
+        for mx in range(3):
+            blk = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            F = np.rint(np.rint(A @ blk @ A.T) / qval)
+            q = np.zeros((8, 8))
+            q[zz_rows, zz_cols] = F[zz_rows, zz_cols]
+            coeffs[my * 3 + mx] = q
+    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qval, A) + 2048.0
+    Y = blocks.reshape(2, 3, 8, 8).transpose(0, 2, 1, 3).reshape(16, 24)
+    expected = (np.clip(Y[:11, :18], 0, 4095).astype(np.int64) >> 4).astype(
+        np.uint8
+    )
+    assert np.array_equal(arr, expected)
 
 
 def _make_wav(fmt_code, payload, sr=8000, nch=1, bits=8, block_align=None,
