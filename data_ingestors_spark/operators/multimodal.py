@@ -3,13 +3,14 @@
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 mapInPandas signatures — is real and tested. Most of the codec layer
-is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG/MJPEG-AVI images
-and frames; WAV PCM 8/16/24/32-bit, IEEE float, G.711, IMA ADPCM
-audio); each ``_decode_*`` additionally accepts the deterministic
-fake formats below for tests, and raises ``NotImplementedError`` for
-the honestly-stubbed remainder (lossless/arithmetic/12-bit JPEG,
-perceptual audio, inter-frame video). Swapping in a further codec is
-a one-function change; nothing in the distributed plan moves.
+is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG incl. progressive,
+12-bit, and lossless SOF3 / MJPEG-AVI images and frames; WAV PCM
+8/16/24/32-bit, IEEE float, G.711, IMA ADPCM audio); each
+``_decode_*`` additionally accepts the deterministic fake formats
+below for tests, and raises ``NotImplementedError`` for the
+honestly-stubbed remainder (arithmetic/hierarchical JPEG, perceptual
+audio, inter-frame video). Swapping in a further codec is a
+one-function change; nothing in the distributed plan moves.
 
 Fake fixture formats (produced by tests):
 - image: ``FAKEIMG:<w>x<h>:<pixel-bytes>``  (1 byte per pixel, row-major)
