@@ -1797,3 +1797,329 @@ def test_animated_gif_disposal_and_transparency(spark):
     assert all(r.error is None for r in rows)
     assert rows[0].width == w and rows[0].height == h
     assert abs(rows[0].mean_intensity - 40.0) < 1e-9
+
+
+# --- FLAC: reference encoder (test-side) + decoder round-trips ----------
+#
+# The container ships no FLAC tooling, so — same pattern as the
+# lossless-JPEG tests — the tests carry an independent ENCODER written
+# straight from RFC 9639 and assert the decoder reproduces the source
+# PCM bit-exactly across every subframe type, channel assignment,
+# residual mode, and sample depth.
+
+
+class _FlacBW:
+    """MSB-first bit writer."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, val, bits):
+        val &= (1 << bits) - 1
+        self.acc = (self.acc << bits) | val
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes(self):
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _flac_utf8(n):
+    if n < 0x80:
+        return bytes([n])
+    parts = []
+    nbytes = 1
+    while n >= (1 << (6 - nbytes)) << (6 * nbytes):
+        nbytes += 1
+    lead = ((0xFF00 >> (nbytes + 1)) & 0xFF) | (n >> (6 * nbytes))
+    parts.append(lead)
+    for i in range(nbytes - 1, -1, -1):
+        parts.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(parts)
+
+
+def _rice_write(bw, vals, param, rice2=False, escape=False):
+    pbits = 5 if rice2 else 4
+    if escape:
+        bw.w((1 << pbits) - 1, pbits)
+        raw = max((int(v).bit_length() + 1 for v in vals), default=0)
+        bw.w(raw, 5)
+        for v in vals:
+            if raw:
+                bw.w(int(v), raw)
+        return
+    bw.w(param, pbits)
+    for v in vals:
+        v = int(v)
+        u = (v << 1) if v >= 0 else ((-v << 1) - 1)
+        q = u >> param
+        for _ in range(q):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        bw.w(u, param)
+
+
+def _flac_subframe_write(bw, s, bps, kind, porder=0, rice2=False,
+                         escape=False, wasted=0):
+    s = [int(v) for v in s]
+    bw.w(0, 1)  # padding
+    blocksize = len(s)
+    if kind == "constant":
+        bw.w(0, 6)
+    elif kind == "verbatim":
+        bw.w(1, 6)
+    elif kind.startswith("fixed"):
+        order = int(kind.split(":")[1])
+        bw.w(8 + order, 6)
+    elif kind == "lpc":
+        order = 2
+        bw.w(32 + order - 1, 6)
+    else:
+        raise AssertionError(kind)
+    if wasted:
+        bw.w(1, 1)
+        for _ in range(wasted - 1):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        s = [v >> wasted for v in s]
+    else:
+        bw.w(0, 1)
+    eff = bps - wasted
+    if kind == "constant":
+        assert len(set(s)) == 1
+        bw.w(s[0], eff)
+        return
+    if kind == "verbatim":
+        for v in s:
+            bw.w(v, eff)
+        return
+    if kind == "lpc":
+        coefs, shift, prec = [3, -1], 1, 4
+        for v in s[:order]:
+            bw.w(v, eff)
+        bw.w(prec - 1, 4)
+        bw.w(shift, 5)
+        for c in coefs:
+            bw.w(c, prec)
+        res = [s[i] - ((coefs[0] * s[i - 1] + coefs[1] * s[i - 2]) >> shift)
+               for i in range(order, blocksize)]
+    else:
+        for v in s[:order]:
+            bw.w(v, eff)
+        res = list(np.diff(np.asarray(s, dtype=np.int64), order)) if order else s
+    bw.w(1 if rice2 else 0, 2)  # residual method
+    bw.w(porder, 4)
+    nparts = 1 << porder
+    at = 0
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        part = res[at : at + n]
+        at += n
+        absmax = max((abs(int(v)) for v in part), default=0)
+        param = max(0, (2 * absmax + 1).bit_length() - 4)
+        param = min(param, 30 if rice2 else 14)
+        _rice_write(bw, part, param, rice2=rice2, escape=escape)
+
+
+def _flac_encode(channels, sr, bps, blocksize, kind="verbatim",
+                 chmode="indep", porder=0, rice2=False, escape=False,
+                 wasted=0, sr_code=0, extra_metadata=False):
+    """RFC 9639 encoder covering the surface the decoder claims."""
+    from data_ingestors_spark.operators.multimodal import (
+        _flac_crc8,
+        _flac_crc16,
+    )
+
+    channels = [np.asarray(c, dtype=np.int64) for c in channels]
+    nch = len(channels)
+    total = len(channels[0])
+    si = _FlacBW()
+    si.w(blocksize, 16), si.w(blocksize, 16)
+    si.w(0, 24), si.w(0, 24)
+    si.w(sr, 20), si.w(nch - 1, 3), si.w(bps - 1, 5)
+    si.w(total, 36)
+    for _ in range(16):
+        si.w(0, 8)
+    body = si.bytes()
+    out = bytearray(b"fLaC")
+    last = 0x00 if extra_metadata else 0x80
+    out += bytes([last | 0]) + len(body).to_bytes(3, "big") + body
+    if extra_metadata:
+        pad = b"\x00" * 5
+        out += bytes([0x01]) + len(pad).to_bytes(3, "big") + pad
+        vc = b"\x07\x00\x00\x00tests/0\x00\x00\x00\x00"
+        out += bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+
+    frameno = 0
+    for start in range(0, total, blocksize):
+        frames = [c[start : start + blocksize] for c in channels]
+        bs = len(frames[0])
+        bw = _FlacBW()
+        bw.w(0x3FFE, 14), bw.w(0, 1), bw.w(0, 1)
+        bw.w(7, 4)  # blocksize: 16-bit field at header end
+        bw.w(sr_code, 4)
+        if chmode == "indep":
+            bw.w(nch - 1, 4)
+        else:
+            bw.w({"LS": 8, "RS": 9, "MS": 10}[chmode], 4)
+        bps_codes = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+        bw.w(bps_codes.get(bps, 0), 3)
+        bw.w(0, 1)
+        for b in _flac_utf8(frameno):
+            bw.w(b, 8)
+        bw.w(bs - 1, 16)
+        if sr_code == 13:
+            bw.w(sr, 16)
+        hdr = bw.bytes()
+        bw2 = _FlacBW()
+        for b in hdr:
+            bw2.w(b, 8)
+        bw2.w(_flac_crc8(hdr), 8)
+        if chmode == "indep":
+            subs = [(f, bps) for f in frames]
+        else:
+            left, right = frames
+            side = left - right
+            if chmode == "LS":
+                subs = [(left, bps), (side, bps + 1)]
+            elif chmode == "RS":
+                subs = [(side, bps + 1), (right, bps)]
+            else:
+                mid = (left + right) >> 1
+                subs = [(mid, bps), (side, bps + 1)]
+        for s, sbps in subs:
+            _flac_subframe_write(bw2, s, sbps, kind, porder=porder,
+                                 rice2=rice2, escape=escape, wasted=wasted)
+        bw2.align()
+        fbody = bw2.bytes()
+        bw2.w(_flac_crc16(fbody), 16)
+        out += bw2.bytes()
+        frameno += 1
+    return bytes(out)
+
+
+def _flac_decode(data):
+    from data_ingestors_spark.operators.multimodal import _decode_flac
+
+    return _decode_flac(data)
+
+
+def test_flac_verbatim_roundtrip():
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32768, size=700)  # 2 full + 1 short frame
+    flac = _flac_encode([pcm], sr=44100, bps=16, blocksize=256)
+    sr, x = _flac_decode(flac)
+    assert sr == 44100 and len(x) == 700
+    assert np.array_equal(np.round(x * 32768).astype(np.int64), pcm)
+
+
+def test_flac_fixed_orders_exact():
+    rng = np.random.default_rng(11)
+    n = 512
+    base = (np.cumsum(np.cumsum(rng.integers(-40, 40, size=n)))
+            + rng.integers(-3, 4, size=n))
+    base = np.clip(base, -30000, 30000)
+    for order in range(5):
+        flac = _flac_encode([base], sr=8000, bps=16, blocksize=128,
+                            kind=f"fixed:{order}")
+        sr, x = _flac_decode(flac)
+        assert np.array_equal(np.round(x * 32768).astype(np.int64), base), order
+
+
+def test_flac_lpc_exact():
+    rng = np.random.default_rng(13)
+    pcm = np.clip(np.cumsum(rng.integers(-50, 51, size=400)), -20000, 20000)
+    flac = _flac_encode([pcm], sr=16000, bps=16, blocksize=100, kind="lpc")
+    sr, x = _flac_decode(flac)
+    assert sr == 16000
+    assert np.array_equal(np.round(x * 32768).astype(np.int64), pcm)
+
+
+def test_flac_constant_and_metadata_skip():
+    pcm = np.full(300, -513)
+    flac = _flac_encode([pcm], sr=22050, bps=16, blocksize=150,
+                        kind="constant", extra_metadata=True)
+    sr, x = _flac_decode(flac)
+    assert sr == 22050
+    assert np.array_equal(np.round(x * 32768).astype(np.int64), pcm)
+
+
+def test_flac_stereo_modes_mono_mix():
+    rng = np.random.default_rng(17)
+    left = rng.integers(-30000, 30000, size=256)
+    right = rng.integers(-30000, 30000, size=256)
+    want = (left + right) / 2.0 / 32768.0
+    for mode in ("indep", "LS", "RS", "MS"):
+        flac = _flac_encode([left, right], sr=48000, bps=16, blocksize=128,
+                            chmode=mode)
+        sr, x = _flac_decode(flac)
+        assert sr == 48000, mode
+        assert np.allclose(x, want, atol=0), mode
+
+
+def test_flac_rice_partitions_escape_and_rice2():
+    rng = np.random.default_rng(19)
+    pcm = np.clip(np.cumsum(rng.integers(-100, 101, size=512)), -25000, 25000)
+    for kw in ({"porder": 2}, {"escape": True}, {"rice2": True, "porder": 1}):
+        flac = _flac_encode([pcm], sr=8000, bps=16, blocksize=256,
+                            kind="fixed:2", **kw)
+        _, x = _flac_decode(flac)
+        assert np.array_equal(np.round(x * 32768).astype(np.int64), pcm), kw
+
+
+def test_flac_wasted_bits():
+    rng = np.random.default_rng(23)
+    pcm = rng.integers(-2048, 2048, size=200) << 3  # 3 wasted bits
+    flac = _flac_encode([pcm], sr=8000, bps=16, blocksize=100, wasted=3)
+    _, x = _flac_decode(flac)
+    assert np.array_equal(np.round(x * 32768).astype(np.int64), pcm)
+
+
+def test_flac_depths_8_and_24():
+    rng = np.random.default_rng(29)
+    pcm8 = rng.integers(-128, 128, size=120)
+    _, x = _flac_decode(_flac_encode([pcm8], sr=8000, bps=8, blocksize=60))
+    assert np.array_equal(np.round(x * 128).astype(np.int64), pcm8)
+    pcm24 = rng.integers(-(1 << 23), 1 << 23, size=120)
+    _, x = _flac_decode(_flac_encode([pcm24], sr=96000, bps=24, blocksize=60))
+    assert np.array_equal(np.round(x * (1 << 23)).astype(np.int64), pcm24)
+
+
+def test_flac_inline_sample_rate_field():
+    pcm = np.arange(-50, 50)
+    flac = _flac_encode([pcm], sr=12345, bps=16, blocksize=50, sr_code=13)
+    sr, _ = _flac_decode(flac)
+    assert sr == 12345
+
+
+def test_flac_crc_fail_loud():
+    pcm = np.arange(256) - 128
+    flac = bytearray(_flac_encode([pcm], sr=8000, bps=16, blocksize=256))
+    flac[-20] ^= 0x40  # corrupt entropy data -> CRC-16 mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        _flac_decode(bytes(flac))
+
+
+def test_flac_spark_audio_features(spark):
+    rng = np.random.default_rng(31)
+    pcm = rng.integers(-16000, 16000, size=800)
+    flac = _flac_encode([pcm], sr=8000, bps=16, blocksize=400)
+    df = spark.createDataFrame(
+        [(1, bytearray(flac)), (2, bytearray(b"fLaCbroken"))],
+        "id long, aud binary",
+    )
+    out = {r.id: r for r in audio_features(df, "id", "aud").collect()}
+    assert out[1].error is None
+    assert out[1].sample_rate == 8000 and out[1].n_samples == 800
+    assert out[1].duration_s == pytest.approx(0.1)
+    assert out[2].error is not None
