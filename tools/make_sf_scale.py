@@ -92,6 +92,22 @@ def main() -> None:
             for r in con.execute(f"DESCRIBE SELECT * FROM '{base}/{t}.parquet'").fetchall()
         ]
         shifted = {c: f"{c} + r.i * {offsets[(st, sc)]}" for c, st, sc in shifts}
+        if t == "customer":
+            # c_name embeds the key ('Customer#%09d') — regenerate it
+            # from the SHIFTED key, like real TPC-H at a larger SF.
+            # Copying it verbatim would put 10 exact copies of every
+            # name in the corpus, which turns any name self-join
+            # (FastSS fuzzy_match, SNM linkage) quadratic as a pure
+            # data artifact no plan could avoid.
+            off = offsets[("customer", "c_custkey")]
+            shifted["c_name"] = (
+                f"'Customer#' || lpad(CAST(c_custkey + r.i * {off} AS VARCHAR), 9, '0')"
+            )
+        if t == "supplier":
+            off = offsets[("supplier", "s_suppkey")]
+            shifted["s_name"] = (
+                f"'Supplier#' || lpad(CAST(s_suppkey + r.i * {off} AS VARCHAR), 9, '0')"
+            )
         if t == "documents":
             shifted["text"] = (
                 "CASE WHEN r.i = 0 THEN text ELSE "
