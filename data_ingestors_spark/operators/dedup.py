@@ -358,13 +358,23 @@ def ngram_jaccard_pairs(
     on a dense corpus).
 
     **Bitmask** (the bounded-vocabulary fast path): per-block word ids
-    → each doc's word set packed into an array<long> bitmask → block-
-    local pair join computes the intersection as ``bit_count(a & b)``
-    — pure integer ops, no per-word rows at all. Exact same output.
-    Chosen when the per-block vocabulary packs into ≤16 longs AND the
-    all-pairs-within-block candidate count is bounded (Σ C(n_b, 2) ≤
-    50M); real open-vocabulary corpora fail the first test and use the
-    index. ~1.5–2× on the dense benchmark corpus.
+    → each doc's word set packed into nw SCALAR LONG mask columns →
+    block-local pair join computes the intersection as
+    ``Σ bit_count(ma_k & mb_k)`` — whole-stage-codegen'd integer ops,
+    no per-word rows at all (r9: the masks were an ``array<long>``
+    whose per-pair HOF folds ran interpreted — the same trap fixed in
+    prefix_filter_pairs; scalar columns measured 33.8 s → 3.8 s on the
+    10× sf1). Exact same output.
+
+    Strategy choice (``auto``) is a measured COST MODEL, not a fixed
+    bound: both paths' dominant cost is the rows their join
+    materializes — Σ C(n_b, 2) candidates for the bitmask,
+    Σ_(block,w) df² intermediate rows for the index — so auto picks
+    the smaller (requiring the per-block vocab to pack into ≤16
+    longs for the bitmask to be feasible at all). On the dense
+    benchmark corpus the bitmask side wins at every scale measured
+    (622k vs 77M at sf0.1, 62.5M vs 770M at the 10× sf1); a truly
+    open vocabulary fails the ≤1024 gate and uses the index.
 
     Blocking bounds the candidate set; for unblocked corpora use
     minhash_near_duplicates.
@@ -377,19 +387,31 @@ def ngram_jaccard_pairs(
 
     if strategy == "auto":
         stats = (
-            tok.groupBy("block")
-            .agg(F.count_distinct("w").alias("v"), F.count_distinct("doc_id").alias("n"))
+            tok.groupBy("block", "w")
+            .agg(F.count("*").alias("df"))
+            .groupBy("block")
+            .agg(
+                F.count("*").alias("v"),
+                F.sum(F.col("df") * F.col("df")).alias("df2"),
+            )
             .agg(
                 F.max("v").alias("max_vocab"),
                 F.sum("v").alias("total_vocab"),
-                F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+                F.sum("df2").alias("df2"),
             )
             .collect()[0]
+        )
+        npairs = (
+            base.groupBy("block")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+            or 0
         )
         if (
             stats["max_vocab"] is not None
             and stats["max_vocab"] <= 1024
-            and (stats["pairs"] or 0) <= 50_000_000
+            and npairs <= float(stats["df2"] or 0)
         ):
             # reuse the stats job's max vocab — no second sizing job.
             # The *per-block* vocab bound says nothing about the TOTAL
@@ -460,27 +482,41 @@ def _jaccard_pairs_bitmask(
         .groupBy("doc_id", "block")
         .agg(F.collect_list("wid").alias("ids"), F.count("*").alias("sz"))
     )
-    # pack word-ids into an array<long> bitmask (SQL HOFs: pyspark's
-    # shiftleft() only takes a literal shift, the SQL form takes a column)
-    mask_sql = (
-        f"aggregate(ids, array_repeat(0L, {nw}), "
-        "(acc, i) -> transform(acc, (x, k) -> "
-        "IF(k = CAST(i DIV 64 AS INT), x | shiftleft(1L, CAST(i % 64 AS INT)), x)))"
-    )
-    m = ids.select("doc_id", "block", "sz", F.expr(mask_sql).alias("mask"))
+    # pack word-ids into nw SCALAR LONG columns, never an array: every
+    # per-pair op below stays a codegen'd bit op instead of an
+    # interpreted HOF fold (r9: the array form re-ran its zip_with +
+    # aggregate lambda per CANDIDATE row — 33.8 s vs 3.8 s at the 10×
+    # sf1; same fix as prefix_filter_pairs). SQL-expr shiftleft takes
+    # a column shift; pyspark's only takes a literal.
+    mask_cols = [
+        F.expr(
+            f"aggregate(filter(ids, i -> CAST(i DIV 64 AS INT) = {k}), 0L, "
+            "(acc, i) -> acc | shiftleft(1L, CAST(i % 64 AS INT)))"
+        ).alias(f"mask{k}")
+        for k in range(nw)
+    ]
+    # MATERIALIZE the masks before the self-join boundary: left lazy,
+    # Catalyst collapses the projection into the join and re-evaluates
+    # every mask HOF once per candidate row (the dup_ngram_chars
+    # re-evaluation trap at join scale). |docs| rows of longs, serves
+    # both sides.
+    m = _materialize(ids.select("doc_id", "block", "sz", *mask_cols))
     a = m.select(
-        "block", F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("mask").alias("ma")
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"mask{k}").alias(f"ma{k}") for k in range(nw)],
     )
     b = m.select(
         F.col("block").alias("block_b"),
         F.col("doc_id").alias("id_b"),
         F.col("sz").alias("sz_b"),
-        F.col("mask").alias("mb"),
+        *[F.col(f"mask{k}").alias(f"mb{k}") for k in range(nw)],
     )
     pairs = a.join(b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b")))
-    inter = F.expr(
-        "CAST(aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v) AS DOUBLE)"
-    )
+    inter = sum(
+        F.bit_count(F.col(f"ma{k}").bitwiseAND(F.col(f"mb{k}"))) for k in range(nw)
+    ).cast("double")
     j = pairs.withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
     return (
         j.filter(F.col("jaccard") >= threshold)

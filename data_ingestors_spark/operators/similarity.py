@@ -26,6 +26,12 @@ from pyspark.sql import types as T
 
 from data_ingestors_spark.functions.rounding import fround
 
+#: Within-block pair count past which ``blocked_cosine_pairs``
+#: strategy="auto" swaps the plain chunked grid for the (equally
+#: exact) k-means cell-pruned grid — see the cutover comment in
+#: :func:`blocked_cosine_pairs`.
+GRID_PAIRS_CELLS_CUTOVER = 10_000_000
+
 
 def _dot(a, b) -> "F.Column":
     return F.aggregate(
@@ -849,11 +855,12 @@ def blocked_cosine_pairs(
     """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cos_sim)``
     with ``cos_sim ≥ threshold``, optionally restricted to pairs
     sharing ``block_col``. Three physical strategies behind one
-    contract, chosen ANALYTICALLY from the threshold
+    contract, chosen ANALYTICALLY from the threshold and block stats
     (``strategy="auto"``; force with "lsh" / "grid" / "cells" — the
     last is the SemDeDup k-means cell-pair pruning variant of the
-    exact grid, opt-in because its payoff depends on the corpus being
-    clustered, not on the threshold):
+    exact grid; auto also cuts over to it past
+    :data:`GRID_PAIRS_CELLS_CUTOVER` within-block pairs, where its
+    linear assignment overhead is dwarfed by any pruning it buys):
 
     **LSH candidates + exact verify** — for high thresholds, where
     sign-hyperplane sketches genuinely separate qualifying pairs from
@@ -908,9 +915,35 @@ def blocked_cosine_pairs(
     maxb = max_block_hint
     if maxb is None:
         row = (
-            base.groupBy("block").count().agg(F.max("count").alias("m")).collect()[0]
+            base.groupBy("block")
+            .count()
+            .agg(
+                F.max("count").alias("m"),
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+            )
+            .collect()[0]
         )
         maxb = int(row["m"] or 1)
+        # Cost-based cutover (r9): past ~10M within-block pairs the
+        # exact grid's quadratic scan dominates, while the cell-pruned
+        # variant costs one linear assignment pass and prunes every
+        # provably-below-threshold cell pair — EXACT either way (the
+        # spherical triangle inequality bound), so result and oracle
+        # are unaffected. Measured at the 10× synthetic sf1: grid
+        # 60.8 s vs cells 13.7 s; below the bound the plain grid skips
+        # the assignment overhead (sf0.1: 1.45 s vs 2.17 s).
+        if strategy == "auto" and float(row["pairs"] or 0) > GRID_PAIRS_CELLS_CUTOVER:
+            # 8 cells, not the forced-"cells" default 32: when block-cell
+            # populations already fit one chunk, pair-role replication
+            # grows ∝ n_cells with zero extra pruning on unclustered
+            # data (measured at the 10× sf1: 44.1 s @32 vs 31.2 s @16
+            # vs 34.4 s @8 cold / 13.7 s warm, identical pair rows) —
+            # the cutover wants cheap insurance, not maximal pruning.
+            return _cell_pruned_cosine_pairs(
+                base, threshold,
+                chunk_rows=chunk_rows, n_cells=min(n_cells, 8),
+                sample_rows=sample_rows, seed=seed,
+            )
     chunks = max(1, -(-maxb // chunk_rows))
     # at chunks == 1 the grid degenerates naturally to a single-cell
     # join (each side explodes to exactly one (0, 0) cell), so no

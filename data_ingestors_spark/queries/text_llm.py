@@ -348,7 +348,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact chunked-grid join: semantics stay exact (the closure
     oracle below is the proof) and the pair scan's per-task input is
     bounded by chunk_rows, not label block size — the scale fix for
-    the r4 all-pairs block join."""
+    the r4 all-pairs block join. Past GRID_PAIRS_CELLS_CUTOVER
+    within-block pairs, auto swaps in the equally-exact cell-pruned
+    grid (r9: 60.8 s → 13.7 s at the 10× synthetic sf1, same rows,
+    same oracle)."""
     t = tables(spark, sf_dir, "embeddings")
     e = t["embeddings"]
     pairs = S.blocked_cosine_pairs(
@@ -2633,7 +2636,9 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs to surface mislabeled examples before fine-tuning.
 
     Plan: the scorer is the Arrow-GEMM exact top-k path
-    (cosine_topk_numpy) with the corpus as its own query set — at the
+    (cosine_topk_numpy) with an adaptively-sampled audit set as the
+    query side (full corpus at ≤2000 rows; see the modulus comment
+    in the body) against the full corpus as neighbors — at the
     benched scale the collected query matrix is |corpus| x 64 floats
     (~1 MB), and each Arrow batch does one C @ Q.T GEMM with batch-local
     top-k, so the shuffle carries <= k rows per query. At billion-row
@@ -2654,7 +2659,23 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     labels = emb.select("vec_id", "label")
-    knn = S.cosine_topk_numpy(emb, emb, k=10)
+    # Audit-set modulus adapts to corpus size (r9): auditing EVERY row
+    # keeps query count ∝ corpus, i.e. all-vs-all quadratic growth. A
+    # production noise screen audits a bounded deterministic sample —
+    # m = 10^(digits(⌈n/2000⌉) − 1) (integer-exact in both engines,
+    # same device as [q_blocking_audit]); m = 1 at ≤2000 rows, so every
+    # driver test scale still audits the full corpus.
+    mod = emb.agg(
+        F.expr(
+            "CAST(concat('1', repeat('0', "
+            "length(CAST((count(*) + 1999) DIV 2000 AS STRING)) - 1)) AS BIGINT)"
+        ).alias("m")
+    )
+    audited = (
+        emb.crossJoin(F.broadcast(mod))
+        .filter(F.col("vec_id") % F.col("m") == 0)
+    )
+    knn = S.cosine_topk_numpy(emb, audited, k=10)
     votes = (
         knn.join(
             F.broadcast(
@@ -2689,10 +2710,17 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_KNN_LABEL_NOISE = f"""
-WITH scored AS (
+WITH mod AS (
+  SELECT CAST('1' || repeat('0',
+           length(CAST((count(*) + 1999) // 2000 AS VARCHAR)) - 1) AS BIGINT) AS m
+  FROM embeddings
+),
+scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
          {o_fround("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_sim
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  CROSS JOIN mod
+  WHERE q.vec_id % mod.m = 0
 ),
 knn AS (
   SELECT query_id, nb_label FROM (
@@ -2811,8 +2839,15 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query's class label: the evaluation loop that gates every ANN
     tier ([q_embedding_ann*]) before it replaces the exact path.
 
-    Query set is a deterministic modulo sample (vec_id % 50 == 0).
-    Per query, IDCG is computed from the query's own relevant-corpus
+    Query set is a deterministic modulo sample whose modulus ADAPTS
+    to corpus size (r9 — a fixed %50 made the query count grow with
+    the corpus, turning the eval corpus-quadratic; a real retrieval
+    benchmark is a FIXED query set, so the faithful scale behavior is
+    corpus-linear). Same integer-exact device as [q_blocking_audit]:
+    m = 50 · 10^(digits(⌈n/2000⌉) − 1), computed via string length in
+    BOTH engines — no float log10 ULP hazard; at ≤2000 embedding rows
+    (every driver test scale) m stays 50, so results are unchanged
+    there. Per query, IDCG is computed from the query's own relevant-corpus
     count R (sequence(1, min(R,10)) exploded, gains decimal-summed on
     BOTH engines — no literal lookup table, no float repr hazard).
     Queries with R = 0 score 0 (never NULL-divided). Final row is the
@@ -2825,7 +2860,16 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    mod = emb.agg(
+        F.expr(
+            "50 * CAST(concat('1', repeat('0', "
+            "length(CAST((count(*) + 1999) DIV 2000 AS STRING)) - 1)) AS BIGINT)"
+        ).alias("m")
+    )
+    queries = (
+        emb.crossJoin(F.broadcast(mod))
+        .filter(F.col("vec_id") % F.col("m") == 0)
+    )
     top = S.cosine_topk_bruteforce(emb, queries, k=10)
     lab = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
     qlab = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
@@ -2849,7 +2893,8 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_label_rows")),
             "q_label",
         )
-        .filter(F.col("query_id") % 50 == 0)
+        .crossJoin(F.broadcast(mod))
+        .filter(F.col("query_id") % F.col("m") == 0)
         .select("query_id", (F.col("n_label_rows") - 1).alias("r_total"))
     )
     idcg = (
@@ -2878,8 +2923,13 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_RETRIEVAL_EVAL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
-           FROM embeddings WHERE vec_id % 50 = 0),
+WITH mod AS (
+  SELECT 50 * CAST('1' || repeat('0',
+           length(CAST((count(*) + 1999) // 2000 AS VARCHAR)) - 1) AS BIGINT) AS m
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+      FROM embeddings, mod WHERE vec_id % mod.m = 0),
 scored AS (
   SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, c.label AS n_label,
          {o_fround("list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_sim
@@ -2905,7 +2955,8 @@ rel_n AS (
   FROM embeddings e
   JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_label_rows
         FROM embeddings GROUP BY 1) g ON g.label = e.label
-  WHERE e.vec_id % 50 = 0
+  CROSS JOIN mod
+  WHERE e.vec_id % mod.m = 0
 ),
 idcg AS (
   SELECT query_id,
@@ -3244,15 +3295,26 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): both runs broadcast the query set and scan the
     corpus once (the [cosine_topk_bruteforce] shape); fusion is a
     full outer join of two (query, neighbor, rank) frames capped at
-    20 rows/query each."""
+    20 rows/query each. The query-sample modulus ADAPTS to corpus
+    size (r9, same device and rationale as [q_retrieval_eval]: a
+    fixed %50 grows the query set with the corpus and turns the
+    benchmark quadratic; m = 50·10^(digits(⌈n/2000⌉)−1) keeps it a
+    fixed-size benchmark set, unchanged at every ≤2000-row test
+    scale)."""
     t = tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    mod = emb.agg(
+        F.expr(
+            "50 * CAST(concat('1', repeat('0', "
+            "length(CAST((count(*) + 1999) DIV 2000 AS STRING)) - 1)) AS BIGINT)"
+        ).alias("m")
+    )
     q = F.broadcast(
-        emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        )
+        emb.crossJoin(F.broadcast(mod))
+        .filter(F.col("vec_id") % F.col("m") == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     pairs = c.crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
@@ -3301,8 +3363,13 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_RRF_FUSION = f"""
-WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id % 50 = 0),
+WITH mod AS (
+  SELECT 50 * CAST('1' || repeat('0',
+           length(CAST((count(*) + 1999) // 2000 AS VARCHAR)) - 1) AS BIGINT) AS m
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings, mod WHERE vec_id % mod.m = 0),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          {o_fround("list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[]))", 6)} AS cos_r,
