@@ -57,8 +57,28 @@ def diagnose(df: DataFrame, *, shuffle_warn_threshold: int = 6) -> list[str]:
 
     # single-partition funnels are only a hazard when real per-row work
     # (a Window) runs there — a final global aggregate reduces to one
-    # row per upstream partition map-side first, which is fine
-    if re.search(r"\bSinglePartition\b", plan) and any(o == "Window" for o in ops):
+    # row per upstream partition map-side first, which is fine. The
+    # check is ADJACENCY-aware (r9): the SinglePartition exchange must
+    # feed the Window itself (Window → [Sort/AQE reads] → Exchange in
+    # the plan tree); a 1-row global-agg SinglePartition elsewhere in
+    # the same plan as a properly-partitioned window is benign (the
+    # corpus-adaptive sampling modulus pattern hit exactly this).
+    win_single = False
+    for m in re.finditer(
+        r"Window \(\d+\)"
+        r"((?:\n[^\n]*?(?:Sort|AQEShuffleRead|ShuffleQueryStage) \(\d+\))*)"
+        r"\n[^\n]*?Exchange \((\d+)\)",
+        plan,
+    ):
+        ex_id = m.group(2)
+        if re.search(
+            rf"^\({ex_id}\) Exchange\b[\s\S]*?Arguments: SinglePartition",
+            plan,
+            flags=re.M,
+        ):
+            win_single = True
+            break
+    if win_single:
         findings.append(
             "D2 single-partition window: an unpartitioned window is "
             "funneling all rows through ONE task — partition the window or "

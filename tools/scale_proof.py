@@ -66,6 +66,9 @@ def run(names: list[str], reps: int) -> None:
                 qs[n](spark, d).count()
                 best = min(best, time.time() - t0)
             times[n][sf] = best
+            # drop frames the query persisted — accumulated cache
+            # inflates later rows (see tools/scale_sweep.py)
+            spark.catalog.clearCache()
             print(f"# {n} @ {sf}: {best:.2f}s", file=sys.stderr)
     print("| query | sf0.1 s | sf1 s | ratio (10x data) |")
     print("|---|---|---|---|")

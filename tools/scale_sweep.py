@@ -70,6 +70,12 @@ def main() -> None:
                 row["flag"] = flag
             except Exception as e:
                 row["err"] = f"{type(e).__name__}: {e}"[:400]
+            # queries persist intermediate frames (_materialize) and
+            # never unpersist — across hundreds of sweep rows the
+            # accumulated cache evicts/GC-thrashes and inflates later
+            # timings (r9: semantic_dedup_cells read 26× mid-sweep,
+            # 3.9× in a fresh JVM). Drop it between rows.
+            spark.catalog.clearCache()
             out.write(json.dumps(row) + "\n")
             out.flush()
             tag = " ⚠" if row.get("flag") else (" ERR" if "err" in row else "")
