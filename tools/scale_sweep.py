@@ -34,7 +34,10 @@ from data_ingestors_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scale_sweep.jsonl")
-    ap.add_argument("--sf1", default="/tmp/sf1")
+    ap.add_argument("--base", default="/root/testdata/sf0.1",
+                    help="baseline sf dir (e.g. /tmp/sf1 for the second decade)")
+    ap.add_argument("--sf1", default="/tmp/sf1",
+                    help="scaled sf dir (e.g. /tmp/sf10)")
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
@@ -58,7 +61,7 @@ def main() -> None:
             try:
                 qs[n](spark, "/root/testdata/sf0.001").count()  # JIT warmup
                 t0 = time.time()
-                rows_a = qs[n](spark, "/root/testdata/sf0.1").count()
+                rows_a = qs[n](spark, args.base).count()
                 row["sf01_s"] = round(time.time() - t0, 3)
                 row["sf01_rows"] = rows_a
                 t0 = time.time()
