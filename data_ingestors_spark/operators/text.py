@@ -645,8 +645,18 @@ def _dup_islands(
         .filter(F.col("n_occ") == 1)
         .select("doc_id", "pos")
     )
+    # uniq_pos is CORPUS-sized by construction (on a diverse corpus
+    # nearly every window is unique), so the anti-join must never
+    # broadcast it: its (doc_id, pos) pairs compress ~20× in shuffle
+    # files, and AQE's broadcast conversion reads the COMPRESSED stage
+    # size — at the 100× synthetic sf10 the "64 MB" side deserialized
+    # to >1 GiB of driver-built broadcast and killed the job on
+    # spark.driver.maxResultSize. The merge hint pins the spill-safe
+    # sort-merge join AQE would otherwise convert away (shuffle_hash
+    # also avoids the broadcast but its per-partition hash map is
+    # memory-bound — it OOM'd at the same scale the broadcast did).
     dup_pos = spans.select("doc_id", "pos").join(
-        uniq_pos, ["doc_id", "pos"], "left_anti"
+        uniq_pos.hint("merge"), ["doc_id", "pos"], "left_anti"
     )
 
     from pyspark.sql import Window
