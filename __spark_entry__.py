@@ -49,19 +49,24 @@ _DRIVER_SAMPLE_ANCHORS = [
     "correlated_exists", "in_subquery", "intersect_all",
 ]
 _DRIVER_SAMPLE_ROTATION = [
-    # r9 rotation: 25 more never-driver-checked oracle-paired queries
-    # (105 distinct names checked through r8; these bring it to 130).
-    # dup_ngram_chars + copurchase_pairs changed this round (lambda
-    # let-bind fix / oracle cap mirror) — driver-verify them first.
-    "dup_ngram_chars", "copurchase_pairs", "incremental_dedup",
-    "length_bucket_dedup_rate", "ngram_coverage_curve",
-    "supplier_price_outliers", "price_elasticity", "kendall_tau",
-    "mann_whitney", "cross_lang_contamination", "vocab_growth",
-    "cluster_compactness", "weekly_volatility", "pagerank",
-    "triangle_count", "winnowing", "gopher_quality", "c4_filter",
-    "semantic_dedup_cells", "int8_quant_audit", "funnel_analysis",
-    "cohort_retention", "spearman_corr", "weighted_median",
-    "scd2_build",
+    # r9 rotation: every query whose PLAN changed this round comes
+    # first (scale-sweep fixes: adaptive sampling moduli, cost-model
+    # jaccard strategy + scalar masks, cells cutover, dup-span merge
+    # hint, dup_ngram_chars let-bind, copurchase oracle cap mirror) —
+    # the driver must re-verify exactly what changed; the remaining
+    # slots go to never-driver-checked oracle-paired queries (105
+    # distinct names checked through r8).
+    "retrieval_eval", "rrf_fusion", "knn_label_noise",
+    "semantic_dedup", "semantic_dedup_cells", "ngram_jaccard",
+    "dedup_clusters", "cluster_canonical", "fuzzy_match",
+    "record_linkage", "dup_span_merge", "strip_dup_spans",
+    "dup_ngram_chars", "copurchase_pairs",
+    # never-driver-checked:
+    "incremental_dedup", "length_bucket_dedup_rate",
+    "ngram_coverage_curve", "supplier_price_outliers",
+    "price_elasticity", "kendall_tau", "mann_whitney",
+    "cross_lang_contamination", "vocab_growth", "winnowing",
+    "gopher_quality",
 ]
 
 
