@@ -545,3 +545,79 @@ def test_collocations_bigrams_row_local(spark, queries):
     plan = plan_of(queries["collocations"](spark, SF_DIR), "simple")
     assert "Generate" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_dup_span_anti_join_never_broadcasts(spark, queries):
+    """_dup_islands' anti-join right side (globally-unique window
+    positions) is corpus-sized by construction; AQE's broadcast
+    conversion reads COMPRESSED stage sizes and at the 100× synthetic
+    sf10 it turned the '64 MB' side into >1 GiB of driver-built
+    broadcast (spark.driver.maxResultSize kill). The merge hint must
+    keep it a spill-safe sort-merge join."""
+    for name in ("dup_span_merge", "strip_dup_spans"):
+        plan = plan_of(queries[name](spark, SF_DIR), "simple")
+        anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti_lines, (name, plan[:2000])
+        assert all("SortMergeJoin" in l for l in anti_lines), (name, anti_lines)
+
+
+def test_jaccard_bitmask_masks_are_materialized_scalars(spark, queries):
+    """The bitmask Jaccard path must (a) carry masks as scalar long
+    columns — an array<long> mask re-runs interpreted HOF folds per
+    candidate row (33.8 s vs 3.8 s at the 10× sf1) — and (b) read
+    them from a materialized (InMemoryTableScan) frame so Catalyst
+    cannot collapse the mask construction into the join output."""
+    from data_ingestors_spark.io.readers import load_table
+    from data_ingestors_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", "source", threshold=0.5, strategy="bitmask"
+    )
+    plan = plan_of(pairs, "simple")
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "bit_count" in plan and "mask0" in plan, plan[:2000]
+    # the join output must not evaluate any aggregate() HOF per row
+    assert "aggregate(" not in plan.split("InMemoryTableScan")[0], plan[:2000]
+
+
+def test_adaptive_modulus_formula_cross_engine():
+    """The corpus-adaptive sampling modulus (retrieval_eval /
+    rrf_fusion / knn_label_noise, same device as blocking_audit) is
+    computed integer-exactly from string lengths in BOTH engines; a
+    float-log10 ULP could silently diverge the sampled sets. Assert
+    Spark-SQL, DuckDB, and the intended closed form agree across the
+    boundary region and several decades."""
+    import duckdb
+
+    def intended(n, base):
+        import math
+        ceil = -(-n // 2000)
+        return base * 10 ** (len(str(ceil)) - 1)
+
+    con = duckdb.connect()
+    for n in (1, 199, 200, 1999, 2000, 2001, 19999, 20000, 20001,
+              199999, 200000, 2_000_000):
+        for base in (1, 50):
+            duck = con.execute(
+                f"SELECT {base} * CAST('1' || repeat('0', "
+                f"length(CAST(({n} + 1999) // 2000 AS VARCHAR)) - 1) AS BIGINT)"
+            ).fetchone()[0]
+            assert duck == intended(n, base), (n, base, duck)
+
+
+def test_adaptive_modulus_spark_matches_duckdb(spark):
+    """Spark side of the modulus formula (repeat/length/DIV string
+    device) returns the same value as DuckDB for the same row count."""
+    from pyspark.sql import functions as F
+
+    for n in (200, 2000, 2001, 20000, 200000):
+        df = spark.range(n)
+        got = df.agg(
+            F.expr(
+                "50 * CAST(concat('1', repeat('0', "
+                "length(CAST((count(*) + 1999) DIV 2000 AS STRING)) - 1)) AS BIGINT)"
+            ).alias("m")
+        ).collect()[0]["m"]
+        ceil = -(-n // 2000)
+        assert got == 50 * 10 ** (len(str(ceil)) - 1), (n, got)
