@@ -2630,10 +2630,12 @@ ORACLES["prefix_filter_join"] = O_PREFIX_FILTER_JOIN
 # --- kNN label-noise audit ---------------------------------------------
 
 def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-noise audit by k-nearest-neighbor disagreement: for every
-    embedding, the majority label among its 10 exact cosine neighbors
-    vs its own label — the Confident-Learning-style screen a training
-    pipeline runs to surface mislabeled examples before fine-tuning.
+    """Label-noise audit by k-nearest-neighbor disagreement: for each
+    audited embedding (a corpus-adaptive deterministic sample — the
+    FULL corpus at ≤2000 rows), the majority label among its 10 exact
+    cosine neighbors vs its own label — the Confident-Learning-style
+    screen a training pipeline runs to surface mislabeled examples
+    before fine-tuning.
 
     Plan: the scorer is the Arrow-GEMM exact top-k path
     (cosine_topk_numpy) with an adaptively-sampled audit set as the
