@@ -11,6 +11,9 @@ covered by the oracle-checked siblings.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1843,18 +1846,25 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (100 TB): NO self-join — Σx and Σx² per dimension come from
     one posexplode + 64-key groupBy, and the cross terms Σx_iy_j come
-    from a ROW-LOCAL pair transform (each vector emits its C(64,2)
+    from a ROW-LOCAL pair emission (each vector emits its C(64,2)
     products, already keyed) feeding a map-side-combined groupBy over
     the 2016-pair key space. The earlier dims⋈dims-on-vec_id form
     shuffled the exploded frame twice and materialized rows×4096 join
-    output (measured 48 s at sf0.1; this form ~8 s). Per-dim stats
-    broadcast onto the 2016-row pair frame. (A mapInPandas GEMM of
-    XᵀX would beat both but loses the decimal-fold exactness the
+    output (measured 48 s at sf0.1); r9: the products come from an
+    Arrow-batched numpy fancy-indexed multiply (float64 x·y is the
+    identical IEEE op the interpreted lambda ran, so the decimal
+    sums and the oracle hash are unchanged) and the input is
+    _spread — together 6.4 s → 2.3 s at sf0.1. Per-dim stats
+    broadcast onto the 2016-row pair frame. (A full XᵀX GEMM would
+    shave more but loses the per-pair decimal-fold exactness the
     oracle hash needs.) Corr derives from the sums in identical
     double math on both engines.
     """
     t = tables(spark, sf_dir, "embeddings")
-    emb = t["embeddings"].select(
+    # _spread: the single-parquet-file table otherwise runs the whole
+    # 2016-products-per-row stage in ONE task (the stage trace showed
+    # (0 + 1) / 1 — parallelism, not per-row cost, was the 6 s)
+    emb = _spread(t["embeddings"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dims = emb.select(F.posexplode("v").alias("pos", "val"))
@@ -1869,20 +1879,26 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode: the flat index is decoded to (pos_a, pos_b) via a
     # broadcast 2016-row literal frame AFTER aggregation — emitting
     # per-pair structs inside the interpreted lambda measured 4x
-    # slower (struct allocation per element), 15.6 s vs ~4 s at sf0.1
+    # slower (struct allocation per element), 15.6 s vs ~4 s at sf0.1.
+    # The products come from an Arrow-batched numpy outer-triangle
+    # (one fancy-indexed multiply per batch) instead of a nested
+    # interpreted transform lambda — float64 x*y is the identical
+    # IEEE multiply either way, so the decimal-folded sums (and the
+    # oracle hash) are unchanged; with _spread above, 6.4 → 2.3 s
+    # at sf0.1
     dim = len(emb.select("v").head()["v"])  # 1-row driver probe
+    iu_a, iu_b = np.triu_indices(dim, k=1)  # row-major — matches decode
+
+    @F.pandas_udf("array<double>")
+    def _upper_products(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        V = np.array(list(vs), dtype=np.float64)
+        P = V[:, iu_a] * V[:, iu_b]
+        return pd.Series(list(P))
+
     pair_terms = emb.select(
-        F.posexplode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("v") - 2),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("v") - 1),
-                        lambda j: F.get("v", i) * F.get("v", j),
-                    ),
-                )
-            )
-        ).alias("pidx", "xy")
+        F.posexplode(_upper_products("v")).alias("pidx", "xy")
     )
     decode = spark.createDataFrame(
         [
