@@ -33,6 +33,20 @@ from data_ingestors_spark.functions.rounding import fround
 GRID_PAIRS_CELLS_CUTOVER = 10_000_000
 
 
+def _spread_df(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input up to default
+    parallelism. A corpus that arrives as one small parquet file
+    otherwise runs every Arrow GEMM batch / cross-join task in ONE
+    task (r9: embedding_dim_corr's whole products stage showed
+    (0 + 1) / 1 in the stage trace — parallelism, not per-row cost,
+    was the wall time). No-op at cluster scale, where inputs already
+    carry thousands of splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a, b) -> "F.Column":
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -73,7 +87,9 @@ def cosine_topk_bruteforce(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread_df(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -277,7 +293,7 @@ def cosine_topk_numpy(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = _spread_df(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -3320,7 +3320,10 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size benchmark set, unchanged at every ≤2000-row test
     scale)."""
     t = tables(spark, sf_dir, "embeddings")
-    emb = t["embeddings"].select(
+    # _spread: the corpus side of the cross join otherwise runs in
+    # ONE task off the single parquet file (same lesson as
+    # embedding_dim_corr)
+    emb = _spread(t["embeddings"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     mod = emb.agg(
