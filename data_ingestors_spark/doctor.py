@@ -71,8 +71,14 @@ def diagnose(df: DataFrame, *, shuffle_warn_threshold: int = 6) -> list[str]:
         plan,
     ):
         ex_id = m.group(2)
+        # bound the Arguments probe to THAT exchange's own detail block:
+        # stop at the next "(<id>) " header so a benign SinglePartition
+        # exchange later in the plan (the common window-then-global-agg
+        # shape) can't lazily satisfy the match (r10, ADVICE).
         if re.search(
-            rf"^\({ex_id}\) Exchange\b[\s\S]*?Arguments: SinglePartition",
+            rf"^\({ex_id}\) Exchange[^\n]*\n"
+            rf"(?:(?!^\(\d+\) )[^\n]*\n)*?"
+            rf"[^\n]*Arguments: SinglePartition",
             plan,
             flags=re.M,
         ):

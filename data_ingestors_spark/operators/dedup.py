@@ -386,7 +386,14 @@ def ngram_jaccard_pairs(
     tok = base.select("doc_id", "block", F.explode("words").alias("w"))
 
     if strategy == "auto":
-        stats = (
+        # ONE driver-blocking sizing action (r10, ADVICE): the per-block
+        # vocab/df² stats and the per-block doc counts are joined on
+        # block and folded into a single final aggregate, so the cost
+        # model costs one job instead of two corpus scans with two
+        # collects. Left join from the doc side: blocks whose docs all
+        # tokenize to empty word sets vanish from tok but still
+        # contribute candidate pairs.
+        per_block_vocab = (
             tok.groupBy("block", "w")
             .agg(F.count("*").alias("df"))
             .groupBy("block")
@@ -394,20 +401,19 @@ def ngram_jaccard_pairs(
                 F.count("*").alias("v"),
                 F.sum(F.col("df") * F.col("df")).alias("df2"),
             )
+        )
+        per_block_docs = base.groupBy("block").agg(F.count("*").alias("ndocs"))
+        stats = (
+            per_block_docs.join(per_block_vocab, "block", "left")
             .agg(
                 F.max("v").alias("max_vocab"),
                 F.sum("v").alias("total_vocab"),
                 F.sum("df2").alias("df2"),
+                F.sum(F.col("ndocs") * (F.col("ndocs") - 1) / 2).alias("npairs"),
             )
             .collect()[0]
         )
-        npairs = (
-            base.groupBy("block")
-            .count()
-            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
-            .collect()[0][0]
-            or 0
-        )
+        npairs = stats["npairs"] or 0
         if (
             stats["max_vocab"] is not None
             and stats["max_vocab"] <= 1024
@@ -477,6 +483,19 @@ def _jaccard_pairs_bitmask(
     if maxv is None:
         maxv = vocab.groupBy("block").count().agg(F.max("count")).collect()[0][0] or 1
     nw = int((maxv + 63) // 64)
+    # the auto path only routes here when max_vocab<=1024 (nw<=16); the
+    # FORCED strategy="bitmask" path must honor the same cap — an
+    # open-vocabulary corpus (maxv in the tens of thousands) would
+    # otherwise generate hundreds of scalar mask columns through the
+    # self-join, a plan/codegen blowup the old single array column
+    # never hit (r10, ADVICE). Fail loud with the alternative.
+    if nw > 16:
+        raise ValueError(
+            f"bitmask strategy needs {nw} 64-bit mask columns for a "
+            f"per-block vocabulary of {maxv} words (cap: 16 columns / "
+            "1024 words) — use strategy='index' (inverted-index join) "
+            "for open-vocabulary corpora"
+        )
     ids = (
         tok.join(F.broadcast(vocab) if broadcast_vocab else vocab, ["block", "w"])
         .groupBy("doc_id", "block")

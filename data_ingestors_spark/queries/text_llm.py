@@ -1886,7 +1886,13 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE multiply either way, so the decimal-folded sums (and the
     # oracle hash) are unchanged; with _spread above, 6.4 → 2.3 s
     # at sf0.1
-    dim = len(emb.select("v").head()["v"])  # 1-row driver probe
+    probe = emb.select("v").head()  # 1-row driver probe
+    if probe is None:
+        raise ValueError(
+            "embedding_dim_corr: embeddings table is empty — no vector to "
+            "probe the dimensionality from"
+        )
+    dim = len(probe["v"])
     iu_a, iu_b = np.triu_indices(dim, k=1)  # row-major — matches decode
 
     @F.pandas_udf("array<double>")

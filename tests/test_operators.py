@@ -502,6 +502,43 @@ def test_ngram_jaccard_strategies_agree(spark, sf_dir):
     assert idx == bm and idx
 
 
+def test_ngram_jaccard_forced_bitmask_vocab_cap(spark):
+    """strategy='bitmask' on an open-vocabulary corpus must fail loud
+    (the auto path gates at 1024 words / 16 mask longs; the forced
+    path honors the same cap instead of generating hundreds of scalar
+    mask columns through the self-join)."""
+    import pytest
+
+    from data_ingestors_spark.operators.dedup import ngram_jaccard_pairs
+
+    # >1024 distinct words in one block -> nw > 16
+    rows = [
+        (i, "b", " ".join(f"w{j}" for j in range(i * 600, i * 600 + 600)))
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="strategy='index'"):
+        ngram_jaccard_pairs(
+            df, "text", "doc_id", "source", 0.5, strategy="bitmask"
+        ).collect()
+
+
+def test_embedding_dim_corr_empty_table_raises_clearly(spark, tmp_path):
+    """An empty embeddings table must raise a clear ValueError from the
+    1-row dimensionality probe, not a TypeError on None."""
+    import pytest
+
+    from data_ingestors_spark.queries import all_queries
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "sf_empty")
+    empty.write.parquet(f"{sf}/embeddings.parquet")
+    with pytest.raises(ValueError, match="empty"):
+        all_queries()["embedding_dim_corr"](spark, sf)
+
+
 def test_ivf_corpus_size_skips_sizing_job(spark, sf_dir):
     """With corpus_size passed, ivf_ann_topk must not run the sizing
     count() — callers with filtered/joined lineage can supply a cached
