@@ -49,24 +49,23 @@ _DRIVER_SAMPLE_ANCHORS = [
     "correlated_exists", "in_subquery", "intersect_all",
 ]
 _DRIVER_SAMPLE_ROTATION = [
-    # r9 rotation: every query whose PLAN changed this round comes
-    # first (scale-sweep fixes: adaptive sampling moduli, cost-model
-    # jaccard strategy + scalar masks, cells cutover, dup-span merge
-    # hint, dup_ngram_chars let-bind, copurchase oracle cap mirror) —
-    # the driver must re-verify exactly what changed; the remaining
-    # slots go to never-driver-checked oracle-paired queries (105
-    # distinct names checked through r8).
-    "retrieval_eval", "rrf_fusion", "knn_label_noise",
-    "semantic_dedup", "semantic_dedup_cells", "ngram_jaccard",
-    "dedup_clusters", "cluster_canonical", "fuzzy_match",
-    "record_linkage", "dup_span_merge", "strip_dup_spans",
-    "dup_ngram_chars", "copurchase_pairs",
-    # never-driver-checked:
-    "incremental_dedup", "length_bucket_dedup_rate",
-    "ngram_coverage_curve", "supplier_price_outliers",
-    "price_elasticity", "kendall_tau", "mann_whitney",
-    "cross_lang_contamination", "vocab_growth", "winnowing",
-    "gopher_quality",
+    # r10 rotation: 25 never-driver-checked oracle-paired names (124
+    # distinct names checked through r9; 195 oracle-paired never
+    # checked). Priorities: the r8 BI/statistics waves the r9 verdict
+    # called out, the graph family (under same-box perf scrutiny this
+    # round — its driver oracle rows should land alongside any plan
+    # work), and a spread across events/relational-extras/planning so
+    # every module keeps gaining driver-side rows.
+    "cohort_ltv", "attribution_models", "basket_size_distribution",
+    "benford_digits", "levene_test", "wilson_ci",
+    "nation_trade_balance",
+    "triangle_count", "pagerank", "clustering_coefficient",
+    "degree_assortativity",
+    "percentiles", "salted_join", "scd2_build", "funnel_analysis",
+    "cohort_retention", "session_stats", "interval_join",
+    "containment_join", "tfidf_topk",
+    "roc_auc", "theil_sen", "quantile_normalize", "heavy_hitters",
+    "pareto_frontier",
 ]
 
 
