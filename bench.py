@@ -423,6 +423,30 @@ def main() -> None:
             spark.catalog.clearCache()
         print(f"# rep {rep + 1}/{reps} done", file=sys.stderr)
 
+    # r10: the heaviest queries dominate the headline AND carry the
+    # most absolute jitter (box drift measured at up to 1.4x on
+    # IDENTICAL code across sessions — BASELINE.md §r10), so the
+    # top-20 by median get extra reps (default total 5) to stabilize
+    # their min/median before round-over-round comparison.
+    top_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_TOP_REPS", "5")))
+    if top_reps > reps:
+        top20_names = [
+            n for n, _ in sorted(
+                samples.items(), key=lambda kv: -_median(kv[1])
+            )[:20]
+        ]
+        for rep in range(top_reps - reps):
+            for name in top20_names:
+                fn = queries[name]
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples[name].append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            print(
+                f"# top20 extra rep {rep + 1}/{top_reps - reps} done",
+                file=sys.stderr,
+            )
+
     stats = {
         name: {
             "min": round(min(ts), 3),
@@ -520,6 +544,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
     }
     out["reps"] = reps
+    out["top_reps"] = top_reps
     out["tpch_suite_total"] = extra_total
     out["tpch_suite"] = extra
     out["tpch22_total"] = tpch22_total
@@ -554,6 +579,7 @@ def main() -> None:
         "queries": {name: stats[name]["med"] for name in orig17},
         "sf": out["sf"],
         "reps": reps,
+        "top_reps": top_reps,
         "headline_n": len(HEADLINE),
         "orig17_total": round(sum(stats[n]["med"] for n in orig17), 3),
         "tpch22_total": tpch22_total,
@@ -562,16 +588,19 @@ def main() -> None:
     if ingest_rows_per_sec is not None:
         compact["ingest_rows_per_sec"] = ingest_rows_per_sec
     # self-contained driver artifact: the 20 most expensive queries by
-    # median ride along inline (full per-query stats stay in full_path)
-    compact["top20_med"] = {
-        n: round(s["med"], 3)
+    # median ride along inline (full per-query stats stay in full_path).
+    # r10: min rides along too — the regression rule is MIN-vs-MIN
+    # (BASELINE.md), because session-to-session box drift moves medians
+    # of identical code by up to 1.4x while mins stay comparable.
+    compact["top20"] = {
+        n: [round(s["min"], 3), round(s["med"], 3)]
         for n, s in sorted(stats.items(), key=lambda kv: -kv[1]["med"])[:20]
     }
     line = json.dumps(compact)
     # the driver captures only a ~2000-char stdout tail; degrade by
     # dropping detail maps rather than assert (stripped under -O, and
     # firing after all measurements would lose the line entirely)
-    for drop in ("top20_med", "queries"):
+    for drop in ("top20", "queries"):
         if len(line) < 1900:
             break
         compact.pop(drop, None)
