@@ -40,22 +40,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # available and the in-repo sf0.01 sweep (tools/local_correctness.py)
 # still covers them all.
 _DRIVER_SAMPLE_ANCHORS = [
+    # r10: trimmed 25 -> 22 (dropped union_distinct / grouping_sets /
+    # intersect_all — their family siblings set_intersect / cube /
+    # rollup keep the canary) so the 3 plan-changed GEMM queries fit
+    # in the 50-name gate WITHOUT costing never-checked slots.
     "pricing_summary", "revenue_by_nation", "customer_order_counts",
     "large_orders", "shipping_priority", "returned_items",
     "small_qty_revenue", "bottleneck_supplier", "filter_project_case",
     "semi_join", "anti_join", "full_outer_join", "cross_join",
-    "range_join", "set_intersect", "union_distinct", "count_distinct",
-    "topk_global", "cube", "rollup", "grouping_sets", "pivot",
-    "correlated_exists", "in_subquery", "intersect_all",
+    "range_join", "set_intersect", "count_distinct",
+    "topk_global", "cube", "rollup", "pivot",
+    "correlated_exists", "in_subquery",
 ]
 _DRIVER_SAMPLE_ROTATION = [
-    # r10 rotation: 25 never-driver-checked oracle-paired names (124
-    # distinct names checked through r9; 195 oracle-paired never
-    # checked). Priorities: the r8 BI/statistics waves the r9 verdict
-    # called out, the graph family (under same-box perf scrutiny this
-    # round — its driver oracle rows should land alongside any plan
-    # work), and a spread across events/relational-extras/planning so
-    # every module keeps gaining driver-side rows.
+    # r10 rotation. First the queries whose PLANS changed this round —
+    # the chunk-grid pair scan was rewritten from join+per-pair-UDF to
+    # cogrouped per-cell GEMM (operators/similarity.py, the sf10
+    # semantic_dedup Arrow-volume fix) — the driver must re-verify
+    # exactly what changed:
+    "semantic_dedup", "semantic_dedup_cells", "embedding_neardup",
+    # then 25 never-driver-checked oracle-paired names (124 distinct
+    # names checked through r9; 195 oracle-paired never checked).
+    # Priorities: the r8 BI/statistics waves the r9 verdict called
+    # out, the graph family (under same-box perf scrutiny this round
+    # — its driver oracle rows should land alongside any plan work),
+    # and a spread across events/relational-extras/planning so every
+    # module keeps gaining driver-side rows.
     "cohort_ltv", "attribution_models", "basket_size_distribution",
     "benford_digits", "levene_test", "wilson_ci",
     "nation_trade_balance",

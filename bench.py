@@ -536,6 +536,32 @@ def main() -> None:
     except Exception as e:  # never let the throughput probe break the bench line
         print(f"# ingest bench skipped: {e}", file=sys.stderr)
 
+    # r10: per-round PLAN artifact — wall-time regressions are drowned
+    # by box noise (BASELINE.md §r10), but plan stats (shuffles, join
+    # kinds, cartesians, pushdown) are deterministic. Fingerprint EVERY
+    # registry query at sf0.001 (plan shape is scale-invariant) so a
+    # plan regression diffs per-round even when timings cannot.
+    # tools/plans_check.py diffs this file against the committed
+    # SCALE.md table.
+    try:
+        from data_ingestors_spark.doctor import plan_stats
+
+        plan_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+        plans: dict[str, dict] = {}
+        for name, fn in sorted(all_queries().items()):
+            try:
+                plans[name] = plan_stats(fn(spark, plan_dir))
+            except Exception as e:
+                plans[name] = {"err": str(e)[:80]}
+        plans_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "PLANS_latest.json"
+        )
+        with open(plans_path, "w") as fh:
+            json.dump(plans, fh, indent=0, sort_keys=True)
+        print(f"# plan fingerprints -> {plans_path}", file=sys.stderr)
+    except Exception as e:  # never let the plan probe break the bench line
+        print(f"# plan fingerprints skipped: {e}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,

@@ -42,6 +42,27 @@ def _plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def plan_stats(df: DataFrame) -> dict:
+    """Compact, comparable physical-plan fingerprint: shuffle count,
+    join kinds, cartesians, and whether any parquet scan got pushed
+    filters. The per-round PLANS artifact (bench.py) and SCALE.md
+    (tools/plan_report.py) both count from this one implementation so
+    a plan regression diffs identically everywhere. Counts come from
+    the numbered detail headers only — formatted mode also draws the
+    tree, which would double-count."""
+    plan = _plan_text(df)
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, flags=re.M)
+    return {
+        "exch": sum(1 for o in ops if o == "Exchange"),
+        "bhj": sum(1 for o in ops if o == "BroadcastHashJoin"),
+        "smj": sum(1 for o in ops if o == "SortMergeJoin"),
+        "cart": sum(
+            1 for o in ops if o in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        "push": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
 def diagnose(df: DataFrame, *, shuffle_warn_threshold: int = 6) -> list[str]:
     plan = _plan_text(df)
     ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, flags=re.M)

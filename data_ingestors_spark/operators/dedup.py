@@ -989,7 +989,7 @@ def incremental_dedup_report(
     aggregation (per-(fp, source) partials + per-family winner join)
     — nothing batch- or corpus-sized broadcasts.
 
-    Registry twin: queries/text_llm.py:q_incremental_dedup computes
+    Registry twin: queries/text_audits.py:q_incremental_dedup computes
     the identical report relationally (corpus = the unindexed split)
     and is DuckDB-oracle-paired; equality of the two paths is
     asserted in tests."""

@@ -4,12 +4,13 @@
 The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 mapInPandas signatures — is real and tested. Most of the codec layer
 is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG incl. progressive,
-12-bit, and lossless SOF3 / MJPEG-AVI images and frames; WAV PCM
-8/16/24/32-bit, IEEE float, G.711, IMA ADPCM, and FLAC audio); each
-``_decode_*`` additionally accepts the deterministic fake formats
-below for tests, and raises ``NotImplementedError`` for the
-honestly-stubbed remainder (arithmetic/hierarchical JPEG, perceptual
-audio mp3/ogg, inter-frame video). Swapping in a further codec is a
+12-bit, lossless SOF3, and hierarchical Annex J / MJPEG-AVI images
+and frames; WAV PCM 8/16/24/32-bit, IEEE float, G.711, IMA ADPCM,
+and FLAC audio); each ``_decode_*`` additionally accepts the
+deterministic fake formats below for tests, and raises
+``NotImplementedError`` for the honestly-stubbed remainder
+(arithmetic JPEG, differential-progressive SOF6, perceptual audio
+mp3/ogg, inter-frame video). Swapping in a further codec is a
 one-function change; nothing in the distributed plan moves.
 
 Fake fixture formats (produced by tests):
@@ -639,17 +640,36 @@ def _jpeg_split_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
     return [bytes(s) for s in segments], i
 
 
+def _jpeg_sof_fields(data: bytes) -> tuple[int, int, int, list[tuple]]:
+    """(precision, h, w, comps) from an SOF/DHP payload (both share
+    the frame-header syntax, T.81 B.2.2 / B.3.2)."""
+    prec = data[0]
+    h = int.from_bytes(data[1:3], "big")
+    w = int.from_bytes(data[3:5], "big")
+    nc = data[5]
+    comps = [
+        (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
+        for i in range(nc)
+    ]
+    return prec, h, w, comps
+
+
 def _jpeg_parse(content: bytes) -> dict:
-    """Marker walk: frame header, quant tables, and EVERY scan with
+    """Marker walk: frame header(s), quant tables, and EVERY scan with
     its entropy segments and a snapshot of the Huffman tables in
-    force — the shape both sequential multi-scan and progressive
-    decoding need."""
+    force — the shape sequential multi-scan, progressive, and
+    HIERARCHICAL (Annex J: DHP + a non-differential first frame +
+    EXP/differential frames) decoding need. Scans attach to the frame
+    whose SOF most recently appeared (`meta["frames"]`); the legacy
+    single-frame keys (comps/scans/prec/h/w) mirror frame 0 so the
+    non-hierarchical decode paths are unchanged."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    meta: dict = {"comps": [], "scans": [], "progressive": False, "lossless": False}
+    meta: dict = {"frames": [], "hierarchical": False}
+    pending_exp: tuple[int, int] | None = None
     restart = 0
     pos = 2
     while pos + 2 <= len(content):
@@ -690,44 +710,59 @@ def _jpeg_parse(content: bytes) -> dict:
                 symbols = data[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # baseline / ext. sequential / progressive / LOSSLESS
-            prec = data[0]
-            if marker == 0xC3:
+        elif marker == 0xDE:  # DHP — hierarchical progression (full dims)
+            prec, h, w, comps = _jpeg_sof_fields(data)
+            meta["hierarchical"] = True
+            meta["dhp"] = {"prec": prec, "h": h, "w": w, "comps": comps}
+        elif marker == 0xDF:  # EXP — expand reference before next frame
+            pending_exp = (data[0] >> 4, data[0] & 0xF)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            # baseline / ext. sequential / progressive / lossless and
+            # their DIFFERENTIAL hierarchical variants (SOF5-7)
+            if marker == 0xC6:
+                raise NotImplementedError(
+                    "JPEG SOF6 (differential progressive) not supported"
+                )
+            differential = marker in (0xC5, 0xC7)
+            lossless = marker in (0xC3, 0xC7)
+            prec, h, w, comps = _jpeg_sof_fields(data)
+            if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"lossless JPEG precision {prec} invalid")
-                meta["lossless"] = True
-            else:
-                if prec not in (8, 12):
-                    raise NotImplementedError(f"{prec}-bit DCT JPEG")
-                meta["progressive"] = marker == 0xC2
-            meta["prec"] = prec
-            meta["h"] = int.from_bytes(data[1:3], "big")
-            meta["w"] = int.from_bytes(data[3:5], "big")
-            nc = data[5]
-            meta["comps"] = [
-                (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
-                for i in range(nc)
-            ]
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            elif prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit DCT JPEG")
+            if differential and not meta["hierarchical"]:
+                raise ValueError("differential JPEG frame without DHP")
+            meta["frames"].append(
+                {
+                    "differential": differential,
+                    "lossless": lossless,
+                    "progressive": marker == 0xC2,
+                    "prec": prec, "h": h, "w": w, "comps": comps,
+                    "exp": pending_exp, "scans": [],
+                }
+            )
+            pending_exp = None
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical) "
+                f"JPEG SOF{marker - 0xC0} (arithmetic coding) "
                 "not decodable without PIL"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[:2], "big")
         elif marker == 0xDA:  # SOS
-            if not meta["comps"]:
+            if not meta["frames"] or not meta["frames"][-1]["comps"]:
                 raise ValueError("JPEG SOS before SOF")
+            frame = meta["frames"][-1]
             ns = data[0]
             scomps = []
             for i in range(ns):
                 cid, tables = data[1 + 2 * i], data[2 + 2 * i]
-                idx = next(j for j, c in enumerate(meta["comps"]) if c[0] == cid)
+                idx = next(j for j, c in enumerate(frame["comps"]) if c[0] == cid)
                 scomps.append((idx, tables >> 4, tables & 0xF))
             ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
             segments, pos = _jpeg_split_segments(content, pos)
-            meta["scans"].append(
+            frame["scans"].append(
                 {
                     "comps": scomps, "ss": ss, "se": se,
                     "ah": a >> 4, "al": a & 0xF,
@@ -735,8 +770,17 @@ def _jpeg_parse(content: bytes) -> dict:
                     "dc": dict(huff_dc), "ac": dict(huff_ac),
                 }
             )
-    if "w" not in meta or not meta["scans"]:
+    if not meta["frames"] or not meta["frames"][0]["scans"]:
         raise ValueError("JPEG missing SOF/SOS")
+    # legacy single-frame mirror: the non-hierarchical decode paths
+    # read these keys; hierarchical output dims come from the DHP
+    f0 = meta["frames"][0]
+    for k in ("prec", "h", "w", "comps", "scans", "progressive", "lossless"):
+        meta[k] = f0[k]
+    if meta["hierarchical"]:
+        meta["prec"] = meta["dhp"]["prec"]
+        meta["h"] = meta["dhp"]["h"]
+        meta["w"] = meta["dhp"]["w"]
     meta["qt"] = qt
     return meta
 
@@ -866,9 +910,23 @@ def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
     needs width/height + a real pixel plane; DICOM-style lossless
     gray is the main real-world SOF3 payload.
     """
-    comps = meta["comps"]
-    prec = meta["prec"]
-    w, h = meta["w"], meta["h"]
+    planes, pts = _jpeg_lossless_frame_planes(meta)
+    luma = meta["scans"][0]["comps"][0][0]
+    return meta["w"], meta["h"], _jpeg_to_gray8(planes[luma] << pts[luma], meta["prec"])
+
+
+def _jpeg_lossless_frame_planes(
+    frame: dict, *, differential: bool = False
+) -> tuple[list[np.ndarray], list[int]]:
+    """Decode one lossless frame's scans into per-component int64
+    planes plus per-component point transforms. Non-differential
+    frames run the Annex H predictor chain; DIFFERENTIAL frames
+    (SOF7, Annex J) carry no prediction — each sample IS the coded
+    DIFF, which the hierarchical composer adds to the reference
+    modulo 2^16."""
+    comps = frame["comps"]
+    prec = frame["prec"]
+    w, h = frame["w"], frame["h"]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes: list[np.ndarray] = []
@@ -880,9 +938,14 @@ def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
         dims.append((ch, cw))
 
     pts = [0] * len(comps)
-    for scan in meta["scans"]:
+    for scan in frame["scans"]:
         sel, pt = scan["ss"], scan["al"]
-        if not 1 <= sel <= 7:
+        if differential:
+            if sel != 0:
+                raise ValueError(
+                    f"differential lossless scan must carry predictor 0, got {sel}"
+                )
+        elif not 1 <= sel <= 7:
             raise ValueError(f"lossless JPEG predictor {sel} invalid")
         scomps = scan["comps"]
         for ci, _, _ in scomps:
@@ -914,6 +977,9 @@ def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
                     else:
                         diff = _jpeg_extend(bits.bits(t), t)
                     p = planes[ci]
+                    if differential:
+                        p[r, c] = diff
+                        continue
                     if fresh[ci]:
                         pred = default
                         fresh[ci] = False
@@ -938,9 +1004,7 @@ def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
                 break
         if unit < n_mcus:
             raise ValueError("lossless JPEG entropy data ended before the last sample")
-
-    luma = meta["scans"][0]["comps"][0][0]
-    return w, h, _jpeg_to_gray8(planes[luma] << pts[luma], prec)
+    return planes, pts
 
 
 def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
@@ -953,10 +1017,14 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     vectorized dequantize + IDCT pass then renders the luma plane.
     Grayscale output IS the luma — chroma scans are entropy-decoded
     (the bitstream interleaves or sequences them) and discarded.
-    12-bit precision (SOF0/SOF1, 16-bit DQT) and LOSSLESS (SOF3,
-    `_decode_jpeg_lossless`) decode for real; arithmetic/hierarchical
-    JPEG stays behind the fail-loud boundary."""
+    12-bit precision (SOF0/SOF1, 16-bit DQT), LOSSLESS (SOF3,
+    `_decode_jpeg_lossless`), and HIERARCHICAL (Annex J,
+    `_decode_jpeg_hierarchical`) decode for real; arithmetic JPEG and
+    differential-progressive SOF6 stay behind the fail-loud
+    boundary."""
     meta = _jpeg_parse(content)
+    if meta["hierarchical"]:
+        return _decode_jpeg_hierarchical(meta)
     if meta["lossless"]:
         return _decode_jpeg_lossless(meta)
     comps = meta["comps"]
@@ -966,6 +1034,29 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     y_comp = meta["scans"][0]["comps"][0][0]
     if comps[y_comp][1] != hmax or comps[y_comp][2] != vmax:
         raise NotImplementedError("JPEG luma without max sampling factors")
+    planes = _jpeg_dct_frame_planes(meta, meta["qt"], only_comp=y_comp)
+    return w, h, _jpeg_to_gray8(planes[y_comp], meta["prec"])
+
+
+def _jpeg_dct_frame_planes(
+    frame: dict,
+    qt: dict[int, np.ndarray],
+    *,
+    differential: bool = False,
+    only_comp: int | None = None,
+) -> list[np.ndarray]:
+    """Entropy-decode one DCT frame's scans into coefficient grids and
+    render per-component spatial planes (float64, cropped to component
+    dims). Non-differential frames get the +2^(P-1) level shift;
+    DIFFERENTIAL frames (SOF5, Annex J) are spatial corrections the
+    hierarchical composer adds to the reference, so no shift. With
+    ``only_comp`` every scan is still entropy-decoded (the bitstream
+    interleaves components) but only that component is IDCT-rendered
+    (the legacy gray path); other entries are None."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
@@ -988,7 +1079,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
             grids[ci][by][bx] = blk
         return blk
 
-    for scan in meta["scans"]:
+    for scan in frame["scans"]:
         scomps = scan["comps"]
         ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
         restart = scan["restart"]
@@ -1053,28 +1144,123 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
         if unit < n_units:
             raise ValueError("JPEG entropy data ended before the scan's last unit")
 
-    # vectorized dequantize + IDCT of the REAL luma blocks
+    # vectorized dequantize + IDCT of each component's REAL blocks
     A = _jpeg_idct_matrix()
-    qtab = meta["qt"][comps[y_comp][3]]
-    by_r, bx_r = real[y_comp]
     zz_rows = [r for r, _ in JPEG_ZIGZAG]
     zz_cols = [c for _, c in JPEG_ZIGZAG]
-    coeffs = np.zeros((by_r * bx_r, 8, 8))
-    for by in range(by_r):
-        for bx in range(bx_r):
-            blk = grids[y_comp][by][bx]
-            if blk is not None:
-                coeffs[by * bx_r + bx, zz_rows, zz_cols] = blk
-    prec = meta["prec"]
-    blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + float(
-        1 << (prec - 1)
-    )
-    Y = (
-        blocks.reshape(by_r, bx_r, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(by_r * 8, bx_r * 8)
-    )
-    return w, h, _jpeg_to_gray8(Y[:h, :w], prec)
+    prec = frame["prec"]
+    shift = 0.0 if differential else float(1 << (prec - 1))
+    planes: list[np.ndarray | None] = []
+    for ci, (_cid, chi, cvi, tq) in enumerate(comps):
+        if only_comp is not None and ci != only_comp:
+            planes.append(None)
+            continue
+        qtab = qt[tq]
+        by_r, bx_r = real[ci]
+        coeffs = np.zeros((by_r * bx_r, 8, 8))
+        for by in range(by_r):
+            for bx in range(bx_r):
+                blk = grids[ci][by][bx]
+                if blk is not None:
+                    coeffs[by * bx_r + bx, zz_rows, zz_cols] = blk
+        blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + shift
+        plane = (
+            blocks.reshape(by_r, bx_r, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_r * 8, bx_r * 8)
+        )
+        cw = -(-w * chi // hmax)
+        chh = -(-h * cvi // vmax)
+        planes.append(plane[:chh, :cw])
+    return planes
+
+
+def _jpeg_expand_ref(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """Annex J.1.1.2 reference expansion: double a dimension with
+    x'[2i] = x[i], x'[2i+1] = (x[i] + x[i+1] + 1) >> 1, replicating
+    the last sample at the edge."""
+    if eh:
+        h, w = p.shape
+        out = np.empty((h, 2 * w), dtype=p.dtype)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.empty((2 * h, w), dtype=p.dtype)
+        out[0::2, :] = p
+        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _decode_jpeg_hierarchical(meta: dict) -> tuple[int, int, np.ndarray]:
+    """HIERARCHICAL JPEG (ITU T.81 Annex J): a DHP header defines the
+    full-resolution image; a non-differential first frame decodes a
+    (possibly reduced-resolution) reference, and each subsequent
+    DIFFERENTIAL frame — optionally preceded by an EXP marker that
+    doubles the reference horizontally and/or vertically with the
+    J.1.1.2 bilinear filter — adds Huffman-coded corrections:
+    IDCT outputs without level shift for SOF5 (differential
+    sequential), plain DIFF samples modulo 2^16 for SOF7
+    (differential lossless). Per-component references compose across
+    frames; the output is the luma plane at the DHP resolution,
+    clamped to [0, 2^P-1]. SOF6 (differential progressive) and the
+    arithmetic variants stay behind the fail-loud boundary.
+
+    Reference parity: image_validator.py:73-382 needs width/height +
+    a real pixel plane for the V10 resolution battery."""
+    prec = meta["dhp"]["prec"]
+    w, h = meta["dhp"]["w"], meta["dhp"]["h"]
+    refs: dict[int, np.ndarray] = {}  # component id -> int64 plane
+    for frame in meta["frames"]:
+        frame_cids = [c[0] for c in frame["comps"]]
+        if frame["exp"] is not None:
+            eh, ev = frame["exp"]
+            for cid in frame_cids:
+                if cid not in refs:
+                    raise ValueError("JPEG EXP before any reference frame")
+                refs[cid] = _jpeg_expand_ref(refs[cid], eh, ev)
+        if frame["lossless"]:
+            lplanes, pts = _jpeg_lossless_frame_planes(
+                frame, differential=frame["differential"]
+            )
+            vals = [p << pt for p, pt in zip(lplanes, pts)]
+        else:
+            fplanes = _jpeg_dct_frame_planes(
+                frame, meta["qt"], differential=frame["differential"]
+            )
+            vals = [np.rint(p).astype(np.int64) for p in fplanes]
+        for ci, cid in enumerate(frame_cids):
+            if not frame["differential"]:
+                refs[cid] = vals[ci]
+                continue
+            ref = refs.get(cid)
+            if ref is None:
+                raise ValueError("differential JPEG frame before its reference")
+            vh, vw = vals[ci].shape
+            if ref.shape[0] < vh or ref.shape[1] < vw:
+                raise ValueError(
+                    f"differential frame {vals[ci].shape} larger than its "
+                    f"reference {ref.shape} — missing EXP?"
+                )
+            ref = ref[:vh, :vw]  # expansion may overshoot odd dims by 1
+            if frame["lossless"]:
+                refs[cid] = (ref + vals[ci]) & 0xFFFF
+            else:
+                refs[cid] = ref + vals[ci]
+    luma_cid = meta["dhp"]["comps"][0][0]
+    if luma_cid not in refs:
+        raise ValueError("hierarchical JPEG never coded the first DHP component")
+    plane = np.clip(refs[luma_cid], 0, (1 << prec) - 1)
+    if plane.shape[0] < h or plane.shape[1] < w:
+        raise ValueError(
+            f"hierarchical frames stopped at {plane.shape}, below the "
+            f"DHP resolution {h}x{w}"
+        )
+    return w, h, _jpeg_to_gray8(plane[:h, :w], prec)
 
 
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:

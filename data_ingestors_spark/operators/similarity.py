@@ -609,21 +609,82 @@ def _lsh_pair_params(
     return best
 
 
+def _cell_gemm_scorer(threshold: float, *, id_guard_col: str | None = None):
+    """Cogrouped per-cell GEMM scorer for the chunk-grid pair scans:
+    score a whole (block, ci, cj) cell with ONE ``X @ Y.T`` instead of
+    materializing per-pair joined rows through Arrow (r10 — at sf10
+    the 2·10⁹ candidate pairs of ``semantic_dedup`` shipped ~2 TB of
+    duplicated vectors through the per-pair UDF; the cogrouped form
+    ships each replicated row once and the dots run in BLAS).
+    Rounded with the portable floor-rounding BEFORE the threshold
+    compare — the same 6-dp contract as ``_pair_cosine_udf``, so the
+    oracle hashes are unchanged. The diagonal id guard applies when
+    the cell's two chunk ids match (and, for the cell-pruned variant,
+    only on same-cell pairs — ``id_guard_col`` names the left column
+    carrying that flag)."""
+    import pandas as pd
+
+    def score(key, l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if l.empty or r.empty:
+            return empty
+        ci, cj = int(key[-2]), int(key[-1])
+        ids_l = l["id_l"].to_numpy()
+        ids_r = r["id_r"].to_numpy()
+        X = np.array(list(l["v_l"]), dtype=np.float64)
+        Y = np.array(list(r["v_r"]), dtype=np.float64)
+        num = X @ Y.T
+        den = np.outer(np.linalg.norm(X, axis=1), np.linalg.norm(Y, axis=1))
+        sim = _pround(num / den, 6)
+        mask = sim >= threshold
+        if ci == cj:
+            diag_guard = ids_l[:, None] < ids_r[None, :]
+            if id_guard_col is not None:
+                # cross-cell pairs meet exactly once even at ci == cj;
+                # only SAME-cell pairs need the triangular id guard
+                same = bool(l[id_guard_col].iloc[0])
+                if same:
+                    mask &= diag_guard
+            else:
+                mask &= diag_guard
+        li, rj = np.nonzero(mask)
+        if len(li) == 0:
+            return empty
+        a, b = ids_l[li], ids_r[rj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": sim[li, rj],
+            }
+        )
+
+    return score
+
+
 def _grid_cosine_pairs(
     base: DataFrame, threshold: float, chunks: int
 ) -> DataFrame:
     """Exact all-qualifying-pairs within each block via the chunked
     self-join grid — the distributed form of a quadratic pair scan.
 
-    Each row lands in chunk c = xxhash64(id) mod C; the join key is the
-    chunk *pair* (block, ci, cj), ci ≤ cj: the left side replicates a
-    row to every (c, j≥c) cell, the right side to every (i≤c, c) cell.
-    Every unordered pair meets in exactly one cell (same-cell pairs are
-    halved by the id guard), each cell's task reads 2·n_b/C rows — so
-    per-task input is bounded by the CHUNK size, which is a tunable
-    constant, not the block size, and the quadratic work spreads evenly
-    over C(C+1)/2 tasks instead of one skewed shuffle key per block.
-    Total semantics are exact by construction — no recall parameter.
+    Each row lands in chunk c = xxhash64(id) mod C; the cogroup key is
+    the chunk *pair* (block, ci, cj), ci ≤ cj: the left side replicates
+    a row to every (c, j≥c) cell, the right side to every (i≤c, c)
+    cell. Every unordered pair meets in exactly one cell (same-cell
+    pairs are halved by the id guard), each cell's task reads 2·n_b/C
+    rows — so per-task input is bounded by the CHUNK size, which is a
+    tunable constant, not the block size, and the quadratic work
+    spreads evenly over C(C+1)/2 tasks instead of one skewed shuffle
+    key per block. Scoring is ONE GEMM per cell (``_cell_gemm_scorer``)
+    — per-pair rows never materialize. Total semantics are exact by
+    construction — no recall parameter.
     """
     left = base.select(
         "block",
@@ -639,20 +700,13 @@ def _grid_cosine_pairs(
         F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci_r"),
         F.col("chunk").alias("cj_r"),
     )
-    pairs = left.join(
-        right,
-        (F.col("block") == F.col("block_r"))
-        & (F.col("ci") == F.col("ci_r"))
-        & (F.col("cj") == F.col("cj_r")),
-    ).filter((F.col("ci") < F.col("cj")) | (F.col("id_l") < F.col("id_r")))
-    sim = _pair_cosine_udf()(F.col("v_l"), F.col("v_r"))
     return (
-        pairs.select(
-            F.least("id_l", "id_r").alias("id_a"),
-            F.greatest("id_l", "id_r").alias("id_b"),
-            sim.alias("cos_sim"),
+        left.groupBy("block", "ci", "cj")
+        .cogroup(right.groupBy("block_r", "ci_r", "cj_r"))
+        .applyInPandas(
+            _cell_gemm_scorer(threshold),
+            "id_a long, id_b long, cos_sim double",
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -729,7 +783,9 @@ def _cell_pruned_cosine_pairs(
     guard; cross-cell pairs use the rectangular grid (left explodes
     all cj, right all ci, the pair meets at exactly (chunk_l,
     chunk_r)). Per-task input stays bounded by ``chunk_rows``
-    regardless of cell sizes. The pruning margin subtracts 1e-5 from
+    regardless of cell sizes, and each surviving cell scores with ONE
+    GEMM (``_cell_gemm_scorer``, r10) — candidate pairs never
+    materialize as joined rows. The pruning margin subtracts 1e-5 from
     the threshold so the 6-dp floor-rounding applied to reported
     similarities can never round a pruned pair back over the line.
     """
@@ -832,23 +888,13 @@ def _cell_pruned_cosine_pairs(
             F.col("chunk").alias("cj_r"),
         )
     )
-    joined = left.join(
-        right,
-        (F.col("block") == F.col("block_r"))
-        & (F.col("pair_id") == F.col("pair_id_r"))
-        & (F.col("ci") == F.col("ci_r"))
-        & (F.col("cj") == F.col("cj_r")),
-    ).filter(
-        (~F.col("same")) | (F.col("ci") < F.col("cj")) | (F.col("id_l") < F.col("id_r"))
-    )
-    sim = _pair_cosine_udf()(F.col("v_l"), F.col("v_r"))
     return (
-        joined.select(
-            F.least("id_l", "id_r").alias("id_a"),
-            F.greatest("id_l", "id_r").alias("id_b"),
-            sim.alias("cos_sim"),
+        left.groupBy("block", "pair_id", "ci", "cj")
+        .cogroup(right.groupBy("block_r", "pair_id_r", "ci_r", "cj_r"))
+        .applyInPandas(
+            _cell_gemm_scorer(threshold, id_guard_col="same"),
+            "id_a long, id_b long, cos_sim double",
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 

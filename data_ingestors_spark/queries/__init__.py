@@ -25,18 +25,28 @@ from data_ingestors_spark.queries import (
     tpch,
     windows,
     text_llm,
+    text_corpus,
+    text_audits,
     events,
     ingestion,
     extras,
     advanced,
     sampling,
     analytics,
+    analytics_stats,
+    analytics_trade,
     statistics,
     graph,
     planning,
 )
 
-_MODULES = (relational, tpch, windows, text_llm, events, ingestion, extras, advanced, sampling, analytics, statistics, graph, planning)
+_MODULES = (
+    relational, tpch, windows,
+    text_llm, text_corpus, text_audits,
+    events, ingestion, extras, advanced, sampling,
+    analytics, analytics_stats, analytics_trade,
+    statistics, graph, planning,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

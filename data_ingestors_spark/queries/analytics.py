@@ -1653,3324 +1653,3 @@ QUERIES["rfm_segments"] = q_rfm_segments
 ORACLES["rfm_segments"] = O_RFM_SEGMENTS
 
 
-def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus drift: KL(P_source || P_corpus) in bits over
-    word distributions — the CCNet/RedPajama-style signal for "this
-    source's language diverges from the mixture" (high KL = niche or
-    degenerate source worth inspecting before training).
-
-    No smoothing is needed: the corpus distribution is the superset
-    mixture, so every source word has corpus mass > 0.
-
-    Plan (100 TB): word counts per (source, word) and per word are
-    both map-side-combined groupBys; the counts-to-corpus join is a
-    word-keyed equi-join carrying only (source, w, c) — document text
-    never shuffles. Source totals (|sources| rows) and the corpus
-    total (1 row) ride broadcasts. KL terms fold in decimal so the
-    sum is merge-order-exact across engines.
-    """
-    t = tables(spark, sf_dir, "documents")
-    words = t["documents"].select(
-        "source",
-        F.explode(
-            F.filter(
-                F.split(
-                    F.trim(
-                        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
-                    ),
-                    " ",
-                ),
-                lambda w: w != "",
-            )
-        ).alias("w"),
-    )
-    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
-    corpus = counts.groupBy("w").agg(F.sum("c").alias("cc"))
-    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
-    total = corpus.agg(F.sum("cc").alias("tt"))  # 1-row scalar frame
-    p_s = F.col("c") / F.col("t")
-    ratio = (F.col("c") * F.col("tt")) / (F.col("t") * F.col("cc"))
-    term = p_s * F.log2(ratio)
-    return (
-        counts.join(corpus, "w")
-        .join(F.broadcast(totals), "source")
-        .crossJoin(F.broadcast(total))
-        .groupBy("source")
-        .agg(
-            F.max("t").cast("long").alias("n_tokens"),
-            fround(F.sum(term.cast(DEC)).cast("double"), 6).alias("kl_bits"),
-        )
-    )
-
-
-O_KL_DRIFT = f"""
-WITH words AS (
-  SELECT source,
-         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
-  FROM documents
-), words_f AS (
-  SELECT source, w FROM words WHERE w <> ''
-), counts AS (
-  SELECT source, w, count(*) AS c FROM words_f GROUP BY 1, 2
-), corpus AS (
-  SELECT w, sum(c) AS cc FROM counts GROUP BY 1
-), totals AS (
-  SELECT source, sum(c) AS t FROM counts GROUP BY 1
-), total AS (
-  SELECT sum(cc) AS tt FROM corpus
-)
-SELECT source,
-       CAST(max(t) AS BIGINT) AS n_tokens,
-       {o_fround("CAST(sum(CAST((c / CAST(t AS DOUBLE)) * log2((c * CAST(tt AS DOUBLE)) / (CAST(t AS DOUBLE) * cc)) AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS kl_bits
-FROM counts
-JOIN corpus USING (w)
-JOIN totals USING (source)
-CROSS JOIN total
-GROUP BY source
-"""
-
-QUERIES["kl_drift"] = q_kl_drift
-ORACLES["kl_drift"] = O_KL_DRIFT
-
-
-def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law audit of order totals: observed first-significant-
-    digit distribution vs log10(1 + 1/d), with each digit's chi-square
-    contribution — the classic synthetic-data / fraud smell test.
-
-    The first digit comes from the DECIMAL STRING of floor(x), not
-    floor(x / 10^floor(log10 x)) — the string form sidesteps the
-    engine-dependent log10 ulp at exact powers of ten.
-
-    Plan (100 TB): one map-side-combined groupBy onto 9 digit rows;
-    the row count rides a 1-row broadcast scalar frame.
-    """
-    t = tables(spark, sf_dir, "orders")
-    digit = F.substring(
-        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
-    ).cast("int")
-    obs = (
-        t["orders"]
-        .filter(F.col("o_totalprice") >= 1)
-        .select(digit.alias("digit"))
-        .groupBy("digit")
-        .agg(F.count("*").cast("long").alias("n_obs"))
-    )
-    total = obs.agg(F.sum("n_obs").cast("double").alias("n"))  # 1-row scalar
-    p_exp = F.log10(1 + 1 / F.col("digit").cast("double"))
-    expected = F.col("n") * p_exp
-    return (
-        obs.crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            "n_obs",
-            fround(F.col("n_obs") / F.col("n"), 6).alias("p_obs"),
-            fround(p_exp, 6).alias("p_exp"),
-            fround(
-                (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected,
-                4,
-            ).alias("chi2_term"),
-        )
-    )
-
-
-O_BENFORD_DIGITS = f"""
-WITH obs AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-         CAST(count(*) AS BIGINT) AS n_obs
-  FROM orders WHERE o_totalprice >= 1
-  GROUP BY 1
-), total AS (
-  SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM obs
-)
-SELECT digit, n_obs,
-       {o_fround("n_obs / n", 6)} AS p_obs,
-       {o_fround("log10(1 + 1 / CAST(digit AS DOUBLE))", 6)} AS p_exp,
-       {o_fround("(n_obs - n * log10(1 + 1 / CAST(digit AS DOUBLE))) * (n_obs - n * log10(1 + 1 / CAST(digit AS DOUBLE))) / (n * log10(1 + 1 / CAST(digit AS DOUBLE)))", 4)} AS chi2_term
-FROM obs CROSS JOIN total
-"""
-
-QUERIES["benford_digits"] = q_benford_digits
-ORACLES["benford_digits"] = O_BENFORD_DIGITS
-
-
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint detection per event type: standardize the
-    daily-count series, cumulative-sum the z-scores, and flag the day
-    where |CUSUM| peaks — a level shift in event volume shows up as
-    the peak of the drift walk (Page 1954).
-
-    Engine-exactness: mean/std are derived from INTEGER (n, Σc, Σc²)
-    aggregates, so both engines compute bit-identical doubles; the
-    running CUSUM folds in decimal so DuckDB's segment-tree window
-    accumulation and Spark's running fold agree exactly.
-
-    Plan (100 TB): raw events collapse to one row per (type, day) in
-    a map-side-combined groupBy; every window after that is
-    partitioned by event_type over the bounded daily frame (rows =
-    days in span, not events).
-    """
-    t = tables(spark, sf_dir, "events")
-    daily = (
-        t["events"]
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    stats = daily.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("c").cast("long").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
-    )
-    mean = F.col("s1") / F.col("n")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("c") - mean) / F.sqrt(var)
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    walked = (
-        daily.join(F.broadcast(stats), "event_type")
-        .withColumn("cusum", F.sum(z.cast(DEC)).over(w_cum))
-    )
-    w_pick = Window.partitionBy("event_type").orderBy(
-        F.desc(F.abs(F.col("cusum"))), F.asc("day")
-    )
-    return (
-        walked.withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("day").alias("change_day"),
-            F.col("n").alias("n_days"),
-            fround(F.abs(F.col("cusum")).cast("double"), 4).alias("peak_cusum"),
-        )
-    )
-
-
-O_CUSUM_CHANGEPOINT = f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
-), stats AS (
-  SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(c) AS BIGINT) AS s1,
-         CAST(sum(c * c) AS BIGINT) AS s2
-  FROM daily GROUP BY 1
-), walked AS (
-  SELECT d.event_type, d.day, s.n,
-         sum(CAST((d.c - s.s1 / CAST(s.n AS DOUBLE))
-                  / sqrt((s.s2 - s.s1 * CAST(s.s1 AS DOUBLE) / s.n) / (s.n - 1))
-                  AS DECIMAL(30,10)))
-           OVER (PARTITION BY d.event_type ORDER BY d.day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
-  FROM daily d JOIN stats s USING (event_type)
-), picked AS (
-  SELECT event_type, day, n, cusum,
-         row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn
-  FROM walked
-)
-SELECT event_type, day AS change_day, n AS n_days,
-       {o_fround("CAST(abs(cusum) AS DOUBLE)", 4)} AS peak_cusum
-FROM picked WHERE rn = 1
-"""
-
-QUERIES["cusum_changepoint"] = q_cusum_changepoint
-ORACLES["cusum_changepoint"] = O_CUSUM_CHANGEPOINT
-
-
-def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier customer-survival curve: duration = days between a
-    customer's first and last order; a customer whose last order falls
-    more than 90 days before the corpus horizon is an observed churn
-    (event), later ones are right-censored. S(t) multiplies
-    (1 - d_t / n_t) over event times <= t — the standard estimator
-    with censoring handled exactly.
-
-    Engine-exactness: the log-survival terms fold in decimal under the
-    ordered window (exp of an exact decimal sum), so segment-tree vs
-    running-fold accumulation cannot diverge.
-
-    Plan (100 TB): per-customer first/last collapse map-side; the KM
-    table itself is one row per distinct duration-day (bounded by the
-    date span, thousands not billions), so the single-partition
-    ordered window rides a frame that is small BY CONSTRUCTION —
-    at extreme spans switch the cumulative terms to a range-join
-    rollup. Doctor: D2-exempt for exactly that reason.
-    """
-    t = tables(spark, sf_dir, "orders")
-    horizon = t["orders"].agg(
-        F.date_sub(F.max(F.to_date("o_orderdate")), 90).alias("cutoff")
-    )  # 1-row scalar frame
-    per_cust = (
-        t["orders"]
-        .groupBy("o_custkey")
-        .agg(
-            F.min(F.to_date("o_orderdate")).alias("first_d"),
-            F.max(F.to_date("o_orderdate")).alias("last_d"),
-        )
-        .crossJoin(F.broadcast(horizon))
-        .select(
-            F.datediff("last_d", "first_d").alias("dur"),
-            F.when(F.col("last_d") < F.col("cutoff"), 1).otherwise(0).alias("event"),
-        )
-    )
-    by_dur = per_cust.groupBy("dur").agg(
-        F.sum("event").cast("long").alias("d"),
-        F.count("*").cast("long").alias("m"),
-    )
-    total = by_dur.agg(F.sum("m").cast("long").alias("tot"))  # 1-row scalar
-    w_prev = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_cum = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    at_risk = F.col("tot") - F.coalesce(F.sum("m").over(w_prev), F.lit(0))
-    stepped = (
-        by_dur.crossJoin(F.broadcast(total))
-        .withColumn("n_risk", at_risk)
-        .withColumn(
-            "log_s",
-            F.sum(
-                F.log(1 - F.col("d") / F.col("n_risk")).cast(DEC)
-            ).over(w_cum),
-        )
-    )
-    return stepped.filter(F.col("d") > 0).select(
-        F.col("dur").alias("duration_days"),
-        "n_risk",
-        F.col("d").alias("n_events"),
-        fround(F.exp(F.col("log_s").cast("double")), 6).alias("survival"),
-    )
-
-
-O_SURVIVAL_KM = f"""
-WITH horizon AS (
-  SELECT max(CAST(o_orderdate AS DATE)) - 90 AS cutoff FROM orders
-), per_cust AS (
-  SELECT date_diff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) AS dur,
-         CASE WHEN max(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM horizon)
-              THEN 1 ELSE 0 END AS event
-  FROM orders GROUP BY o_custkey
-), by_dur AS (
-  SELECT dur, CAST(sum(event) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS m
-  FROM per_cust GROUP BY dur
-), total AS (
-  SELECT CAST(sum(m) AS BIGINT) AS tot FROM by_dur
-), risked AS (
-  SELECT dur, d,
-         tot - coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-  FROM by_dur CROSS JOIN total
-), stepped AS (
-  SELECT dur, d, n_risk,
-         sum(CAST(ln(1 - d / CAST(n_risk AS DOUBLE)) AS DECIMAL(30,10)))
-           OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s
-  FROM risked
-)
-SELECT CAST(dur AS INTEGER) AS duration_days, n_risk, d AS n_events,
-       {o_fround("exp(CAST(log_s AS DOUBLE))", 6)} AS survival
-FROM stepped WHERE d > 0
-"""
-
-QUERIES["survival_km"] = q_survival_km
-ORACLES["survival_km"] = O_SURVIVAL_KM
-
-
-def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer-spend concentration per nation —
-    the inequality lens on revenue: 0 = every customer spends alike,
-    1 = one whale funds the nation. Uses the ranked-cumulative form
-    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over per-customer spend sorted
-    ascending (rank ties broken by customer key so both engines rank
-    identically).
-
-    Plan (100 TB): per-customer spend is a map-side-combined groupBy;
-    the rank window partitions by NATION over the per-customer frame
-    (customers per nation, not orders); the final fold is another
-    combiner-friendly groupBy. Spend sums fold in decimal so rank
-    inputs are engine-exact.
-    """
-    t = tables(spark, sf_dir, "orders", "customer", "nation")
-    spend = (
-        t["orders"]
-        .groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
-        .join(
-            t["customer"].select(
-                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
-            ),
-            "o_custkey",
-        )
-        .join(
-            F.broadcast(
-                t["nation"].select(
-                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
-                )
-            ),
-            "c_nationkey",
-        )
-    )
-    w = Window.partitionBy("n_name").orderBy(F.asc("spend"), F.asc("o_custkey"))
-    ranked = spend.withColumn("i", F.row_number().over(w))
-    return (
-        ranked.groupBy("n_name")
-        .agg(
-            F.count("*").cast("long").alias("n_customers"),
-            F.sum(F.col("i") * F.col("spend")).cast("double").alias("iws"),
-            F.sum("spend").cast("double").alias("s"),
-        )
-        .select(
-            "n_name",
-            "n_customers",
-            # ratio in DOUBLE from the exact decimal sums — decimal
-            # division truncates scale differently per engine
-            fround(
-                2 * F.col("iws") / (F.col("n_customers") * F.col("s"))
-                - (F.col("n_customers") + 1) / F.col("n_customers").cast("double"),
-                6,
-            ).alias("gini"),
-        )
-    )
-
-
-O_GINI_CONCENTRATION = f"""
-WITH spend AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,10))) AS spend
-  FROM orders GROUP BY 1
-), tagged AS (
-  SELECT n_name, o_custkey, spend
-  FROM spend
-  JOIN customer ON c_custkey = o_custkey
-  JOIN nation ON n_nationkey = c_nationkey
-), ranked AS (
-  SELECT n_name, spend,
-         row_number() OVER (PARTITION BY n_name ORDER BY spend ASC, o_custkey ASC) AS i
-  FROM tagged
-)
-SELECT n_name,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       {o_fround("2 * CAST(sum(i * spend) AS DOUBLE) / (count(*) * CAST(sum(spend) AS DOUBLE)) - (count(*) + 1) / CAST(count(*) AS DOUBLE)", 6)} AS gini
-FROM ranked
-GROUP BY n_name
-"""
-
-QUERIES["gini_concentration"] = q_gini_concentration
-ORACLES["gini_concentration"] = O_GINI_CONCENTRATION
-
-
-def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item collaborative filtering: cosine similarity over the
-    binary customer×part purchase matrix, top-5 neighbors per part
-    among pairs co-bought by ≥ 2 customers — the classic "customers
-    who bought X also bought Y" neighborhood model.
-
-    cos(a,b) = |A∩B| / √(|A|·|B|) on customer sets, computed from
-    pair co-occurrence counts — no vectors materialize.
-
-    Plan (100 TB): distinct (customer, part) collapses map-side; the
-    pair fan-out self-joins per CUSTOMER basket (O(k²) in basket
-    size, never corpus-quadratic; degenerate whale baskets are
-    DROPPED by the enforced :data:`MAX_BASKET_ITEMS` cap — the guard
-    the r7 docstring only promised); per-part popularity joins stream
-    on the part key — both sides are |parts|-sized, no broadcast. The
-    top-5 window partitions by part. Co-count ≥ 2 prunes the pair
-    tail before any join."""
-    t = tables(spark, sf_dir, "lineitem", "orders")
-    bought = _cap_baskets(
-        t["lineitem"]
-        .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
-        .select("o_custkey", "l_partkey")
-        .distinct(),
-        "o_custkey",
-    )
-    a, b = bought.alias("a"), bought.alias("b")
-    co = (
-        a.join(b, "o_custkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_both"))
-        .filter(F.col("n_both") >= 2)
-    )
-    pop = bought.groupBy(F.col("l_partkey")).agg(
-        F.count("*").cast("long").alias("n")
-    )
-    scored = (
-        co.join(pop.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")), "part_a")
-        .join(pop.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")), "part_b")
-        .withColumn(
-            "cosine",
-            fround(
-                F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b").cast("double")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("part_a").orderBy(
-        F.desc("cosine"), F.desc("n_both"), F.asc("part_b")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("part_a", "part_b", "n_both", "cosine", F.col("rnk").cast("int").alias("rnk"))
-    )
-
-
-O_ITEM_COSINE = f"""
-WITH bought AS (
-  -- mirror MAX_BASKET_ITEMS: Spark drops whale baskets before the fan-out
-  SELECT o_custkey, l_partkey
-  FROM (SELECT DISTINCT o_custkey, l_partkey
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-  QUALIFY count(*) OVER (PARTITION BY o_custkey) <= {MAX_BASKET_ITEMS}
-), co AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-         CAST(count(*) AS BIGINT) AS n_both
-  FROM bought a JOIN bought b
-    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= 2
-), pop AS (
-  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM bought GROUP BY 1
-), scored AS (
-  SELECT part_a, part_b, n_both,
-         {o_fround("n_both / sqrt(pa.n * CAST(pb.n AS DOUBLE))", 6)} AS cosine
-  FROM co
-  JOIN pop pa ON pa.l_partkey = part_a
-  JOIN pop pb ON pb.l_partkey = part_b
-), ranked AS (
-  SELECT part_a, part_b, n_both, cosine,
-         row_number() OVER (PARTITION BY part_a ORDER BY cosine DESC, n_both DESC, part_b ASC) AS rnk
-  FROM scored
-)
-SELECT part_a, part_b, n_both, cosine, CAST(rnk AS INTEGER) AS rnk
-FROM ranked WHERE rnk <= 5
-"""
-
-QUERIES["item_cosine"] = q_item_cosine
-ORACLES["item_cosine"] = O_ITEM_COSINE
-
-
-def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation between quantity and price per return
-    flag — the monotonic-association check that Pearson (stats_aggs)
-    misses on non-linear relationships. Ties get average ranks (the
-    standard fractional-rank treatment), then Pearson-on-ranks.
-
-    Engine-exactness: average ranks are exact rationals computed from
-    integer window counts; the rank co-moments fold in decimal so the
-    final correlation is engine-identical before rounding.
-
-    Plan (100 TB): rank windows partition by the GROUP key — at scale
-    swap ntile-free exact ranks for approx-quantile bucketed ranks if
-    a single group's frame outgrows a task.
-    """
-    t = tables(spark, sf_dir, "lineitem")
-    li = t["lineitem"].select("l_returnflag", "l_quantity", "l_extendedprice")
-    # fractional (average) rank: rank() + (cnt_ties - 1) / 2
-    def frank(col: str) -> "F.Column":
-        w = Window.partitionBy("l_returnflag").orderBy(col)
-        wt = Window.partitionBy("l_returnflag", col)
-        return F.rank().over(w) + (F.count("*").over(wt) - 1) / 2
-
-    ranked = li.select(
-        "l_returnflag",
-        frank("l_quantity").cast(DEC).alias("rq"),
-        frank("l_extendedprice").cast(DEC).alias("rp"),
-    )
-    agg = ranked.groupBy("l_returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("rq").cast("double").alias("sq"),
-        F.sum("rp").cast("double").alias("sp"),
-        F.sum(F.col("rq") * F.col("rp")).cast("double").alias("sqp"),
-        F.sum(F.col("rq") * F.col("rq")).cast("double").alias("sqq"),
-        F.sum(F.col("rp") * F.col("rp")).cast("double").alias("spp"),
-    )
-    num = F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")
-    den = F.sqrt(
-        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
-        * (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
-    )
-    return agg.select(
-        "l_returnflag", "n", fround(num / den, 6).alias("spearman")
-    )
-
-
-O_SPEARMAN_CORR = f"""
-WITH ranked AS (
-  SELECT l_returnflag,
-         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-              + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
-              AS DECIMAL(30,10)) AS rq,
-         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-              + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
-              AS DECIMAL(30,10)) AS rp
-  FROM lineitem
-), agg AS (
-  SELECT l_returnflag,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(rq) AS DOUBLE) AS sq,
-         CAST(sum(rp) AS DOUBLE) AS sp,
-         CAST(sum(rq * rp) AS DOUBLE) AS sqp,
-         CAST(sum(rq * rq) AS DOUBLE) AS sqq,
-         CAST(sum(rp * rp) AS DOUBLE) AS spp
-  FROM ranked GROUP BY 1
-)
-SELECT l_returnflag, n,
-       {o_fround("(n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))", 6)} AS spearman
-FROM agg
-"""
-
-QUERIES["spearman_corr"] = q_spearman_corr
-ORACLES["spearman_corr"] = O_SPEARMAN_CORR
-
-
-def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise vocabulary Jaccard between sources — the corpus-drift
-    complement to kl_drift: KL weighs shared words by usage, this
-    measures raw lexical overlap of the TYPE sets (template farms
-    share near-identical vocabularies; organic sources diverge).
-
-    Plan (100 TB): the (source, word) type set collapses map-side;
-    the pair intersection is a word-keyed self-join carrying only
-    (source, word-hash) — with S sources a word shared by all S
-    fans out O(S²) pairs, bounded by the SOURCE count (tens), never
-    by corpus size. Per-source type counts ride a broadcast.
-    """
-    t = tables(spark, sf_dir, "documents")
-    vocab = (
-        t["documents"]
-        .select(
-            "source",
-            F.explode(
-                F.filter(
-                    F.split(
-                        F.trim(
-                            F.regexp_replace(
-                                F.lower(F.col("text")), "[^a-z0-9]+", " "
-                            )
-                        ),
-                        " ",
-                    ),
-                    lambda w: w != "",
-                )
-            ).alias("w"),
-        )
-        .distinct()
-    )
-    sizes = vocab.groupBy("source").agg(F.count("*").cast("long").alias("nv"))
-    a = vocab.select(F.col("source").alias("src_a"), "w")
-    b = vocab.select(F.col("source").alias("src_b"), "w")
-    inter = (
-        a.join(b, "w")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
-    return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))),
-            "src_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))),
-            "src_b",
-        )
-        .select(
-            "src_a",
-            "src_b",
-            "n_common",
-            fround(
-                F.col("n_common")
-                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-O_VOCAB_OVERLAP = f"""
-WITH words AS (
-  SELECT source,
-         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
-  FROM documents
-), vocab AS (
-  SELECT DISTINCT source, w FROM words WHERE w <> ''
-), sizes AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS nv FROM vocab GROUP BY 1
-), inter AS (
-  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
-  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
-  GROUP BY 1, 2
-)
-SELECT src_a, src_b, n_common,
-       {o_fround("n_common / CAST(sa.nv + sb.nv - n_common AS DOUBLE)", 6)} AS jaccard
-FROM inter
-JOIN sizes sa ON sa.source = src_a
-JOIN sizes sb ON sb.source = src_b
-"""
-
-QUERIES["vocab_overlap"] = q_vocab_overlap
-ORACLES["vocab_overlap"] = O_VOCAB_OVERLAP
-
-
-# --------------------------------------------- period-over-period deltas
-
-def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue with month-over-month and year-over-year
-    percentage deltas on a GAP-FREE month spine — the standard BI
-    trend query done right: lag() over raw grouped months silently
-    compares across gaps, so the spine (sequence of all months between
-    min and max) is generated first and empty months land as 0
-    revenue; a delta against a 0 base is NULL, not infinity.
-
-    Plan (100 TB): the monthly rollup is one map-side-combined groupBy
-    (month cardinality is data-size-independent); the spine explodes
-    from a 1-row min/max agg; the trailing lag window orders the
-    ~tens-to-hundreds-of-months frame in ONE partition — bounded by
-    calendar span, not data volume, so the single-partition sort is
-    safe at any scale.
-    """
-    t = tables(spark, sf_dir, "orders")
-    monthly = (
-        t["orders"]
-        .groupBy(
-            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
-        )
-        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
-    )
-    spine = (
-        monthly.agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
-        .select(
-            F.explode(
-                F.sequence("lo", "hi", F.expr("interval 1 month"))
-            ).alias("month")
-        )
-    )
-    full = spine.join(monthly, "month", "left").select(
-        "month", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
-    )
-    w = Window.orderBy("month")
-    lagd = full.select(
-        "month",
-        "revenue",
-        F.lag("revenue", 1).over(w).alias("_p1"),
-        F.lag("revenue", 12).over(w).alias("_p12"),
-    )
-
-    def pct(base):
-        return F.when(
-            base.isNull() | (base == 0), F.lit(None).cast("double")
-        ).otherwise(fround((F.col("revenue") - base) / base * 100, 4))
-
-    return lagd.select(
-        "month",
-        "revenue",
-        pct(F.col("_p1")).alias("mom_pct"),
-        pct(F.col("_p12")).alias("yoy_pct"),
-    )
-
-
-O_PERIOD_OVER_PERIOD = f"""
-WITH monthly AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         {o_dsum("o_totalprice")} AS revenue
-  FROM orders GROUP BY 1
-), bounds AS (SELECT min(month) AS lo, max(month) AS hi FROM monthly),
-spine AS (
-  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month
-  FROM bounds
-), filled AS (
-  SELECT s.month, coalesce(m.revenue, 0.0) AS revenue
-  FROM spine s LEFT JOIN monthly m USING (month)
-), lagd AS (
-  SELECT month, revenue,
-         lag(revenue, 1) OVER (ORDER BY month) AS _p1,
-         lag(revenue, 12) OVER (ORDER BY month) AS _p12
-  FROM filled
-)
-SELECT month, revenue,
-       CASE WHEN _p1 IS NULL OR _p1 = 0 THEN NULL
-            ELSE {o_fround("(revenue - _p1) / _p1 * 100", 4)} END AS mom_pct,
-       CASE WHEN _p12 IS NULL OR _p12 = 0 THEN NULL
-            ELSE {o_fround("(revenue - _p12) / _p12 * 100", 4)} END AS yoy_pct
-FROM lagd
-"""
-
-QUERIES["period_over_period"] = q_period_over_period
-ORACLES["period_over_period"] = O_PERIOD_OVER_PERIOD
-
-
-# ------------------------------------------------- decile lift analysis
-
-def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return-rate lift by order-value decile: do expensive orders get
-    returned more? Orders bin into spend deciles via interpolated
-    percentile cutoffs; the outcome is "order contains at least one
-    returned line"; lift is decile return-rate over the global rate —
-    the standard model-lift / risk-segmentation readout.
-
-    Plan (100 TB): cutoffs come from ONE percentile aggregate (its
-    partial buffer is a value->count map, no global sort — unlike
-    ntile, which would single-partition the fact table); the 1-row
-    cutoff frame broadcasts into a CASE-chain binning expression.
-    Outcome flags collapse order-grain via a map-side-combined
-    groupBy on l_orderkey before joining orders. Rates divide exact
-    BIGINT counts; both engines compute identical cutoff doubles.
-    """
-    t = tables(spark, sf_dir, "orders", "lineitem")
-    # ONE percentile aggregate with an array of quantiles: nine
-    # separate F.percentile calls each build their own value->count
-    # buffer over the (nearly unique) price column — measured 9x the
-    # aggregation work for identical cutoffs
-    cuts = t["orders"].agg(
-        F.percentile(
-            "o_totalprice", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])
-        ).alias("cs")
-    ).select(*[F.col("cs")[q - 1].alias(f"c{q}") for q in range(1, 10)])
-    returned = (
-        t["lineitem"]
-        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(
-            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
-                "ret"
-            )
-        )
-    )
-    dec = F.lit(1)
-    for q in range(1, 10):
-        dec = dec + F.when(F.col("o_totalprice") > F.col(f"c{q}"), 1).otherwise(0)
-    binned = (
-        t["orders"]
-        .join(returned, "o_orderkey", "left")
-        .na.fill({"ret": 0})
-        .crossJoin(F.broadcast(cuts))
-        .select(dec.cast("long").alias("decile"), "ret")
-    )
-    per = binned.groupBy("decile").agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum("ret").cast("long").alias("n_returned"),
-    )
-    tot = per.agg(
-        F.sum("n_orders").alias("tn"), F.sum("n_returned").alias("tr")
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
-        "decile",
-        "n_orders",
-        "n_returned",
-        fround(F.col("n_returned") / F.col("n_orders"), 6).alias("return_rate"),
-        fround(
-            (F.col("n_returned") / F.col("n_orders"))
-            / (F.col("tr") / F.col("tn")),
-            4,
-        ).alias("lift"),
-    )
-
-
-_O_CUTS = ", ".join(
-    f"quantile_cont(o_totalprice, {q / 10.0}) AS c{q}" for q in range(1, 10)
-)
-_O_DEC = "1 + " + " + ".join(
-    f"(CASE WHEN o_totalprice > c{q} THEN 1 ELSE 0 END)" for q in range(1, 10)
-)
-
-O_DECILE_LIFT = f"""
-WITH cuts AS (
-  SELECT {_O_CUTS} FROM orders
-), returned AS (
-  SELECT l_orderkey AS o_orderkey,
-         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
-  FROM lineitem GROUP BY 1
-), binned AS (
-  SELECT CAST({_O_DEC} AS BIGINT) AS decile, coalesce(ret, 0) AS ret
-  FROM orders LEFT JOIN returned USING (o_orderkey) CROSS JOIN cuts
-), per AS (
-  SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
-         CAST(sum(ret) AS BIGINT) AS n_returned
-  FROM binned GROUP BY 1
-), tot AS (
-  SELECT sum(n_orders) AS tn, sum(n_returned) AS tr FROM per
-)
-SELECT decile, n_orders, n_returned,
-       {o_fround("CAST(n_returned AS DOUBLE) / n_orders", 6)} AS return_rate,
-       {o_fround("(CAST(n_returned AS DOUBLE) / n_orders) / (CAST(tr AS DOUBLE) / tn)", 4)} AS lift
-FROM per CROSS JOIN tot
-"""
-
-QUERIES["decile_lift"] = q_decile_lift
-ORACLES["decile_lift"] = O_DECILE_LIFT
-
-
-# ------------------------------------------------- byte-level corpus audit
-
-def q_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source byte/character profile: UTF-8 bytes-per-char and the
-    non-ASCII character fraction — the cheap scan that tells you which
-    sources are multibyte-heavy (CJK, emoji, mojibake) before sizing
-    tokenizer throughput or storage. A source whose bytes_per_char
-    jumps round-over-round usually changed encoding upstream.
-
-    Plan (100 TB): entirely row-local expressions (octet_length,
-    char length, ASCII-strip regexp) folded by one map-side-combined
-    groupBy on source. Integer sums are exact BIGINTs; ratios divide
-    them in identical double math.
-    """
-    t = tables(spark, sf_dir, "documents")
-    nonascii = F.length(F.regexp_replace(F.col("text"), "[\\x00-\\x7F]", ""))
-    return (
-        t["documents"]
-        .select(
-            "source",
-            F.octet_length("text").alias("nb"),
-            F.length("text").alias("nc"),
-            nonascii.alias("na"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("nc").cast("long").alias("total_chars"),
-            F.sum("nb").cast("long").alias("total_bytes"),
-            fround(F.sum("nb") / F.sum("nc"), 4).alias("bytes_per_char"),
-            fround(F.sum("na") / F.sum("nc"), 6).alias("nonascii_char_frac"),
-        )
-    )
-
-
-O_BYTE_STATS = f"""
-WITH per AS (
-  SELECT source,
-         strlen(text) AS nb,
-         length(text) AS nc,
-         length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS na
-  FROM documents
-)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(nc) AS BIGINT) AS total_chars,
-       CAST(sum(nb) AS BIGINT) AS total_bytes,
-       {o_fround("CAST(sum(nb) AS DOUBLE) / sum(nc)", 4)} AS bytes_per_char,
-       {o_fround("CAST(sum(na) AS DOUBLE) / sum(nc)", 6)} AS nonascii_char_frac
-FROM per
-GROUP BY source
-"""
-
-QUERIES["byte_stats"] = q_byte_stats
-ORACLES["byte_stats"] = O_BYTE_STATS
-
-
-# ------------------------------------------------- shipping latency SLA
-
-def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-to-ship latency percentiles (p50/p90/p99 days) per order
-    priority — the SLA view of the fulfillment pipeline, and the query
-    shape every latency dashboard runs (grouped tail percentiles over
-    a fact-fact join).
-
-    Plan (100 TB): lineitem joins orders on the orderkey — both sides
-    shuffle-partition on the same key (co-located if the tables are
-    bucketed by orderkey at write time, exchange-free then). The
-    percentile aggregate's partial state is a value->count map over
-    DISTINCT day-latencies (small ints), so map-side combine keeps the
-    shuffle tiny; no global sort anywhere.
-    """
-    t = tables(spark, sf_dir, "orders", "lineitem")
-    lat = t["lineitem"].join(
-        t["orders"].select(
-            F.col("o_orderkey").alias("l_orderkey"),
-            "o_orderdate",
-            "o_orderpriority",
-        ),
-        "l_orderkey",
-    ).select(
-        "o_orderpriority",
-        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
-            "days"
-        ),
-    )
-    return lat.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("n_lines"),
-        fround(F.percentile("days", 0.5), 4).alias("p50_days"),
-        fround(F.percentile("days", 0.9), 4).alias("p90_days"),
-        fround(F.percentile("days", 0.99), 4).alias("p99_days"),
-    )
-
-
-O_SHIP_LATENCY = f"""
-WITH lat AS (
-  SELECT o_orderpriority,
-         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS days
-  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-)
-SELECT o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       {o_fround("quantile_cont(days, 0.5)", 4)} AS p50_days,
-       {o_fround("quantile_cont(days, 0.9)", 4)} AS p90_days,
-       {o_fround("quantile_cont(days, 0.99)", 4)} AS p99_days
-FROM lat
-GROUP BY o_orderpriority
-"""
-
-QUERIES["ship_latency"] = q_ship_latency
-ORACLES["ship_latency"] = O_SHIP_LATENCY
-
-
-# ------------------------------------------------------ cohort LTV
-
-def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curves: customers grouped by first-order
-    month, per (cohort_month, month_offset) revenue and the running
-    cumulative revenue along each cohort's life — the revenue twin of
-    [cohort_retention]'s user-count matrix.
-
-    Plan: one groupBy finds each customer's cohort month (partial agg,
-    min combines map-side); the fact-side join shuffles on o_custkey
-    once; the matrix aggregation is a second combiner-friendly groupBy.
-    The cumulative window partitions by cohort_month over the ALREADY
-    AGGREGATED matrix — partition size is bounded by the month span of
-    the data (offsets), never by row count. Month arithmetic uses
-    year*12+month deltas so both engines compute identical integers;
-    revenue accumulates in DECIMAL (dsum) and the cumulative sum runs
-    over those already-rounded 2-dp values in DECIMAL again, so the
-    window's left-to-right order is the same exact sum in both engines.
-    """
-    t = tables(spark, sf_dir, "orders")
-    o = t["orders"].select(
-        "o_custkey",
-        F.trunc("o_orderdate", "month").alias("month"),
-        "o_totalprice",
-    )
-    cohort = o.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
-    months = (F.year("month") - F.year("cohort_month")) * 12 + (
-        F.month("month") - F.month("cohort_month")
-    )
-    mat = (
-        o.join(cohort, "o_custkey")
-        .groupBy("cohort_month", months.cast("long").alias("month_offset"))
-        .agg(
-            F.countDistinct("o_custkey").cast("long").alias("n_active"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
-        )
-    )
-    w = (
-        Window.partitionBy("cohort_month")
-        .orderBy("month_offset")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return mat.withColumn(
-        "cum_revenue",
-        fround(F.sum(F.col("revenue").cast(DEC)).over(w).cast("double"), 2),
-    ).orderBy("cohort_month", "month_offset")
-
-
-O_COHORT_LTV = f"""
-WITH o AS (
-  SELECT o_custkey, date_trunc('month', o_orderdate) AS month, o_totalprice FROM orders
-),
-cohort AS (SELECT o_custkey, min(month) AS cohort_month FROM o GROUP BY 1),
-mat AS (
-  SELECT cohort_month,
-         CAST((year(month) - year(cohort_month)) * 12
-              + (month(month) - month(cohort_month)) AS BIGINT) AS month_offset,
-         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
-         {o_dsum("o_totalprice")} AS revenue
-  FROM o JOIN cohort USING (o_custkey)
-  GROUP BY 1, 2
-)
-SELECT cohort_month, month_offset, n_active, revenue,
-       {o_fround('''CAST(sum(CAST(revenue AS DECIMAL(30,10)))
-              OVER (PARTITION BY cohort_month ORDER BY month_offset) AS DOUBLE)''', 2)} AS cum_revenue
-FROM mat ORDER BY cohort_month, month_offset
-"""
-
-QUERIES["cohort_ltv"] = q_cohort_ltv
-ORACLES["cohort_ltv"] = O_COHORT_LTV
-
-
-# ------------------------------------------------ time-decayed trends
-
-def q_decayed_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially time-decayed activity per event type (half-life
-    7 days, anchored at the corpus max date): the trending score that
-    weights today's events at 1 and last month's at ~0.05, plus each
-    type's share of the total decayed mass — recency-weighted ranking
-    without a cutoff cliff.
-
-    Plan: the anchor date is a 1-row scalar frame (broadcast cross
-    join, no driver action). groupBy(event_type, age_days) collapses
-    the fact table FIRST — map-side combine, and the frame it emits is
-    bounded by |types| x |days|, data-size-independent — so pow() runs
-    once per (type, day) cell, not per event, and both engines call it
-    on identical doubles from identical integer ages. Decayed sums then
-    accumulate in DECIMAL over that tiny frame; the share denominator
-    is a second 1-row broadcast. Rounding at 4 dp sits ~12 orders of
-    magnitude above any last-ulp libm pow() divergence.
-    """
-    t = tables(spark, sf_dir, "events")
-    ev = t["events"].select(F.to_date("ts").alias("day"), "event_type")
-    anchor = ev.agg(F.max("day").alias("d0"))
-    cells = (
-        ev.crossJoin(F.broadcast(anchor))
-        .groupBy("event_type", F.datediff("d0", "day").cast("long").alias("age"))
-        .agg(F.count("*").cast("double").alias("n"))
-    )
-    wgt = F.pow(F.lit(0.5), F.col("age").cast("double") / 7.0)
-    per_type = cells.groupBy("event_type").agg(
-        F.sum(F.col("n").cast("long")).alias("n_events"),
-        F.sum((F.col("n") * wgt).cast(DEC)).alias("dec_mass"),
-    )
-    total = per_type.agg(F.sum("dec_mass").alias("tot"))
-    return (
-        per_type.crossJoin(F.broadcast(total))
-        .select(
-            "event_type",
-            "n_events",
-            fround(F.col("dec_mass").cast("double"), 4).alias("decayed_count"),
-            fround((F.col("dec_mass") / F.col("tot")).cast("double"), 6).alias("share"),
-        )
-        .orderBy("event_type")
-    )
-
-
-O_DECAYED_TRENDS = f"""
-WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
-anchor AS (SELECT max(day) AS d0 FROM ev),
-cells AS (
-  SELECT event_type, CAST(datediff('day', day, d0) AS BIGINT) AS age,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM ev CROSS JOIN anchor GROUP BY 1, 2
-),
-per_type AS (
-  SELECT event_type, CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_events,
-         sum(CAST(n * pow(0.5, CAST(age AS DOUBLE) / 7.0) AS DECIMAL(30,10))) AS dec_mass
-  FROM cells GROUP BY 1
-)
-SELECT event_type, n_events,
-       {o_fround("CAST(dec_mass AS DOUBLE)", 4)} AS decayed_count,
-       {o_fround("CAST(dec_mass / (SELECT sum(dec_mass) FROM per_type) AS DOUBLE)", 6)} AS share
-FROM per_type ORDER BY 1
-"""
-
-QUERIES["decayed_trends"] = q_decayed_trends
-ORACLES["decayed_trends"] = O_DECAYED_TRENDS
-
-
-# ------------------------------------------ frequent 3-itemsets
-
-def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most co-purchased part TRIPLES — the size-3 extension of
-    [copurchase_pairs], with the Apriori pruning that makes itemset
-    mining survive scale: an item that appears in fewer than
-    ``min_item_support`` baskets cannot be in any frequent triple, so
-    the semi-join prefilter shrinks every basket BEFORE the O(k^3)
-    per-basket enumeration.
-
-    Plan: distinct (order, part) first (partial-agg dedup); item
-    supports are one combiner-friendly groupBy; the prefilter is a
-    semi join on part id (ids-only shuffle — at 100 TB the frequent-
-    item set is still per-part-bounded, NOT broadcast, per the r5
-    broadcast-side advice). The triple enumeration self-joins the
-    filtered baskets twice on the order key with a < b < c, so each
-    basket of size k emits C(k,3) rows and nothing is corpus-
-    quadratic; the count groupBy partial-aggregates and a
-    deterministic (n desc, a, b, c) top-20 closes it. Whale baskets
-    above :data:`MAX_BASKET_ITEMS` are dropped before the C(k,3)
-    enumeration (cap applied AFTER the Apriori prefilter, so a basket
-    is judged on its frequent-item size).
-    """
-    t = tables(spark, sf_dir, "lineitem")
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    freq = (
-        items.groupBy("l_partkey")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 3)
-        .select("l_partkey")
-    )
-    fitems = _cap_baskets(items.join(freq, "l_partkey", "semi"), "l_orderkey")
-    a = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    c = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pc"))
-    triples = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .join(c, "ok")
-        .filter(F.col("pb") < F.col("pc"))
-    )
-    return (
-        triples.groupBy("pa", "pb", "pc")
-        .agg(F.count("*").cast("long").alias("n_orders"))
-        .orderBy(F.desc("n_orders"), "pa", "pb", "pc")
-        .limit(20)
-        .select(
-            F.col("pa").alias("part_a"),
-            F.col("pb").alias("part_b"),
-            F.col("pc").alias("part_c"),
-            "n_orders",
-        )
-    )
-
-
-O_COPURCHASE_TRIPLES = f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-freq AS (
-  SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 3
-),
-f AS (
-  -- mirror MAX_BASKET_ITEMS: Spark caps AFTER the frequent-item semi join
-  SELECT l_orderkey, l_partkey
-  FROM items WHERE l_partkey IN (SELECT l_partkey FROM freq)
-  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET_ITEMS}
-)
-SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
-       CAST(count(*) AS BIGINT) AS n_orders
-FROM f a
-JOIN f b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-JOIN f c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
-GROUP BY 1, 2, 3
-ORDER BY n_orders DESC, part_a, part_b, part_c
-LIMIT 20
-"""
-
-QUERIES["copurchase_triples"] = q_copurchase_triples
-ORACLES["copurchase_triples"] = O_COPURCHASE_TRIPLES
-
-
-def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed association rules A -> B over order baskets with the
-    full Agrawal-Srikant metric set: support, confidence, lift, and
-    conviction — the step after [q_copurchase_pairs]'s undirected
-    counts that a recommender or store-layout pipeline actually
-    consumes. Top-50 rules by confidence.
-
-    Exactness: every metric is a single division of exact integer
-    products (n_both*N / n_a*n_b etc.), so both engines produce the
-    identical IEEE double before the portable rounding; conviction is
-    NULL when confidence = 1 (division by zero) in both.
-
-    Plan (100 TB): ordered-pair fan-out is O(k²) per basket, never
-    corpus-quadratic; min-support (>= 2, matching the co-purchase graph) HAVING prunes the pair tail before
-    the metric joins; per-part support frames stream on the part key
-    (|parts|-sized — NOT broadcast); the 1-row basket total cross-
-    joins broadcast. Whale baskets above :data:`MAX_BASKET_ITEMS`
-    are dropped before the fan-out."""
-    t = tables(spark, sf_dir, "lineitem")
-    items = _cap_baskets(
-        t["lineitem"].select("l_orderkey", "l_partkey").distinct(), "l_orderkey"
-    )
-    a, b = items.alias("a"), items.alias("b")
-    co = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("antecedent"),
-            F.col("b.l_partkey").alias("consequent"),
-        )
-        .agg(F.count("*").cast("long").alias("n_both"))
-        .filter(F.col("n_both") >= 2)
-    )
-    support = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_part"))
-    total = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
-    scored = (
-        co.join(support.select(F.col("l_partkey").alias("antecedent"), F.col("n_part").alias("n_ante")), "antecedent")
-        .join(support.select(F.col("l_partkey").alias("consequent"), F.col("n_part").alias("n_cons")), "consequent")
-        .crossJoin(F.broadcast(total))
-    )
-    conf = F.col("n_both") / F.col("n_ante")
-    return (
-        scored.select(
-            "antecedent",
-            "consequent",
-            "n_both",
-            "n_ante",
-            "n_cons",
-            fround(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
-            fround(conf, 6).alias("confidence"),
-            fround(
-                (F.col("n_both") * F.col("n_orders"))
-                / (F.col("n_ante") * F.col("n_cons")).cast("double"),
-                6,
-            ).alias("lift"),
-            F.when(
-                F.col("n_both") < F.col("n_ante"),
-                fround(
-                    ((F.col("n_orders") - F.col("n_cons")) * F.col("n_ante"))
-                    / (F.col("n_orders") * (F.col("n_ante") - F.col("n_both"))).cast("double"),
-                    6,
-                ),
-            ).alias("conviction"),
-        )
-        .orderBy(F.desc("confidence"), F.desc("lift"), "antecedent", "consequent")
-        .limit(50)
-    )
-
-
-O_ASSOC_RULES = f"""
-WITH items AS (
-  -- mirror MAX_BASKET_ITEMS: Spark drops whale baskets before the fan-out
-  SELECT l_orderkey, l_partkey FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= {MAX_BASKET_ITEMS}
-),
-co AS (
-  SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
-         CAST(count(*) AS BIGINT) AS n_both
-  FROM items a JOIN items b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= 2
-),
-support AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM items GROUP BY 1),
-total AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)
-SELECT antecedent, consequent, n_both,
-       sa.n_part AS n_ante, sc.n_part AS n_cons,
-       {o_fround("n_both / CAST(n_orders AS DOUBLE)", 6)} AS support,
-       {o_fround("n_both / CAST(sa.n_part AS DOUBLE)", 6)} AS confidence,
-       {o_fround("(n_both * n_orders) / CAST(sa.n_part * sc.n_part AS DOUBLE)", 6)} AS lift,
-       CASE WHEN n_both < sa.n_part THEN
-         {o_fround("((n_orders - sc.n_part) * sa.n_part) / CAST(n_orders * (sa.n_part - n_both) AS DOUBLE)", 6)}
-       END AS conviction
-FROM co
-JOIN support sa ON sa.l_partkey = antecedent
-JOIN support sc ON sc.l_partkey = consequent
-CROSS JOIN total
-ORDER BY confidence DESC, lift DESC, antecedent, consequent
-LIMIT 50
-"""
-
-QUERIES["assoc_rules"] = q_assoc_rules
-ORACLES["assoc_rules"] = O_ASSOC_RULES
-
-
-def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weight-of-Evidence encoding + Information Value of the
-    customer-nation feature against the order-returned outcome — the
-    credit-scoring feature transform (WOE = ln(p_event/p_nonevent)
-    per category, IV = sum (p_e - p_ne) * WOE) that turns a
-    categorical into a monotone risk score; IV bands gate feature
-    selection (<0.02 useless, >0.3 strong).
-
-    Laplace +1 smoothing on both counts keeps empty cells finite in
-    both engines; ln() on identical doubles is libm-portable.
-
-    Plan (100 TB): outcome collapses to order grain map-side, ONE
-    groupBy to |nations| cells, two broadcast scalar totals — no
-    sort, no self-join."""
-    t = tables(spark, sf_dir, "orders", "lineitem", "customer")
-    returned = (
-        t["lineitem"]
-        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret"))
-    )
-    base = (
-        t["orders"]
-        .join(returned, "o_orderkey", "left")
-        .na.fill({"ret": 0})
-        .join(
-            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
-            "o_custkey",
-        )
-    )
-    cells = base.groupBy("c_nationkey").agg(
-        F.sum("ret").cast("long").alias("n_event"),
-        F.sum(1 - F.col("ret")).cast("long").alias("n_nonevent"),
-    )
-    tot = cells.agg(
-        F.sum("n_event").cast("long").alias("t_e"),
-        F.sum("n_nonevent").cast("long").alias("t_ne"),
-        F.count("*").cast("long").alias("n_cats"),
-    )
-    p_e = (F.col("n_event") + 1) / (F.col("t_e") + F.col("n_cats"))
-    p_ne = (F.col("n_nonevent") + 1) / (F.col("t_ne") + F.col("n_cats"))
-    woe = F.log(p_e / p_ne)
-    scored = cells.crossJoin(F.broadcast(tot)).select(
-        "c_nationkey",
-        "n_event",
-        "n_nonevent",
-        fround(woe, 6).alias("woe"),
-        ((p_e - p_ne) * woe).alias("iv_term"),
-    )
-    iv = scored.agg(
-        fround(F.sum(F.col("iv_term").cast(DEC)).cast("double"), 6).alias("iv")
-    )
-    return (
-        scored.crossJoin(F.broadcast(iv))
-        .select("c_nationkey", "n_event", "n_nonevent", "woe", "iv")
-        .orderBy("c_nationkey")
-    )
-
-
-O_WOE_IV = f"""
-WITH returned AS (
-  SELECT l_orderkey AS o_orderkey,
-         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
-  FROM lineitem GROUP BY 1
-),
-base AS (
-  SELECT c_nationkey, coalesce(ret, 0) AS ret
-  FROM orders
-  LEFT JOIN returned USING (o_orderkey)
-  JOIN customer ON c_custkey = o_custkey
-),
-cells AS (
-  SELECT c_nationkey,
-         CAST(sum(ret) AS BIGINT) AS n_event,
-         CAST(sum(1 - ret) AS BIGINT) AS n_nonevent
-  FROM base GROUP BY 1
-),
-tot AS (
-  SELECT CAST(sum(n_event) AS BIGINT) AS t_e,
-         CAST(sum(n_nonevent) AS BIGINT) AS t_ne,
-         CAST(count(*) AS BIGINT) AS n_cats
-  FROM cells
-),
-scored AS (
-  SELECT c_nationkey, n_event, n_nonevent,
-         {o_fround("ln(((n_event + 1) / CAST(t_e + n_cats AS DOUBLE)) / ((n_nonevent + 1) / CAST(t_ne + n_cats AS DOUBLE)))", 6)} AS woe,
-         (((n_event + 1) / CAST(t_e + n_cats AS DOUBLE)) - ((n_nonevent + 1) / CAST(t_ne + n_cats AS DOUBLE)))
-           * ln(((n_event + 1) / CAST(t_e + n_cats AS DOUBLE)) / ((n_nonevent + 1) / CAST(t_ne + n_cats AS DOUBLE))) AS iv_term
-  FROM cells CROSS JOIN tot
-),
-iv AS (SELECT {o_fround("CAST(sum(CAST(iv_term AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS iv FROM scored)
-SELECT c_nationkey, n_event, n_nonevent, woe, iv
-FROM scored CROSS JOIN iv
-ORDER BY c_nationkey
-"""
-
-QUERIES["woe_iv"] = q_woe_iv
-ORACLES["woe_iv"] = O_WOE_IV
-
-
-def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-of-week seasonality strength per event type: the fraction
-    of daily-count variance explained by the day-of-week means
-    (between-group SS over total SS — one-way ANOVA R²) — the single
-    number that says whether a weekly seasonal model is worth
-    fitting ([q_seasonal_decompose] then extracts it).
-
-    Exactness: daily counts are integers; all sums of squares
-    accumulate in DECIMAL from integer products, so both engines get
-    identical doubles before the one division. Day-of-week is the
-    portable datediff-mod-7 form.
-
-    Plan (100 TB): events collapse to the (type, day) count frame
-    FIRST (partial-aggregable); everything after rides |types| x
-    |days| rows."""
-    t = tables(spark, sf_dir, "events")
-    daily = (
-        t["events"]
-        .groupBy(
-            "event_type",
-            F.to_date("ts").alias("d"),
-        )
-        .agg(F.count("*").cast("long").alias("n"))
-        .withColumn(
-            "dow",
-            F.pmod(F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)).cast("int"),
-        )
-    )
-    per_dow = daily.groupBy("event_type", "dow").agg(
-        F.count("*").cast("long").alias("k"),
-        F.sum(F.col("n").cast(DEC)).cast("double").alias("s"),
-        F.sum((F.col("n") * F.col("n")).cast(DEC)).cast("double").alias("ss"),
-    )
-    per_type = per_dow.groupBy("event_type").agg(
-        F.sum("k").cast("long").alias("n_days"),
-        F.sum(F.col("s").cast(DEC)).cast("double").alias("st"),
-        F.sum(F.col("ss").cast(DEC)).cast("double").alias("sst"),
-        F.sum((F.col("s") * F.col("s") / F.col("k")).cast(DEC)).cast("double").alias("sb_raw"),
-    )
-    ss_total = F.col("sst") - F.col("st") * F.col("st") / F.col("n_days")
-    ss_between = F.col("sb_raw") - F.col("st") * F.col("st") / F.col("n_days")
-    return per_type.select(
-        "event_type",
-        "n_days",
-        fround(ss_between / ss_total, 6).alias("seasonality_r2"),
-    ).orderBy("event_type")
-
-
-O_SEASONALITY_STRENGTH = f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-),
-dowd AS (
-  SELECT event_type, n,
-         CAST((datediff('day', DATE '1970-01-05', d) % 7 + 7) % 7 AS INTEGER) AS dow
-  FROM daily
-),
-per_dow AS (
-  SELECT event_type, dow,
-         CAST(count(*) AS BIGINT) AS k,
-         CAST(sum(CAST(n AS DECIMAL(30,10))) AS DOUBLE) AS s,
-         CAST(sum(CAST(n * n AS DECIMAL(30,10))) AS DOUBLE) AS ss
-  FROM dowd GROUP BY 1, 2
-),
-per_type AS (
-  SELECT event_type,
-         CAST(sum(k) AS BIGINT) AS n_days,
-         CAST(sum(CAST(s AS DECIMAL(30,10))) AS DOUBLE) AS st,
-         CAST(sum(CAST(ss AS DECIMAL(30,10))) AS DOUBLE) AS sst,
-         CAST(sum(CAST(s * s / k AS DECIMAL(30,10))) AS DOUBLE) AS sb_raw
-  FROM per_dow GROUP BY 1
-)
-SELECT event_type, n_days,
-       {o_fround("(sb_raw - st * st / n_days) / (sst - st * st / n_days)", 6)} AS seasonality_r2
-FROM per_type ORDER BY event_type
-"""
-
-QUERIES["seasonality_strength"] = q_seasonality_strength
-ORACLES["seasonality_strength"] = O_SEASONALITY_STRENGTH
-
-
-def q_repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repeat-purchase cadence per market segment: day gaps between a
-    customer's consecutive orders, summarized as count / mean /
-    median / p90 — the reorder-cycle table that calibrates churn
-    windows and replenishment nudges.
-
-    Exactness: gaps are integer days from a per-customer lag window
-    ((date, orderkey) order); mean divides a DECIMAL sum; the
-    percentiles use the interpolated-percentile pair proven
-    hash-portable by key_skew_audit (F.percentile == quantile_cont
-    on integer inputs).
-
-    Plan (100 TB): one shuffle on o_custkey for the lag window, one
-    |segments|-row aggregate; percentile partials ride the distinct
-    gap-value counts, never a global sort."""
-    t = tables(spark, sf_dir, "orders", "customer")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    gaps = (
-        t["orders"]
-        .select("o_custkey", "o_orderdate", "o_orderkey")
-        .withColumn(
-            "gap_days",
-            F.datediff(
-                F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
-            ),
-        )
-        .filter(F.col("gap_days").isNotNull())
-        .join(
-            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
-            "o_custkey",
-        )
-    )
-    return (
-        gaps.groupBy("c_mktsegment")
-        .agg(
-            F.count("*").cast("long").alias("n_gaps"),
-            fround(
-                F.sum(F.col("gap_days").cast(DEC)).cast("double") / F.count("*"), 4
-            ).alias("avg_gap_days"),
-            fround(F.percentile("gap_days", 0.5), 4).alias("median_gap_days"),
-            fround(F.percentile("gap_days", 0.9), 4).alias("p90_gap_days"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-O_REPEAT_PURCHASE_GAPS = f"""
-WITH gaps AS (
-  SELECT o_custkey,
-         datediff('day',
-                  CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
-                  CAST(o_orderdate AS DATE)) AS gap_days
-  FROM orders
-),
-j AS (
-  SELECT c_mktsegment, gap_days
-  FROM gaps JOIN customer ON c_custkey = o_custkey
-  WHERE gap_days IS NOT NULL
-)
-SELECT c_mktsegment,
-       CAST(count(*) AS BIGINT) AS n_gaps,
-       {o_fround("CAST(sum(CAST(gap_days AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_gap_days,
-       {o_fround("quantile_cont(gap_days, 0.5)", 4)} AS median_gap_days,
-       {o_fround("quantile_cont(gap_days, 0.9)", 4)} AS p90_gap_days
-FROM j GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["repeat_purchase_gaps"] = q_repeat_purchase_gaps
-ORACLES["repeat_purchase_gaps"] = O_REPEAT_PURCHASE_GAPS
-
-
-def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brand revenue-share movers between the first and second halves
-    of the order-date range: share in each half (decimal-exact
-    revenue sums) and the top-15 absolute shifts — the 'what changed'
-    BI readout next to [q_period_over_period]'s absolute deltas.
-
-    Plan (100 TB): one 1-row midpoint broadcast, one conditional-
-    aggregate scan to |brands| cells, two broadcast half-totals; the
-    top-15 is a TakeOrdered with full tiebreaks. BOTH engines rank on
-    the 6-dp-ROUNDED shift (the oracle's ORDER BY wraps the same
-    portable rounding), so the rank-15/16 cut can't diverge when two
-    raw shifts round to the same value."""
-    t = tables(spark, sf_dir, "lineitem", "orders", "part")
-    rng = t["orders"].agg(
-        ((F.min(F.unix_micros("o_orderdate")) + F.max(F.unix_micros("o_orderdate"))) / 2)
-        .cast("long")
-        .alias("mid_us")
-    )
-    li = (
-        t["lineitem"]
-        .join(
-            t["orders"].select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(
-            t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
-            "l_partkey",
-        )
-        .crossJoin(F.broadcast(rng))
-    )
-    in_a = F.unix_micros("o_orderdate") < F.col("mid_us")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    cells = li.groupBy("p_brand").agg(
-        F.sum(F.when(in_a, rev).otherwise(F.lit(None)).cast(DEC)).cast("double").alias("rev_a"),
-        F.sum(F.when(~in_a, rev).otherwise(F.lit(None)).cast(DEC)).cast("double").alias("rev_b"),
-    ).na.fill({"rev_a": 0.0, "rev_b": 0.0})
-    tot = cells.agg(
-        F.sum(F.col("rev_a").cast(DEC)).cast("double").alias("t_a"),
-        F.sum(F.col("rev_b").cast(DEC)).cast("double").alias("t_b"),
-    )
-    shared = cells.crossJoin(F.broadcast(tot)).select(
-        "p_brand",
-        fround(F.col("rev_a") / F.col("t_a"), 6).alias("share_a"),
-        fround(F.col("rev_b") / F.col("t_b"), 6).alias("share_b"),
-        fround(F.col("rev_b") / F.col("t_b") - F.col("rev_a") / F.col("t_a"), 6).alias("share_shift"),
-    )
-    return shared.orderBy(
-        F.desc(F.abs(F.col("share_shift"))), "p_brand"
-    ).limit(15)
-
-
-O_BRAND_SHARE_SHIFT = f"""
-WITH rng AS (
-  SELECT CAST(floor((min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) / 2) AS BIGINT) AS mid_us
-  FROM orders
-),
-cells AS (
-  SELECT p_brand,
-         coalesce(CAST(sum(CASE WHEN epoch_us(o_orderdate) < mid_us
-                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) END) AS DOUBLE), 0.0) AS rev_a,
-         coalesce(CAST(sum(CASE WHEN epoch_us(o_orderdate) >= mid_us
-                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) END) AS DOUBLE), 0.0) AS rev_b
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN part ON p_partkey = l_partkey
-  CROSS JOIN rng
-  GROUP BY 1
-),
-tot AS (
-  SELECT CAST(sum(CAST(rev_a AS DECIMAL(30,10))) AS DOUBLE) AS t_a,
-         CAST(sum(CAST(rev_b AS DECIMAL(30,10))) AS DOUBLE) AS t_b
-  FROM cells
-)
-SELECT p_brand,
-       {o_fround("rev_a / t_a", 6)} AS share_a,
-       {o_fround("rev_b / t_b", 6)} AS share_b,
-       {o_fround("rev_b / t_b - rev_a / t_a", 6)} AS share_shift
-FROM cells CROSS JOIN tot
-ORDER BY abs({o_fround("rev_b / t_b - rev_a / t_a", 6)}) DESC, p_brand
-LIMIT 15
-"""
-
-QUERIES["brand_share_shift"] = q_brand_share_shift
-ORACLES["brand_share_shift"] = O_BRAND_SHARE_SHIFT
-
-
-def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier revenue concentration per nation: the Herfindahl-
-    Hirschman index (sum of squared revenue shares, x10000 as
-    antitrust convention) plus supplier count and top-supplier share
-    — the supply-risk screen ([q_gini_concentration] is the customer-
-    side sibling with a different inequality metric).
-
-    Exactness: per-supplier revenue folds in DECIMAL; shares and the
-    squared-share sum reuse the decimal-fold; HHI bands are integer
-    thresholds on the rounded value.
-
-    Plan (100 TB): one (nation, supplier) partial agg, one
-    |nations|-row reduce — the squared-share sum needs the nation
-    total first, carried by a broadcast-size join on nation."""
-    t = tables(spark, sf_dir, "lineitem", "supplier")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per = (
-        t["lineitem"]
-        .join(
-            t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
-            "l_suppkey",
-        )
-        .groupBy("s_nationkey", "l_suppkey")
-        .agg(F.sum(rev.cast(DEC)).cast("double").alias("rev"))
-    )
-    tot = per.groupBy("s_nationkey").agg(
-        F.sum(F.col("rev").cast(DEC)).cast("double").alias("t_rev"),
-        F.count("*").cast("long").alias("n_suppliers"),
-    )
-    j = per.join(tot, "s_nationkey")
-    share = F.col("rev") / F.col("t_rev")
-    return (
-        j.groupBy("s_nationkey")
-        .agg(
-            F.max("n_suppliers").alias("n_suppliers"),
-            fround(F.sum((share * share).cast(DEC)).cast("double") * 10000, 2).alias("hhi"),
-            fround(F.max(share), 6).alias("top_share"),
-        )
-        .withColumn(
-            "band",
-            F.when(F.col("hhi") < 1500, F.lit("competitive"))
-            .when(F.col("hhi") < 2500, F.lit("moderate"))
-            .otherwise(F.lit("concentrated")),
-        )
-        .orderBy("s_nationkey")
-    )
-
-
-O_SUPPLIER_HHI = f"""
-WITH per AS (
-  SELECT s_nationkey, l_suppkey,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS rev
-  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-  GROUP BY 1, 2
-),
-tot AS (
-  SELECT s_nationkey,
-         CAST(sum(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS t_rev,
-         CAST(count(*) AS BIGINT) AS n_suppliers
-  FROM per GROUP BY 1
-),
-hhi AS (
-  SELECT per.s_nationkey,
-         max(n_suppliers) AS n_suppliers,
-         {o_fround("CAST(sum(CAST((rev / t_rev) * (rev / t_rev) AS DECIMAL(30,10))) AS DOUBLE) * 10000", 2)} AS hhi,
-         {o_fround("max(rev / t_rev)", 6)} AS top_share
-  FROM per JOIN tot USING (s_nationkey)
-  GROUP BY 1
-)
-SELECT s_nationkey, n_suppliers, hhi, top_share,
-       CASE WHEN hhi < 1500 THEN 'competitive'
-            WHEN hhi < 2500 THEN 'moderate'
-            ELSE 'concentrated' END AS band
-FROM hhi ORDER BY s_nationkey
-"""
-
-QUERIES["supplier_hhi"] = q_supplier_hhi
-ORACLES["supplier_hhi"] = O_SUPPLIER_HHI
-
-
-def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order basket-size histogram: per distinct-item count k, how
-    many orders, their share of all orders, and the decimal-exact
-    average order total — the shape parameter every co-purchase /
-    recommender query in this module implicitly depends on (and the
-    empirical justification for :data:`MAX_BASKET_ITEMS`).
-
-    Plan (100 TB): distinct (order, part) collapses map-side, one
-    |orders|-row count groupBy, one |sizes|-row histogram groupBy;
-    order totals join on the order key (ids + one double). The 1-row
-    total broadcast-cross-joins for the share."""
-    t = tables(spark, sf_dir, "lineitem", "orders")
-    sizes = (
-        t["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count("*").cast("long").alias("basket_size"))
-        .join(
-            t["orders"].select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
-            ),
-            "l_orderkey",
-        )
-    )
-    tot = sizes.agg(F.count("*").cast("long").alias("n_total"))
-    return (
-        sizes.groupBy("basket_size")
-        .agg(
-            F.count("*").cast("long").alias("n_orders"),
-            davg(F.col("o_totalprice"), 4).alias("avg_order_total"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "basket_size",
-            "n_orders",
-            fround(F.col("n_orders") / F.col("n_total"), 6).alias("order_share"),
-            "avg_order_total",
-        )
-        .orderBy("basket_size")
-    )
-
-
-O_BASKET_SIZE_DISTRIBUTION = f"""
-WITH sizes AS (
-  SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS basket_size
-  FROM lineitem GROUP BY 1
-),
-j AS (
-  SELECT basket_size, o_totalprice
-  FROM sizes JOIN orders ON l_orderkey = o_orderkey
-),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM j)
-SELECT basket_size,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       {o_fround("count(*) / CAST(n_total AS DOUBLE)", 6)} AS order_share,
-       {o_davg("o_totalprice", 4)} AS avg_order_total
-FROM j CROSS JOIN tot
-GROUP BY basket_size, n_total ORDER BY basket_size
-"""
-
-QUERIES["basket_size_distribution"] = q_basket_size_distribution
-ORACLES["basket_size_distribution"] = O_BASKET_SIZE_DISTRIBUTION
-
-
-def q_duplicate_invoice_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-invoice screen: pairs of orders by the SAME customer
-    with the IDENTICAL total price within 7 days of each other — the
-    finance-ops dedup audit (double-billing / replayed feed), the
-    money-domain cousin of [q_dedup_exact].
-
-    Plan (100 TB): equi-join on (custkey, totalprice) — the candidate
-    space is bounded by exact-amount repeats per customer (never
-    corpus-quadratic), and the 7-day predicate prunes the tail before
-    anything aggregates. Output is the full pair list with the gap in
-    days, deterministically ordered."""
-    t = tables(spark, sf_dir, "orders")
-    o = t["orders"].select(
-        "o_orderkey", "o_custkey", "o_totalprice",
-        F.unix_micros("o_orderdate").alias("od_us"),
-    )
-    a, b = o.alias("a"), o.alias("b")
-    day_us = 86_400_000_000
-    return (
-        a.join(
-            b,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
-            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
-        )
-        .filter(
-            F.abs(F.col("a.od_us") - F.col("b.od_us")) <= F.lit(7 * day_us)
-        )
-        .select(
-            F.col("a.o_custkey").alias("custkey"),
-            F.col("a.o_orderkey").alias("order_a"),
-            F.col("b.o_orderkey").alias("order_b"),
-            F.col("a.o_totalprice").alias("totalprice"),
-            (F.abs(F.col("a.od_us") - F.col("b.od_us")) / F.lit(day_us))
-            .cast("double")
-            .alias("gap_days"),
-        )
-        .withColumn("gap_days", fround(F.col("gap_days"), 6))
-        .orderBy("custkey", "order_a", "order_b")
-    )
-
-
-O_DUPLICATE_INVOICE_DETECTION = f"""
-SELECT a.o_custkey AS custkey,
-       a.o_orderkey AS order_a,
-       b.o_orderkey AS order_b,
-       a.o_totalprice AS totalprice,
-       {o_fround("abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) / CAST(86400000000 AS DOUBLE)", 6)} AS gap_days
-FROM orders a
-JOIN orders b
-  ON a.o_custkey = b.o_custkey
- AND a.o_totalprice = b.o_totalprice
- AND a.o_orderkey < b.o_orderkey
-WHERE abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) <= 7 * 86400000000
-ORDER BY custkey, order_a, order_b
-"""
-
-QUERIES["duplicate_invoice_detection"] = q_duplicate_invoice_detection
-ORACLES["duplicate_invoice_detection"] = O_DUPLICATE_INVOICE_DETECTION
-
-
-def q_supplier_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier pricing-anomaly screen: per (part, supplier), the mean
-    unit price (extendedprice / quantity, decimal-exact mean) against
-    the part's exact median unit price across all suppliers; top-20
-    by absolute log price ratio — the procurement-audit cousin of
-    [q_mad_stats] (which flags rows; this flags SUPPLIERS).
-
-    Parts with a single supplier-price row are excluded (their ratio
-    is identically 1). percentile == quantile_cont on identical
-    doubles (proven portable in key_skew_audit).
-
-    Plan (100 TB): unit price is row-local; per-(part,supp) means and
-    per-part medians are two partial-aggregable groupBys; the stats
-    join streams on the part key (|parts|-sized, NOT broadcast). The
-    top-20 is a TakeOrdered with the rounded key + full tiebreaks."""
-    t = tables(spark, sf_dir, "lineitem")
-    up = t["lineitem"].select(
-        "l_partkey",
-        "l_suppkey",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
-    )
-    per_supp = up.groupBy("l_partkey", "l_suppkey").agg(
-        F.count("*").cast("long").alias("n_lines"),
-        (F.sum(F.col("unit_price").cast(DEC)).cast("double") / F.count("*")).alias(
-            "avg_up_raw"
-        ),
-    )
-    per_part = up.groupBy("l_partkey").agg(
-        F.percentile("unit_price", F.lit(0.5)).alias("med_up_raw"),
-        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
-    )
-    j = per_supp.join(per_part, "l_partkey").filter(F.col("n_supps") > 1)
-    ratio_r = fround(F.col("avg_up_raw") / F.col("med_up_raw"), 6)
-    return (
-        j.select(
-            "l_partkey",
-            "l_suppkey",
-            "n_lines",
-            fround(F.col("avg_up_raw"), 4).alias("avg_unit_price"),
-            fround(F.col("med_up_raw"), 4).alias("part_median_price"),
-            ratio_r.alias("price_ratio"),
-        )
-        .orderBy(
-            F.desc(F.abs(F.log(F.col("price_ratio")))),
-            "l_partkey",
-            "l_suppkey",
-        )
-        .limit(20)
-    )
-
-
-O_SUPPLIER_PRICE_OUTLIERS = f"""
-WITH up AS (
-  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
-  FROM lineitem
-),
-per_supp AS (
-  SELECT l_partkey, l_suppkey,
-         CAST(count(*) AS BIGINT) AS n_lines,
-         CAST(sum(CAST(unit_price AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_up_raw
-  FROM up GROUP BY 1, 2
-),
-per_part AS (
-  SELECT l_partkey,
-         quantile_cont(unit_price, 0.5) AS med_up_raw,
-         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
-  FROM up GROUP BY 1
-)
-SELECT l_partkey, l_suppkey, n_lines,
-       {o_fround("avg_up_raw", 4)} AS avg_unit_price,
-       {o_fround("med_up_raw", 4)} AS part_median_price,
-       {o_fround("avg_up_raw / med_up_raw", 6)} AS price_ratio
-FROM per_supp JOIN per_part USING (l_partkey)
-WHERE n_supps > 1
-ORDER BY abs(ln({o_fround("avg_up_raw / med_up_raw", 6)})) DESC, l_partkey, l_suppkey
-LIMIT 20
-"""
-
-QUERIES["supplier_price_outliers"] = q_supplier_price_outliers
-ORACLES["supplier_price_outliers"] = O_SUPPLIER_PRICE_OUTLIERS
-
-
-def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full supplier-nation x customer-nation revenue flow matrix —
-    the generalization of [q_volume_shipping] (TPC-H Q7 fixes two
-    nations; BI wants the whole matrix plus each cell's share of the
-    exporting nation's revenue).
-
-    Plan (100 TB): lineitem joins orders on the order key (the one
-    big shuffle), then ids-only supplier/customer bridges to the two
-    25-row nation dims (broadcast); the matrix aggregation is
-    |nations|² cells, partial-aggregated map-side. The per-exporter
-    share joins the cell frame to its own |nations|-row rollup."""
-    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
-    n1 = t["nation"].select(
-        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = t["nation"].select(
-        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
-    )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    flows = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
-            "l_orderkey",
-        )
-        .join(t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"), "l_suppkey")
-        .join(t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"), "o_custkey")
-        .join(F.broadcast(n1), "s_nationkey")
-        .join(F.broadcast(n2), "c_nationkey")
-        .groupBy("supp_nation", "cust_nation")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            dsum(rev, 2).alias("revenue"),
-        )
-    )
-    exp_tot = flows.groupBy("supp_nation").agg(
-        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("exp_revenue")
-    )
-    return (
-        flows.join(exp_tot, "supp_nation")
-        .select(
-            "supp_nation",
-            "cust_nation",
-            "n_lines",
-            "revenue",
-            fround(F.col("revenue") / F.col("exp_revenue"), 6).alias("exp_share"),
-        )
-        .orderBy("supp_nation", "cust_nation")
-    )
-
-
-O_NATION_TRADE_BALANCE = f"""
-WITH flows AS (
-  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-         CAST(count(*) AS BIGINT) AS n_lines,
-         {o_dsum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
-  FROM lineitem
-  JOIN orders   ON l_orderkey = o_orderkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ns ON s_nationkey = ns.n_nationkey
-  JOIN nation nc ON c_nationkey = nc.n_nationkey
-  GROUP BY 1, 2
-),
-exp_tot AS (
-  SELECT supp_nation,
-         CAST(sum(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS exp_revenue
-  FROM flows GROUP BY 1
-)
-SELECT supp_nation, cust_nation, n_lines, revenue,
-       {o_fround("revenue / exp_revenue", 6)} AS exp_share
-FROM flows JOIN exp_tot USING (supp_nation)
-ORDER BY supp_nation, cust_nation
-"""
-
-QUERIES["nation_trade_balance"] = q_nation_trade_balance
-ORACLES["nation_trade_balance"] = O_NATION_TRADE_BALANCE
-
-
-def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discount-response screen per brand: the OLS slope (and fit) of
-    quantity on discount — does a deeper discount move more units of
-    this brand? The pricing-team readout next to [q_promo_revenue]'s
-    revenue split. Positive slope = discount-responsive.
-
-    Exactness: the co-moment form slope = (n·Sxy − Sx·Sy) /
-    (n·Sxx − Sx²) over decimal-folded sums — every operand
-    engine-identical; r² from the same sums.
-
-    Plan (100 TB): one part-key join for the brand, ONE
-    partial-aggregable groupBy to |brands| cells; the regression is
-    row-local arithmetic on the cell frame."""
-    t = tables(spark, sf_dir, "lineitem", "part")
-    x, y = F.col("l_discount"), F.col("l_quantity")
-    cells = (
-        t["lineitem"]
-        .join(t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey")
-        .groupBy("p_brand")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(x.cast(DEC)).alias("sx"),
-            F.sum(y.cast(DEC)).alias("sy"),
-            F.sum((x * y).cast(DEC)).alias("sxy"),
-            F.sum((x * x).cast(DEC)).alias("sxx"),
-            F.sum((y * y).cast(DEC)).alias("syy"),
-        )
-    )
-    n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-    )
-    cov_n = n * sxy - sx * sy
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
-    return cells.select(
-        "p_brand",
-        "n",
-        fround(cov_n / var_x, 6).alias("slope"),
-        fround(sy / n - (cov_n / var_x) * (sx / n), 6).alias("intercept"),
-        fround((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
-    ).orderBy("p_brand")
-
-
-O_PRICE_ELASTICITY = f"""
-WITH cells AS (
-  SELECT p_brand,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(l_discount * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS syy
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  GROUP BY 1
-)
-SELECT p_brand, n,
-       {o_fround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
-       {o_fround("sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n)", 6)} AS intercept,
-       {o_fround("pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
-FROM cells ORDER BY p_brand
-"""
-
-QUERIES["price_elasticity"] = q_price_elasticity
-ORACLES["price_elasticity"] = O_PRICE_ELASTICITY
-
-
-def q_customer_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Churn audit per nation: customers whose LAST order is more than
-    365 days before the newest order anywhere (the data-derived
-    anchor — reproducible, no wall clock), plus never-ordered
-    customers, and the combined at-risk rate — the lifecycle readout
-    next to [q_new_vs_returning]'s acquisition view.
-
-    Plan (100 TB): per-customer last-order is one partial-aggregable
-    groupBy; the 1-row anchor broadcast-cross-joins; customers LEFT
-    join that |customers|-row frame on the customer key (ids only) so
-    never-ordered rows survive; one |nations|-row aggregate ends it."""
-    t = tables(spark, sf_dir, "orders", "customer", "nation")
-    last = t["orders"].groupBy("o_custkey").agg(
-        F.max(F.unix_micros("o_orderdate")).alias("last_us")
-    )
-    anchor = t["orders"].agg(F.max(F.unix_micros("o_orderdate")).alias("anchor_us"))
-    year_us = 365 * 86_400_000_000
-    j = (
-        t["customer"]
-        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
-        .join(last, "o_custkey", "left")
-        .crossJoin(F.broadcast(anchor))
-        .join(
-            F.broadcast(
-                t["nation"].select(
-                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
-                )
-            ),
-            "c_nationkey",
-        )
-    )
-    churned = (F.col("last_us").isNotNull()) & (
-        F.col("anchor_us") - F.col("last_us") > year_us
-    )
-    return (
-        j.groupBy("n_name")
-        .agg(
-            F.count("*").cast("long").alias("n_customers"),
-            F.sum(F.when(F.col("last_us").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_never_ordered"),
-            F.sum(F.when(churned, 1).otherwise(0)).cast("long").alias("n_churned"),
-        )
-        .select(
-            "n_name",
-            "n_customers",
-            "n_never_ordered",
-            "n_churned",
-            fround(
-                (F.col("n_never_ordered") + F.col("n_churned")) / F.col("n_customers"),
-                6,
-            ).alias("at_risk_rate"),
-        )
-        .orderBy("n_name")
-    )
-
-
-O_CUSTOMER_CHURN_FLAGS = f"""
-WITH last AS (
-  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us
-  FROM orders GROUP BY 1
-),
-anchor AS (SELECT max(epoch_us(o_orderdate)) AS anchor_us FROM orders),
-j AS (
-  SELECT n.n_name, l.last_us, a.anchor_us
-  FROM customer c
-  LEFT JOIN last l ON c.c_custkey = l.o_custkey
-  CROSS JOIN anchor a
-  JOIN nation n ON c.c_nationkey = n.n_nationkey
-)
-SELECT n_name,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(CASE WHEN last_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered,
-       CAST(sum(CASE WHEN last_us IS NOT NULL AND anchor_us - last_us > 365 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
-       {o_fround("(sum(CASE WHEN last_us IS NULL THEN 1 ELSE 0 END) + sum(CASE WHEN last_us IS NOT NULL AND anchor_us - last_us > 365 * 86400000000 THEN 1 ELSE 0 END)) / CAST(count(*) AS DOUBLE)", 6)} AS at_risk_rate
-FROM j GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["customer_churn_flags"] = q_customer_churn_flags
-ORACLES["customer_churn_flags"] = O_CUSTOMER_CHURN_FLAGS
-
-
-def q_supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source-risk bands: per part, the share of shipped
-    quantity held by its TOP supplier, banded into risk tiers — the
-    procurement-resilience histogram next to
-    [q_supplier_price_outliers]' pricing screen and [q_supplier_hhi]'s
-    nation-level concentration.
-
-    Exactness: quantities are exact decimal sums; the top share is an
-    integer-exact max/sum ratio; band edges compare the ROUNDED share
-    so the cut is engine-identical.
-
-    Plan (100 TB): two partial-aggregable groupBys — (part, supp)
-    quantities then per-part max/total via one more groupBy — and a
-    |parts|-row banding projection into a <= 4-row histogram."""
-    t = tables(spark, sf_dir, "lineitem")
-    ps = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("qty")
-    )
-    per_part = ps.groupBy("l_partkey").agg(
-        (F.max("qty").cast("double") / F.sum("qty").cast("double")).alias("top_share_raw"),
-        F.count("*").cast("long").alias("n_supps"),
-    )
-    share = fround(F.col("top_share_raw"), 6)
-    band = (
-        F.when(share >= 0.999999, F.lit("single_source"))
-        .when(share >= 0.75, F.lit("dominant"))
-        .when(share >= 0.5, F.lit("majority"))
-        .otherwise(F.lit("diversified"))
-    )
-    return (
-        per_part.select(band.alias("risk_band"), "n_supps")
-        .groupBy("risk_band")
-        .agg(
-            F.count("*").cast("long").alias("n_parts"),
-            fround(F.avg("n_supps"), 4).alias("avg_suppliers"),
-        )
-        .orderBy("risk_band")
-    )
-
-
-O_SUPPLIER_DEPENDENCY = f"""
-WITH ps AS (
-  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(30,10))) AS qty
-  FROM lineitem GROUP BY 1, 2
-),
-per_part AS (
-  SELECT l_partkey,
-         CAST(max(qty) AS DOUBLE) / CAST(sum(qty) AS DOUBLE) AS top_share_raw,
-         CAST(count(*) AS BIGINT) AS n_supps
-  FROM ps GROUP BY 1
-),
-banded AS (
-  SELECT CASE WHEN {o_fround("top_share_raw", 6)} >= 0.999999 THEN 'single_source'
-              WHEN {o_fround("top_share_raw", 6)} >= 0.75 THEN 'dominant'
-              WHEN {o_fround("top_share_raw", 6)} >= 0.5 THEN 'majority'
-              ELSE 'diversified' END AS risk_band,
-         n_supps
-  FROM per_part
-)
-SELECT risk_band,
-       CAST(count(*) AS BIGINT) AS n_parts,
-       {o_fround("avg(n_supps)", 4)} AS avg_suppliers
-FROM banded GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["supplier_dependency"] = q_supplier_dependency
-ORACLES["supplier_dependency"] = O_SUPPLIER_DEPENDENCY
-
-
-def q_order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly order-line backlog curve: lines placed (by order date)
-    vs lines shipped (by ship date) per ISO week, with the running
-    open-line backlog — the fulfillment-health time series next to
-    [q_ship_latency]'s per-line latency distribution.
-
-    date_trunc('week') cast to DATE is the proven engine-portable
-    week key (both ISO Monday).
-
-    Plan (100 TB): two partial-aggregable weekly count scans (placed
-    needs the one order-key join), a full outer join on the ~weeks-
-    sized key, and a cumsum window over the |weeks|-row frame —
-    nothing row-level ever sorts."""
-    t = tables(spark, sf_dir, "lineitem", "orders")
-    li = t["lineitem"].join(
-        t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
-        "l_orderkey",
-    )
-    placed = li.groupBy(
-        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
-    ).agg(F.count("*").cast("long").alias("placed"))
-    shipped = t["lineitem"].groupBy(
-        F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week")
-    ).agg(F.count("*").cast("long").alias("shipped"))
-    j = placed.join(shipped, "week", "full").fillna(0, subset=["placed", "shipped"])
-    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        j.select(
-            "week",
-            "placed",
-            "shipped",
-            (F.sum("placed").over(w) - F.sum("shipped").over(w))
-            .cast("long")
-            .alias("backlog"),
-        )
-        .orderBy("week")
-    )
-
-
-O_ORDER_BACKLOG_CURVE = """
-WITH placed AS (
-  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
-         CAST(count(*) AS BIGINT) AS placed
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  GROUP BY 1
-),
-shipped AS (
-  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
-         CAST(count(*) AS BIGINT) AS shipped
-  FROM lineitem GROUP BY 1
-),
-j AS (
-  SELECT coalesce(p.week, s.week) AS week,
-         coalesce(placed, 0) AS placed,
-         coalesce(shipped, 0) AS shipped
-  FROM placed p FULL JOIN shipped s ON p.week = s.week
-)
-SELECT week, placed, shipped,
-       CAST(sum(placed) OVER w - sum(shipped) OVER w AS BIGINT) AS backlog
-FROM j
-WINDOW w AS (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-ORDER BY week
-"""
-
-QUERIES["order_backlog_curve"] = q_order_backlog_curve
-ORACLES["order_backlog_curve"] = O_ORDER_BACKLOG_CURVE
-
-
-def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-volatility profile per nation: week-over-week growth
-    rates on a GAP-FREE week spine (the [q_period_over_period]
-    discipline at week grain), summarized as mean growth, growth
-    stddev, and the worst single week — the risk column next to the
-    trend dashboards.
-
-    Weeks with zero prior revenue are excluded from growth stats
-    (division by zero is not a growth rate) in both engines.
-
-    Plan (100 TB): one (nation, week) revenue groupBy, a broadcast
-    |weeks|-row spine cross join per nation for gap-freeness, one lag
-    window over the |nations| x |weeks| aggregated frame, one final
-    |nations|-row aggregate."""
-    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    weekly = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(
-                F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderdate"
-            ),
-            "l_orderkey",
-        )
-        .join(
-            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
-            "o_custkey",
-        )
-        .join(
-            F.broadcast(
-                t["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
-            ),
-            "c_nationkey",
-        )
-        .groupBy(
-            "n_name",
-            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week"),
-        )
-        .agg(F.sum(rev.cast(DEC)).cast("double").alias("wrev"))
-    )
-    bounds = weekly.agg(
-        F.min("week").alias("w0"), F.max("week").alias("w1")
-    )
-    spine = (
-        weekly.select("n_name")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "n_name",
-            F.explode(F.sequence(F.col("w0"), F.col("w1"), F.expr("interval 7 days"))).alias("week"),
-        )
-    )
-    filled = spine.join(weekly, ["n_name", "week"], "left").fillna(
-        0.0, subset=["wrev"]
-    )
-    w = Window.partitionBy("n_name").orderBy("week")
-    g = filled.withColumn("prev", F.lag("wrev").over(w)).filter(
-        F.col("prev").isNotNull() & (F.col("prev") > 0)
-    ).withColumn("growth", F.col("wrev") / F.col("prev") - 1)
-    return (
-        g.groupBy("n_name")
-        .agg(
-            F.count("*").cast("long").alias("n_weeks"),
-            fround(
-                F.sum(F.col("growth").cast(DEC)).cast("double") / F.count("*"), 6
-            ).alias("mean_growth"),
-            fround(
-                F.sqrt(
-                    (
-                        F.sum((F.col("growth") * F.col("growth")).cast(DEC)).cast("double")
-                        - F.pow(F.sum(F.col("growth").cast(DEC)).cast("double"), 2)
-                        / F.count("*")
-                    )
-                    / (F.count("*") - 1)
-                ),
-                6,
-            ).alias("growth_std"),
-            fround(F.min("growth"), 6).alias("worst_week"),
-        )
-        .orderBy("n_name")
-    )
-
-
-O_WEEKLY_VOLATILITY = f"""
-WITH weekly AS (
-  SELECT n_name, CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS wrev
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ON c_nationkey = n_nationkey
-  GROUP BY 1, 2
-),
-bounds AS (SELECT min(week) AS w0, max(week) AS w1 FROM weekly),
-spine AS (
-  SELECT n_name, CAST(unnest(range(CAST(w0 AS TIMESTAMP), CAST(w1 AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 7 DAY)) AS DATE) AS week
-  FROM (SELECT DISTINCT n_name FROM weekly) CROSS JOIN bounds
-),
-filled AS (
-  SELECT s.n_name, s.week, coalesce(w.wrev, 0.0) AS wrev
-  FROM spine s LEFT JOIN weekly w ON s.n_name = w.n_name AND s.week = w.week
-),
-g AS (
-  SELECT n_name, wrev / prev - 1 AS growth
-  FROM (SELECT n_name, wrev,
-               lag(wrev) OVER (PARTITION BY n_name ORDER BY week) AS prev
-        FROM filled)
-  WHERE prev IS NOT NULL AND prev > 0
-)
-SELECT n_name,
-       CAST(count(*) AS BIGINT) AS n_weeks,
-       {o_fround("CAST(sum(CAST(growth AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mean_growth,
-       {o_fround("sqrt((CAST(sum(CAST(growth * growth AS DECIMAL(30,10))) AS DOUBLE) - pow(CAST(sum(CAST(growth AS DECIMAL(30,10))) AS DOUBLE), 2) / count(*)) / (count(*) - 1))", 6)} AS growth_std,
-       {o_fround("min(growth)", 6)} AS worst_week
-FROM g GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["weekly_volatility"] = q_weekly_volatility
-ORACLES["weekly_volatility"] = O_WEEKLY_VOLATILITY
-
-
-def q_discount_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return rate by discount depth: per discount level, line count,
-    returned-line rate, and average quantity — does discounting move
-    units that come straight back? The margin-quality check next to
-    [q_price_elasticity]'s volume slope.
-
-    Discounts are a small discrete set in this schema, so the group
-    key is the exact value — no binning ambiguity.
-
-    Plan (100 TB): ONE conditional-aggregate scan to |discounts|
-    cells. Nothing joins."""
-    t = tables(spark, sf_dir, "lineitem")
-    return (
-        t["lineitem"]
-        .groupBy(fround(F.col("l_discount"), 2).alias("discount"))
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            .cast("long")
-            .alias("n_returned"),
-            davg(F.col("l_quantity"), 4).alias("avg_qty"),
-        )
-        .select(
-            "discount",
-            "n_lines",
-            "n_returned",
-            fround(F.col("n_returned") / F.col("n_lines"), 6).alias("return_rate"),
-            "avg_qty",
-        )
-        .orderBy("discount")
-    )
-
-
-O_DISCOUNT_RETURN_RATE = f"""
-SELECT {o_fround("l_discount", 2)} AS discount,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-       {o_fround("sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS return_rate,
-       {o_davg("l_quantity", 4)} AS avg_qty
-FROM lineitem GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["discount_return_rate"] = q_discount_return_rate
-ORACLES["discount_return_rate"] = O_DISCOUNT_RETURN_RATE
-
-
-def q_revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 80/20 number per nation: how many customers — and what
-    fraction of the customer base — fund 80% of the nation's revenue.
-    [q_gini_concentration] scores the inequality; this is the
-    operational headcount a sales team actually plans around.
-
-    Determinism: customers rank by (spend desc, custkey asc) —
-    decimal-exact spend, full tiebreak; the 80% threshold compares
-    decimal-exact cumulative sums, so the cut row is engine-exact.
-
-    Plan (100 TB): per-customer spend is one groupBy; the rank and
-    running sum ride a window partitioned BY NATION (no global
-    sort); the answer is one more |nations|-row aggregate."""
-    t = tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    spend = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
-            "l_orderkey",
-        )
-        .join(
-            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
-            "o_custkey",
-        )
-        .join(
-            F.broadcast(
-                t["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
-            ),
-            "c_nationkey",
-        )
-        .groupBy("n_name", "o_custkey")
-        .agg(F.sum(rev.cast(DEC)).alias("spend"))
-    )
-    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("o_custkey"))
-    wtot = Window.partitionBy("n_name")
-    ranked = spend.select(
-        "n_name",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("spend").over(wtot).alias("tot"),
-        F.count("*").over(wtot).alias("n_cust"),
-    )
-    hit = ranked.filter(
-        F.col("cum").cast("double") >= 0.8 * F.col("tot").cast("double")
-    )
-    return (
-        hit.groupBy("n_name")
-        .agg(
-            F.min("rnk").cast("long").alias("n_top_customers"),
-            F.first("n_cust").cast("long").alias("n_customers"),
-        )
-        .select(
-            "n_name",
-            "n_top_customers",
-            "n_customers",
-            fround(F.col("n_top_customers") / F.col("n_customers"), 6).alias(
-                "top_frac"
-            ),
-        )
-        .orderBy("n_name")
-    )
-
-
-O_REVENUE_CONCENTRATION_8020 = f"""
-WITH spend AS (
-  SELECT n_name, o_custkey,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS spend
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ON c_nationkey = n_nationkey
-  GROUP BY 1, 2
-),
-ranked AS (
-  SELECT n_name,
-         row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS rnk,
-         sum(spend) OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(spend) OVER (PARTITION BY n_name) AS tot,
-         count(*) OVER (PARTITION BY n_name) AS n_cust
-  FROM spend
-)
-SELECT n_name,
-       CAST(min(rnk) AS BIGINT) AS n_top_customers,
-       CAST(any_value(n_cust) AS BIGINT) AS n_customers,
-       {o_fround("min(rnk) / CAST(any_value(n_cust) AS DOUBLE)", 6)} AS top_frac
-FROM ranked
-WHERE CAST(cum AS DOUBLE) >= 0.8 * CAST(tot AS DOUBLE)
-GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["revenue_concentration_8020"] = q_revenue_concentration_8020
-ORACLES["revenue_concentration_8020"] = O_REVENUE_CONCENTRATION_8020
-
-
-def q_segment_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-segment P&L profile: per c_mktsegment the customer
-    count, order count, decimal-exact revenue, revenue share, and
-    average order value — the first slice every commercial dashboard
-    opens with (the customer dimension [q_rfm_segments] computes
-    behaviorally, this reads declaratively).
-
-    Plan (100 TB): lineitem joins orders on the order key (the one
-    big shuffle), the |customers|-sized segment bridge streams on the
-    customer key; ONE |segments|-row aggregate + a 1-row total
-    broadcast."""
-    t = tables(spark, sf_dir, "lineitem", "orders", "customer")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    j = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
-            "l_orderkey",
-        )
-        .join(
-            t["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
-            "o_custkey",
-        )
-    )
-    per = j.groupBy("c_mktsegment").agg(
-        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
-        F.sum(rev.cast(DEC)).alias("rev_dec"),
-    )
-    tot = per.agg(F.sum("rev_dec").alias("rev_all"))
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "c_mktsegment",
-            "n_customers",
-            "n_orders",
-            fround(F.col("rev_dec").cast("double"), 2).alias("revenue"),
-            fround(
-                F.col("rev_dec").cast("double") / F.col("rev_all").cast("double"), 6
-            ).alias("rev_share"),
-            fround(F.col("rev_dec").cast("double") / F.col("n_orders"), 4).alias(
-                "avg_order_value"
-            ),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-O_SEGMENT_REVENUE_PROFILE = f"""
-WITH per AS (
-  SELECT c_mktsegment,
-         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS rev_dec
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1
-),
-tot AS (SELECT sum(rev_dec) AS rev_all FROM per)
-SELECT c_mktsegment, n_customers, n_orders,
-       {o_fround("CAST(rev_dec AS DOUBLE)", 2)} AS revenue,
-       {o_fround("CAST(rev_dec AS DOUBLE) / CAST(rev_all AS DOUBLE)", 6)} AS rev_share,
-       {o_fround("CAST(rev_dec AS DOUBLE) / n_orders", 4)} AS avg_order_value
-FROM per CROSS JOIN tot
-ORDER BY c_mktsegment
-"""
-
-QUERIES["segment_revenue_profile"] = q_segment_revenue_profile
-ORACLES["segment_revenue_profile"] = O_SEGMENT_REVENUE_PROFILE
-
-
-def q_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly fulfillment-latency trend: decimal-exact mean and exact
-    p90 of order-to-ship days per order month — the time dimension
-    [q_ship_latency]'s per-priority snapshot lacks; a drifting p90 is
-    the early warning before SLAs breach.
-
-    Latency = integer microsecond delta / 86400e6 — identical doubles;
-    percentile == quantile_cont (proven portable).
-
-    Plan (100 TB): one order-key join, one month groupBy (percentile
-    partials, no global sort)."""
-    t = tables(spark, sf_dir, "lineitem", "orders")
-    lat = (
-        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
-        / F.lit(86_400_000_000.0)
-    )
-    j = t["lineitem"].join(
-        t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
-        "l_orderkey",
-    ).select(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
-        lat.alias("lat"),
-    )
-    return (
-        j.groupBy("month")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            fround(
-                F.sum(F.col("lat").cast(DEC)).cast("double") / F.count("*"), 6
-            ).alias("mean_days"),
-            fround(F.percentile("lat", F.lit(0.9)), 6).alias("p90_days"),
-        )
-        .orderBy("month")
-    )
-
-
-O_LATENCY_TREND = f"""
-WITH j AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         (epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0 AS lat
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-)
-SELECT month,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       {o_fround("CAST(sum(CAST(lat AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS mean_days,
-       {o_fround("quantile_cont(lat, 0.9)", 6)} AS p90_days
-FROM j GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["latency_trend"] = q_latency_trend
-ORACLES["latency_trend"] = O_LATENCY_TREND
-
-
-def q_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brand repeat-purchase loyalty: per brand, distinct buyers, the
-    buyers who came back (>= 2 distinct orders containing the brand),
-    and the repeat rate — the loyalty readout next to
-    [q_price_elasticity]'s discount response.
-
-    Plan (100 TB): (brand, customer) order counts collapse through
-    TWO partial-aggregable groupBys (distinct (brand, cust, order)
-    first, then counts); the brand bridge joins stream on the part
-    key. One |brands|-row output."""
-    t = tables(spark, sf_dir, "lineitem", "orders", "part")
-    bco = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
-            "l_orderkey",
-        )
-        .join(
-            t["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
-            "l_partkey",
-        )
-        .select("p_brand", "o_custkey", "l_orderkey")
-        .distinct()
-    )
-    per_cust = bco.groupBy("p_brand", "o_custkey").agg(
-        F.count("*").cast("long").alias("n_orders")
-    )
-    return (
-        per_cust.groupBy("p_brand")
-        .agg(
-            F.count("*").cast("long").alias("n_buyers"),
-            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_repeat_buyers"),
-        )
-        .select(
-            "p_brand",
-            "n_buyers",
-            "n_repeat_buyers",
-            fround(F.col("n_repeat_buyers") / F.col("n_buyers"), 6).alias(
-                "repeat_rate"
-            ),
-        )
-        .orderBy("p_brand")
-    )
-
-
-O_BRAND_LOYALTY = f"""
-WITH bco AS (
-  SELECT DISTINCT p_brand, o_custkey, l_orderkey
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN part ON l_partkey = p_partkey
-),
-per_cust AS (
-  SELECT p_brand, o_custkey, CAST(count(*) AS BIGINT) AS n_orders
-  FROM bco GROUP BY 1, 2
-)
-SELECT p_brand,
-       CAST(count(*) AS BIGINT) AS n_buyers,
-       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_buyers,
-       {o_fround("sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)} AS repeat_rate
-FROM per_cust GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["brand_loyalty"] = q_brand_loyalty
-ORACLES["brand_loyalty"] = O_BRAND_LOYALTY
-
-
-def q_parts_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dead-stock audit: parts with NO lineitem at all, counted per
-    brand with the dead share — the catalog-hygiene anti-join
-    ([q_orphan_audit] checks the FK the other way).
-
-    Plan (100 TB): one left-anti join on the part key (ids only),
-    one |brands|-row aggregate over the full catalog for the
-    denominators."""
-    t = tables(spark, sf_dir, "part", "lineitem")
-    sold = t["lineitem"].select(F.col("l_partkey").alias("p_partkey")).distinct()
-    dead = t["part"].join(sold, "p_partkey", "left_anti").groupBy("p_brand").agg(
-        F.count("*").cast("long").alias("n_dead")
-    )
-    allb = t["part"].groupBy("p_brand").agg(
-        F.count("*").cast("long").alias("n_parts")
-    )
-    return (
-        allb.join(dead, "p_brand", "left")
-        .fillna(0, subset=["n_dead"])
-        .select(
-            "p_brand",
-            "n_parts",
-            "n_dead",
-            fround(F.col("n_dead") / F.col("n_parts"), 6).alias("dead_share"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-O_PARTS_NEVER_SOLD = f"""
-WITH dead AS (
-  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
-  FROM part
-  WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
-  GROUP BY 1
-),
-allb AS (
-  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
-)
-SELECT p_brand, n_parts, coalesce(n_dead, 0) AS n_dead,
-       {o_fround("coalesce(n_dead, 0) / CAST(n_parts AS DOUBLE)", 6)} AS dead_share
-FROM allb LEFT JOIN dead USING (p_brand)
-ORDER BY p_brand
-"""
-
-QUERIES["parts_never_sold"] = q_parts_never_sold
-ORACLES["parts_never_sold"] = O_PARTS_NEVER_SOLD
-
-
-def q_first_order_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Does a customer's FIRST order value predict their lifetime
-    value? Pearson correlation (decimal co-moments) between first-
-    order total and total spend, plus the mean LTV multiple — the
-    one-number justification for first-order-based acquisition
-    bidding ([q_cohort_ltv] gives the curve; this gives the signal
-    strength).
-
-    First order = (min date, tie to min orderkey) — deterministic.
-
-    Plan (100 TB): per-customer first order via one max_by groupBy
-    (no window over the fact table), totals in the same pass; the
-    correlation is a 1-row decimal co-moment aggregate."""
-    t = tables(spark, sf_dir, "orders")
-    per = t["orders"].groupBy("o_custkey").agg(
-        F.min_by(
-            F.col("o_totalprice"),
-            F.struct(F.unix_micros("o_orderdate").alias("us"), F.col("o_orderkey")),
-        ).alias("first_val"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("ltv"),
-        F.count("*").cast("long").alias("n_orders"),
-    )
-    x, y = F.col("first_val"), F.col("ltv")
-    agg = per.agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.sum(x.cast(DEC)).alias("sx"),
-        F.sum(y.cast(DEC)).alias("sy"),
-        F.sum((x * y).cast(DEC)).alias("sxy"),
-        F.sum((x * x).cast(DEC)).alias("sxx"),
-        F.sum((y * y).cast(DEC)).alias("syy"),
-    )
-    n = F.col("n_customers").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-    )
-    corr = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
-    return agg.select(
-        "n_customers",
-        fround(corr, 6).alias("first_ltv_corr"),
-        fround(sy / sx, 6).alias("mean_ltv_multiple"),
-    )
-
-
-O_FIRST_ORDER_LTV_CORR = f"""
-WITH firsts AS (
-  SELECT o_custkey, o_totalprice AS first_val
-  FROM (SELECT o_custkey, o_totalprice,
-               row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey) AS rn
-        FROM orders)
-  WHERE rn = 1
-),
-tots AS (
-  SELECT o_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS ltv
-  FROM orders GROUP BY 1
-),
-per AS (
-  SELECT f.o_custkey, f.first_val, t.ltv
-  FROM firsts f JOIN tots t USING (o_custkey)
-),
-agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_customers,
-         CAST(sum(CAST(first_val AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(ltv AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(first_val * ltv AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(first_val * first_val AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(ltv * ltv AS DECIMAL(30,10))) AS DOUBLE) AS syy
-  FROM per
-)
-SELECT n_customers,
-       {o_fround("(n_customers * sxy - sx * sy) / sqrt((n_customers * sxx - sx * sx) * (n_customers * syy - sy * sy))", 6)} AS first_ltv_corr,
-       {o_fround("sy / sx", 6)} AS mean_ltv_multiple
-FROM agg
-"""
-
-QUERIES["first_order_ltv_corr"] = q_first_order_ltv_corr
-ORACLES["first_order_ltv_corr"] = O_FIRST_ORDER_LTV_CORR
-
-
-def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekend-vs-weekday commerce profile: order counts, decimal-
-    exact revenue, average order value, and the weekend/weekday AOV
-    ratio — the day-mix control every promo analysis needs before
-    crediting a campaign ([q_activity_heatmap] is the event-side
-    grid; this is the money side).
-
-    dayofweek: Spark's is 1=Sunday; DuckDB dow() is 0=Sunday — both
-    sides classify weekend as {Sat, Sun} explicitly, so the mapping
-    difference cannot leak.
-
-    Plan (100 TB): ONE conditional-aggregate scan of orders into two
-    cells; the ratio cross-joins two 1-row frames."""
-    t = tables(spark, sf_dir, "orders")
-    is_wknd = F.dayofweek("o_orderdate").isin(1, 7)  # Sun=1, Sat=7
-    per = t["orders"].groupBy(
-        is_wknd.alias("is_weekend")
-    ).agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
-    )
-    return per.select(
-        "is_weekend",
-        "n_orders",
-        fround(F.col("rev_dec").cast("double"), 2).alias("revenue"),
-        fround(F.col("rev_dec").cast("double") / F.col("n_orders"), 4).alias(
-            "avg_order_value"
-        ),
-    ).orderBy("is_weekend")
-
-
-O_WEEKEND_EFFECT = f"""
-SELECT dayofweek(o_orderdate) IN (0, 6) AS is_weekend,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       {o_fround("CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue,
-       {o_fround("CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_order_value
-FROM orders GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["weekend_effect"] = q_weekend_effect
-ORACLES["weekend_effect"] = O_WEEKEND_EFFECT
-
-
-def q_order_size_vs_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Do bigger orders ship slower? Per order-priority, the Pearson
-    correlation (decimal co-moments) between basket line count and
-    the order's mean ship latency — the ops question behind
-    [q_latency_trend]'s drift and [q_ship_latency]'s tails.
-
-    Plan (100 TB): per-order (lines, mean latency) is one groupBy on
-    the order key carrying the priority along; the correlation is a
-    |priorities|-row co-moment aggregate."""
-    t = tables(spark, sf_dir, "lineitem", "orders")
-    lat = (
-        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
-        / F.lit(86_400_000_000.0)
-    )
-    per_order = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(
-                F.col("o_orderkey").alias("l_orderkey"),
-                "o_orderdate",
-                "o_orderpriority",
-            ),
-            "l_orderkey",
-        )
-        .groupBy("l_orderkey", "o_orderpriority")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            (F.sum(lat.cast(DEC)).cast("double") / F.count("*")).alias("mlat"),
-        )
-    )
-    x, y = F.col("n_lines").cast("double"), F.col("mlat")
-    agg = per_order.groupBy("o_orderpriority").agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum(x.cast(DEC)).alias("sx"),
-        F.sum(y.cast(DEC)).alias("sy"),
-        F.sum((x * y).cast(DEC)).alias("sxy"),
-        F.sum((x * x).cast(DEC)).alias("sxx"),
-        F.sum((y * y).cast(DEC)).alias("syy"),
-    )
-    n = F.col("n_orders").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-    )
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return agg.select(
-        "o_orderpriority",
-        "n_orders",
-        fround(corr, 6).alias("size_latency_corr"),
-        fround(sy / n, 4).alias("mean_latency_days"),
-    ).orderBy("o_orderpriority")
-
-
-O_ORDER_SIZE_VS_LATENCY = f"""
-WITH per_order AS (
-  SELECT l_orderkey, o_orderpriority,
-         CAST(count(*) AS BIGINT) AS n_lines,
-         CAST(sum(CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0 AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mlat
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  GROUP BY 1, 2
-),
-agg AS (
-  SELECT o_orderpriority,
-         CAST(count(*) AS BIGINT) AS n_orders,
-         CAST(sum(CAST(n_lines AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(mlat AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(n_lines * mlat AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(n_lines * CAST(n_lines AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(mlat * mlat AS DECIMAL(30,10))) AS DOUBLE) AS syy
-  FROM per_order GROUP BY 1
-)
-SELECT o_orderpriority, n_orders,
-       {o_fround("(n_orders * sxy - sx * sy) / sqrt((n_orders * sxx - sx * sx) * (n_orders * syy - sy * sy))", 6)} AS size_latency_corr,
-       {o_fround("sy / n_orders", 4)} AS mean_latency_days
-FROM agg ORDER BY o_orderpriority
-"""
-
-QUERIES["order_size_vs_latency"] = q_order_size_vs_latency
-ORACLES["order_size_vs_latency"] = O_ORDER_SIZE_VS_LATENCY
-
-
-def q_balance_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance vs realized-spend screen per market segment:
-    Pearson correlation between c_acctbal and the customer's total
-    order value, plus the revenue share carried by NEGATIVE-balance
-    customers — the credit-risk lens on the commercial base
-    ([q_customer_churn_flags] is the activity lens).
-
-    Customers with no orders count as zero spend (left join), so the
-    correlation covers the whole base, not just actives.
-
-    Plan (100 TB): per-customer spend is one groupBy; the |customers|
-    frame joins customers on the customer key (ids + one double);
-    one |segments|-row co-moment aggregate ends it."""
-    t = tables(spark, sf_dir, "orders", "customer")
-    spend = t["orders"].groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend")
-    )
-    j = (
-        t["customer"]
-        .select("c_custkey", "c_mktsegment", "c_acctbal")
-        .join(spend, "c_custkey", "left")
-        .fillna(0.0, subset=["spend"])
-    )
-    x, y = F.col("c_acctbal"), F.col("spend")
-    agg = j.groupBy("c_mktsegment").agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.sum(x.cast(DEC)).alias("sx"),
-        F.sum(y.cast(DEC)).alias("sy"),
-        F.sum((x * y).cast(DEC)).alias("sxy"),
-        F.sum((x * x).cast(DEC)).alias("sxx"),
-        F.sum((y * y).cast(DEC)).alias("syy"),
-        F.sum(F.when(x < 0, y).otherwise(0).cast(DEC)).alias("neg_spend"),
-    )
-    n = F.col("n_customers").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx, syy = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-    )
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return agg.select(
-        "c_mktsegment",
-        "n_customers",
-        fround(corr, 6).alias("balance_spend_corr"),
-        fround(F.col("neg_spend").cast("double") / sy, 6).alias(
-            "neg_balance_rev_share"
-        ),
-    ).orderBy("c_mktsegment")
-
-
-O_BALANCE_VS_SPEND = f"""
-WITH spend AS (
-  SELECT o_custkey AS c_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS spend
-  FROM orders GROUP BY 1
-),
-j AS (
-  SELECT c.c_mktsegment, c.c_acctbal, coalesce(s.spend, 0.0) AS spend
-  FROM customer c LEFT JOIN spend s USING (c_custkey)
-),
-agg AS (
-  SELECT c_mktsegment,
-         CAST(count(*) AS BIGINT) AS n_customers,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(spend AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(c_acctbal * spend AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(spend * spend AS DECIMAL(30,10))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(CASE WHEN c_acctbal < 0 THEN spend ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE) AS neg_spend
-  FROM j GROUP BY 1
-)
-SELECT c_mktsegment, n_customers,
-       {o_fround("(n_customers * sxy - sx * sy) / sqrt((n_customers * sxx - sx * sx) * (n_customers * syy - sy * sy))", 6)} AS balance_spend_corr,
-       {o_fround("neg_spend / sy", 6)} AS neg_balance_rev_share
-FROM agg ORDER BY c_mktsegment
-"""
-
-QUERIES["balance_vs_spend"] = q_balance_vs_spend
-ORACLES["balance_vs_spend"] = O_BALANCE_VS_SPEND
-
-
-def q_priority_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority composition drift: per year, each priority's
-    share of orders — the upstream-mix shift that silently moves
-    every latency SLA downstream ([q_latency_trend] would show the
-    symptom; this shows the cause).
-
-    Plan (100 TB): ONE (year, priority) count groupBy; yearly totals
-    derive from the aggregated frame and broadcast back."""
-    t = tables(spark, sf_dir, "orders")
-    cells = t["orders"].groupBy(
-        F.year("o_orderdate").cast("int").alias("yr"), "o_orderpriority"
-    ).agg(F.count("*").cast("long").alias("n"))
-    tot = cells.groupBy("yr").agg(F.sum("n").cast("long").alias("n_yr"))
-    return (
-        cells.join(F.broadcast(tot), "yr")
-        .select(
-            "yr",
-            "o_orderpriority",
-            "n",
-            fround(F.col("n") / F.col("n_yr"), 6).alias("share"),
-        )
-        .orderBy("yr", "o_orderpriority")
-    )
-
-
-O_PRIORITY_MIX_TREND = f"""
-WITH cells AS (
-  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
-         CAST(count(*) AS BIGINT) AS n
-  FROM orders GROUP BY 1, 2
-),
-tot AS (SELECT yr, CAST(sum(n) AS BIGINT) AS n_yr FROM cells GROUP BY 1)
-SELECT yr, o_orderpriority, n,
-       {o_fround("n / CAST(n_yr AS DOUBLE)", 6)} AS share
-FROM cells JOIN tot USING (yr)
-ORDER BY yr, o_orderpriority
-"""
-
-QUERIES["priority_mix_trend"] = q_priority_mix_trend
-ORACLES["priority_mix_trend"] = O_PRIORITY_MIX_TREND
-
-
-def q_tax_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tax-rate vocabulary audit: every distinct l_tax value with its
-    line count, share, and decimal-exact collected tax — the
-    reference-data check that catches a feed quietly introducing a
-    new rate ([q_fd_audit] would flag the dependency break; this
-    names the offending value and prices it).
-
-    Plan (100 TB): ONE |rates|-cell groupBy + a 1-row total
-    broadcast."""
-    t = tables(spark, sf_dir, "lineitem")
-    per = t["lineitem"].groupBy(
-        fround(F.col("l_tax"), 2).alias("tax_rate")
-    ).agg(
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum((F.col("l_extendedprice") * F.col("l_tax")).cast(DEC)).alias("tax_dec"),
-    )
-    tot = per.agg(F.sum("n_lines").cast("long").alias("n_all"))
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "tax_rate",
-            "n_lines",
-            fround(F.col("n_lines") / F.col("n_all"), 6).alias("line_share"),
-            fround(F.col("tax_dec").cast("double"), 2).alias("tax_collected"),
-        )
-        .orderBy("tax_rate")
-    )
-
-
-O_TAX_RATE_AUDIT = f"""
-WITH per AS (
-  SELECT {o_fround("l_tax", 2)} AS tax_rate,
-         CAST(count(*) AS BIGINT) AS n_lines,
-         sum(CAST(l_extendedprice * l_tax AS DECIMAL(30,10))) AS tax_dec
-  FROM lineitem GROUP BY 1
-),
-tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS n_all FROM per)
-SELECT tax_rate, n_lines,
-       {o_fround("n_lines / CAST(n_all AS DOUBLE)", 6)} AS line_share,
-       {o_fround("CAST(tax_dec AS DOUBLE)", 2)} AS tax_collected
-FROM per CROSS JOIN tot ORDER BY tax_rate
-"""
-
-QUERIES["tax_rate_audit"] = q_tax_rate_audit
-ORACLES["tax_rate_audit"] = O_TAX_RATE_AUDIT
-
-
-def q_part_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-SKU adoption curve: per month, how many parts recorded
-    their FIRST EVER sale, with the running distinct-catalog-sold
-    cumulative — the assortment-velocity readout next to
-    [q_parts_never_sold]'s dead stock.
-
-    First sale = min (orderdate, orderkey tiebreak irrelevant: min
-    date suffices for month grain) per part.
-
-    Plan (100 TB): per-part first month is one partial-aggregable
-    min groupBy; the curve is a |months|-row count + cumsum window
-    over that aggregated frame."""
-    t = tables(spark, sf_dir, "lineitem", "orders")
-    first = (
-        t["lineitem"]
-        .join(
-            t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
-            "l_orderkey",
-        )
-        .groupBy("l_partkey")
-        .agg(
-            F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias(
-                "first_month"
-            )
-        )
-    )
-    per = first.groupBy(F.col("first_month").alias("month")).agg(
-        F.count("*").cast("long").alias("n_new_parts")
-    )
-    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
-    return per.select(
-        "month",
-        "n_new_parts",
-        F.sum("n_new_parts").over(w).cast("long").alias("cum_parts_sold"),
-    ).orderBy("month")
-
-
-O_PART_ADOPTION_CURVE = """
-WITH first AS (
-  SELECT l_partkey,
-         min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  GROUP BY 1
-),
-per AS (
-  SELECT first_month AS month, CAST(count(*) AS BIGINT) AS n_new_parts
-  FROM first GROUP BY 1
-)
-SELECT month, n_new_parts,
-       CAST(sum(n_new_parts) OVER (ORDER BY month
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_parts_sold
-FROM per ORDER BY month
-"""
-
-QUERIES["part_adoption_curve"] = q_part_adoption_curve
-ORACLES["part_adoption_curve"] = O_PART_ADOPTION_CURVE
-
-
-def q_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier catalog-breadth profile per nation: distinct parts
-    supplied per supplier (decimal-exact mean, exact max) and the
-    nation's catalog coverage — the supply-base depth view next to
-    [q_supplier_dependency]'s per-part risk bands.
-
-    Plan (100 TB): distinct (supplier, part) collapses map-side; one
-    per-supplier count, one |nations|-row aggregate; the catalog
-    total is a 1-row broadcast."""
-    t = tables(spark, sf_dir, "lineitem", "supplier", "nation", "part")
-    sp = t["lineitem"].select("l_suppkey", "l_partkey").distinct()
-    per_supp = sp.groupBy("l_suppkey").agg(
-        F.count("*").cast("long").alias("n_parts")
-    )
-    cat = t["part"].agg(F.count("*").cast("long").alias("n_catalog"))
-    nat_parts = (
-        sp.join(
-            t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
-            "l_suppkey",
-        )
-        .select("s_nationkey", "l_partkey")
-        .distinct()
-        .groupBy("s_nationkey")
-        .agg(F.count("*").cast("long").alias("nation_parts"))
-    )
-    j = (
-        per_supp.join(
-            t["supplier"].select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
-            "l_suppkey",
-        )
-        .groupBy("s_nationkey")
-        .agg(
-            F.count("*").cast("long").alias("n_suppliers"),
-            fround(
-                F.sum(F.col("n_parts").cast(DEC)).cast("double") / F.count("*"), 4
-            ).alias("avg_parts_per_supplier"),
-            F.max("n_parts").alias("max_parts"),
-        )
-    )
-    return (
-        j.join(nat_parts, "s_nationkey")
-        .join(
-            F.broadcast(
-                t["nation"].select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
-            ),
-            "s_nationkey",
-        )
-        .crossJoin(F.broadcast(cat))
-        .select(
-            "n_name",
-            "n_suppliers",
-            "avg_parts_per_supplier",
-            "max_parts",
-            fround(F.col("nation_parts") / F.col("n_catalog"), 6).alias(
-                "catalog_coverage"
-            ),
-        )
-        .orderBy("n_name")
-    )
-
-
-O_SUPPLIER_BREADTH = f"""
-WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
-per_supp AS (
-  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts FROM sp GROUP BY 1
-),
-cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM part),
-nat_parts AS (
-  SELECT s_nationkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nation_parts
-  FROM sp JOIN supplier ON l_suppkey = s_suppkey
-  GROUP BY 1
-),
-j AS (
-  SELECT s_nationkey,
-         CAST(count(*) AS BIGINT) AS n_suppliers,
-         {o_fround("CAST(sum(CAST(n_parts AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_parts_per_supplier,
-         CAST(max(n_parts) AS BIGINT) AS max_parts
-  FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
-  GROUP BY 1
-)
-SELECT n_name, n_suppliers, avg_parts_per_supplier, max_parts,
-       {o_fround("nation_parts / CAST(n_catalog AS DOUBLE)", 6)} AS catalog_coverage
-FROM j
-JOIN nat_parts USING (s_nationkey)
-JOIN nation ON s_nationkey = n_nationkey
-CROSS JOIN cat
-ORDER BY n_name
-"""
-
-QUERIES["supplier_breadth"] = q_supplier_breadth
-ORACLES["supplier_breadth"] = O_SUPPLIER_BREADTH

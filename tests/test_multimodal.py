@@ -1148,6 +1148,275 @@ def test_lossless_jpeg_precision_pt_restart_multicomp(spark):
     assert (row.width, row.height, row.error) == (14, 9, None)
 
 
+def _expand2(p, eh=1, ev=1):
+    """Independent Annex J.1.1.2 expansion reference (plain loops, not
+    the module's vectorized form): x'[2i] = x[i],
+    x'[2i+1] = (x[i] + x[i+1] + 1) >> 1, edge replicated."""
+    import numpy as np
+
+    p = np.asarray(p, dtype=np.int64)
+    if eh:
+        h, w = p.shape
+        out = np.zeros((h, 2 * w), dtype=np.int64)
+        for r in range(h):
+            for c in range(w):
+                out[r, 2 * c] = p[r, c]
+                nxt = p[r, c + 1] if c + 1 < w else p[r, c]
+                out[r, 2 * c + 1] = (p[r, c] + nxt + 1) >> 1
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.zeros((2 * h, w), dtype=np.int64)
+        for c in range(w):
+            for r in range(h):
+                out[2 * r, c] = p[r, c]
+                nxt = p[r + 1, c] if r + 1 < h else p[r, c]
+                out[2 * r + 1, c] = (p[r, c] + nxt + 1) >> 1
+        p = out
+    return p
+
+
+def _encode_jpeg_hier_diff_frame(diff, *, seg):
+    """Differential LOSSLESS frame (SOF7 + one scan, Ss=0, Pt=0):
+    each sample codes DIFF = diff[r, c] (already mod 2^16) with the
+    category-5 flat Huffman table written as table 0 just before."""
+    import struct
+
+    dc = _jpeg_canonical(_JPEG_LL_DC_COUNTS, _JPEG_LL_DC_SYMBOLS)
+    h, w = diff.shape
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    dht = bytes([0x00]) + _JPEG_LL_DC_COUNTS + _JPEG_LL_DC_SYMBOLS
+    wr = _JpegWriter()
+    for r in range(h):
+        for c in range(w):
+            v = int(diff[r, c]) & 0xFFFF
+            if v == 32768:
+                code, width = dc[16]
+                wr.put(code, width)
+                continue
+            signed = v - 65536 if v > 32768 else v
+            s = 0 if signed == 0 else abs(signed).bit_length()
+            code, width = dc[s]
+            wr.put(code, width)
+            if s:
+                wr.put(signed if signed >= 0 else signed + (1 << s) - 1, s)
+    wr.align()
+    sos = bytes([1, 1, 0x00, 0, 0, 0])  # 1 comp, tables 0/0, Ss=0 Se=0 Pt=0
+    return seg(0xC7, sof) + seg(0xC4, dht) + seg(0xDA, sos) + bytes(wr.out)
+
+
+def _encode_jpeg_hierarchical(gray, *, first="lossless"):
+    """Reference HIERARCHICAL JPEG (T.81 Annex J) encoder: DHP at full
+    resolution, a half-resolution non-differential first frame
+    (lossless SOF3, or baseline SOF0 at quant 1 when first='dct'),
+    then EXP(1,1) + one differential lossless frame (SOF7) coding
+    (source - expanded reference) mod 2^16 — so decode must be
+    BIT-EXACT regardless of the first frame's type."""
+    import struct
+
+    import numpy as np
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    h, w = gray.shape
+    down = gray[::2, ::2]
+    if first == "lossless":
+        frame1 = _encode_jpeg_lossless([down], sel=1)[2:-2]  # strip SOI/EOI
+        ref = down.astype(np.int64)
+    else:
+        frame1 = _encode_jpeg(down, qval=1)[2:-2]
+        # the composer's reference = rint(IDCT + 128) of the coded
+        # coefficients (NOT the truncating gray8 display path) —
+        # mirror that DCT roundtrip independently in numpy
+        from data_ingestors_spark.operators.multimodal import (
+            JPEG_ZIGZAG,
+            _jpeg_idct_matrix,
+        )
+
+        A = _jpeg_idct_matrix()
+        blocks, bw, bh = _jpeg_blocks(down, A, JPEG_ZIGZAG)
+        ref = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for n, zz in enumerate(blocks):
+            Fq = np.zeros((8, 8))
+            for z, (r, c) in enumerate(JPEG_ZIGZAG):
+                Fq[r, c] = zz[z]
+            by, bx = divmod(n, bw)
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.rint(
+                A.T @ Fq @ A + 128.0
+            ).astype(np.int64)
+        ref = ref[: down.shape[0], : down.shape[1]]
+    up = _expand2(ref, 1, 1)[:h, :w]
+    diff = (gray.astype(np.int64) - up) & 0xFFFF
+    dhp = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    exp = bytes([0x11])  # Eh=1, Ev=1
+    return (
+        b"\xff\xd8"
+        + seg(0xDE, dhp)
+        + frame1
+        + seg(0xDF, exp)
+        + _encode_jpeg_hier_diff_frame(diff, seg=seg)
+        + b"\xff\xd9"
+    )
+
+
+def test_hierarchical_jpeg_lossless_pyramid_bit_exact():
+    """HIERARCHICAL JPEG (Annex J): SOF3 half-res first frame +
+    EXP(1,1) + SOF7 differential lossless frame reconstructs the
+    source BIT-EXACTLY — including odd dimensions, where the expanded
+    reference overshoots by one row/column and must be cropped."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(21)
+    for shape in ((12, 16), (13, 19)):
+        gray = rng.randint(0, 256, size=shape).astype(np.uint8)
+        w, h, arr = _decode_jpeg(_encode_jpeg_hierarchical(gray))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(arr, gray), shape
+
+
+def test_hierarchical_jpeg_dct_first_frame_bit_exact():
+    """Annex J with a DCT first frame: baseline SOF0 reference at
+    half resolution, then the differential lossless frame corrects it
+    to the source exactly (the correction absorbs DCT rounding, so
+    the oracle is still strict equality). Smooth source keeps the
+    intermediate reference inside [0, 255]."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    y, x = np.mgrid[0:14, 0:18]
+    gray = (96 + 24 * np.sin(x / 3.0) + 18 * np.cos(y / 2.0)).astype(np.uint8)
+    w, h, arr = _decode_jpeg(_encode_jpeg_hierarchical(gray, first="dct"))
+    assert (w, h) == (18, 14)
+    assert np.array_equal(arr, gray)
+
+
+def test_hierarchical_jpeg_differential_sequential_sof5():
+    """Annex J with a DIFFERENTIAL SEQUENTIAL (SOF5) correction frame:
+    the decoder must entropy-decode the correction coefficients, IDCT
+    them WITHOUT the 2^(P-1) level shift, and ADD the result to the
+    full-resolution reference. Oracle: an independent numpy
+    reconstruction from the same quantized coefficients (DCT rounding
+    makes source-equality the wrong oracle here — the 12-bit DQT test
+    uses the same device)."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _decode_jpeg,
+        _jpeg_idct_matrix,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    rng = np.random.RandomState(31)
+    ref = rng.randint(60, 190, size=(16, 16)).astype(np.uint8)
+    diff = rng.randint(-12, 13, size=(16, 16)).astype(np.int64)
+
+    # frame 1: full-resolution lossless reference
+    frame1 = _encode_jpeg_lossless([ref], sel=1)[2:-2]
+
+    # frame 2: SOF5 — DCT of the correction, quant 1, NO level shift
+    A = _jpeg_idct_matrix()
+    dc = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    wr = _JpegWriter()
+    pred = 0
+    expected = np.zeros((16, 16), dtype=np.int64)
+    for my in range(2):
+        for mx in range(2):
+            block = diff[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.float64)
+            Fq = np.rint(A @ block @ A.T).astype(int)
+            expected[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.rint(
+                A.T @ Fq.astype(np.float64) @ A
+            ).astype(np.int64)
+            zz = [int(Fq[r, c]) for (r, c) in JPEG_ZIGZAG]
+            d = zz[0] - pred
+            pred = zz[0]
+            s = 0 if d == 0 else abs(d).bit_length()
+            code, width = dc[s]
+            wr.put(code, width)
+            if s:
+                wr.put(d if d >= 0 else d + (1 << s) - 1, s)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, width = ac[0xF0]
+                    wr.put(code, width)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, width = ac[(run << 4) | s]
+                wr.put(code, width)
+                wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, width = ac[0x00]
+                wr.put(code, width)
+    wr.align()
+    qtab = bytes([0]) + bytes([1] * 64)
+    sof5 = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + _JPEG_DC_COUNTS + _JPEG_DC_SYMBOLS
+        + bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMBOLS
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dhp = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDE, dhp)
+        + frame1
+        + seg(0xDB, qtab)
+        + seg(0xC5, sof5)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bytes(wr.out)
+        + b"\xff\xd9"
+    )
+    w, h, arr = _decode_jpeg(payload)
+    want = np.clip(ref.astype(np.int64) + expected, 0, 255).astype(np.uint8)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(arr, want)
+
+
+def test_hierarchical_jpeg_fail_loud_boundaries():
+    """SOF6 (differential progressive) and a differential frame with
+    no DHP stay fail-loud; arithmetic SOFs are unchanged."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    gray = np.zeros((4, 4), dtype=np.uint8)
+    hier = bytearray(_encode_jpeg_hierarchical(gray))
+    i = hier.index(b"\xff\xc7")
+    sof6 = bytes(hier[:i]) + b"\xff\xc6" + bytes(hier[i + 2:])
+    with pytest.raises(NotImplementedError, match="SOF6"):
+        _decode_jpeg(sof6)
+
+    sof = bytes([8]) + struct.pack(">HH", 4, 4) + bytes([1, 1, 0x11, 0])
+    no_dhp = b"\xff\xd8" + seg(0xC7, sof)
+    with pytest.raises(ValueError, match="without DHP"):
+        _decode_jpeg(no_dhp)
+
+    arith = b"\xff\xd8" + seg(0xC9, sof)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        _decode_jpeg(arith)
+
+
 def test_12bit_sequential_jpeg_with_16bit_dqt():
     """12-bit extended-sequential JPEG (SOF1) with a 16-bit quant
     table (DQT pq=1): the decoder must dequantize with the 16-bit

@@ -360,11 +360,11 @@ def test_binary_audit_stratum_bound_fails_loud(spark, sf_dir, monkeypatch):
     fails loudly above MAX_BROADCAST_STRATUM (patched low to prove it)."""
     import pytest as _pytest
 
-    from data_ingestors_spark.queries import text_llm
+    from data_ingestors_spark.queries import text_audits
 
-    monkeypatch.setattr(text_llm, "MAX_BROADCAST_STRATUM", 1)
+    monkeypatch.setattr(text_audits, "MAX_BROADCAST_STRATUM", 1)
     with _pytest.raises(ValueError, match="broadcast stratum"):
-        text_llm.q_binary_embedding_audit(spark, sf_dir).count()
+        text_audits.q_binary_embedding_audit(spark, sf_dir).count()
 
 
 def test_ivf_ann_recall(spark, sf_dir):
@@ -2009,7 +2009,7 @@ def test_scd2_intervals_contiguous(spark):
 def test_int8_quant_error_bounded(spark):
     """Affine int8 round-to-nearest: per-dim worst error <= scale/2
     (+1 ulp slack)."""
-    from data_ingestors_spark.queries.text_llm import q_int8_quant_audit
+    from data_ingestors_spark.queries.text_corpus import q_int8_quant_audit
 
     rows = q_int8_quant_audit(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 64
@@ -2028,7 +2028,7 @@ def test_incremental_dedup_index_path_matches_relational(spark, tmp_path):
         incremental_dedup_report,
     )
     from data_ingestors_spark.queries.base import tables
-    from data_ingestors_spark.queries.text_llm import q_incremental_dedup
+    from data_ingestors_spark.queries.text_audits import q_incremental_dedup
 
     sf_dir = "/root/testdata/sf0.001"
     docs = tables(spark, sf_dir, "documents")["documents"]
@@ -2062,6 +2062,7 @@ def test_whale_basket_cap_bounds_fanout(spark, tmp_path):
     MAX_BASKET_ITEMS cap drops the whale and every basket query
     completes bounded, with the small baskets' results intact."""
     from data_ingestors_spark.queries import analytics as A
+    from data_ingestors_spark.queries import analytics_stats as AS
 
     # whale: customer 1 / order 1 holds 80 distinct parts; the sane
     # baskets are orders 2-4 (3 parts each, shared across customers)
@@ -2079,9 +2080,9 @@ def test_whale_basket_cap_bounds_fanout(spark, tmp_path):
 
     with mock.patch.object(A, "MAX_BASKET_ITEMS", 10):
         pairs = A.q_copurchase_pairs(spark, str(tmp_path)).collect()
-        cos = A.q_item_cosine(spark, str(tmp_path)).collect()
-        rules = A.q_assoc_rules(spark, str(tmp_path)).collect()
-        triples = A.q_copurchase_triples(spark, str(tmp_path)).collect()
+        cos = AS.q_item_cosine(spark, str(tmp_path)).collect()
+        rules = AS.q_assoc_rules(spark, str(tmp_path)).collect()
+        triples = AS.q_copurchase_triples(spark, str(tmp_path)).collect()
     # the whale contributed nothing: no pair involves parts > 4, and
     # the fan-out stayed at C(3,2) per sane basket
     assert pairs and all(r.part_b <= 4 for r in pairs)
@@ -2099,7 +2100,7 @@ def test_blocking_audit_lossless_on_fixture(spark):
     """FastSS 1-deletion blocking retains every true distance-1 pair
     on the customer fixture (pair completeness 1.0) while pruning the
     overwhelming majority of the n^2 pairs."""
-    from data_ingestors_spark.queries.text_llm import q_blocking_audit
+    from data_ingestors_spark.queries.text_corpus import q_blocking_audit
 
     r = q_blocking_audit(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["n_found"] == r["n_true"]

@@ -115,3 +115,53 @@ def test_registry_index_is_fresh():
             "docs/REGISTRY.md is stale — rerun `python tools/registry_index.py`"
             f" (after tools/plan_report.py if plans changed):\n{diff[:4000]}"
         )
+
+
+def test_plans_check_parses_scale_and_diffs():
+    """tools/plans_check.py: the SCALE.md parser reads the committed
+    plan table, a matching artifact diffs clean, and a drifted entry
+    (one extra shuffle) or a missing query is reported."""
+    import json
+    import subprocess
+    import tempfile
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import plans_check
+
+    scale_path = os.path.join(REPO, "SCALE.md")
+    scale = plans_check.parse_scale_md(scale_path)
+    assert len(scale) > 300, "SCALE.md table parse lost rows"
+    clean = {
+        name: row for name, row in scale.items() if "err" not in row
+    }
+    assert clean, "no clean rows parsed"
+
+    def run(artifact):
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+            json.dump(artifact, f)
+            path = f.name
+        try:
+            return subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "plans_check.py"),
+                 "--plans", path],
+                capture_output=True, text=True,
+            )
+        finally:
+            os.unlink(path)
+
+    # identical artifact -> clean exit
+    full = {
+        name: (row if "err" not in row else {"err": "x"})
+        for name, row in scale.items()
+    }
+    out = run(full)
+    assert out.returncode == 0, out.stdout + out.stderr
+
+    # one drifted shuffle count + one dropped query -> exit 1, both named
+    name0, name1 = sorted(clean)[:2]
+    drifted = dict(full)
+    drifted[name0] = {**clean[name0], "exch": clean[name0]["exch"] + 1}
+    del drifted[name1]
+    out = run(drifted)
+    assert out.returncode == 1
+    assert name0 in out.stdout and name1 in out.stdout

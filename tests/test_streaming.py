@@ -770,7 +770,7 @@ def test_stream_incremental_dedup_matches_batch_and_replay(spark, tmp_path):
         incremental_dedup_report,
     )
     from data_ingestors_spark.queries.base import tables
-    from data_ingestors_spark.queries.text_llm import q_incremental_dedup
+    from data_ingestors_spark.queries.text_audits import q_incremental_dedup
     from data_ingestors_spark.streaming import (
         read_incremental_dedup,
         stream_incremental_dedup,
