@@ -4,13 +4,14 @@
 The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 mapInPandas signatures — is real and tested. Most of the codec layer
 is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG incl. progressive,
-12-bit, lossless SOF3, and hierarchical Annex J / MJPEG-AVI images
-and frames; WAV PCM 8/16/24/32-bit, IEEE float, G.711, IMA ADPCM,
-and FLAC audio); each ``_decode_*`` additionally accepts the
-deterministic fake formats below for tests, and raises
-``NotImplementedError`` for the honestly-stubbed remainder
-(arithmetic JPEG, differential-progressive SOF6, perceptual audio
-mp3/ogg, inter-frame video). Swapping in a further codec is a
+12-bit, lossless SOF3, hierarchical Annex J, and ARITHMETIC
+sequential SOF9 / MJPEG-AVI images and frames; WAV PCM
+8/16/24/32-bit, IEEE float, G.711, IMA ADPCM, and FLAC audio); each
+``_decode_*`` additionally accepts the deterministic fake formats
+below for tests, and raises ``NotImplementedError`` for the
+honestly-stubbed remainder (progressive/lossless/differential
+arithmetic JPEG SOF10/11/13-15, differential-progressive SOF6,
+perceptual audio mp3/ogg, inter-frame video). Swapping in a further codec is a
 one-function change; nothing in the distributed plan moves.
 
 Fake fixture formats (produced by tests):
@@ -616,6 +617,211 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+# T.81 Annex D probability-estimation state machine for the QM
+# arithmetic coder: (Qe, NextIndexLPS, NextIndexMPS, SwitchMPS) per
+# state. Indices 0-13 are the fast-attack startup chain, 14+ the
+# steady-state estimation tree; index 113 is the NON-adaptive
+# equiprobable state used for AC coefficient signs (F.1.4.3.1) —
+# it transitions to itself and never switches.
+_QM_STATES = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QmBin:
+    """One adaptive context bin: state-machine index + current MPS."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self):
+        self.i = 0
+        self.mps = 0
+
+
+class _QmDecoder:
+    """QM arithmetic decoder (T.81 Annex D decode procedures) over one
+    byte-unstuffed entropy segment. Register model: the current coding
+    interval is [base, base+A) with 0x8000 <= A <= 0x10000 after
+    renormalization; ``v`` holds (codeword - base) at the interval's
+    scale, so every decision is the two-way split the encoder made:
+    bottom region [0, A-Qe) vs top region [A-Qe, A), with the
+    conditional MPS/LPS exchange of D.2.4/D.2.5 applied when the MPS
+    subinterval falls below Qe. Exhausted data feeds 0-bits (the
+    in-repo reference encoder emits its full flush, so those pad bits
+    are never semantically consulted)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 2
+        self.v = ((data[0] << 8) | data[1]) if len(data) >= 2 else (
+            (data[0] << 8) if data else 0
+        )
+        self.bitn = 0
+        self.a = 0x10000
+
+    def _next_bit(self) -> int:
+        if self.pos >= len(self.d):
+            return 0
+        b = (self.d[self.pos] >> (7 - self.bitn)) & 1
+        self.bitn += 1
+        if self.bitn == 8:
+            self.bitn = 0
+            self.pos += 1
+        return b
+
+    def decode(self, bin_: _QmBin) -> int:
+        qe, nlps, nmps, switch = _QM_STATES[bin_.i]
+        an = self.a - qe
+        if self.v < an:
+            # bottom region, size A-Qe
+            self.a = an
+            if an >= 0x8000:
+                return bin_.mps  # fast path: no renorm, no estimation
+            if an < qe:  # conditional exchange: bottom became the LPS
+                d = 1 - bin_.mps
+                if switch:
+                    bin_.mps = 1 - bin_.mps
+                bin_.i = nlps
+            else:
+                d = bin_.mps
+                bin_.i = nmps
+        else:
+            # top region, size Qe
+            self.v -= an
+            self.a = qe
+            if an < qe:  # conditional exchange: top became the MPS
+                d = bin_.mps
+                bin_.i = nmps
+            else:
+                d = 1 - bin_.mps
+                if switch:
+                    bin_.mps = 1 - bin_.mps
+                bin_.i = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.v = (self.v << 1) | self._next_bit()
+        return d
+
+
+def _jpeg_arith_decode_dc(dec, dcs, fixed_unused, ci, dc_ctx, last_dc, L, U):
+    """DC DIFF decode per T.81 F.2.4.1 (decision tree of Figures
+    F.19/F.20 with the F.1.4.4.1.1 conditioning-context update):
+    zero/sign/magnitude-category/magnitude-bits decisions over the
+    64-bin DC statistics area (contexts 0-19, X chain at 20, M bins
+    +14)."""
+    base = dc_ctx[ci]
+    if dec.decode(dcs[base]) == 0:
+        dc_ctx[ci] = 0
+        return
+    sign = dec.decode(dcs[base + 1])
+    m = dec.decode(dcs[base + 2 + sign])
+    pos = base + 2 + sign
+    if m:
+        pos = 20  # X1
+        m = 1
+        while dec.decode(dcs[pos]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic JPEG DC magnitude")
+            pos += 1
+    # conditioning category for the NEXT block's context (F.1.4.4.1.2)
+    if m < (1 << L) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v = m
+    pos += 14  # magnitude-bit bins
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if dec.decode(dcs[pos]):
+            v |= mm
+    v += 1
+    last_dc[ci] += -v if sign else v
+
+
+def _jpeg_arith_decode_block(dec, blk, dcs, acs, fixed, ci, dc_ctx, last_dc,
+                             L, U, Kx, se=63):
+    """One full-band block: DC (above) + the AC decision tree of
+    T.81 F.2.4.2 — per-index EOB / nonzero decisions (3 bins per k),
+    equiprobable sign (the fixed state-113 bin), magnitude category
+    via the low/high X chains at 189/217 split on Kx, magnitude bits
+    +14."""
+    _jpeg_arith_decode_dc(dec, dcs, fixed, ci, dc_ctx, last_dc, L, U)
+    blk[0] = last_dc[ci]
+    k = 1
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(acs[base]):
+            break  # EOB
+        while dec.decode(acs[base + 1]) == 0:
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG AC run")
+            base = 3 * (k - 1)
+        sign = dec.decode(fixed)
+        m = dec.decode(acs[base + 2])
+        pos = base + 2
+        if m:
+            if dec.decode(acs[base + 2]):
+                m = 2
+                pos = 189 if k <= Kx else 217
+                while dec.decode(acs[pos]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic JPEG AC magnitude")
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(acs[pos]):
+                v |= mm
+        v += 1
+        blk[k] = -v if sign else v
+        k += 1
+
+
 def _jpeg_split_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``pos``: unstuff 0xFF00, split on
     restart markers; returns (segments, position of the terminating
@@ -716,9 +922,10 @@ def _jpeg_parse(content: bytes) -> dict:
             meta["dhp"] = {"prec": prec, "h": h, "w": w, "comps": comps}
         elif marker == 0xDF:  # EXP — expand reference before next frame
             pending_exp = (data[0] >> 4, data[0] & 0xF)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            # baseline / ext. sequential / progressive / lossless and
-            # their DIFFERENTIAL hierarchical variants (SOF5-7)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9):
+            # baseline / ext. sequential / progressive / lossless,
+            # their DIFFERENTIAL hierarchical variants (SOF5-7), and
+            # ARITHMETIC extended sequential (SOF9)
             if marker == 0xC6:
                 raise NotImplementedError(
                     "JPEG SOF6 (differential progressive) not supported"
@@ -738,15 +945,26 @@ def _jpeg_parse(content: bytes) -> dict:
                     "differential": differential,
                     "lossless": lossless,
                     "progressive": marker == 0xC2,
+                    "arith": marker == 0xC9,
                     "prec": prec, "h": h, "w": w, "comps": comps,
                     "exp": pending_exp, "scans": [],
                 }
             )
             pending_exp = None
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCC:  # DAC — arithmetic conditioning values
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0xF
+                cs = data[i + 1]
+                if tc == 0:
+                    meta.setdefault("dac_dc", {})[tb] = (cs & 0xF, cs >> 4)
+                else:
+                    meta.setdefault("dac_ac", {})[tb] = cs
+                i += 2
+        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (arithmetic coding) "
-                "not decodable without PIL"
+                f"JPEG SOF{marker - 0xC0} (progressive/lossless/"
+                "differential arithmetic) not decodable without PIL"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[:2], "big")
@@ -775,7 +993,7 @@ def _jpeg_parse(content: bytes) -> dict:
     # legacy single-frame mirror: the non-hierarchical decode paths
     # read these keys; hierarchical output dims come from the DHP
     f0 = meta["frames"][0]
-    for k in ("prec", "h", "w", "comps", "scans", "progressive", "lossless"):
+    for k in ("prec", "h", "w", "comps", "scans", "progressive", "lossless", "arith"):
         meta[k] = f0[k]
     if meta["hierarchical"]:
         meta["prec"] = meta["dhp"]["prec"]
@@ -1034,7 +1252,10 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     y_comp = meta["scans"][0]["comps"][0][0]
     if comps[y_comp][1] != hmax or comps[y_comp][2] != vmax:
         raise NotImplementedError("JPEG luma without max sampling factors")
-    planes = _jpeg_dct_frame_planes(meta, meta["qt"], only_comp=y_comp)
+    planes = _jpeg_dct_frame_planes(
+        meta, meta["qt"], only_comp=y_comp,
+        dac_dc=meta.get("dac_dc"), dac_ac=meta.get("dac_ac"),
+    )
     return w, h, _jpeg_to_gray8(planes[y_comp], meta["prec"])
 
 
@@ -1044,6 +1265,8 @@ def _jpeg_dct_frame_planes(
     *,
     differential: bool = False,
     only_comp: int | None = None,
+    dac_dc: dict | None = None,
+    dac_ac: dict | None = None,
 ) -> list[np.ndarray]:
     """Entropy-decode one DCT frame's scans into coefficient grids and
     render per-component spatial planes (float64, cropped to component
@@ -1094,27 +1317,68 @@ def _jpeg_dct_frame_planes(
         if restart == 0 and len(scan["segments"]) > 1:
             raise ValueError("restart markers without DRI")
         full_band = ss == 0 and se == 63 and ah == 0 and al == 0
+
+        def sites_for(unit: int) -> list[tuple]:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                return [
+                    (ci, tdc, tac, my * cvf + by, mx * chf + bx)
+                    for ci, tdc, tac in scomps
+                    for cvf, chf in [(comps[ci][2], comps[ci][1])]
+                    for by in range(cvf)
+                    for bx in range(chf)
+                ]
+            ci, tdc, tac = scomps[0]
+            by_r, bx_r = real[ci]
+            return [(ci, tdc, tac, *divmod(unit, bx_r))]
+
         unit = 0
+        if frame.get("arith"):
+            # SOF9 extended sequential, QM arithmetic entropy (T.81
+            # Annex D coder + Annex F statistical model). Statistics
+            # bins, DC conditioning contexts, and DC predictors reset
+            # per restart segment (F.2.1.3); conditioning bounds come
+            # from the DAC marker (defaults L=0, U=1, Kx=5).
+            if not full_band:
+                raise ValueError("arithmetic sequential scan must be full-band")
+            for seg in scan["segments"]:
+                dec = _QmDecoder(seg)
+                dcs_by_t: dict[int, list] = {}
+                acs_by_t: dict[int, list] = {}
+                fixed = _QmBin()
+                fixed.i = 113
+                dc_ctx = [0] * len(comps)
+                last_dc = [0] * len(comps)
+                limit = min(unit + restart, n_units) if restart else n_units
+                while unit < limit:
+                    for ci, tdc, tac, by, bx in sites_for(unit):
+                        dcs = dcs_by_t.setdefault(
+                            tdc, [_QmBin() for _ in range(64)]
+                        )
+                        acs = acs_by_t.setdefault(
+                            tac, [_QmBin() for _ in range(256)]
+                        )
+                        L, U = (dac_dc or {}).get(tdc, (0, 1))
+                        Kx = (dac_ac or {}).get(tac, 5)
+                        _jpeg_arith_decode_block(
+                            dec, block_at(ci, by, bx), dcs, acs, fixed,
+                            ci, dc_ctx, last_dc, L, U, Kx, se,
+                        )
+                    unit += 1
+                if unit >= n_units:
+                    break
+            if unit < n_units:
+                raise ValueError(
+                    "JPEG entropy data ended before the scan's last unit"
+                )
+            continue
         for seg in scan["segments"]:
             bits = _JpegBits(seg)
             preds = [0] * len(comps)
             eobrun = 0
             limit = min(unit + restart, n_units) if restart else n_units
             while unit < limit:
-                if interleaved:
-                    my, mx = divmod(unit, mcus_x)
-                    sites = [
-                        (ci, tdc, tac, my * cvf + by, mx * chf + bx)
-                        for ci, tdc, tac in scomps
-                        for cvf, chf in [(comps[ci][2], comps[ci][1])]
-                        for by in range(cvf)
-                        for bx in range(chf)
-                    ]
-                else:
-                    ci, tdc, tac = scomps[0]
-                    by_r, bx_r = real[ci]
-                    sites = [(ci, tdc, tac, *divmod(unit, bx_r))]
-                for ci, tdc, tac, by, bx in sites:
+                for ci, tdc, tac, by, bx in sites_for(unit):
                     blk = block_at(ci, by, bx)
                     if full_band:
                         _jpeg_block_full(
@@ -1230,7 +1494,8 @@ def _decode_jpeg_hierarchical(meta: dict) -> tuple[int, int, np.ndarray]:
             vals = [p << pt for p, pt in zip(lplanes, pts)]
         else:
             fplanes = _jpeg_dct_frame_planes(
-                frame, meta["qt"], differential=frame["differential"]
+                frame, meta["qt"], differential=frame["differential"],
+                dac_dc=meta.get("dac_dc"), dac_ac=meta.get("dac_ac"),
             )
             vals = [np.rint(p).astype(np.int64) for p in fplanes]
         for ci, cid in enumerate(frame_cids):

@@ -1387,6 +1387,263 @@ def test_hierarchical_jpeg_differential_sequential_sof5():
     assert np.array_equal(arr, want)
 
 
+class _QmRefEncoder:
+    """Reference QM arithmetic encoder over an UNBOUNDED-integer
+    interval base — an independent realization of T.81 Annex D's
+    interval arithmetic (no byte/carry registers at all: the base is
+    a python bignum, renormalizations are plain doublings, and the
+    final codeword is the exact base emitted MSB-first). Shares only
+    the spec's probability-estimation state table with the decoder,
+    like the Huffman encoders share JPEG_ZIGZAG."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.shifts = 0
+
+    def encode(self, bin_, d):
+        from data_ingestors_spark.operators.multimodal import _QM_STATES
+
+        qe, nlps, nmps, switch = _QM_STATES[bin_.i]
+        an = self.a - qe
+        if d == bin_.mps:
+            if an >= 0x8000:
+                self.a = an
+                return
+            if an < qe:  # conditional exchange: MPS takes the top
+                self.c += an
+                self.a = qe
+            else:
+                self.a = an
+            bin_.i = nmps
+        else:
+            if an < qe:  # conditional exchange: LPS takes the bottom
+                self.a = an
+            else:
+                self.c += an
+                self.a = qe
+            if switch:
+                bin_.mps ^= 1
+            bin_.i = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.shifts += 1
+
+    def flush(self) -> bytes:
+        total_bits = 16 + self.shifts
+        pad = (-total_bits) % 8
+        w = self.c << pad
+        return w.to_bytes((total_bits + pad) // 8, "big")
+
+
+def _qm_encode_dc(enc, dcs, ci, dc_ctx, last_dc, L, U, dc_val):
+    diff = dc_val - last_dc[ci]
+    last_dc[ci] = dc_val
+    base = dc_ctx[ci]
+    if diff == 0:
+        enc.encode(dcs[base], 0)
+        dc_ctx[ci] = 0
+        return
+    enc.encode(dcs[base], 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(dcs[base + 1], sign)
+    t = abs(diff) - 1
+    if t == 0:
+        enc.encode(dcs[base + 2 + sign], 0)
+        m, pos = 0, base + 2 + sign
+    else:
+        enc.encode(dcs[base + 2 + sign], 1)
+        m, pos = 1, 20
+        while (m << 1) <= t:
+            enc.encode(dcs[pos], 1)
+            m <<= 1
+            pos += 1
+        enc.encode(dcs[pos], 0)
+    if m < (1 << L) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    pos += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(dcs[pos], 1 if t & mm else 0)
+
+
+def _qm_encode_ac(enc, acs, fixed, blk, Kx, se=63):
+    kend = max((k for k in range(1, se + 1) if blk[k]), default=0)
+    k = 1
+    while k <= kend:
+        base = 3 * (k - 1)
+        enc.encode(acs[base], 0)  # not EOB yet
+        while blk[k] == 0:
+            enc.encode(acs[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(acs[base + 1], 1)
+        val = blk[k]
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, sign)
+        t = abs(val) - 1
+        if t == 0:
+            enc.encode(acs[base + 2], 0)
+            m, pos = 0, base + 2
+        elif t == 1:
+            enc.encode(acs[base + 2], 1)
+            enc.encode(acs[base + 2], 0)
+            m, pos = 1, base + 2
+        else:
+            enc.encode(acs[base + 2], 1)
+            enc.encode(acs[base + 2], 1)
+            m, pos = 2, (189 if k <= Kx else 217)
+            while (m << 1) <= t:
+                enc.encode(acs[pos], 1)
+                m <<= 1
+                pos += 1
+            enc.encode(acs[pos], 0)
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(acs[pos], 1 if t & mm else 0)
+        k += 1
+    if kend < se:
+        enc.encode(acs[3 * kend], 1)  # EOB at k = kend + 1
+
+
+def _encode_jpeg_arith(gray, *, chroma=None, qval=1, restart=0, dac=None):
+    """Reference ARITHMETIC sequential JPEG (SOF9) encoder: the T.81
+    Annex F statistical model driving the bignum QM encoder above.
+    1 component (or 3 at 4:4:4 when ``chroma`` is given), optional
+    restart interval (statistics + DC contexts + predictors reset per
+    segment), optional DAC conditioning (dc (L, U), ac Kx)."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _QmBin,
+        _jpeg_idct_matrix,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def stuff(b: bytes) -> bytes:
+        return b.replace(b"\xff", b"\xff\x00")
+
+    A = _jpeg_idct_matrix()
+    h, w = gray.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [gray] if chroma is None else [gray, chroma, chroma]
+    padded = [
+        np.pad(p.astype(np.float64) - 128, ((0, H - h), (0, W - w)), mode="edge")
+        for p in planes
+    ]
+    L, U = (dac or {}).get("dc", (0, 1))
+    Kx = (dac or {}).get("ac", 5)
+
+    def coeffs_at(plane, my, mx):
+        block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+        Fq = np.rint(np.rint(A @ block @ A.T) / qval).astype(int)
+        return [int(Fq[r, c]) for (r, c) in JPEG_ZIGZAG]
+
+    mcus = [(y, x) for y in range(H // 8) for x in range(W // 8)]
+    body = bytearray()
+    i = 0
+    rst = 0
+    while i < len(mcus):
+        seg_mcus = mcus[i : i + restart] if restart else mcus
+        if restart and i:
+            body += bytes([0xFF, 0xD0 + ((rst - 1) % 8)])
+        enc = _QmRefEncoder()
+        dcs = [_QmBin() for _ in range(64)]
+        acs = [_QmBin() for _ in range(256)]
+        fixed = _QmBin()
+        fixed.i = 113
+        dc_ctx = [0] * len(planes)
+        last_dc = [0] * len(planes)
+        for my, mx in seg_mcus:
+            for ci, plane in enumerate(padded):
+                zz = coeffs_at(plane, my, mx)
+                _qm_encode_dc(enc, dcs, ci, dc_ctx, last_dc, L, U, zz[0])
+                _qm_encode_ac(enc, acs, fixed, zz, Kx)
+        body += stuff(enc.flush())
+        i += len(seg_mcus)
+        rst += 1
+
+    nc = len(planes)
+    qtab = bytes([0]) + bytes([qval] * 64)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out = b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC9, sof)
+    if dac:
+        payload = b""
+        if "dc" in dac:
+            dl, du = dac["dc"]
+            payload += bytes([0x00, (du << 4) | dl])
+        if "ac" in dac:
+            payload += bytes([0x10, dac["ac"]])
+        out += seg(0xCC, payload)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + bytes([0, 63, 0])
+    return out + seg(0xDA, sos) + bytes(body) + b"\xff\xd9"
+
+
+def test_arithmetic_jpeg_matches_huffman_decode():
+    """SOF9 arithmetic sequential JPEG: swapping the entropy layer
+    must be invisible — the arithmetic stream codes EXACTLY the same
+    quantized coefficients as the Huffman stream, so the decoded
+    gray8 planes must be byte-identical (the Huffman decoder is the
+    independently-validated oracle)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(41)
+    gray = rng.randint(0, 256, size=(21, 17)).astype(np.uint8)
+    ref = _decode_jpeg(_encode_jpeg(gray, qval=1))[2]
+    got = _decode_jpeg(_encode_jpeg_arith(gray, qval=1))[2]
+    assert np.array_equal(got, ref)
+
+    # coarser quant exercises long zero runs + EOB decisions
+    ref_q = _decode_jpeg(_encode_jpeg(gray, qval=8))[2]
+    got_q = _decode_jpeg(_encode_jpeg_arith(gray, qval=8))[2]
+    assert np.array_equal(got_q, ref_q)
+
+
+def test_arithmetic_jpeg_restart_multicomp_dac():
+    """SOF9 variants: restart intervals (statistics reset per
+    segment), interleaved 3-component 4:4:4, and non-default DAC
+    conditioning (L, U, Kx change CONTEXT SELECTION only — decoded
+    values must not move)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    ref = _decode_jpeg(_encode_jpeg(gray, qval=2))[2]
+
+    got_rst = _decode_jpeg(_encode_jpeg_arith(gray, qval=2, restart=3))[2]
+    assert np.array_equal(got_rst, ref)
+
+    chroma = rng.randint(0, 256, size=gray.shape).astype(np.uint8)
+    got_3c = _decode_jpeg(_encode_jpeg_arith(gray, qval=2, chroma=chroma))[2]
+    assert np.array_equal(got_3c, ref)
+
+    got_dac = _decode_jpeg(
+        _encode_jpeg_arith(gray, qval=2, dac={"dc": (2, 3), "ac": 12})
+    )[2]
+    assert np.array_equal(got_dac, ref)
+
+
 def test_hierarchical_jpeg_fail_loud_boundaries():
     """SOF6 (differential progressive) and a differential frame with
     no DHP stay fail-loud; arithmetic SOFs are unchanged."""
@@ -1412,7 +1669,8 @@ def test_hierarchical_jpeg_fail_loud_boundaries():
     with pytest.raises(ValueError, match="without DHP"):
         _decode_jpeg(no_dhp)
 
-    arith = b"\xff\xd8" + seg(0xC9, sof)
+    # SOF11 (lossless arithmetic) stays stubbed; SOF9 decodes for real
+    arith = b"\xff\xd8" + seg(0xCB, sof)
     with pytest.raises(NotImplementedError, match="arithmetic"):
         _decode_jpeg(arith)
 
