@@ -5,13 +5,13 @@ The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
 mapInPandas signatures — is real and tested. Most of the codec layer
 is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG incl. progressive,
 12-bit, lossless SOF3, hierarchical Annex J, and ARITHMETIC
-sequential SOF9 / MJPEG-AVI images and frames; WAV PCM
-8/16/24/32-bit, IEEE float, G.711, IMA ADPCM, and FLAC audio); each
-``_decode_*`` additionally accepts the deterministic fake formats
-below for tests, and raises ``NotImplementedError`` for the
-honestly-stubbed remainder (progressive/lossless/differential
-arithmetic JPEG SOF10/11/13-15, differential-progressive SOF6,
-perceptual audio mp3/ogg, inter-frame video). Swapping in a further codec is a
+sequential SOF9 + progressive SOF10 / MJPEG-AVI images and frames;
+WAV PCM 8/16/24/32-bit, IEEE float, G.711, IMA ADPCM, and FLAC
+audio); each ``_decode_*`` additionally accepts the deterministic
+fake formats below for tests, and raises ``NotImplementedError`` for
+the honestly-stubbed remainder (lossless/differential arithmetic
+JPEG SOF11/13-15, differential-progressive SOF6, perceptual audio
+mp3/ogg, inter-frame video). Swapping in a further codec is a
 one-function change; nothing in the distributed plan moves.
 
 Fake fixture formats (produced by tests):
@@ -779,16 +779,15 @@ def _jpeg_arith_decode_dc(dec, dcs, fixed_unused, ci, dc_ctx, last_dc, L, U):
     last_dc[ci] += -v if sign else v
 
 
-def _jpeg_arith_decode_block(dec, blk, dcs, acs, fixed, ci, dc_ctx, last_dc,
-                             L, U, Kx, se=63):
-    """One full-band block: DC (above) + the AC decision tree of
-    T.81 F.2.4.2 — per-index EOB / nonzero decisions (3 bins per k),
-    equiprobable sign (the fixed state-113 bin), magnitude category
-    via the low/high X chains at 189/217 split on Kx, magnitude bits
-    +14."""
-    _jpeg_arith_decode_dc(dec, dcs, fixed, ci, dc_ctx, last_dc, L, U)
-    blk[0] = last_dc[ci]
-    k = 1
+def _jpeg_arith_decode_ac_first(dec, blk, acs, fixed, Kx, ss, se, al):
+    """AC initial decode over band [ss, se] — the decision tree of
+    T.81 F.2.4.2 (sequential when ss=1/se=63/al=0; progressive
+    spectral-selection otherwise): per-index EOB / nonzero decisions
+    (3 bins per k), equiprobable sign (the fixed state-113 bin),
+    magnitude category via the low/high X chains at 189/217 split on
+    Kx, magnitude bits +14; decoded values carry the point transform
+    << al."""
+    k = ss
     while k <= se:
         base = 3 * (k - 1)
         if dec.decode(acs[base]):
@@ -818,7 +817,41 @@ def _jpeg_arith_decode_block(dec, blk, dcs, acs, fixed, ci, dc_ctx, last_dc,
             if dec.decode(acs[pos]):
                 v |= mm
         v += 1
-        blk[k] = -v if sign else v
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _jpeg_arith_decode_ac_refine(dec, blk, acs, fixed, ss, se, al):
+    """AC successive-approximation refinement (T.81 G.x with
+    arithmetic decisions): beyond the previous stage's end-of-block
+    index the per-k EOB decision gates the tail; previously-nonzero
+    coefficients take one correction-bit decision (bin k+2),
+    previously-zero ones a newly-nonzero decision (bin k+1) with the
+    equiprobable sign bin."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = 0
+    for kk in range(se, 0, -1):
+        if blk[kk]:
+            kex = kk
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(acs[base]):
+            break  # EOB
+        while True:
+            if blk[k]:
+                if dec.decode(acs[base + 2]):
+                    blk[k] += m1 if blk[k] < 0 else p1
+                break
+            if dec.decode(acs[base + 1]):
+                blk[k] = m1 if dec.decode(fixed) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG AC refinement")
+            base = 3 * (k - 1)
         k += 1
 
 
@@ -922,10 +955,10 @@ def _jpeg_parse(content: bytes) -> dict:
             meta["dhp"] = {"prec": prec, "h": h, "w": w, "comps": comps}
         elif marker == 0xDF:  # EXP — expand reference before next frame
             pending_exp = (data[0] >> 4, data[0] & 0xF)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             # baseline / ext. sequential / progressive / lossless,
             # their DIFFERENTIAL hierarchical variants (SOF5-7), and
-            # ARITHMETIC extended sequential (SOF9)
+            # ARITHMETIC sequential (SOF9) / progressive (SOF10)
             if marker == 0xC6:
                 raise NotImplementedError(
                     "JPEG SOF6 (differential progressive) not supported"
@@ -944,8 +977,8 @@ def _jpeg_parse(content: bytes) -> dict:
                 {
                     "differential": differential,
                     "lossless": lossless,
-                    "progressive": marker == 0xC2,
-                    "arith": marker == 0xC9,
+                    "progressive": marker in (0xC2, 0xCA),
+                    "arith": marker in (0xC9, 0xCA),
                     "prec": prec, "h": h, "w": w, "comps": comps,
                     "exp": pending_exp, "scans": [],
                 }
@@ -961,10 +994,10 @@ def _jpeg_parse(content: bytes) -> dict:
                 else:
                     meta.setdefault("dac_ac", {})[tb] = cs
                 i += 2
-        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/lossless/"
-                "differential arithmetic) not decodable without PIL"
+                f"JPEG SOF{marker - 0xC0} (lossless/differential "
+                "arithmetic) not decodable without PIL"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[:2], "big")
@@ -1334,13 +1367,16 @@ def _jpeg_dct_frame_planes(
 
         unit = 0
         if frame.get("arith"):
-            # SOF9 extended sequential, QM arithmetic entropy (T.81
-            # Annex D coder + Annex F statistical model). Statistics
-            # bins, DC conditioning contexts, and DC predictors reset
-            # per restart segment (F.2.1.3); conditioning bounds come
-            # from the DAC marker (defaults L=0, U=1, Kx=5).
-            if not full_band:
-                raise ValueError("arithmetic sequential scan must be full-band")
+            # SOF9 extended sequential / SOF10 progressive, QM
+            # arithmetic entropy (T.81 Annex D coder + Annex F/G
+            # statistical model). Statistics bins, DC conditioning
+            # contexts, and DC predictors reset per restart segment
+            # (F.2.1.3); conditioning bounds come from the DAC marker
+            # (defaults L=0, U=1, Kx=5). Scan kinds dispatch exactly
+            # like the Huffman path: full-band sequential, DC first /
+            # refine, AC first / refine.
+            if not (full_band or (ss == 0 and se == 0) or ss >= 1):
+                raise ValueError(f"JPEG arithmetic scan band {ss}..{se} invalid")
             for seg in scan["segments"]:
                 dec = _QmDecoder(seg)
                 dcs_by_t: dict[int, list] = {}
@@ -1360,10 +1396,31 @@ def _jpeg_dct_frame_planes(
                         )
                         L, U = (dac_dc or {}).get(tdc, (0, 1))
                         Kx = (dac_ac or {}).get(tac, 5)
-                        _jpeg_arith_decode_block(
-                            dec, block_at(ci, by, bx), dcs, acs, fixed,
-                            ci, dc_ctx, last_dc, L, U, Kx, se,
-                        )
+                        blk = block_at(ci, by, bx)
+                        if full_band:
+                            _jpeg_arith_decode_dc(
+                                dec, dcs, fixed, ci, dc_ctx, last_dc, L, U
+                            )
+                            blk[0] = last_dc[ci]
+                            _jpeg_arith_decode_ac_first(
+                                dec, blk, acs, fixed, Kx, 1, 63, 0
+                            )
+                        elif ss == 0 and se == 0:  # DC scan
+                            if ah == 0:
+                                _jpeg_arith_decode_dc(
+                                    dec, dcs, fixed, ci, dc_ctx, last_dc, L, U
+                                )
+                                blk[0] = last_dc[ci] << al
+                            elif dec.decode(fixed):
+                                blk[0] |= 1 << al
+                        elif ah == 0:  # AC initial
+                            _jpeg_arith_decode_ac_first(
+                                dec, blk, acs, fixed, Kx, ss, se, al
+                            )
+                        else:  # AC refinement
+                            _jpeg_arith_decode_ac_refine(
+                                dec, blk, acs, fixed, ss, se, al
+                            )
                     unit += 1
                 if unit >= n_units:
                     break

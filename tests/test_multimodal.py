@@ -1596,6 +1596,195 @@ def _encode_jpeg_arith(gray, *, chroma=None, qval=1, restart=0, dac=None):
     return out + seg(0xDA, sos) + bytes(body) + b"\xff\xd9"
 
 
+def _qm_encode_ac_first(enc, acs, fixed, vals, Kx, ss, se):
+    """Encode one block's AC band [ss, se] initial-stage values
+    (mirror of the SOF9/SOF10 AC-first decision tree)."""
+    kend = max((k for k in range(ss, se + 1) if vals[k]), default=ss - 1)
+    k = ss
+    while k <= kend:
+        base = 3 * (k - 1)
+        enc.encode(acs[base], 0)  # not EOB yet
+        while vals[k] == 0:
+            enc.encode(acs[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(acs[base + 1], 1)
+        val = vals[k]
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, sign)
+        t = abs(val) - 1
+        if t == 0:
+            enc.encode(acs[base + 2], 0)
+            m, pos = 0, base + 2
+        elif t == 1:
+            enc.encode(acs[base + 2], 1)
+            enc.encode(acs[base + 2], 0)
+            m, pos = 1, base + 2
+        else:
+            enc.encode(acs[base + 2], 1)
+            enc.encode(acs[base + 2], 1)
+            m, pos = 2, (189 if k <= Kx else 217)
+            while (m << 1) <= t:
+                enc.encode(acs[pos], 1)
+                m <<= 1
+                pos += 1
+            enc.encode(acs[pos], 0)
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(acs[pos], 1 if t & mm else 0)
+        k += 1
+    if kend < se:  # EOB decision at k = kend+1 (or ss when band is empty)
+        enc.encode(acs[3 * (max(kend + 1, ss) - 1)], 1)
+
+
+def _qm_encode_ac_refine(enc, acs, fixed, prev, final, ss, se):
+    """Encode one block's AC refinement scan (Ah=1, Al=0 mirror of
+    the SOF10 refinement decision tree): ``prev`` holds the
+    previous-stage coefficient values, ``final`` the targets."""
+    kex = 0
+    for kk in range(se, 0, -1):
+        if prev[kk]:
+            kex = kk
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if not any(prev[j] == 0 and final[j] for j in range(k, se + 1)):
+                enc.encode(acs[base], 1)  # EOB
+                break
+            enc.encode(acs[base], 0)
+        while True:
+            if prev[k]:
+                enc.encode(acs[base + 2], abs(final[k]) & 1)
+                break
+            if final[k]:
+                enc.encode(acs[base + 1], 1)
+                enc.encode(fixed, 1 if final[k] < 0 else 0)
+                break
+            enc.encode(acs[base + 1], 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _encode_jpeg_arith_progressive(gray, chroma=None):
+    """Reference PROGRESSIVE ARITHMETIC JPEG (SOF10) encoder, same
+    scan script as the Huffman progressive reference: DC first at
+    Al=1 (interleaved when 3 components), fixed-bin DC refinement,
+    per-component AC spectral-selection scans at Al=1, and a final
+    per-component AC refinement scan. Statistics reset per scan."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _QmBin,
+        _jpeg_idct_matrix,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def stuff(b: bytes) -> bytes:
+        return b.replace(b"\xff", b"\xff\x00")
+
+    def sos(comps_spec, ss, se, ah, al):
+        payload = bytes([len(comps_spec)])
+        for cid in comps_spec:
+            payload += bytes([cid, 0x00])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, payload)
+
+    A = _jpeg_idct_matrix()
+    h, w = gray.shape
+    planes = [gray] if chroma is None else [gray, chroma, chroma]
+    comp_blocks = [_jpeg_blocks(p, A, JPEG_ZIGZAG)[0] for p in planes]
+    nc = len(planes)
+    Kx = 5
+
+    def halved(c):
+        return (abs(c) >> 1) * (1 if c >= 0 else -1)
+
+    out = b""
+    # scan 1: DC first, Al=1, interleaved
+    enc = _QmRefEncoder()
+    dcs = [_QmBin() for _ in range(64)]
+    dc_ctx = [0] * nc
+    last_dc = [0] * nc
+    for bi in range(len(comp_blocks[0])):
+        for ci in range(nc):
+            _qm_encode_dc(
+                enc, dcs, ci, dc_ctx, last_dc, 0, 1, comp_blocks[ci][bi][0] >> 1
+            )
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, 1) + stuff(enc.flush())
+
+    # scan 2: DC refinement (fixed equiprobable bin)
+    enc = _QmRefEncoder()
+    fixed = _QmBin()
+    fixed.i = 113
+    for bi in range(len(comp_blocks[0])):
+        for ci in range(nc):
+            enc.encode(fixed, comp_blocks[ci][bi][0] & 1)
+    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0) + stuff(enc.flush())
+
+    for ci in range(nc):
+        # AC first scans at Al=1, two bands
+        for ss, se in ((1, 5), (6, 63)):
+            enc = _QmRefEncoder()
+            acs = [_QmBin() for _ in range(256)]
+            fixed = _QmBin()
+            fixed.i = 113
+            for blk in comp_blocks[ci]:
+                vals = [0] * 64
+                for k in range(ss, se + 1):
+                    vals[k] = halved(blk[k])
+                _qm_encode_ac_first(enc, acs, fixed, vals, Kx, ss, se)
+            out += sos([ci + 1], ss, se, 0, 1) + stuff(enc.flush())
+
+        # AC refinement scan 1..63 (Ah=1, Al=0)
+        enc = _QmRefEncoder()
+        acs = [_QmBin() for _ in range(256)]
+        fixed = _QmBin()
+        fixed.i = 113
+        for blk in comp_blocks[ci]:
+            prev = [0] * 64
+            for k in range(1, 64):
+                prev[k] = halved(blk[k]) << 1
+            _qm_encode_ac_refine(enc, acs, fixed, prev, blk, 1, 63)
+        out += sos([ci + 1], 1, 63, 1, 0) + stuff(enc.flush())
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    sofp = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sofp += bytes([ci + 1, 0x11, 0])
+    return b"\xff\xd8" + seg(0xDB, qtab) + seg(0xCA, sofp) + out + b"\xff\xd9"
+
+
+def test_progressive_arithmetic_jpeg_matches_huffman():
+    """SOF10 progressive arithmetic: the same staged coefficients as
+    the Huffman progressive reference, decoded through the arithmetic
+    entropy layer, must reproduce the Huffman progressive decode
+    byte-identically (gray and interleaved 3-component)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(43)
+    gray = rng.randint(0, 256, size=(19, 22)).astype(np.uint8)
+    ref = _decode_jpeg(_encode_jpeg_progressive(gray))[2]
+    got = _decode_jpeg(_encode_jpeg_arith_progressive(gray))[2]
+    assert np.array_equal(got, ref)
+
+    chroma = rng.randint(0, 256, size=gray.shape).astype(np.uint8)
+    ref3 = _decode_jpeg(_encode_jpeg_progressive(gray, chroma))[2]
+    got3 = _decode_jpeg(_encode_jpeg_arith_progressive(gray, chroma))[2]
+    assert np.array_equal(got3, ref3)
+
+
 def test_arithmetic_jpeg_matches_huffman_decode():
     """SOF9 arithmetic sequential JPEG: swapping the entropy layer
     must be invisible — the arithmetic stream codes EXACTLY the same
