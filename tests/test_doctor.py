@@ -63,6 +63,12 @@ def test_headline_queries_clean(spark):
 # Queries whose plan legitimately trips a doctor rule — each with the
 # reason the hazard is bounded (doctor is a heuristic for USER queries;
 # the library's own deliberate exceptions are documented here).
+# r10: the D2 probe is now bounded to its own exchange's detail block,
+# which resolved every documented "conjunction false-positive" (a
+# benign 1-row scalar-agg SinglePartition elsewhere in the plan no
+# longer satisfies a hash-partitioned window's match) — those twelve
+# D2 exemptions and four stale D1s were removed after a full-registry
+# re-audit; what remains below is measured, not historical.
 _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     # deliberate bounded cartesians: broadcast 1-row scalar frames /
     # broadcast-sized dims / fixed tiny query sets
@@ -78,23 +84,13 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "embedding_topk": ("D1",),      # broadcast fixed query set
     "unigram_logprob": ("D1",),     # 1-row (n_tokens, n_vocab) scalar cross join
     "bigram_logprob": ("D1",),      # 1-row vocab-size scalar cross join
-    "important_parts": ("D1",),     # 1-row global-total scalar subquery (Q11 HAVING)
-    "top_supplier": ("D1",),        # 1-row max-revenue scalar subquery (Q15)
-    "global_sales_opportunity": ("D1",),  # 1-row avg-acctbal scalar subquery (Q22)
     "bm25_relevance": ("D1",),      # 1-row (n_docs, avgdl) scalar cross join
-    # D2 on these two is a heuristic conjunction false-positive: the
-    # 1-row scalar agg's SinglePartition exchange and the per-group
-    # (source / doc_id) window are UNRELATED plan nodes
-    "temperature_mix": ("D1", "D2"),
-    "tfidf_topk": ("D1", "D2"),     # 1-row corpus-count scalar cross join
-    # D2 on the two basket queries below is the documented conjunction
-    # FP: the 1-row scalar agg's SinglePartition exchange + the r8
-    # MAX_BASKET_ITEMS whale-cap window (partitioned by the basket key)
-    "copurchase_pairs": ("D1", "D2"),  # 1-row n_orders scalar cross join onto top-20
-    "assoc_rules": ("D1", "D2"),    # 1-row n_orders scalar cross join (same shape)
+    "temperature_mix": ("D1",),     # 1-row scalar agg cross join
+    "tfidf_topk": ("D1",),          # 1-row corpus-count scalar cross join
+    "copurchase_pairs": ("D1",),  # 1-row n_orders scalar cross join onto top-20
+    "assoc_rules": ("D1",),    # 1-row n_orders scalar cross join (same shape)
     "degree_assortativity": ("D1",),  # 1-row stats x 1-row node-count cross join
-    "freshness_audit": ("D1", "D2"),  # 1-row anchor-ts scalar cross join; D2 is the
-    #                                   documented SinglePartition conjunction FP
+    "freshness_audit": ("D1",),  # 1-row anchor-ts scalar cross join
     "prefix_filter_join": ("D2",),  # the wid-dictionary window rides the VOCAB
     #                                 frame, bounded <= mask_vocab_limit (4096)
     #                                 by the stats gate — never the corpus
@@ -117,11 +113,9 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 weekly frame; range-partition at scale
     "stratified_sample_plan": ("D1",),  # 1-row allocation-total scalar cross join
     "mix_residuals": ("D1",),       # 1-row corpus-count scalar cross join
-    "weekly_volatility": ("D1", "D2"),  # 1-row week-bounds cross join builds the
-    #                                 gap-free spine; D2 is the SinglePartition
-    #                                 conjunction FP (lag window IS nation-keyed)
-    "mann_whitney": ("D1", "D2"),   # 1-row midpoint cross join; D2 is the same
-    #                                 conjunction FP (ranks ARE type-keyed)
+    "weekly_volatility": ("D1",),  # 1-row week-bounds cross join builds the
+    #                                 gap-free spine
+    "mann_whitney": ("D1",),        # 1-row midpoint cross join
     "wilson_ci": ("D1",),           # 1-row midpoint scalar cross join
     "rate_outlier_users": ("D1",),  # 1-row global-rate scalar cross join
     "segment_revenue_profile": ("D1",),  # 1-row revenue-total scalar cross join
@@ -131,22 +125,20 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     "part_adoption_curve": ("D2",),      # the cumsum window rides the |months|-row
     #                                      monthly frame; range-partition at scale
     "supplier_breadth": ("D1",),         # 1-row catalog-count scalar cross join
-    "lsh_tuning_curve": ("D1", "D2"),  # 19-row grid x 4-row literal config cross
-    #                                    join — pure math table, no corpus scan
+    "lsh_tuning_curve": ("D1",),  # 19-row grid x 4-row literal config cross
+    #                               join — pure math table, no corpus scan
     "profile_drift": ("D1",),       # 1-row time-midpoint scalar cross join
     "psi_drift": ("D1",),           # 1-row (midpoint, min, max) scalar cross join
     "coldstart_coverage": ("D1",),  # 1-row time-midpoint scalar cross joins (x4:
     #                                 two tables x two halves)
     "woe_iv": ("D1",),              # 1-row totals + 1-row IV scalar cross joins
-    "power_analysis": ("D1", "D2"),  # literal grid cross joins — pure math table
+    "power_analysis": ("D1",),      # literal grid cross joins — pure math table
     "activity_heatmap": ("D1",),    # 1-row total scalar cross join onto <=168 cells
     "brand_share_shift": ("D1",),   # 1-row midpoint + 1-row half-totals cross joins
     "mixture_plan": ("D1",),        # 1-row total + 1-row kept-total scalar cross joins
     "cumulative_users": ("D2",),    # the running sum rides the |days| frame, not
     #                                 events (range-partition the day sort at scale)
-    "retrieval_eval": ("D1", "D2"),  # broadcast fixed query set (embedding_topk
-    #                                  shape); D2 is the 1-row final-mean agg's
-    #                                  SinglePartition conjunction FP
+    "retrieval_eval": ("D1",),      # broadcast fixed query set (embedding_topk shape)
     "binary_embedding_audit": ("D1",),  # broadcast modulo stratum pair join
     "rrf_fusion": ("D1",),          # broadcast fixed query set (embedding_topk shape)
     # late-r6 statistics/graph wave — same two bounded patterns:
@@ -163,11 +155,7 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 partitions by series key in the general case
     "budget_select": ("D2",),       # global quality-ordered cumsum is the query's
     #                                 semantics (range-partition the sort at scale)
-    "ccnet_buckets": ("D1", "D2"),  # inherits bigram_logprob's 1-row vocab scalar
-    #                                 cross join; D2 is the documented heuristic
-    #                                 conjunction false-positive (scalar agg's
-    #                                 SinglePartition + the per-SOURCE ntile window
-    #                                 are unrelated plan nodes)
+    "ccnet_buckets": ("D1",),  # inherits bigram_logprob's 1-row vocab scalar cross join
     "kl_drift": ("D1",),            # 1-row corpus-total scalar cross join
     "benford_digits": ("D1",),      # 1-row row-count scalar cross join onto the
     #                                 9-digit frame
@@ -179,8 +167,6 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 buckets) rides a broadcast scalar cross join
     "hard_negatives": ("D1",),      # broadcast fixed query set (the
     #                                 embedding_topk pattern, label-filtered)
-    "period_over_period": ("D2",),  # lag windows over the gap-free MONTH SPINE
-    #                                 (calendar-bounded, ~84 rows at any scale)
     "decile_lift": ("D1",),         # 1-row corpus-total scalar cross joins onto
     #                                 the 10-row decile frame
     "mutual_information": ("D1",),  # margin/total scalar cross joins on the
@@ -230,17 +216,9 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 scalar cross joins — one per FK edge
     "decayed_trends": ("D1",),      # 1-row anchor-date + 1-row total-mass
     #                                 scalar cross joins
-    "knn_label_noise": ("D1",),     # broadcast corpus-as-query-set GEMM (the
-    #                                 embedding_topk pattern; swaps to ANN tiers
-    #                                 at billion scale per docstring)
     "multi_test_fdr": ("D1", "D2"),  # 1-row pooled-rate scalar cross join; the
     #                                 BH rank/backwards-min windows ride the
     #                                 |sources|-row aggregate frame
-    "session_stats": ("D2",),       # heuristic conjunction false-positive: the
-    #                                 final 1-ROW scalar agg's SinglePartition
-    #                                 exchange and the per-USER session windows
-    #                                 are unrelated plan nodes (the
-    #                                 temperature_mix pattern)
 }
 
 
