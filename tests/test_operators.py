@@ -502,6 +502,52 @@ def test_ngram_jaccard_strategies_agree(spark, sf_dir):
     assert idx == bm and idx
 
 
+def test_cell_gemm_scorer_guards_and_rounding():
+    """Unit contract of the cogrouped GEMM pair scorer (no Spark):
+    the diagonal id guard fires only at ci==cj (and, with the
+    cell-pruned 'same' flag, only on same-cell pairs), empty sides
+    yield a typed empty frame, and similarities are the 6-dp portable
+    floor-rounding of dot/(|x||y|)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_ingestors_spark.operators.similarity import (
+        _cell_gemm_scorer,
+        _pround,
+    )
+
+    vecs = [np.array(v, dtype=np.float64) for v in
+            ([1.0, 0.0], [0.9, 0.1], [0.0, 1.0])]
+    l = pd.DataFrame({"id_l": [1, 2, 3], "v_l": vecs})
+    r = pd.DataFrame({"id_r": [1, 2, 3], "v_r": vecs})
+
+    # off-diagonal cell: every cross pair once, least/greatest ids
+    out = _cell_gemm_scorer(-1.0)(("b", 0, 1), l, r)
+    assert len(out) == 9 and (out.id_a <= out.id_b).all()
+
+    # diagonal cell: strict id_l < id_r halves the square
+    out_d = _cell_gemm_scorer(-1.0)(("b", 1, 1), l, r)
+    assert sorted(zip(out_d.id_a, out_d.id_b)) == [(1, 2), (1, 3), (2, 3)]
+
+    # cell-pruned variant: cross-CELL pairs at equal chunk ids keep
+    # every pair (same=False); same-cell keeps the guard
+    l2 = l.assign(same=False)
+    assert len(_cell_gemm_scorer(-1.0, id_guard_col="same")(("b", 9, 1, 1), l2, r)) == 9
+    l3 = l.assign(same=True)
+    assert len(_cell_gemm_scorer(-1.0, id_guard_col="same")(("b", 9, 1, 1), l3, r)) == 3
+
+    # threshold + rounding contract
+    out_t = _cell_gemm_scorer(0.9)(("b", 0, 1), l, r)
+    want = float(_pround(np.array([vecs[0] @ vecs[1] / np.linalg.norm(vecs[1])]), 6)[0])
+    got = dict(zip(zip(out_t.id_a, out_t.id_b), out_t.cos_sim))
+    assert got[(1, 2)] == want
+    assert all(v >= 0.9 for v in out_t.cos_sim)
+
+    # empty side: typed empty frame
+    empty = _cell_gemm_scorer(0.5)(("b", 0, 0), l.iloc[:0], r)
+    assert list(empty.columns) == ["id_a", "id_b", "cos_sim"] and empty.empty
+
+
 def test_ngram_jaccard_forced_bitmask_vocab_cap(spark):
     """strategy='bitmask' on an open-vocabulary corpus must fail loud
     (the auto path gates at 1024 words / 16 mask longs; the forced
