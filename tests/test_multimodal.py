@@ -2839,3 +2839,61 @@ def test_flac_spark_audio_features(spark):
     assert out[1].sample_rate == 8000 and out[1].n_samples == 800
     assert out[1].duration_s == pytest.approx(0.1)
     assert out[2].error is not None
+
+
+def test_qm_coder_roundtrip_property():
+    """Property: ANY decision sequence over ANY context assignment
+    round-trips through the QM encoder/decoder pair — including long
+    MPS runs (fast-path, no renorm), adversarial LPS streaks (state
+    switching), and the non-adaptive fixed bin. Catches interval-
+    logic and state-machine edge cases the JPEG-level tests reach
+    only statistically."""
+    import random
+
+    from data_ingestors_spark.operators.multimodal import _QmBin, _QmDecoder
+
+    rng = random.Random(97)
+    for trial in range(40):
+        n_bins = rng.randint(1, 6)
+        seq = []
+        for _ in range(rng.randint(1, 400)):
+            b = rng.randrange(n_bins + 1)  # n_bins adaptive + 1 fixed
+            # biased decisions exercise both long MPS runs and LPS streaks
+            d = 1 if rng.random() < rng.choice((0.02, 0.5, 0.98)) else 0
+            seq.append((b, d))
+
+        def fresh_bins():
+            bins = [_QmBin() for _ in range(n_bins + 1)]
+            bins[n_bins].i = 113  # fixed equiprobable bin
+            return bins
+
+        enc = _QmRefEncoder()
+        ebins = fresh_bins()
+        for b, d in seq:
+            enc.encode(ebins[b], d)
+        data = enc.flush()
+
+        dec = _QmDecoder(data)
+        dbins = fresh_bins()
+        got = [(b, dec.decode(dbins[b])) for b, _ in seq]
+        assert got == seq, f"trial {trial}: decision stream diverged"
+        # adaptive state must also track identically (same estimation)
+        assert [(x.i, x.mps) for x in ebins] == [(x.i, x.mps) for x in dbins]
+
+
+def test_jpeg_expand_ref_matches_loop_reference():
+    """The module's vectorized Annex J.1.1.2 expansion equals the
+    independent loop reference for every (eh, ev) combination and for
+    odd/even dims."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _jpeg_expand_ref
+
+    rng = np.random.RandomState(53)
+    for shape in ((1, 1), (3, 5), (4, 4), (7, 2)):
+        p = rng.randint(0, 1 << 16, size=shape).astype(np.int64)
+        for eh in (0, 1):
+            for ev in (0, 1):
+                assert np.array_equal(
+                    _jpeg_expand_ref(p, eh, ev), _expand2(p, eh, ev)
+                ), (shape, eh, ev)
