@@ -12,9 +12,11 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
 )
 from data_ingestors_spark.streaming.neardup import (  # noqa: F401
     compact_neardup_index,
+    embedding_neardup_fold_batch,
     incremental_dedup_fold_batch,
     neardup_fold_batch,
     read_incremental_dedup,
+    stream_embedding_neardup,
     stream_incremental_dedup,
     stream_neardup,
 )

@@ -396,3 +396,182 @@ def read_incremental_dedup(spark, reports_path: str) -> DataFrame:
     (__batch, source) — same columns as the batch report plus the
     batch id."""
     return spark.read.parquet(reports_path).orderBy(BATCH_PART_COL, "source")
+
+
+# ------------------------------------------ streaming embedding near-dup
+
+
+def embedding_neardup_fold_batch(
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    recall_eps: float = 1e-4,
+) -> None:
+    """Fold one EMBEDDING micro-batch into a hyperplane-LSH sketch
+    index and emit exact-cosine-verified near-dup pairs against
+    everything seen so far — the embedding twin of
+    ``neardup_fold_batch`` (text MinHash) and ``stream_fuzzy_match``
+    (string FastSS): the third modality of incremental dedup.
+
+    Same exactly-once construction: sketches, vectors, and pairs all
+    write partitioned by batch id with dynamic overwrite, so a
+    crash-replayed batch rewrites its own partitions with identical
+    content (the hyperplanes are seeded literals — sketches are
+    deterministic across runs and processes).
+
+    The analytic gate is honest about geometry exactly like the batch
+    operator: thresholds where recall-safe hyperplane LSH cannot
+    prune (t below ~0.5) raise — an incremental index CANNOT help
+    there, run the batch chunked-grid scan over the union instead.
+
+    Coverage: a pair is checked when its LATER element arrives (or
+    both in one batch, deduplicated by id order) against the SAME
+    (tbl, bucket) collision predicate and the same exact verify as
+    ``operators/similarity._lsh_cosine_pairs`` — so after any prefix
+    of batches the emitted set equals the batch operator over the
+    union (asserted in tests)."""
+    from data_ingestors_spark.io.writers import path_exists
+    from data_ingestors_spark.operators.similarity import (
+        _lsh_pair_params,
+        _pair_cosine_udf,
+        _sketch_buckets_udf,
+    )
+
+    params = _lsh_pair_params(threshold, recall_eps=recall_eps)
+    if params is None:
+        raise ValueError(
+            f"hyperplane LSH cannot prune at threshold {threshold} — "
+            "no recall-safe sketch separates qualifying from random "
+            "pairs; run the batch chunked-grid scan "
+            "(operators/similarity.blocked_cosine_pairs) over the "
+            "full corpus instead"
+        )
+    probe = batch.select(vec_col).head()
+    if probe is None:
+        return
+    dim = len(probe[0])
+    k_planes, n_tables, _f = params
+    sketch = _sketch_buckets_udf(k_planes, n_tables, dim)
+
+    base = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    new_sk = base.select(
+        "vec_id", F.posexplode(sketch(F.col("vec"))).alias("tbl", "bucket")
+    ).persist()
+    new_vec = base.persist()
+    new_sk.count(), new_vec.count()  # materialize once
+
+    sk_dir = f"{index_path}/sketches"
+    vec_dir = f"{index_path}/vectors"
+    all_sk, all_vec = new_sk, new_vec
+    if path_exists(spark, sk_dir):
+        # exclude a replayed batch's own earlier partitions (idempotence)
+        old_sk = (
+            spark.read.parquet(sk_dir)
+            .filter(F.col(BATCH_PART_COL) != int(batch_id))
+            .select("vec_id", "tbl", "bucket")
+        )
+        old_vec = (
+            spark.read.parquet(vec_dir)
+            .filter(F.col(BATCH_PART_COL) != int(batch_id))
+            .select("vec_id", "vec")
+        )
+        all_sk = new_sk.unionByName(old_sk)
+        all_vec = new_vec.unionByName(old_vec)
+
+    cand = (
+        new_sk.join(
+            all_sk.select(
+                F.col("tbl").alias("tbl_r"),
+                F.col("bucket").alias("bucket_r"),
+                F.col("vec_id").alias("id_o"),
+            ),
+            (F.col("tbl") == F.col("tbl_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("vec_id") != F.col("id_o")),
+        )
+        .select(
+            F.least("vec_id", "id_o").alias("id_a"),
+            F.greatest("vec_id", "id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _pair_cosine_udf()(F.col("v_a"), F.col("v_b"))
+    verified = (
+        cand.join(
+            all_vec.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("v_a")),
+            "id_a",
+        )
+        .join(
+            all_vec.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("v_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        verified.write.mode(
+            "overwrite" if path_exists(spark, pairs_path) else "errorifexists"
+        ).partitionBy(BATCH_PART_COL).parquet(pairs_path)
+        for frame, path in ((new_sk, sk_dir), (new_vec, vec_dir)):
+            frame.withColumn(
+                BATCH_PART_COL, F.lit(int(batch_id)).cast("long")
+            ).write.mode(
+                "overwrite" if path_exists(spark, path) else "errorifexists"
+            ).partitionBy(BATCH_PART_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        new_sk.unpersist()
+        new_vec.unpersist()
+
+
+def stream_embedding_neardup(
+    vecs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    recall_eps: float = 1e-4,
+    available_now: bool = False,
+):
+    """Streaming embedding near-dup query over a vector stream. Read
+    the cumulative verified pairs with
+    ``spark.read.parquet(pairs_path).drop("__batch")``."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        embedding_neardup_fold_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            index_path,
+            pairs_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            recall_eps=recall_eps,
+        )
+
+    writer = (
+        vecs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

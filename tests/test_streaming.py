@@ -832,3 +832,83 @@ def test_stream_incremental_dedup_matches_batch_and_replay(spark, tmp_path):
     q3.awaitTermination(120)
     after = sorted(tuple(r) for r in read_incremental_dedup(spark, reports).collect())
     assert after == before
+
+
+def test_stream_embedding_neardup_matches_batch_operator(spark, tmp_path):
+    """Streaming embedding near-dup (hyperplane-LSH + exact verify):
+    after folding batches with near-dup pairs split ACROSS batches,
+    the cumulative pair set must equal the batch LSH operator over
+    the union corpus; replay must not duplicate; the low-threshold
+    gate fails loud."""
+    import numpy as np
+    import pytest
+
+    from data_ingestors_spark.operators.similarity import blocked_cosine_pairs
+    from data_ingestors_spark.streaming import stream_embedding_neardup
+
+    rng = np.random.RandomState(61)
+    dim = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    a = rng.randn(dim)
+    b = rng.randn(dim)
+    vecs = [
+        (0, unit(a)),
+        (1, unit(a + 0.05 * rng.randn(dim))),   # near-dup of 0, batch 1
+        (2, unit(b)),
+        (3, unit(a + 0.04 * rng.randn(dim))),   # near-dup of 0/1, batch 2
+        (4, unit(b + 0.05 * rng.randn(dim))),   # near-dup of 2, batch 2
+        (5, unit(rng.randn(dim))),
+    ]
+    schema = "vec_id long, embedding array<float>"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(vecs[:3], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = lambda: stream_embedding_neardup(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.9,
+        available_now=True,
+    )
+    q = stream()
+    q.awaitTermination(120)
+    spark.createDataFrame(vecs[3:], schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream()
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    expect = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in blocked_cosine_pairs(
+            spark.createDataFrame(vecs, schema), threshold=0.9,
+            block_col=None, dim=dim,
+        ).collect()
+    }
+    assert got == expect and expect, (got, expect)
+    # pairs span batches (vec 3 arrived after 0/1; vec 4 after 2)
+    assert any(a_ in (0, 1) and b_ == 3 for a_, b_, _ in got)
+    assert (2, 4) in {(a_, b_) for a_, b_, _ in got}
+    # replay produced no duplicate (id_a, id_b) rows
+    ids = [(r.id_a, r.id_b) for r in spark.read.parquet(str(tmp_path / "pairs")).collect()]
+    assert len(ids) == len(set(ids))
+
+    # the geometry gate: a threshold LSH cannot prune fails loud
+    from data_ingestors_spark.streaming import embedding_neardup_fold_batch
+
+    with pytest.raises(ValueError, match="cannot prune"):
+        embedding_neardup_fold_batch(
+            spark,
+            spark.createDataFrame(vecs[:2], schema),
+            0,
+            str(tmp_path / "idx2"),
+            str(tmp_path / "pairs2"),
+            threshold=0.35,
+        )
