@@ -11,6 +11,7 @@ from data_ingestors_spark.streaming.events import (  # noqa: F401
     run_stream_to_memory,
 )
 from data_ingestors_spark.streaming.neardup import (  # noqa: F401
+    compact_embedding_neardup_index,
     compact_neardup_index,
     embedding_neardup_fold_batch,
     incremental_dedup_fold_batch,

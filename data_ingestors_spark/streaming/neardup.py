@@ -230,13 +230,13 @@ def stream_neardup(
     return writer.start()
 
 
-def compact_neardup_index(spark, index_path: str) -> None:
-    """Fold the accumulated per-batch band/shingle partitions into a
-    single __batch=-1 layer so partition counts stay bounded as the
-    stream ages. Offline maintenance (single-writer discipline, same
+def _compact_index(spark, index_path: str, subdirs: tuple[str, ...]) -> None:
+    """Fold the accumulated per-batch index partitions into a single
+    __batch=-1 layer so partition counts stay bounded as the stream
+    ages. Offline maintenance (single-writer discipline, same
     contract as operators/rollup.py compact_rollup); folding is pure
-    row movement — band rows and shingle rows are immutable facts, so
-    no merge math is involved and emitted pairs are unaffected."""
+    row movement — index rows are immutable facts, so no merge math
+    is involved and emitted pairs are unaffected."""
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         # STATIC overwrite: under dynamic mode only the __batch=-1
@@ -244,7 +244,7 @@ def compact_neardup_index(spark, index_path: str) -> None:
         # would survive, doubling every index row (the compact_rollup
         # bug class — regression-tested there and here)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        for sub in ("bands", "shingles"):
+        for sub in subdirs:
             path = f"{index_path}/{sub}"
             df = spark.read.parquet(path)
             folded = df.drop(BATCH_PART_COL).withColumn(
@@ -255,6 +255,18 @@ def compact_neardup_index(spark, index_path: str) -> None:
             ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_neardup_index(spark, index_path: str) -> None:
+    """Fold the MinHash monitor's per-batch band/shingle partitions
+    into one __batch=-1 layer (see ``_compact_index``)."""
+    _compact_index(spark, index_path, ("bands", "shingles"))
+
+
+def compact_embedding_neardup_index(spark, index_path: str) -> None:
+    """Fold the embedding monitor's per-batch sketch/vector
+    partitions into one __batch=-1 layer (see ``_compact_index``)."""
+    _compact_index(spark, index_path, ("sketches", "vectors"))
 
 
 # ------------------------------------------------- incremental dedup monitor

@@ -912,3 +912,35 @@ def test_stream_embedding_neardup_matches_batch_operator(spark, tmp_path):
             str(tmp_path / "pairs2"),
             threshold=0.35,
         )
+
+
+def test_compact_embedding_index_preserves_future_detection(spark, tmp_path):
+    """Compacting the embedding sketch/vector index must not change
+    what later batches detect: a near-dup arriving AFTER compaction
+    still pairs with a pre-compaction vector."""
+    import numpy as np
+
+    from data_ingestors_spark.streaming import (
+        compact_embedding_neardup_index,
+        embedding_neardup_fold_batch,
+    )
+
+    rng = np.random.RandomState(62)
+    dim = 16
+    a = rng.randn(dim).astype(np.float32)
+    a = (a / np.linalg.norm(a)).tolist()
+    near = rng.randn(dim) * 0.03
+    b = np.asarray(a) + near
+    b = (b / np.linalg.norm(b)).astype(np.float32).tolist()
+    schema = "vec_id long, embedding array<float>"
+    index, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+
+    embedding_neardup_fold_batch(
+        spark, spark.createDataFrame([(0, a)], schema), 0, index, pairs
+    )
+    compact_embedding_neardup_index(spark, index)
+    embedding_neardup_fold_batch(
+        spark, spark.createDataFrame([(1, b)], schema), 1, index, pairs
+    )
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
+    assert got == {(0, 1)}
