@@ -40,42 +40,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # available and the in-repo sf0.01 sweep (tools/local_correctness.py)
 # still covers them all.
 _DRIVER_SAMPLE_ANCHORS = [
-    # r10: trimmed 25 -> 22 (dropped union_distinct / grouping_sets /
-    # intersect_all — their family siblings set_intersect / cube /
-    # rollup keep the canary) so the 3 plan-changed GEMM queries fit
-    # in the 50-name gate WITHOUT costing never-checked slots.
-    "pricing_summary", "revenue_by_nation", "customer_order_counts",
-    "large_orders", "shipping_priority", "returned_items",
-    "small_qty_revenue", "bottleneck_supplier", "filter_project_case",
-    "semi_join", "anti_join", "full_outer_join", "cross_join",
-    "range_join", "set_intersect", "count_distinct",
-    "topk_global", "cube", "rollup", "pivot",
-    "correlated_exists", "in_subquery",
+    # r11: anchors trimmed 22 -> 10 per the r10 verdict so 40
+    # rotation slots go to never-driver-checked names (170 oracle-
+    # paired names had no CORRECTNESS_r{N} row through r10).
+    # Canary spread: TPC-H head, join family, the GEMM-rewritten
+    # semantic path, one graph, one streaming-adjacent window, and
+    # the ngram-Jaccard family whose strategy knobs are exercised by
+    # this round's forced-index scale proof.
+    "pricing_summary", "revenue_by_nation", "bottleneck_supplier",
+    "semi_join", "semantic_dedup", "triangle_count",
+    "tumbling_window", "dedup_clusters", "cluster_canonical",
+    "topk_per_group",
 ]
 _DRIVER_SAMPLE_ROTATION = [
-    # r10 rotation. First the queries whose PLANS changed this round —
-    # the chunk-grid pair scan was rewritten from join+per-pair-UDF to
-    # cogrouped per-cell GEMM (operators/similarity.py, the sf10
-    # semantic_dedup Arrow-volume fix) — the driver must re-verify
-    # exactly what changed:
-    "semantic_dedup", "semantic_dedup_cells", "embedding_neardup",
-    # then 25 never-driver-checked oracle-paired names (124 distinct
-    # names checked through r9; 195 oracle-paired never checked).
-    # Priorities: the r8 BI/statistics waves the r9 verdict called
-    # out, the graph family (under same-box perf scrutiny this round
-    # — its driver oracle rows should land alongside any plan work),
-    # and a spread across events/relational-extras/planning so every
-    # module keeps gaining driver-side rows.
-    "cohort_ltv", "attribution_models", "basket_size_distribution",
-    "benford_digits", "levene_test", "wilson_ci",
-    "nation_trade_balance",
-    "triangle_count", "pagerank", "clustering_coefficient",
-    "degree_assortativity",
-    "percentiles", "salted_join", "scd2_build", "funnel_analysis",
-    "cohort_retention", "session_stats", "interval_join",
-    "containment_join", "tfidf_topk",
-    "roc_auc", "theil_sen", "quantile_normalize", "heavy_hitters",
-    "pareto_frontier",
+    # r11 rotation: 40 first-ever names (none in any CORRECTNESS_r*
+    # artifact through r10), spread so every query module gains
+    # driver-side rows: text_llm/audits, events, relational extras,
+    # sampling, stats/timeseries, analytics, planning.
+    "dup_span_stats", "c4_filter", "ccnet_buckets", "dsir_weights",
+    "contamination_check", "bm25_relevance", "winnowing_overlap",
+    "lexical_diversity",
+    "event_transitions", "burstiness", "session_paths",
+    "inter_event_gaps", "lateness_audit", "rolling_distinct",
+    "array_hof", "having", "string_agg", "posexplode",
+    "lateral_join", "scalar_subquery", "union_by_name",
+    "window_ignore_nulls", "ntile_cume",
+    "weighted_sample", "stratified_quota", "budget_select",
+    "temperature_mix",
+    "robust_stats", "stats_aggs", "regr_aggs", "spearman_corr",
+    "chi_square", "ks_test", "ewma",
+    "rfm_segments", "survival_km", "decile_lift",
+    "key_skew_audit", "cbo_stats", "file_binpack",
 ]
 
 
