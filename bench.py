@@ -383,6 +383,159 @@ def _median(xs: list[float]) -> float:
     return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
 
 
+# --- automated bench-drift A/B (r11) -----------------------------------
+#
+# Round-over-round wall-time movement on this box is dominated by
+# session drift (identical code measured 1.4x apart across sessions —
+# BASELINE.md §r10). r10 adjudicated its graph-family scare by HAND
+# with an interleaved same-JVM A/B (commit b72517c); this automates
+# that protocol so BENCH_r{N} artifacts carry the verdict directly:
+#
+#   1. The previous round's full payload is read from git (`git show
+#      HEAD:BENCH_full_latest.json` — the working copy is overwritten
+#      by the current run), including the `git_head` it was built at.
+#   2. Queries whose MIN moved >15% vs that artifact are flagged.
+#   3. For each flagged query, the old checkout's package is
+#      extracted (`git archive`) and its query callable is run
+#      INTERLEAVED with the current one inside THIS SparkSession —
+#      both variants share identical JVM/GC/box state, so a persistent
+#      old-vs-new gap is a code regression and a vanishing one is
+#      session drift.
+#
+# Caveat (same as the manual protocol): Python-worker-side UDF bodies
+# resolve by module NAME on the workers, so a flagged query whose hot
+# path is a pandas UDF exercises old PLAN construction but current
+# worker bytecode. All current headline hot paths are JVM-side
+# DataFrame plans; the verdict records the variant mins so a human
+# can spot-check.
+
+_DRIFT_THRESHOLD = 1.15
+_DRIFT_MAX_FLAGGED = 8
+_DRIFT_AB_REPS = 3
+_DRIFT_CONFIRM_RATIO = 1.10
+
+
+def _drift_flags(
+    prev_stats: dict, cur_stats: dict, threshold: float = _DRIFT_THRESHOLD
+) -> list[tuple[str, float]]:
+    """Names whose current min exceeds the previous round's min by more
+    than `threshold`, worst first. Pure so it is unit-testable."""
+    flags = []
+    for name, cur in cur_stats.items():
+        prev = prev_stats.get(name)
+        if not prev or not prev.get("min") or not cur.get("min"):
+            continue
+        ratio = cur["min"] / prev["min"]
+        if ratio > threshold:
+            flags.append((name, round(ratio, 3)))
+    flags.sort(key=lambda kv: -kv[1])
+    return flags
+
+
+def _git(args: list[str]) -> str:
+    import subprocess
+
+    return subprocess.run(
+        ["git", "-C", os.path.dirname(os.path.abspath(__file__))] + args,
+        capture_output=True, text=True, timeout=120, check=True,
+    ).stdout
+
+
+def _old_queries_at(head: str):
+    """Extract the package as of `head` into a temp dir and import its
+    query registry under this process (same JVM). The current package's
+    modules are restored afterwards; the returned callables keep their
+    own (old) module objects alive by reference."""
+    import importlib
+    import subprocess
+    import tarfile
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_ab_")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tar = subprocess.run(
+        ["git", "-C", repo, "archive", head, "data_ingestors_spark"],
+        capture_output=True, timeout=300, check=True,
+    ).stdout
+    import io
+
+    with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+        tf.extractall(tmp)  # noqa: S202 — our own git archive
+
+    pkg_mods = lambda: [  # noqa: E731
+        m for m in sys.modules
+        if m == "data_ingestors_spark" or m.startswith("data_ingestors_spark.")
+    ]
+    saved = {m: sys.modules.pop(m) for m in pkg_mods()}
+    sys.path.insert(0, tmp)
+    importlib.invalidate_caches()
+    try:
+        mod = importlib.import_module("data_ingestors_spark.queries")
+        return mod.all_queries(), tmp
+    finally:
+        sys.path.remove(tmp)
+        for m in pkg_mods():
+            sys.modules.pop(m)
+        sys.modules.update(saved)
+        importlib.invalidate_caches()
+
+
+def _drift_ab(spark, sf_dir: str, flagged: list[tuple[str, float]], cur_stats: dict) -> dict:
+    """Interleaved same-JVM A/B for each flagged query; returns the
+    `drift` section for the bench payload."""
+    section: dict = {"threshold": _DRIFT_THRESHOLD, "flagged": {}}
+    try:
+        prev_head = json.loads(_git(["show", "HEAD:BENCH_full_latest.json"])).get("git_head")
+    except Exception:
+        prev_head = None
+    if not prev_head:
+        for name, ratio in flagged:
+            section["flagged"][name] = {"ratio": ratio, "verdict": "no-baseline-head"}
+        return section
+    try:
+        old_queries, tmp = _old_queries_at(prev_head)
+    except Exception as e:
+        for name, ratio in flagged:
+            section["flagged"][name] = {"ratio": ratio, "verdict": f"ab-setup-failed: {str(e)[:60]}"}
+        return section
+    section["baseline_head"] = prev_head
+    cur_queries = all_queries()
+    import shutil
+
+    try:
+        for name, ratio in flagged:
+            entry: dict = {"ratio": ratio, "cur_min": cur_stats[name]["min"]}
+            old_fn = old_queries.get(name)
+            if old_fn is None:
+                entry["verdict"] = "new-query"
+                section["flagged"][name] = entry
+                continue
+            olds, news = [], []
+            try:
+                for _ in range(_DRIFT_AB_REPS):
+                    for fn, sink in ((old_fn, olds), (cur_queries[name], news)):
+                        t0 = time.perf_counter()
+                        fn(spark, sf_dir).count()
+                        sink.append(time.perf_counter() - t0)
+                        spark.catalog.clearCache()
+            except Exception as e:
+                entry["verdict"] = f"ab-run-failed: {str(e)[:60]}"
+                section["flagged"][name] = entry
+                continue
+            entry["ab_old_min"] = round(min(olds), 3)
+            entry["ab_new_min"] = round(min(news), 3)
+            ab_ratio = min(news) / min(olds)
+            entry["ab_ratio"] = round(ab_ratio, 3)
+            entry["verdict"] = (
+                "code-regression" if ab_ratio > _DRIFT_CONFIRM_RATIO else "session-drift"
+            )
+            section["flagged"][name] = entry
+            print(f"# drift A/B {name}: {entry}", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return section
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -562,6 +715,27 @@ def main() -> None:
     except Exception as e:  # never let the plan probe break the bench line
         print(f"# plan fingerprints skipped: {e}", file=sys.stderr)
 
+    # r11: automated drift adjudication (see helpers above). Read the
+    # PREVIOUS round's payload from git BEFORE overwriting the working
+    # BENCH_full_latest.json below; A/B only queries whose min moved
+    # >15% vs it. Never allowed to break the bench line.
+    drift_section = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DRIFT", "1") != "0":
+        try:
+            prev = json.loads(_git(["show", "HEAD:BENCH_full_latest.json"]))
+            flagged = _drift_flags(prev.get("queries_stats", {}), stats)[:_DRIFT_MAX_FLAGGED]
+            if flagged:
+                drift_section = _drift_ab(spark, sf_dir, flagged, stats)
+            else:
+                drift_section = {"threshold": _DRIFT_THRESHOLD, "flagged": {}}
+        except Exception as e:
+            print(f"# drift check skipped: {e}", file=sys.stderr)
+
+    try:
+        git_head = _git(["rev-parse", "HEAD"]).strip()
+    except Exception:
+        git_head = None
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -571,6 +745,10 @@ def main() -> None:
     }
     out["reps"] = reps
     out["top_reps"] = top_reps
+    if git_head:
+        out["git_head"] = git_head
+    if drift_section is not None:
+        out["drift"] = drift_section
     out["tpch_suite_total"] = extra_total
     out["tpch_suite"] = extra
     out["tpch22_total"] = tpch22_total
@@ -613,6 +791,17 @@ def main() -> None:
     }
     if ingest_rows_per_sec is not None:
         compact["ingest_rows_per_sec"] = ingest_rows_per_sec
+    if git_head:
+        compact["git_head"] = git_head[:12]
+    if drift_section is not None:
+        # compact form: per-flagged verdict (+min-vs-min ratio and the
+        # same-JVM A/B ratio when one ran); full detail in full_path
+        compact["drift"] = {
+            name: {
+                k: v for k, v in e.items() if k in ("ratio", "ab_ratio", "verdict")
+            }
+            for name, e in drift_section["flagged"].items()
+        }
     # self-contained driver artifact: the 20 most expensive queries by
     # median ride along inline (full per-query stats stay in full_path).
     # r10: min rides along too — the regression rule is MIN-vs-MIN

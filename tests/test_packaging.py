@@ -165,3 +165,48 @@ def test_plans_check_parses_scale_and_diffs():
     out = run(drifted)
     assert out.returncode == 1
     assert name0 in out.stdout and name1 in out.stdout
+
+
+def test_drift_flags_pure():
+    """bench._drift_flags: >15% min-vs-min regressions flagged worst
+    first; improvements, new queries, and zero mins are not flagged."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    prev = {
+        "steady": {"min": 1.0}, "slower": {"min": 1.0},
+        "much_slower": {"min": 2.0}, "faster": {"min": 1.0},
+        "zero": {"min": 0},
+    }
+    cur = {
+        "steady": {"min": 1.1}, "slower": {"min": 1.3},
+        "much_slower": {"min": 3.0}, "faster": {"min": 0.5},
+        "zero": {"min": 1.0}, "brand_new": {"min": 9.9},
+    }
+    flags = bench._drift_flags(prev, cur)
+    assert [n for n, _ in flags] == ["slower", "much_slower"][::-1] or \
+        [n for n, _ in flags] == ["much_slower", "slower"]
+    ratios = dict(flags)
+    assert ratios["slower"] == 1.3 and ratios["much_slower"] == 1.5
+
+
+def test_drift_old_queries_extraction():
+    """bench._old_queries_at: the HEAD checkout's registry imports in-
+    process, returns real callables, and the CURRENT package modules
+    are restored afterwards (the same-JVM A/B swap is reversible)."""
+    import shutil as _shutil
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    from data_ingestors_spark import queries as cur_queries_mod
+
+    old_queries, tmp = bench._old_queries_at("HEAD")
+    try:
+        assert "pricing_summary" in old_queries and callable(old_queries["pricing_summary"])
+        # current package modules restored — same module object as before
+        import data_ingestors_spark.queries as after
+
+        assert after is cur_queries_mod
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
