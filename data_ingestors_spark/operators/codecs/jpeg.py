@@ -1,0 +1,1061 @@
+"""JPEG decode per ITU-T T.81: baseline/extended sequential,
+progressive (SOF2, spectral selection + successive approximation),
+lossless SOF3 (Annex H predictors), hierarchical Annex J (DHP/EXP
+frames), and arithmetic coding (SOF9 sequential / SOF10 progressive
+via the Annex F QM coder + conditioning contexts), 8- and 12-bit
+precisions, restart markers. Honest fail-loud stubs: SOF6
+(differential progressive) and SOF11/13-15 (arithmetic lossless /
+differential) — see _jpeg_dct_frame_planes. Split out of
+operators/multimodal.py in r11; semantics unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag scan order: zigzag position -> (row, col) of the 8x8 block
+JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A with A[u, x] = c(u)/2 ·
+    cos((2x+1)uπ/16); spatial block = Aᵀ · coeffs · A."""
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    return A
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (code length, code value) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    byte-unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/coefficient magnitude decode (ITU T.81 F.2.2.1)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# T.81 Annex D probability-estimation state machine for the QM
+# arithmetic coder: (Qe, NextIndexLPS, NextIndexMPS, SwitchMPS) per
+# state. Indices 0-13 are the fast-attack startup chain, 14+ the
+# steady-state estimation tree; index 113 is the NON-adaptive
+# equiprobable state used for AC coefficient signs (F.1.4.3.1) —
+# it transitions to itself and never switches.
+_QM_STATES = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QmBin:
+    """One adaptive context bin: state-machine index + current MPS."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self):
+        self.i = 0
+        self.mps = 0
+
+
+class _QmDecoder:
+    """QM arithmetic decoder (T.81 Annex D decode procedures) over one
+    byte-unstuffed entropy segment. Register model: the current coding
+    interval is [base, base+A) with 0x8000 <= A <= 0x10000 after
+    renormalization; ``v`` holds (codeword - base) at the interval's
+    scale, so every decision is the two-way split the encoder made:
+    bottom region [0, A-Qe) vs top region [A-Qe, A), with the
+    conditional MPS/LPS exchange of D.2.4/D.2.5 applied when the MPS
+    subinterval falls below Qe. Exhausted data feeds 0-bits (the
+    in-repo reference encoder emits its full flush, so those pad bits
+    are never semantically consulted)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 2
+        self.v = ((data[0] << 8) | data[1]) if len(data) >= 2 else (
+            (data[0] << 8) if data else 0
+        )
+        self.bitn = 0
+        self.a = 0x10000
+
+    def _next_bit(self) -> int:
+        if self.pos >= len(self.d):
+            return 0
+        b = (self.d[self.pos] >> (7 - self.bitn)) & 1
+        self.bitn += 1
+        if self.bitn == 8:
+            self.bitn = 0
+            self.pos += 1
+        return b
+
+    def decode(self, bin_: _QmBin) -> int:
+        qe, nlps, nmps, switch = _QM_STATES[bin_.i]
+        an = self.a - qe
+        if self.v < an:
+            # bottom region, size A-Qe
+            self.a = an
+            if an >= 0x8000:
+                return bin_.mps  # fast path: no renorm, no estimation
+            if an < qe:  # conditional exchange: bottom became the LPS
+                d = 1 - bin_.mps
+                if switch:
+                    bin_.mps = 1 - bin_.mps
+                bin_.i = nlps
+            else:
+                d = bin_.mps
+                bin_.i = nmps
+        else:
+            # top region, size Qe
+            self.v -= an
+            self.a = qe
+            if an < qe:  # conditional exchange: top became the MPS
+                d = bin_.mps
+                bin_.i = nmps
+            else:
+                d = 1 - bin_.mps
+                if switch:
+                    bin_.mps = 1 - bin_.mps
+                bin_.i = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.v = (self.v << 1) | self._next_bit()
+        return d
+
+
+def _jpeg_arith_decode_dc(dec, dcs, fixed_unused, ci, dc_ctx, last_dc, L, U):
+    """DC DIFF decode per T.81 F.2.4.1 (decision tree of Figures
+    F.19/F.20 with the F.1.4.4.1.1 conditioning-context update):
+    zero/sign/magnitude-category/magnitude-bits decisions over the
+    64-bin DC statistics area (contexts 0-19, X chain at 20, M bins
+    +14)."""
+    base = dc_ctx[ci]
+    if dec.decode(dcs[base]) == 0:
+        dc_ctx[ci] = 0
+        return
+    sign = dec.decode(dcs[base + 1])
+    m = dec.decode(dcs[base + 2 + sign])
+    pos = base + 2 + sign
+    if m:
+        pos = 20  # X1
+        m = 1
+        while dec.decode(dcs[pos]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic JPEG DC magnitude")
+            pos += 1
+    # conditioning category for the NEXT block's context (F.1.4.4.1.2)
+    if m < (1 << L) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << U) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v = m
+    pos += 14  # magnitude-bit bins
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if dec.decode(dcs[pos]):
+            v |= mm
+    v += 1
+    last_dc[ci] += -v if sign else v
+
+
+def _jpeg_arith_decode_ac_first(dec, blk, acs, fixed, Kx, ss, se, al):
+    """AC initial decode over band [ss, se] — the decision tree of
+    T.81 F.2.4.2 (sequential when ss=1/se=63/al=0; progressive
+    spectral-selection otherwise): per-index EOB / nonzero decisions
+    (3 bins per k), equiprobable sign (the fixed state-113 bin),
+    magnitude category via the low/high X chains at 189/217 split on
+    Kx, magnitude bits +14; decoded values carry the point transform
+    << al."""
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(acs[base]):
+            break  # EOB
+        while dec.decode(acs[base + 1]) == 0:
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG AC run")
+            base = 3 * (k - 1)
+        sign = dec.decode(fixed)
+        m = dec.decode(acs[base + 2])
+        pos = base + 2
+        if m:
+            if dec.decode(acs[base + 2]):
+                m = 2
+                pos = 189 if k <= Kx else 217
+                while dec.decode(acs[pos]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic JPEG AC magnitude")
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(acs[pos]):
+                v |= mm
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _jpeg_arith_decode_ac_refine(dec, blk, acs, fixed, ss, se, al):
+    """AC successive-approximation refinement (T.81 G.x with
+    arithmetic decisions): beyond the previous stage's end-of-block
+    index the per-k EOB decision gates the tail; previously-nonzero
+    coefficients take one correction-bit decision (bin k+2),
+    previously-zero ones a newly-nonzero decision (bin k+1) with the
+    equiprobable sign bin."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = 0
+    for kk in range(se, 0, -1):
+        if blk[kk]:
+            kex = kk
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(acs[base]):
+            break  # EOB
+        while True:
+            if blk[k]:
+                if dec.decode(acs[base + 2]):
+                    blk[k] += m1 if blk[k] < 0 else p1
+                break
+            if dec.decode(acs[base + 1]):
+                blk[k] = m1 if dec.decode(fixed) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG AC refinement")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _jpeg_split_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``pos``: unstuff 0xFF00, split on
+    restart markers; returns (segments, position of the terminating
+    marker's 0xFF)."""
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(content):
+        b = content[i]
+        if b == 0xFF:
+            m = content[i + 1] if i + 1 < len(content) else 0xD9
+            if m == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # a real marker ends the scan
+        segments[-1].append(b)
+        i += 1
+    return [bytes(s) for s in segments], i
+
+
+def _jpeg_sof_fields(data: bytes) -> tuple[int, int, int, list[tuple]]:
+    """(precision, h, w, comps) from an SOF/DHP payload (both share
+    the frame-header syntax, T.81 B.2.2 / B.3.2)."""
+    prec = data[0]
+    h = int.from_bytes(data[1:3], "big")
+    w = int.from_bytes(data[3:5], "big")
+    nc = data[5]
+    comps = [
+        (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
+        for i in range(nc)
+    ]
+    return prec, h, w, comps
+
+
+def _jpeg_parse(content: bytes) -> dict:
+    """Marker walk: frame header(s), quant tables, and EVERY scan with
+    its entropy segments and a snapshot of the Huffman tables in
+    force — the shape sequential multi-scan, progressive, and
+    HIERARCHICAL (Annex J: DHP + a non-differential first frame +
+    EXP/differential frames) decoding need. Scans attach to the frame
+    whose SOF most recently appeared (`meta["frames"]`); the legacy
+    single-frame keys (comps/scans/prec/h/w) mirror frame 0 so the
+    non-hierarchical decode paths are unchanged."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    meta: dict = {"frames": [], "hierarchical": False}
+    pending_exp: tuple[int, int] | None = None
+    restart = 0
+    pos = 2
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            pos += 2
+            continue
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        data = content[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (pq=0: 8-bit values, pq=1: 16-bit)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq == 0:
+                    vals = list(data[i + 1 : i + 65])
+                    i += 65
+                else:
+                    vals = [
+                        int.from_bytes(data[i + 1 + 2 * z : i + 3 + 2 * z], "big")
+                        for z in range(64)
+                    ]
+                    i += 129
+                tbl = np.zeros((8, 8))
+                for z, (r, c) in enumerate(JPEG_ZIGZAG):
+                    tbl[r, c] = vals[z]
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                counts = data[i + 1 : i + 17]
+                n = sum(counts)
+                symbols = data[i + 17 : i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDE:  # DHP — hierarchical progression (full dims)
+            prec, h, w, comps = _jpeg_sof_fields(data)
+            meta["hierarchical"] = True
+            meta["dhp"] = {"prec": prec, "h": h, "w": w, "comps": comps}
+        elif marker == 0xDF:  # EXP — expand reference before next frame
+            pending_exp = (data[0] >> 4, data[0] & 0xF)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            # baseline / ext. sequential / progressive / lossless,
+            # their DIFFERENTIAL hierarchical variants (SOF5-7), and
+            # ARITHMETIC sequential (SOF9) / progressive (SOF10)
+            if marker == 0xC6:
+                raise NotImplementedError(
+                    "JPEG SOF6 (differential progressive) not supported"
+                )
+            differential = marker in (0xC5, 0xC7)
+            lossless = marker in (0xC3, 0xC7)
+            prec, h, w, comps = _jpeg_sof_fields(data)
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless JPEG precision {prec} invalid")
+            elif prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit DCT JPEG")
+            if differential and not meta["hierarchical"]:
+                raise ValueError("differential JPEG frame without DHP")
+            meta["frames"].append(
+                {
+                    "differential": differential,
+                    "lossless": lossless,
+                    "progressive": marker in (0xC2, 0xCA),
+                    "arith": marker in (0xC9, 0xCA),
+                    "prec": prec, "h": h, "w": w, "comps": comps,
+                    "exp": pending_exp, "scans": [],
+                }
+            )
+            pending_exp = None
+        elif marker == 0xCC:  # DAC — arithmetic conditioning values
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0xF
+                cs = data[i + 1]
+                if tc == 0:
+                    meta.setdefault("dac_dc", {})[tb] = (cs & 0xF, cs >> 4)
+                else:
+                    meta.setdefault("dac_ac", {})[tb] = cs
+                i += 2
+        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (lossless/differential "
+                "arithmetic) not decodable without PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(data[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if not meta["frames"] or not meta["frames"][-1]["comps"]:
+                raise ValueError("JPEG SOS before SOF")
+            frame = meta["frames"][-1]
+            ns = data[0]
+            scomps = []
+            for i in range(ns):
+                cid, tables = data[1 + 2 * i], data[2 + 2 * i]
+                idx = next(j for j, c in enumerate(frame["comps"]) if c[0] == cid)
+                scomps.append((idx, tables >> 4, tables & 0xF))
+            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            segments, pos = _jpeg_split_segments(content, pos)
+            frame["scans"].append(
+                {
+                    "comps": scomps, "ss": ss, "se": se,
+                    "ah": a >> 4, "al": a & 0xF,
+                    "restart": restart, "segments": segments,
+                    "dc": dict(huff_dc), "ac": dict(huff_ac),
+                }
+            )
+    if not meta["frames"] or not meta["frames"][0]["scans"]:
+        raise ValueError("JPEG missing SOF/SOS")
+    # legacy single-frame mirror: the non-hierarchical decode paths
+    # read these keys; hierarchical output dims come from the DHP
+    f0 = meta["frames"][0]
+    for k in ("prec", "h", "w", "comps", "scans", "progressive", "lossless", "arith"):
+        meta[k] = f0[k]
+    if meta["hierarchical"]:
+        meta["prec"] = meta["dhp"]["prec"]
+        meta["h"] = meta["dhp"]["h"]
+        meta["w"] = meta["dhp"]["w"]
+    meta["qt"] = qt
+    return meta
+
+
+def _jpeg_block_full(bits, block, dc_tbl, ac_tbl, preds, ci):
+    """Baseline full-band decode (DC diff + AC run-length) into the
+    64-coeff zigzag ``block``."""
+    t = bits.huff(dc_tbl)
+    preds[ci] += _jpeg_extend(bits.bits(t), t)
+    block[0] = preds[ci]
+    z = 1
+    while z < 64:
+        rs = bits.huff(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                z += 16
+                continue
+            break
+        z += r
+        if z > 63:
+            raise ValueError("JPEG AC run past block end")
+        block[z] = _jpeg_extend(bits.bits(s), s)
+        z += 1
+
+
+def _jpeg_block_ac_first(bits, block, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC initial scan (G.2.2, spectral selection with
+    point transform); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        block[k] = _jpeg_extend(bits.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_block_ac_refine(bits, block, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC refinement scan (G.2.3; the jdphuff algorithm):
+    one correction bit per already-nonzero coefficient, newly-nonzero
+    coefficients inserted at ±2^al; returns the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.huff(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    # NB: 1 << r, not (1 << r) - 1 — the CURRENT block's
+                    # band tail still consumes correction bits below,
+                    # which then decrements the run (jdphuff semantics)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                s_val = p1 if bits.bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    if bits.bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overran the band")
+                block[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if bits.bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_to_gray8(vals: np.ndarray, prec: int) -> np.ndarray:
+    """Scale a [0, 2^prec) integer plane to uint8 by bit shift —
+    the standard display mapping for >8-bit JPEG (never rescaled to
+    the data's own min/max, which would be content-dependent)."""
+    v = np.clip(vals, 0, (1 << prec) - 1).astype(np.int64)
+    if prec > 8:
+        v >>= prec - 8
+    elif prec < 8:
+        v <<= 8 - prec
+    return v.astype(np.uint8)
+
+
+def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
+    """LOSSLESS JPEG (SOF3, ITU T.81 Annex H): per-sample Huffman-coded
+    prediction residuals, predictors 1-7, point transform Pt, modulo-2^16
+    arithmetic, multi-scan or interleaved (sampling factors 1) layouts.
+
+    Prediction rules (H.1.2): the first sample of the scan — and the
+    first sample after a restart marker — is predicted as
+    2^(P - Pt - 1); other samples of the image's first line use Ra;
+    the first sample of every other line uses Rb; everything else uses
+    the scan's selected predictor. Category 16 means DIFF = 32768 with
+    no appended bits. The decoded plane is (pred + DIFF) mod 2^16,
+    shifted left by Pt, rendered to 8-bit gray by ``_jpeg_to_gray8``.
+
+    Reference parity: image_validator.py:73-382 (resolution checks)
+    needs width/height + a real pixel plane; DICOM-style lossless
+    gray is the main real-world SOF3 payload.
+    """
+    planes, pts = _jpeg_lossless_frame_planes(meta)
+    luma = meta["scans"][0]["comps"][0][0]
+    return meta["w"], meta["h"], _jpeg_to_gray8(planes[luma] << pts[luma], meta["prec"])
+
+
+def _jpeg_lossless_frame_planes(
+    frame: dict, *, differential: bool = False
+) -> tuple[list[np.ndarray], list[int]]:
+    """Decode one lossless frame's scans into per-component int64
+    planes plus per-component point transforms. Non-differential
+    frames run the Annex H predictor chain; DIFFERENTIAL frames
+    (SOF7, Annex J) carry no prediction — each sample IS the coded
+    DIFF, which the hierarchical composer adds to the reference
+    modulo 2^16."""
+    comps = frame["comps"]
+    prec = frame["prec"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes: list[np.ndarray] = []
+    dims: list[tuple[int, int]] = []
+    for _cid, hi, vi, _tq in comps:
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        planes.append(np.zeros((ch, cw), dtype=np.int64))
+        dims.append((ch, cw))
+
+    pts = [0] * len(comps)
+    for scan in frame["scans"]:
+        sel, pt = scan["ss"], scan["al"]
+        if differential:
+            if sel != 0:
+                raise ValueError(
+                    f"differential lossless scan must carry predictor 0, got {sel}"
+                )
+        elif not 1 <= sel <= 7:
+            raise ValueError(f"lossless JPEG predictor {sel} invalid")
+        scomps = scan["comps"]
+        for ci, _, _ in scomps:
+            pts[ci] = pt
+        interleaved = len(scomps) > 1
+        if interleaved and any(
+            comps[ci][1] != 1 or comps[ci][2] != 1 for ci, _, _ in scomps
+        ):
+            raise NotImplementedError(
+                "interleaved lossless JPEG with sampling factors != 1"
+            )
+        restart = scan["restart"]
+        if restart == 0 and len(scan["segments"]) > 1:
+            raise ValueError("restart markers without DRI")
+        default = 1 << (prec - pt - 1)
+        ch0, cw0 = dims[scomps[0][0]]
+        n_mcus = ch0 * cw0
+        unit = 0
+        for seg in scan["segments"]:
+            bits = _JpegBits(seg)
+            fresh = {ci: True for ci, _, _ in scomps}
+            limit = min(unit + restart, n_mcus) if restart else n_mcus
+            while unit < limit:
+                r, c = divmod(unit, cw0)
+                for ci, tdc, _tac in scomps:
+                    t = bits.huff(scan["dc"][tdc])
+                    if t == 16:
+                        diff = 32768
+                    else:
+                        diff = _jpeg_extend(bits.bits(t), t)
+                    p = planes[ci]
+                    if differential:
+                        p[r, c] = diff
+                        continue
+                    if fresh[ci]:
+                        pred = default
+                        fresh[ci] = False
+                    elif r == 0:
+                        pred = int(p[r, c - 1])
+                    elif c == 0:
+                        pred = int(p[r - 1, c])
+                    else:
+                        ra = int(p[r, c - 1])
+                        rb = int(p[r - 1, c])
+                        rc = int(p[r - 1, c - 1])
+                        pred = (
+                            ra, rb, rc,
+                            ra + rb - rc,
+                            ra + ((rb - rc) >> 1),
+                            rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1,
+                        )[sel - 1]
+                    p[r, c] = (pred + diff) & 0xFFFF
+                unit += 1
+            if unit >= n_mcus:
+                break
+        if unit < n_mcus:
+            raise ValueError("lossless JPEG entropy data ended before the last sample")
+    return planes, pts
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pixel decode for 8-bit Huffman JPEG — baseline (SOF0),
+    extended sequential (SOF1), and PROGRESSIVE (SOF2: spectral
+    selection and successive approximation, interleaved or per-
+    component scans), with optional restart markers, for any sampling
+    where luma carries the max factors (4:4:4 / 4:2:2 / 4:2:0). All
+    scans accumulate into per-component coefficient grids; one
+    vectorized dequantize + IDCT pass then renders the luma plane.
+    Grayscale output IS the luma — chroma scans are entropy-decoded
+    (the bitstream interleaves or sequences them) and discarded.
+    12-bit precision (SOF0/SOF1, 16-bit DQT), LOSSLESS (SOF3,
+    `_decode_jpeg_lossless`), and HIERARCHICAL (Annex J,
+    `_decode_jpeg_hierarchical`) decode for real; arithmetic JPEG and
+    differential-progressive SOF6 stay behind the fail-loud
+    boundary."""
+    meta = _jpeg_parse(content)
+    if meta["hierarchical"]:
+        return _decode_jpeg_hierarchical(meta)
+    if meta["lossless"]:
+        return _decode_jpeg_lossless(meta)
+    comps = meta["comps"]
+    w, h = meta["w"], meta["h"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    y_comp = meta["scans"][0]["comps"][0][0]
+    if comps[y_comp][1] != hmax or comps[y_comp][2] != vmax:
+        raise NotImplementedError("JPEG luma without max sampling factors")
+    planes = _jpeg_dct_frame_planes(
+        meta, meta["qt"], only_comp=y_comp,
+        dac_dc=meta.get("dac_dc"), dac_ac=meta.get("dac_ac"),
+    )
+    return w, h, _jpeg_to_gray8(planes[y_comp], meta["prec"])
+
+
+def _jpeg_dct_frame_planes(
+    frame: dict,
+    qt: dict[int, np.ndarray],
+    *,
+    differential: bool = False,
+    only_comp: int | None = None,
+    dac_dc: dict | None = None,
+    dac_ac: dict | None = None,
+) -> list[np.ndarray]:
+    """Entropy-decode one DCT frame's scans into coefficient grids and
+    render per-component spatial planes (float64, cropped to component
+    dims). Non-differential frames get the +2^(P-1) level shift;
+    DIFFERENTIAL frames (SOF5, Annex J) are spatial corrections the
+    hierarchical composer adds to the reference, so no shift. With
+    ``only_comp`` every scan is still entropy-decoded (the bitstream
+    interleaves components) but only that component is IDCT-rendered
+    (the legacy gray path); other entries are None."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component coefficient grids (padded to whole MCUs) and the
+    # real (unpadded) block dims used by non-interleaved scans
+    grids = []
+    real = []
+    for _cid, hi, vi, _tq in comps:
+        grids.append(
+            [[None] * (mcus_x * hi) for _ in range(mcus_y * vi)]
+        )
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        real.append((-(-chh // 8), -(-cw // 8)))
+
+    def block_at(ci: int, by: int, bx: int) -> list[int]:
+        blk = grids[ci][by][bx]
+        if blk is None:
+            blk = [0] * 64
+            grids[ci][by][bx] = blk
+        return blk
+
+    for scan in frame["scans"]:
+        scomps = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        restart = scan["restart"]
+        interleaved = len(scomps) > 1
+        if interleaved and ss != 0:
+            raise ValueError("JPEG interleaved AC scan is not legal")
+        if interleaved:
+            n_units = mcus_x * mcus_y
+        else:
+            by_r, bx_r = real[scomps[0][0]]
+            n_units = by_r * bx_r
+        if restart == 0 and len(scan["segments"]) > 1:
+            raise ValueError("restart markers without DRI")
+        full_band = ss == 0 and se == 63 and ah == 0 and al == 0
+
+        def sites_for(unit: int) -> list[tuple]:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                return [
+                    (ci, tdc, tac, my * cvf + by, mx * chf + bx)
+                    for ci, tdc, tac in scomps
+                    for cvf, chf in [(comps[ci][2], comps[ci][1])]
+                    for by in range(cvf)
+                    for bx in range(chf)
+                ]
+            ci, tdc, tac = scomps[0]
+            by_r, bx_r = real[ci]
+            return [(ci, tdc, tac, *divmod(unit, bx_r))]
+
+        unit = 0
+        if frame.get("arith"):
+            # SOF9 extended sequential / SOF10 progressive, QM
+            # arithmetic entropy (T.81 Annex D coder + Annex F/G
+            # statistical model). Statistics bins, DC conditioning
+            # contexts, and DC predictors reset per restart segment
+            # (F.2.1.3); conditioning bounds come from the DAC marker
+            # (defaults L=0, U=1, Kx=5). Scan kinds dispatch exactly
+            # like the Huffman path: full-band sequential, DC first /
+            # refine, AC first / refine.
+            if not (full_band or (ss == 0 and se == 0) or ss >= 1):
+                raise ValueError(f"JPEG arithmetic scan band {ss}..{se} invalid")
+            for seg in scan["segments"]:
+                dec = _QmDecoder(seg)
+                dcs_by_t: dict[int, list] = {}
+                acs_by_t: dict[int, list] = {}
+                fixed = _QmBin()
+                fixed.i = 113
+                dc_ctx = [0] * len(comps)
+                last_dc = [0] * len(comps)
+                limit = min(unit + restart, n_units) if restart else n_units
+                while unit < limit:
+                    for ci, tdc, tac, by, bx in sites_for(unit):
+                        dcs = dcs_by_t.setdefault(
+                            tdc, [_QmBin() for _ in range(64)]
+                        )
+                        acs = acs_by_t.setdefault(
+                            tac, [_QmBin() for _ in range(256)]
+                        )
+                        L, U = (dac_dc or {}).get(tdc, (0, 1))
+                        Kx = (dac_ac or {}).get(tac, 5)
+                        blk = block_at(ci, by, bx)
+                        if full_band:
+                            _jpeg_arith_decode_dc(
+                                dec, dcs, fixed, ci, dc_ctx, last_dc, L, U
+                            )
+                            blk[0] = last_dc[ci]
+                            _jpeg_arith_decode_ac_first(
+                                dec, blk, acs, fixed, Kx, 1, 63, 0
+                            )
+                        elif ss == 0 and se == 0:  # DC scan
+                            if ah == 0:
+                                _jpeg_arith_decode_dc(
+                                    dec, dcs, fixed, ci, dc_ctx, last_dc, L, U
+                                )
+                                blk[0] = last_dc[ci] << al
+                            elif dec.decode(fixed):
+                                blk[0] |= 1 << al
+                        elif ah == 0:  # AC initial
+                            _jpeg_arith_decode_ac_first(
+                                dec, blk, acs, fixed, Kx, ss, se, al
+                            )
+                        else:  # AC refinement
+                            _jpeg_arith_decode_ac_refine(
+                                dec, blk, acs, fixed, ss, se, al
+                            )
+                    unit += 1
+                if unit >= n_units:
+                    break
+            if unit < n_units:
+                raise ValueError(
+                    "JPEG entropy data ended before the scan's last unit"
+                )
+            continue
+        for seg in scan["segments"]:
+            bits = _JpegBits(seg)
+            preds = [0] * len(comps)
+            eobrun = 0
+            limit = min(unit + restart, n_units) if restart else n_units
+            while unit < limit:
+                for ci, tdc, tac, by, bx in sites_for(unit):
+                    blk = block_at(ci, by, bx)
+                    if full_band:
+                        _jpeg_block_full(
+                            bits, blk, scan["dc"][tdc], scan["ac"][tac], preds, ci
+                        )
+                    elif ss == 0 and se == 0:  # DC scan
+                        if ah == 0:
+                            t = bits.huff(scan["dc"][tdc])
+                            preds[ci] += _jpeg_extend(bits.bits(t), t)
+                            blk[0] = preds[ci] << al
+                        else:
+                            blk[0] |= bits.bit() << al
+                    elif ss >= 1:  # AC scan (always single-component)
+                        if ah == 0:
+                            eobrun = _jpeg_block_ac_first(
+                                bits, blk, scan["ac"][tac], ss, se, al, eobrun
+                            )
+                        else:
+                            eobrun = _jpeg_block_ac_refine(
+                                bits, blk, scan["ac"][tac], ss, se, al, eobrun
+                            )
+                    else:
+                        raise ValueError(f"JPEG scan band {ss}..{se} invalid")
+                unit += 1
+            if unit >= n_units:
+                break
+        if unit < n_units:
+            raise ValueError("JPEG entropy data ended before the scan's last unit")
+
+    # vectorized dequantize + IDCT of each component's REAL blocks
+    A = _jpeg_idct_matrix()
+    zz_rows = [r for r, _ in JPEG_ZIGZAG]
+    zz_cols = [c for _, c in JPEG_ZIGZAG]
+    prec = frame["prec"]
+    shift = 0.0 if differential else float(1 << (prec - 1))
+    planes: list[np.ndarray | None] = []
+    for ci, (_cid, chi, cvi, tq) in enumerate(comps):
+        if only_comp is not None and ci != only_comp:
+            planes.append(None)
+            continue
+        qtab = qt[tq]
+        by_r, bx_r = real[ci]
+        coeffs = np.zeros((by_r * bx_r, 8, 8))
+        for by in range(by_r):
+            for bx in range(bx_r):
+                blk = grids[ci][by][bx]
+                if blk is not None:
+                    coeffs[by * bx_r + bx, zz_rows, zz_cols] = blk
+        blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + shift
+        plane = (
+            blocks.reshape(by_r, bx_r, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_r * 8, bx_r * 8)
+        )
+        cw = -(-w * chi // hmax)
+        chh = -(-h * cvi // vmax)
+        planes.append(plane[:chh, :cw])
+    return planes
+
+
+def _jpeg_expand_ref(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """Annex J.1.1.2 reference expansion: double a dimension with
+    x'[2i] = x[i], x'[2i+1] = (x[i] + x[i+1] + 1) >> 1, replicating
+    the last sample at the edge."""
+    if eh:
+        h, w = p.shape
+        out = np.empty((h, 2 * w), dtype=p.dtype)
+        out[:, 0::2] = p
+        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.empty((2 * h, w), dtype=p.dtype)
+        out[0::2, :] = p
+        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _decode_jpeg_hierarchical(meta: dict) -> tuple[int, int, np.ndarray]:
+    """HIERARCHICAL JPEG (ITU T.81 Annex J): a DHP header defines the
+    full-resolution image; a non-differential first frame decodes a
+    (possibly reduced-resolution) reference, and each subsequent
+    DIFFERENTIAL frame — optionally preceded by an EXP marker that
+    doubles the reference horizontally and/or vertically with the
+    J.1.1.2 bilinear filter — adds Huffman-coded corrections:
+    IDCT outputs without level shift for SOF5 (differential
+    sequential), plain DIFF samples modulo 2^16 for SOF7
+    (differential lossless). Per-component references compose across
+    frames; the output is the luma plane at the DHP resolution,
+    clamped to [0, 2^P-1]. SOF6 (differential progressive) and the
+    arithmetic variants stay behind the fail-loud boundary.
+
+    Reference parity: image_validator.py:73-382 needs width/height +
+    a real pixel plane for the V10 resolution battery."""
+    prec = meta["dhp"]["prec"]
+    w, h = meta["dhp"]["w"], meta["dhp"]["h"]
+    refs: dict[int, np.ndarray] = {}  # component id -> int64 plane
+    for frame in meta["frames"]:
+        frame_cids = [c[0] for c in frame["comps"]]
+        if frame["exp"] is not None:
+            eh, ev = frame["exp"]
+            for cid in frame_cids:
+                if cid not in refs:
+                    raise ValueError("JPEG EXP before any reference frame")
+                refs[cid] = _jpeg_expand_ref(refs[cid], eh, ev)
+        if frame["lossless"]:
+            lplanes, pts = _jpeg_lossless_frame_planes(
+                frame, differential=frame["differential"]
+            )
+            vals = [p << pt for p, pt in zip(lplanes, pts)]
+        else:
+            fplanes = _jpeg_dct_frame_planes(
+                frame, meta["qt"], differential=frame["differential"],
+                dac_dc=meta.get("dac_dc"), dac_ac=meta.get("dac_ac"),
+            )
+            vals = [np.rint(p).astype(np.int64) for p in fplanes]
+        for ci, cid in enumerate(frame_cids):
+            if not frame["differential"]:
+                refs[cid] = vals[ci]
+                continue
+            ref = refs.get(cid)
+            if ref is None:
+                raise ValueError("differential JPEG frame before its reference")
+            vh, vw = vals[ci].shape
+            if ref.shape[0] < vh or ref.shape[1] < vw:
+                raise ValueError(
+                    f"differential frame {vals[ci].shape} larger than its "
+                    f"reference {ref.shape} — missing EXP?"
+                )
+            ref = ref[:vh, :vw]  # expansion may overshoot odd dims by 1
+            if frame["lossless"]:
+                refs[cid] = (ref + vals[ci]) & 0xFFFF
+            else:
+                refs[cid] = ref + vals[ci]
+    luma_cid = meta["dhp"]["comps"][0][0]
+    if luma_cid not in refs:
+        raise ValueError("hierarchical JPEG never coded the first DHP component")
+    plane = np.clip(refs[luma_cid], 0, (1 << prec) - 1)
+    if plane.shape[0] < h or plane.shape[1] < w:
+        raise ValueError(
+            f"hierarchical frames stopped at {plane.shape}, below the "
+            f"DHP resolution {h}x{w}"
+        )
+    return w, h, _jpeg_to_gray8(plane[:h, :w], prec)
+
+

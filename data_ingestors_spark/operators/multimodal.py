@@ -2,17 +2,16 @@
 ``binary`` columns with typed metadata structs.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
-mapInPandas signatures — is real and tested. Most of the codec layer
-is now REAL stdlib+numpy decode (BMP/PNG/GIF/JPEG incl. progressive,
-12-bit, lossless SOF3, hierarchical Annex J, and ARITHMETIC
-sequential SOF9 + progressive SOF10 / MJPEG-AVI images and frames;
-WAV PCM 8/16/24/32-bit, IEEE float, G.711, IMA ADPCM, and FLAC
-audio); each ``_decode_*`` additionally accepts the deterministic
-fake formats below for tests, and raises ``NotImplementedError`` for
-the honestly-stubbed remainder (lossless/differential arithmetic
-JPEG SOF11/13-15, differential-progressive SOF6, perceptual audio
-mp3/ogg, inter-frame video). Swapping in a further codec is a
-one-function change; nothing in the distributed plan moves.
+mapInPandas signatures — is real and tested. The codec layer lives in
+``operators/codecs/`` (split in r11: raster.py BMP/PNG/GIF, jpeg.py
+the full T.81 matrix, audio.py WAV/FLAC, video.py MJPEG-AVI) and is
+REAL stdlib+numpy decode; each ``_decode_*`` additionally accepts the
+deterministic fake formats below for tests, and raises
+``NotImplementedError`` for the honestly-stubbed remainder
+(lossless/differential arithmetic JPEG SOF11/13-15, differential-
+progressive SOF6, perceptual audio mp3/ogg, inter-frame video).
+This module keeps the distributed operators and re-exports every
+codec name, so existing imports (tests, user code) are stable.
 
 Fake fixture formats (produced by tests):
 - image: ``FAKEIMG:<w>x<h>:<pixel-bytes>``  (1 byte per pixel, row-major)
@@ -37,2122 +36,66 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:
-    from PIL import Image  # type: ignore
-
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
-
-IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FAKEIMG:", b"FAKEAUD:", b"FAKEVID:"
-
-
-# --- codec layer (stub boundary) ---------------------------------------
-
-
-def _decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL pixel decode for uncompressed 8/24/32-bit BMP — a public
-    container simple enough that numpy alone decodes it: BITMAPINFOHEADER
-    dims, bottom-up rows padded to 4 bytes, grayscale = mean of BGR."""
-    if len(content) < 54:
-        raise ValueError("truncated BMP")
-    dib_size = int.from_bytes(content[14:18], "little")
-    if dib_size not in (40, 52, 56, 108, 124):
-        # the 12-byte BITMAPCOREHEADER stores 16-bit dims at different
-        # offsets — reading it with INFOHEADER offsets would return
-        # silently wrong dimensions, so fail loud instead
-        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
-    off = int.from_bytes(content[10:14], "little")
-    w = int.from_bytes(content[18:22], "little", signed=True)
-    h_raw = int.from_bytes(content[22:26], "little", signed=True)
-    bpp = int.from_bytes(content[28:30], "little")
-    compression = int.from_bytes(content[30:34], "little")
-    if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or h_raw == 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
-    h = abs(h_raw)
-    bytes_pp = bpp // 8
-    row_len = ((w * bytes_pp + 3) // 4) * 4
-    need = off + row_len * h
-    if len(content) < need:
-        raise ValueError("truncated BMP pixel array")
-    rows = np.frombuffer(content, dtype=np.uint8, count=row_len * h, offset=off)
-    rows = rows.reshape(h, row_len)[:, : w * bytes_pp]
-    if bpp == 8:
-        gray = rows.astype(np.float64)
-    else:
-        px = rows.reshape(h, w, bytes_pp)[:, :, :3]  # BGR(A) -> BGR
-        gray = px.mean(axis=2)
-    if h_raw > 0:  # bottom-up storage
-        gray = gray[::-1]
-    return w, h, gray.astype(np.uint8)
-
-
-PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
-
-
-def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering (RFC 2083 §6): each scanline is
-    one filter-type byte + ``stride`` filtered bytes. None/Up/Sub are
-    vectorized (Sub via per-channel cumsum mod 256); Average and Paeth
-    carry an in-row left dependency and run as per-byte loops — exact,
-    and bounded per image, but the slow path for large Paeth-heavy
-    files (the honest perf note for this codec tier)."""
-    if len(raw) < h * (1 + stride):
-        raise ValueError("truncated PNG pixel data")
-    out = np.empty((h, stride), dtype=np.uint8)
-    zero = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
-        pos += 1 + stride
-        prev = out[y - 1] if y else zero
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub: cumulative per channel
-            for c in range(bpp):
-                ch = line[c::bpp].astype(np.int64)
-                line[c::bpp] = (np.cumsum(ch) % 256).astype(np.uint8)
-        elif ft == 2:  # Up
-            line += prev
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = int(line[i - bpp]) if i >= bpp else 0
-                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (int(line[i]) + pr) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        out[y] = line
-    return out
-
-
-# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
-_ADAM7 = [
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
-]
-
-
-def _png_pixels(
-    raw: bytes, h: int, w: int, channels: int, depth: int, interlace: int
-) -> np.ndarray:
-    """Unfiltered sample array (h, w, channels) in 8-bit (16-bit
-    samples are scaled down by their high byte). Handles both storage
-    layouts: sequential scanlines, and the 7 Adam7 passes — each pass
-    is an independently-filtered sub-image scattered back onto the
-    full grid by its (start, step) geometry; empty passes contribute
-    no scanlines."""
-    if depth < 8:
-        # sub-byte depths (1/2/4-bit gray or palette): samples pack
-        # MSB-first into bytes, scanlines pad to whole bytes, and the
-        # filter bpp is ONE byte (spec: filters see bytes, not
-        # samples). Unpack bits per row after unfiltering.
-        stride = -(-w * depth // 8)
-
-        def unpack(rows: np.ndarray, pw: int) -> np.ndarray:
-            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            return (bits.reshape(rows.shape[0], pw, depth) * weights).sum(
-                axis=2
-            ).astype(np.uint8)
-
-        if not interlace:
-            vals = unpack(_png_unfilter(raw, h, stride, 1), w)
-        else:
-            vals = np.zeros((h, w), dtype=np.uint8)
-            off = 0
-            for xs, ys, xst, yst in _ADAM7:
-                pw = max(0, -(-(w - xs) // xst))
-                ph = max(0, -(-(h - ys) // yst))
-                if pw == 0 or ph == 0:
-                    continue
-                pstride = -(-pw * depth // 8)
-                need = ph * (1 + pstride)
-                sub = unpack(
-                    _png_unfilter(raw[off : off + need], ph, pstride, 1), pw
-                )
-                off += need
-                for j in range(ph):
-                    vals[ys + j * yst, xs::xst][:pw] = sub[j]
-        return vals.reshape(h, w, 1)
-
-    bps = depth // 8
-    bpp = channels * bps
-    if not interlace:
-        data = _png_unfilter(raw, h, w * bpp, bpp)
-    else:
-        data = np.zeros((h, w * bpp), dtype=np.uint8)
-        off = 0
-        for xs, ys, xst, yst in _ADAM7:
-            pw = max(0, -(-(w - xs) // xst))
-            ph = max(0, -(-(h - ys) // yst))
-            if pw == 0 or ph == 0:
-                continue
-            need = ph * (1 + pw * bpp)
-            sub = _png_unfilter(raw[off : off + need], ph, pw * bpp, bpp)
-            off += need
-            for j in range(ph):
-                data[ys + j * yst].reshape(w, bpp)[xs::xst][:pw] = sub[j].reshape(
-                    pw, bpp
-                )
-    px = data.reshape(h, w, channels, bps)
-    if bps == 2:
-        return px[..., 0]  # high byte of big-endian 16-bit == >> 8
-    return px[..., 0]
-
-
-def _decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL pixel decode for 8- and 16-bit PNG, sequential or Adam7
-    interlaced — stdlib zlib inflates IDAT, numpy reverses the
-    scanline filters (per pass for Adam7). Covers color types 0
-    (gray), 2 (RGB), 3 (palette, 8-bit per spec), 4 (gray+alpha), 6
-    (RGBA); grayscale output is the channel mean (same rule as
-    _decode_bmp), alpha ignored, 16-bit samples scaled to 8. Bit
-    depths < 8 stay behind the fail-loud NotImplementedError
-    boundary (README codec matrix)."""
-    import struct
-    import zlib
-
-    if not content.startswith(PNG_SIG):
-        raise ValueError("not a PNG")
-    pos = len(PNG_SIG)
-    w = h = depth = ct = interlace = None
-    palette: bytes | None = None
-    idat = bytearray()
-    while pos + 8 <= len(content):
-        (length,) = struct.unpack(">I", content[pos : pos + 4])
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated PNG chunk")
-        pos += 12 + length  # length + type + data + CRC
-        if ctype == b"IHDR":
-            w, h, depth, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            palette = data
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if w is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    if (
-        depth not in (1, 2, 4, 8, 16)
-        or interlace not in (0, 1)
-        or ct not in _PNG_CHANNELS
-        or (ct == 3 and depth == 16)
-        or (depth < 8 and ct not in (0, 3))
-    ):
-        raise NotImplementedError(
-            f"PNG depth={depth} colortype={ct} interlace={interlace} "
-            "not decodable without PIL"
-        )
-    channels = _PNG_CHANNELS[ct]
-    px = _png_pixels(zlib.decompress(bytes(idat)), h, w, channels, depth, interlace)
-    if ct == 3:
-        if palette is None:
-            raise ValueError("palette PNG without PLTE chunk")
-        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
-        if int(px.max(initial=0)) >= len(pal):
-            raise ValueError("PNG palette index out of range")
-        gray = pal[px[:, :, 0]].mean(axis=2)
-    elif ct in (0, 4):
-        gray = px[:, :, 0].astype(np.float64)
-        if depth < 8:  # expand sub-byte gray to the full 0..255 range
-            gray = gray * (255.0 / ((1 << depth) - 1))
-    else:
-        gray = px[:, :, :3].mean(axis=2)
-    return w, h, gray.astype(np.uint8)
-
-
-def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
-    """GIF-variant LZW decode (LSB-first packed codes, clear/end
-    codes, growing code width capped at 12 bits, deferred-clear table
-    freeze at 4096 entries). Pure python ints — bounded by the frame's
-    pixel count."""
-    clear = 1 << min_code_size
-    end = clear + 1
-
-    def fresh() -> dict[int, bytes]:
-        return {i: bytes([i]) for i in range(clear)}
-
-    table = fresh()
-    next_code = end + 1
-    width = min_code_size + 1
-    out = bytearray()
-    prev: bytes | None = None
-    acc = nbits = pos = 0
-    while len(out) < n_pixels:
-        while nbits < width:
-            if pos >= len(data):
-                raise ValueError("truncated GIF LZW stream")
-            acc |= data[pos] << nbits
-            nbits += 8
-            pos += 1
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = fresh()
-            next_code = end + 1
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            break
-        if code in table:
-            entry = table[code]
-        elif prev is not None and code == next_code:
-            entry = prev + prev[:1]  # the KwKwK case
-        else:
-            raise ValueError(f"corrupt GIF LZW code {code}")
-        out.extend(entry)
-        if prev is not None and next_code < 4096:
-            table[next_code] = prev + entry[:1]
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
-        prev = entry
-    return bytes(out[:n_pixels])
-
-
-def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL pixel decode for the first frame of a GIF87a/89a —
-    pure-python LZW + numpy palette lookup, GIF 4-pass interlace
-    deinterlaced, and a first frame smaller than the logical screen
-    composited onto the background-color canvas (frame 0 needs no
-    disposal semantics). Grayscale is the palette-RGB channel mean
-    (same rule as BMP/PNG). Animation continuation frames decode via
-    :func:`_decode_gif_frames` (the video path) — r9, the boundary
-    moved; this single-frame form stays as the image-battery entry."""
-    if content[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
-
-    def le16(o: int) -> int:
-        return int.from_bytes(content[o : o + 2], "little")
-
-    w, h = le16(6), le16(8)
-    packed = content[10]
-    pos = 13
-    gct = None
-    if packed >> 7 & 1:
-        n = 2 ** ((packed & 7) + 1)
-        gct = content[pos : pos + 3 * n]
-        pos += 3 * n
-    while pos < len(content):
-        b = content[pos]
-        if b == 0x21:  # extension block: label byte + sub-blocks
-            pos += 2
-            while content[pos] != 0:
-                pos += 1 + content[pos]
-            pos += 1
-        elif b == 0x2C:  # image descriptor
-            left, top, iw, ih = le16(pos + 1), le16(pos + 3), le16(pos + 5), le16(pos + 7)
-            ipacked = content[pos + 9]
-            pos += 10
-            ct = gct
-            if ipacked >> 7 & 1:
-                n = 2 ** ((ipacked & 7) + 1)
-                ct = content[pos : pos + 3 * n]
-                pos += 3 * n
-            interlace = ipacked >> 6 & 1
-            if ct is None:
-                raise ValueError("GIF image without any color table")
-            mcs = content[pos]
-            pos += 1
-            data = bytearray()
-            while True:
-                ln = content[pos]
-                pos += 1
-                if ln == 0:
-                    break
-                data += content[pos : pos + ln]
-                pos += ln
-            idx = np.frombuffer(
-                _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.uint8
-            ).reshape(ih, iw)
-            if interlace:
-                de = np.empty_like(idx)
-                src = 0
-                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                    for y in range(start, ih, step):
-                        de[y] = idx[src]
-                        src += 1
-                idx = de
-            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
-            if int(idx.max(initial=0)) >= len(pal):
-                raise ValueError("GIF pixel index outside the color table")
-            frame = pal[idx].mean(axis=2)
-            if (iw, ih) == (w, h) and (left, top) == (0, 0):
-                return w, h, frame.astype(np.uint8)
-            # first-frame sub-frame: composite onto a background-color
-            # canvas (frame 0 needs no disposal semantics — that is
-            # where animation, which stays out of scope, begins)
-            if gct is None:
-                raise NotImplementedError(
-                    "GIF sub-frame without a global color table"
-                )
-            if left + iw > w or top + ih > h:
-                raise ValueError("GIF frame exceeds the logical screen")
-            gpal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
-            bg = content[11]
-            if bg >= len(gpal):
-                raise ValueError("GIF background index outside the color table")
-            canvas = np.full((h, w), gpal[bg].mean(), dtype=np.float64)
-            canvas[top : top + ih, left : left + iw] = frame
-            return w, h, canvas.astype(np.uint8)
-        elif b == 0x3B:  # trailer
-            break
-        else:
-            raise ValueError(f"unknown GIF block 0x{b:02x}")
-    raise ValueError("GIF contains no image data")
-
-
-def _decode_gif_frames(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """REAL decode of ALL frames of an animated GIF87a/89a — the r8
-    verdict's cheapest honest stub, retired: per-frame Graphic Control
-    Extension transparency plus the three GIF89a disposal methods
-    (1 = leave in place, 2 = restore to background, 3 = restore to
-    previous), every frame composited onto the logical-screen canvas
-    in RGB before the grayscale snapshot. Returns
-    (width, height, n_frames, frames[n, h, w] uint8); frame 0 of an
-    opaque full-screen GIF is bit-identical to :func:`_decode_gif`.
-    Reference parity: image_validator.py frame checks — the reference
-    never decodes animation either; this goes beyond it."""
-    if content[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
-
-    def le16(o: int) -> int:
-        return int.from_bytes(content[o : o + 2], "little")
-
-    w, h = le16(6), le16(8)
-    packed = content[10]
-    pos = 13
-    gct = None
-    if packed >> 7 & 1:
-        n = 2 ** ((packed & 7) + 1)
-        gct = content[pos : pos + 3 * n]
-        pos += 3 * n
-    if h * w > 64_000_000:
-        # 64 MP plausibility guard: header dims are untrusted bytes;
-        # an eager (h, w, 3) canvas from junk le16s is a multi-GB
-        # memset per call (caught by the codec fuzz test)
-        raise ValueError("GIF logical screen implausibly large")
-    if gct is not None:
-        gpal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
-        bg = content[11]
-        if bg >= len(gpal):
-            raise ValueError("GIF background index outside the color table")
-        bg_rgb = gpal[bg].astype(np.float32)
-    else:
-        # spec: background only defined via the GCT; black is the
-        # conventional fallback for local-table-only files
-        bg_rgb = np.zeros(3, dtype=np.float32)
-    # canvas materializes only after the FIRST frame actually decodes
-    # — junk rarely survives the LZW/palette checks, so adversarial
-    # headers never pay the allocation
-    canvas: np.ndarray | None = None
-    frames: list[np.ndarray] = []
-    transparent: int | None = None
-    disposal = 0
-    while pos < len(content):
-        b = content[pos]
-        if b == 0x21:  # extension: label + sub-blocks
-            label = content[pos + 1]
-            pos += 2
-            if label == 0xF9 and content[pos] >= 4:
-                flags = content[pos + 1]
-                disposal = (flags >> 2) & 0x7
-                transparent = content[pos + 4] if flags & 1 else None
-            while content[pos] != 0:
-                pos += 1 + content[pos]
-            pos += 1
-        elif b == 0x2C:  # image descriptor
-            left, top, iw, ih = le16(pos + 1), le16(pos + 3), le16(pos + 5), le16(pos + 7)
-            ipacked = content[pos + 9]
-            pos += 10
-            ct = gct
-            if ipacked >> 7 & 1:
-                n = 2 ** ((ipacked & 7) + 1)
-                ct = content[pos : pos + 3 * n]
-                pos += 3 * n
-            interlace = ipacked >> 6 & 1
-            if ct is None:
-                raise ValueError("GIF image without any color table")
-            mcs = content[pos]
-            pos += 1
-            data = bytearray()
-            while True:
-                ln = content[pos]
-                pos += 1
-                if ln == 0:
-                    break
-                data += content[pos : pos + ln]
-                pos += ln
-            idx = np.frombuffer(
-                _gif_lzw_decode(bytes(data), mcs, iw * ih), dtype=np.uint8
-            ).reshape(ih, iw)
-            if interlace:
-                de = np.empty_like(idx)
-                src = 0
-                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
-                    for y in range(start, ih, step):
-                        de[y] = idx[src]
-                        src += 1
-                idx = de
-            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
-            if int(idx.max(initial=0)) >= len(pal):
-                raise ValueError("GIF pixel index outside the color table")
-            if left + iw > w or top + ih > h:
-                raise ValueError("GIF frame exceeds the logical screen")
-            rgb = pal[idx].astype(np.float32)
-            if canvas is None:
-                canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
-            saved = canvas.copy() if disposal == 3 else None
-            region = canvas[top : top + ih, left : left + iw]
-            if transparent is not None:
-                region[:] = np.where((idx != transparent)[..., None], rgb, region)
-            else:
-                region[:] = rgb
-            frames.append(canvas.mean(axis=2).astype(np.uint8))
-            # disposal prepares the canvas for the NEXT frame
-            if disposal == 2:
-                canvas[top : top + ih, left : left + iw] = bg_rgb
-            elif disposal == 3:
-                canvas = saved
-            transparent, disposal = None, 0  # a GCE governs ONE image
-        elif b == 0x3B:
-            break
-        else:
-            raise ValueError(f"unknown GIF block 0x{b:02x}")
-    if not frames:
-        raise ValueError("GIF contains no image data")
-    return w, h, len(frames), np.stack(frames)
-
-
-# zigzag scan order: zigzag position -> (row, col) of the 8x8 block
-JPEG_ZIGZAG = [
-    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
-    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
-    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
-    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
-    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
-    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
-    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
-    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
-]
-
-
-def _jpeg_idct_matrix() -> np.ndarray:
-    """Orthonormal 8x8 DCT-II basis A with A[u, x] = c(u)/2 ·
-    cos((2x+1)uπ/16); spatial block = Aᵀ · coeffs · A."""
-    x = np.arange(8)
-    u = np.arange(8)[:, None]
-    A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
-    A[0] *= 1 / np.sqrt(2)
-    return A
-
-
-def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
-    """Canonical Huffman: (code length, code value) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
-            k += 1
-            code += 1
-        code <<= 1
-    return table
-
-
-class _JpegBits:
-    """MSB-first bit reader over one entropy-coded segment (already
-    byte-unstuffed)."""
-
-    def __init__(self, data: bytes):
-        self.d = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("truncated JPEG entropy data")
-            self.acc = self.d[self.pos]
-            self.pos += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
-
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-
-def _jpeg_extend(v: int, t: int) -> int:
-    """DIFF/coefficient magnitude decode (ITU T.81 F.2.2.1)."""
-    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
-# T.81 Annex D probability-estimation state machine for the QM
-# arithmetic coder: (Qe, NextIndexLPS, NextIndexMPS, SwitchMPS) per
-# state. Indices 0-13 are the fast-attack startup chain, 14+ the
-# steady-state estimation tree; index 113 is the NON-adaptive
-# equiprobable state used for AC coefficient signs (F.1.4.3.1) —
-# it transitions to itself and never switches.
-_QM_STATES = (
-    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
-    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
-    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
-    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
-    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
-    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
-    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
-    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
-    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
-    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
-    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
-    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
-    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
-    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
-    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
-    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
-    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
-    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
-    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
-    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
-    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
-    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
-    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
-    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
-    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
-    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
-    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
-    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
-    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
-    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
-    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
-    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
-    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
-    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
-    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
-    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
-    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
-    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+from .codecs import (  # noqa: F401 — re-exported codec surface
+    AUD_MAGIC,
+    IMG_MAGIC,
+    VID_MAGIC,
+    _HAVE_PIL,
+    _decode_image,
 )
-
-
-class _QmBin:
-    """One adaptive context bin: state-machine index + current MPS."""
-
-    __slots__ = ("i", "mps")
-
-    def __init__(self):
-        self.i = 0
-        self.mps = 0
-
-
-class _QmDecoder:
-    """QM arithmetic decoder (T.81 Annex D decode procedures) over one
-    byte-unstuffed entropy segment. Register model: the current coding
-    interval is [base, base+A) with 0x8000 <= A <= 0x10000 after
-    renormalization; ``v`` holds (codeword - base) at the interval's
-    scale, so every decision is the two-way split the encoder made:
-    bottom region [0, A-Qe) vs top region [A-Qe, A), with the
-    conditional MPS/LPS exchange of D.2.4/D.2.5 applied when the MPS
-    subinterval falls below Qe. Exhausted data feeds 0-bits (the
-    in-repo reference encoder emits its full flush, so those pad bits
-    are never semantically consulted)."""
-
-    def __init__(self, data: bytes):
-        self.d = data
-        self.pos = 2
-        self.v = ((data[0] << 8) | data[1]) if len(data) >= 2 else (
-            (data[0] << 8) if data else 0
-        )
-        self.bitn = 0
-        self.a = 0x10000
-
-    def _next_bit(self) -> int:
-        if self.pos >= len(self.d):
-            return 0
-        b = (self.d[self.pos] >> (7 - self.bitn)) & 1
-        self.bitn += 1
-        if self.bitn == 8:
-            self.bitn = 0
-            self.pos += 1
-        return b
-
-    def decode(self, bin_: _QmBin) -> int:
-        qe, nlps, nmps, switch = _QM_STATES[bin_.i]
-        an = self.a - qe
-        if self.v < an:
-            # bottom region, size A-Qe
-            self.a = an
-            if an >= 0x8000:
-                return bin_.mps  # fast path: no renorm, no estimation
-            if an < qe:  # conditional exchange: bottom became the LPS
-                d = 1 - bin_.mps
-                if switch:
-                    bin_.mps = 1 - bin_.mps
-                bin_.i = nlps
-            else:
-                d = bin_.mps
-                bin_.i = nmps
-        else:
-            # top region, size Qe
-            self.v -= an
-            self.a = qe
-            if an < qe:  # conditional exchange: top became the MPS
-                d = bin_.mps
-                bin_.i = nmps
-            else:
-                d = 1 - bin_.mps
-                if switch:
-                    bin_.mps = 1 - bin_.mps
-                bin_.i = nlps
-        while self.a < 0x8000:
-            self.a <<= 1
-            self.v = (self.v << 1) | self._next_bit()
-        return d
-
-
-def _jpeg_arith_decode_dc(dec, dcs, fixed_unused, ci, dc_ctx, last_dc, L, U):
-    """DC DIFF decode per T.81 F.2.4.1 (decision tree of Figures
-    F.19/F.20 with the F.1.4.4.1.1 conditioning-context update):
-    zero/sign/magnitude-category/magnitude-bits decisions over the
-    64-bin DC statistics area (contexts 0-19, X chain at 20, M bins
-    +14)."""
-    base = dc_ctx[ci]
-    if dec.decode(dcs[base]) == 0:
-        dc_ctx[ci] = 0
-        return
-    sign = dec.decode(dcs[base + 1])
-    m = dec.decode(dcs[base + 2 + sign])
-    pos = base + 2 + sign
-    if m:
-        pos = 20  # X1
-        m = 1
-        while dec.decode(dcs[pos]):
-            m <<= 1
-            if m == 0x8000:
-                raise ValueError("corrupt arithmetic JPEG DC magnitude")
-            pos += 1
-    # conditioning category for the NEXT block's context (F.1.4.4.1.2)
-    if m < (1 << L) >> 1:
-        dc_ctx[ci] = 0
-    elif m > (1 << U) >> 1:
-        dc_ctx[ci] = 12 + sign * 4
-    else:
-        dc_ctx[ci] = 4 + sign * 4
-    v = m
-    pos += 14  # magnitude-bit bins
-    mm = m
-    while mm > 1:
-        mm >>= 1
-        if dec.decode(dcs[pos]):
-            v |= mm
-    v += 1
-    last_dc[ci] += -v if sign else v
-
-
-def _jpeg_arith_decode_ac_first(dec, blk, acs, fixed, Kx, ss, se, al):
-    """AC initial decode over band [ss, se] — the decision tree of
-    T.81 F.2.4.2 (sequential when ss=1/se=63/al=0; progressive
-    spectral-selection otherwise): per-index EOB / nonzero decisions
-    (3 bins per k), equiprobable sign (the fixed state-113 bin),
-    magnitude category via the low/high X chains at 189/217 split on
-    Kx, magnitude bits +14; decoded values carry the point transform
-    << al."""
-    k = ss
-    while k <= se:
-        base = 3 * (k - 1)
-        if dec.decode(acs[base]):
-            break  # EOB
-        while dec.decode(acs[base + 1]) == 0:
-            k += 1
-            if k > se:
-                raise ValueError("corrupt arithmetic JPEG AC run")
-            base = 3 * (k - 1)
-        sign = dec.decode(fixed)
-        m = dec.decode(acs[base + 2])
-        pos = base + 2
-        if m:
-            if dec.decode(acs[base + 2]):
-                m = 2
-                pos = 189 if k <= Kx else 217
-                while dec.decode(acs[pos]):
-                    m <<= 1
-                    if m == 0x8000:
-                        raise ValueError("corrupt arithmetic JPEG AC magnitude")
-                    pos += 1
-        v = m
-        pos += 14
-        mm = m
-        while mm > 1:
-            mm >>= 1
-            if dec.decode(acs[pos]):
-                v |= mm
-        v += 1
-        blk[k] = (-v if sign else v) << al
-        k += 1
-
-
-def _jpeg_arith_decode_ac_refine(dec, blk, acs, fixed, ss, se, al):
-    """AC successive-approximation refinement (T.81 G.x with
-    arithmetic decisions): beyond the previous stage's end-of-block
-    index the per-k EOB decision gates the tail; previously-nonzero
-    coefficients take one correction-bit decision (bin k+2),
-    previously-zero ones a newly-nonzero decision (bin k+1) with the
-    equiprobable sign bin."""
-    p1 = 1 << al
-    m1 = -(1 << al)
-    kex = 0
-    for kk in range(se, 0, -1):
-        if blk[kk]:
-            kex = kk
-            break
-    k = ss
-    while k <= se:
-        base = 3 * (k - 1)
-        if k > kex and dec.decode(acs[base]):
-            break  # EOB
-        while True:
-            if blk[k]:
-                if dec.decode(acs[base + 2]):
-                    blk[k] += m1 if blk[k] < 0 else p1
-                break
-            if dec.decode(acs[base + 1]):
-                blk[k] = m1 if dec.decode(fixed) else p1
-                break
-            k += 1
-            if k > se:
-                raise ValueError("corrupt arithmetic JPEG AC refinement")
-            base = 3 * (k - 1)
-        k += 1
-
-
-def _jpeg_split_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
-    """Entropy-coded data from ``pos``: unstuff 0xFF00, split on
-    restart markers; returns (segments, position of the terminating
-    marker's 0xFF)."""
-    segments: list[bytearray] = [bytearray()]
-    i = pos
-    while i < len(content):
-        b = content[i]
-        if b == 0xFF:
-            m = content[i + 1] if i + 1 < len(content) else 0xD9
-            if m == 0x00:
-                segments[-1].append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                segments.append(bytearray())
-                i += 2
-                continue
-            break  # a real marker ends the scan
-        segments[-1].append(b)
-        i += 1
-    return [bytes(s) for s in segments], i
-
-
-def _jpeg_sof_fields(data: bytes) -> tuple[int, int, int, list[tuple]]:
-    """(precision, h, w, comps) from an SOF/DHP payload (both share
-    the frame-header syntax, T.81 B.2.2 / B.3.2)."""
-    prec = data[0]
-    h = int.from_bytes(data[1:3], "big")
-    w = int.from_bytes(data[3:5], "big")
-    nc = data[5]
-    comps = [
-        (data[6 + 3 * i], data[7 + 3 * i] >> 4, data[7 + 3 * i] & 0xF, data[8 + 3 * i])
-        for i in range(nc)
-    ]
-    return prec, h, w, comps
-
-
-def _jpeg_parse(content: bytes) -> dict:
-    """Marker walk: frame header(s), quant tables, and EVERY scan with
-    its entropy segments and a snapshot of the Huffman tables in
-    force — the shape sequential multi-scan, progressive, and
-    HIERARCHICAL (Annex J: DHP + a non-differential first frame +
-    EXP/differential frames) decoding need. Scans attach to the frame
-    whose SOF most recently appeared (`meta["frames"]`); the legacy
-    single-frame keys (comps/scans/prec/h/w) mirror frame 0 so the
-    non-hierarchical decode paths are unchanged."""
-    if content[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
-    meta: dict = {"frames": [], "hierarchical": False}
-    pending_exp: tuple[int, int] | None = None
-    restart = 0
-    pos = 2
-    while pos + 2 <= len(content):
-        if content[pos] != 0xFF:
-            raise ValueError("bad JPEG marker alignment")
-        marker = content[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
-            pos += 2
-            continue
-        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
-        data = content[pos + 4 : pos + 2 + seglen]
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT (pq=0: 8-bit values, pq=1: 16-bit)
-            i = 0
-            while i < len(data):
-                pq, tq = data[i] >> 4, data[i] & 0xF
-                if pq == 0:
-                    vals = list(data[i + 1 : i + 65])
-                    i += 65
-                else:
-                    vals = [
-                        int.from_bytes(data[i + 1 + 2 * z : i + 3 + 2 * z], "big")
-                        for z in range(64)
-                    ]
-                    i += 129
-                tbl = np.zeros((8, 8))
-                for z, (r, c) in enumerate(JPEG_ZIGZAG):
-                    tbl[r, c] = vals[z]
-                qt[tq] = tbl
-        elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(data):
-                tc, th = data[i] >> 4, data[i] & 0xF
-                counts = data[i + 1 : i + 17]
-                n = sum(counts)
-                symbols = data[i + 17 : i + 17 + n]
-                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_table(counts, symbols)
-                i += 17 + n
-        elif marker == 0xDE:  # DHP — hierarchical progression (full dims)
-            prec, h, w, comps = _jpeg_sof_fields(data)
-            meta["hierarchical"] = True
-            meta["dhp"] = {"prec": prec, "h": h, "w": w, "comps": comps}
-        elif marker == 0xDF:  # EXP — expand reference before next frame
-            pending_exp = (data[0] >> 4, data[0] & 0xF)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            # baseline / ext. sequential / progressive / lossless,
-            # their DIFFERENTIAL hierarchical variants (SOF5-7), and
-            # ARITHMETIC sequential (SOF9) / progressive (SOF10)
-            if marker == 0xC6:
-                raise NotImplementedError(
-                    "JPEG SOF6 (differential progressive) not supported"
-                )
-            differential = marker in (0xC5, 0xC7)
-            lossless = marker in (0xC3, 0xC7)
-            prec, h, w, comps = _jpeg_sof_fields(data)
-            if lossless:
-                if not 2 <= prec <= 16:
-                    raise ValueError(f"lossless JPEG precision {prec} invalid")
-            elif prec not in (8, 12):
-                raise NotImplementedError(f"{prec}-bit DCT JPEG")
-            if differential and not meta["hierarchical"]:
-                raise ValueError("differential JPEG frame without DHP")
-            meta["frames"].append(
-                {
-                    "differential": differential,
-                    "lossless": lossless,
-                    "progressive": marker in (0xC2, 0xCA),
-                    "arith": marker in (0xC9, 0xCA),
-                    "prec": prec, "h": h, "w": w, "comps": comps,
-                    "exp": pending_exp, "scans": [],
-                }
-            )
-            pending_exp = None
-        elif marker == 0xCC:  # DAC — arithmetic conditioning values
-            i = 0
-            while i + 1 < len(data):
-                tc, tb = data[i] >> 4, data[i] & 0xF
-                cs = data[i + 1]
-                if tc == 0:
-                    meta.setdefault("dac_dc", {})[tb] = (cs & 0xF, cs >> 4)
-                else:
-                    meta.setdefault("dac_ac", {})[tb] = cs
-                i += 2
-        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/differential "
-                "arithmetic) not decodable without PIL"
-            )
-        elif marker == 0xDD:  # DRI
-            restart = int.from_bytes(data[:2], "big")
-        elif marker == 0xDA:  # SOS
-            if not meta["frames"] or not meta["frames"][-1]["comps"]:
-                raise ValueError("JPEG SOS before SOF")
-            frame = meta["frames"][-1]
-            ns = data[0]
-            scomps = []
-            for i in range(ns):
-                cid, tables = data[1 + 2 * i], data[2 + 2 * i]
-                idx = next(j for j, c in enumerate(frame["comps"]) if c[0] == cid)
-                scomps.append((idx, tables >> 4, tables & 0xF))
-            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
-            segments, pos = _jpeg_split_segments(content, pos)
-            frame["scans"].append(
-                {
-                    "comps": scomps, "ss": ss, "se": se,
-                    "ah": a >> 4, "al": a & 0xF,
-                    "restart": restart, "segments": segments,
-                    "dc": dict(huff_dc), "ac": dict(huff_ac),
-                }
-            )
-    if not meta["frames"] or not meta["frames"][0]["scans"]:
-        raise ValueError("JPEG missing SOF/SOS")
-    # legacy single-frame mirror: the non-hierarchical decode paths
-    # read these keys; hierarchical output dims come from the DHP
-    f0 = meta["frames"][0]
-    for k in ("prec", "h", "w", "comps", "scans", "progressive", "lossless", "arith"):
-        meta[k] = f0[k]
-    if meta["hierarchical"]:
-        meta["prec"] = meta["dhp"]["prec"]
-        meta["h"] = meta["dhp"]["h"]
-        meta["w"] = meta["dhp"]["w"]
-    meta["qt"] = qt
-    return meta
-
-
-def _jpeg_block_full(bits, block, dc_tbl, ac_tbl, preds, ci):
-    """Baseline full-band decode (DC diff + AC run-length) into the
-    64-coeff zigzag ``block``."""
-    t = bits.huff(dc_tbl)
-    preds[ci] += _jpeg_extend(bits.bits(t), t)
-    block[0] = preds[ci]
-    z = 1
-    while z < 64:
-        rs = bits.huff(ac_tbl)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:
-                z += 16
-                continue
-            break
-        z += r
-        if z > 63:
-            raise ValueError("JPEG AC run past block end")
-        block[z] = _jpeg_extend(bits.bits(s), s)
-        z += 1
-
-
-def _jpeg_block_ac_first(bits, block, ac_tbl, ss, se, al, eobrun):
-    """Progressive AC initial scan (G.2.2, spectral selection with
-    point transform); returns the updated EOB run."""
-    if eobrun > 0:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        rs = bits.huff(ac_tbl)
-        r, s = rs >> 4, rs & 0xF
-        if s == 0:
-            if r == 15:
-                k += 16
-                continue
-            eobrun = (1 << r) - 1
-            if r:
-                eobrun += bits.bits(r)
-            break
-        k += r
-        if k > se:
-            raise ValueError("JPEG progressive AC run past band end")
-        block[k] = _jpeg_extend(bits.bits(s), s) << al
-        k += 1
-    return eobrun
-
-
-def _jpeg_block_ac_refine(bits, block, ac_tbl, ss, se, al, eobrun):
-    """Progressive AC refinement scan (G.2.3; the jdphuff algorithm):
-    one correction bit per already-nonzero coefficient, newly-nonzero
-    coefficients inserted at ±2^al; returns the updated EOB run."""
-    p1 = 1 << al
-    m1 = -p1
-    k = ss
-    if eobrun == 0:
-        while k <= se:
-            rs = bits.huff(ac_tbl)
-            r, s = rs >> 4, rs & 0xF
-            s_val = 0
-            if s == 0:
-                if r != 15:
-                    # NB: 1 << r, not (1 << r) - 1 — the CURRENT block's
-                    # band tail still consumes correction bits below,
-                    # which then decrements the run (jdphuff semantics)
-                    eobrun = 1 << r
-                    if r:
-                        eobrun += bits.bits(r)
-                    break
-            else:
-                if s != 1:
-                    raise ValueError("JPEG AC refinement size != 1")
-                s_val = p1 if bits.bit() else m1
-            while k <= se:
-                if block[k] != 0:
-                    if bits.bit() and (block[k] & p1) == 0:
-                        block[k] += p1 if block[k] >= 0 else m1
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
-            if s:
-                if k > se:
-                    raise ValueError("JPEG AC refinement overran the band")
-                block[k] = s_val
-            k += 1
-    if eobrun > 0:
-        while k <= se:
-            if block[k] != 0:
-                if bits.bit() and (block[k] & p1) == 0:
-                    block[k] += p1 if block[k] >= 0 else m1
-            k += 1
-        eobrun -= 1
-    return eobrun
-
-
-def _jpeg_to_gray8(vals: np.ndarray, prec: int) -> np.ndarray:
-    """Scale a [0, 2^prec) integer plane to uint8 by bit shift —
-    the standard display mapping for >8-bit JPEG (never rescaled to
-    the data's own min/max, which would be content-dependent)."""
-    v = np.clip(vals, 0, (1 << prec) - 1).astype(np.int64)
-    if prec > 8:
-        v >>= prec - 8
-    elif prec < 8:
-        v <<= 8 - prec
-    return v.astype(np.uint8)
-
-
-def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
-    """LOSSLESS JPEG (SOF3, ITU T.81 Annex H): per-sample Huffman-coded
-    prediction residuals, predictors 1-7, point transform Pt, modulo-2^16
-    arithmetic, multi-scan or interleaved (sampling factors 1) layouts.
-
-    Prediction rules (H.1.2): the first sample of the scan — and the
-    first sample after a restart marker — is predicted as
-    2^(P - Pt - 1); other samples of the image's first line use Ra;
-    the first sample of every other line uses Rb; everything else uses
-    the scan's selected predictor. Category 16 means DIFF = 32768 with
-    no appended bits. The decoded plane is (pred + DIFF) mod 2^16,
-    shifted left by Pt, rendered to 8-bit gray by ``_jpeg_to_gray8``.
-
-    Reference parity: image_validator.py:73-382 (resolution checks)
-    needs width/height + a real pixel plane; DICOM-style lossless
-    gray is the main real-world SOF3 payload.
-    """
-    planes, pts = _jpeg_lossless_frame_planes(meta)
-    luma = meta["scans"][0]["comps"][0][0]
-    return meta["w"], meta["h"], _jpeg_to_gray8(planes[luma] << pts[luma], meta["prec"])
-
-
-def _jpeg_lossless_frame_planes(
-    frame: dict, *, differential: bool = False
-) -> tuple[list[np.ndarray], list[int]]:
-    """Decode one lossless frame's scans into per-component int64
-    planes plus per-component point transforms. Non-differential
-    frames run the Annex H predictor chain; DIFFERENTIAL frames
-    (SOF7, Annex J) carry no prediction — each sample IS the coded
-    DIFF, which the hierarchical composer adds to the reference
-    modulo 2^16."""
-    comps = frame["comps"]
-    prec = frame["prec"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    planes: list[np.ndarray] = []
-    dims: list[tuple[int, int]] = []
-    for _cid, hi, vi, _tq in comps:
-        cw = -(-w * hi // hmax)
-        ch = -(-h * vi // vmax)
-        planes.append(np.zeros((ch, cw), dtype=np.int64))
-        dims.append((ch, cw))
-
-    pts = [0] * len(comps)
-    for scan in frame["scans"]:
-        sel, pt = scan["ss"], scan["al"]
-        if differential:
-            if sel != 0:
-                raise ValueError(
-                    f"differential lossless scan must carry predictor 0, got {sel}"
-                )
-        elif not 1 <= sel <= 7:
-            raise ValueError(f"lossless JPEG predictor {sel} invalid")
-        scomps = scan["comps"]
-        for ci, _, _ in scomps:
-            pts[ci] = pt
-        interleaved = len(scomps) > 1
-        if interleaved and any(
-            comps[ci][1] != 1 or comps[ci][2] != 1 for ci, _, _ in scomps
-        ):
-            raise NotImplementedError(
-                "interleaved lossless JPEG with sampling factors != 1"
-            )
-        restart = scan["restart"]
-        if restart == 0 and len(scan["segments"]) > 1:
-            raise ValueError("restart markers without DRI")
-        default = 1 << (prec - pt - 1)
-        ch0, cw0 = dims[scomps[0][0]]
-        n_mcus = ch0 * cw0
-        unit = 0
-        for seg in scan["segments"]:
-            bits = _JpegBits(seg)
-            fresh = {ci: True for ci, _, _ in scomps}
-            limit = min(unit + restart, n_mcus) if restart else n_mcus
-            while unit < limit:
-                r, c = divmod(unit, cw0)
-                for ci, tdc, _tac in scomps:
-                    t = bits.huff(scan["dc"][tdc])
-                    if t == 16:
-                        diff = 32768
-                    else:
-                        diff = _jpeg_extend(bits.bits(t), t)
-                    p = planes[ci]
-                    if differential:
-                        p[r, c] = diff
-                        continue
-                    if fresh[ci]:
-                        pred = default
-                        fresh[ci] = False
-                    elif r == 0:
-                        pred = int(p[r, c - 1])
-                    elif c == 0:
-                        pred = int(p[r - 1, c])
-                    else:
-                        ra = int(p[r, c - 1])
-                        rb = int(p[r - 1, c])
-                        rc = int(p[r - 1, c - 1])
-                        pred = (
-                            ra, rb, rc,
-                            ra + rb - rc,
-                            ra + ((rb - rc) >> 1),
-                            rb + ((ra - rc) >> 1),
-                            (ra + rb) >> 1,
-                        )[sel - 1]
-                    p[r, c] = (pred + diff) & 0xFFFF
-                unit += 1
-            if unit >= n_mcus:
-                break
-        if unit < n_mcus:
-            raise ValueError("lossless JPEG entropy data ended before the last sample")
-    return planes, pts
-
-
-def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL pixel decode for 8-bit Huffman JPEG — baseline (SOF0),
-    extended sequential (SOF1), and PROGRESSIVE (SOF2: spectral
-    selection and successive approximation, interleaved or per-
-    component scans), with optional restart markers, for any sampling
-    where luma carries the max factors (4:4:4 / 4:2:2 / 4:2:0). All
-    scans accumulate into per-component coefficient grids; one
-    vectorized dequantize + IDCT pass then renders the luma plane.
-    Grayscale output IS the luma — chroma scans are entropy-decoded
-    (the bitstream interleaves or sequences them) and discarded.
-    12-bit precision (SOF0/SOF1, 16-bit DQT), LOSSLESS (SOF3,
-    `_decode_jpeg_lossless`), and HIERARCHICAL (Annex J,
-    `_decode_jpeg_hierarchical`) decode for real; arithmetic JPEG and
-    differential-progressive SOF6 stay behind the fail-loud
-    boundary."""
-    meta = _jpeg_parse(content)
-    if meta["hierarchical"]:
-        return _decode_jpeg_hierarchical(meta)
-    if meta["lossless"]:
-        return _decode_jpeg_lossless(meta)
-    comps = meta["comps"]
-    w, h = meta["w"], meta["h"]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    y_comp = meta["scans"][0]["comps"][0][0]
-    if comps[y_comp][1] != hmax or comps[y_comp][2] != vmax:
-        raise NotImplementedError("JPEG luma without max sampling factors")
-    planes = _jpeg_dct_frame_planes(
-        meta, meta["qt"], only_comp=y_comp,
-        dac_dc=meta.get("dac_dc"), dac_ac=meta.get("dac_ac"),
-    )
-    return w, h, _jpeg_to_gray8(planes[y_comp], meta["prec"])
-
-
-def _jpeg_dct_frame_planes(
-    frame: dict,
-    qt: dict[int, np.ndarray],
-    *,
-    differential: bool = False,
-    only_comp: int | None = None,
-    dac_dc: dict | None = None,
-    dac_ac: dict | None = None,
-) -> list[np.ndarray]:
-    """Entropy-decode one DCT frame's scans into coefficient grids and
-    render per-component spatial planes (float64, cropped to component
-    dims). Non-differential frames get the +2^(P-1) level shift;
-    DIFFERENTIAL frames (SOF5, Annex J) are spatial corrections the
-    hierarchical composer adds to the reference, so no shift. With
-    ``only_comp`` every scan is still entropy-decoded (the bitstream
-    interleaves components) but only that component is IDCT-rendered
-    (the legacy gray path); other entries are None."""
-    comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # per-component coefficient grids (padded to whole MCUs) and the
-    # real (unpadded) block dims used by non-interleaved scans
-    grids = []
-    real = []
-    for _cid, hi, vi, _tq in comps:
-        grids.append(
-            [[None] * (mcus_x * hi) for _ in range(mcus_y * vi)]
-        )
-        cw = -(-w * hi // hmax)
-        chh = -(-h * vi // vmax)
-        real.append((-(-chh // 8), -(-cw // 8)))
-
-    def block_at(ci: int, by: int, bx: int) -> list[int]:
-        blk = grids[ci][by][bx]
-        if blk is None:
-            blk = [0] * 64
-            grids[ci][by][bx] = blk
-        return blk
-
-    for scan in frame["scans"]:
-        scomps = scan["comps"]
-        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
-        restart = scan["restart"]
-        interleaved = len(scomps) > 1
-        if interleaved and ss != 0:
-            raise ValueError("JPEG interleaved AC scan is not legal")
-        if interleaved:
-            n_units = mcus_x * mcus_y
-        else:
-            by_r, bx_r = real[scomps[0][0]]
-            n_units = by_r * bx_r
-        if restart == 0 and len(scan["segments"]) > 1:
-            raise ValueError("restart markers without DRI")
-        full_band = ss == 0 and se == 63 and ah == 0 and al == 0
-
-        def sites_for(unit: int) -> list[tuple]:
-            if interleaved:
-                my, mx = divmod(unit, mcus_x)
-                return [
-                    (ci, tdc, tac, my * cvf + by, mx * chf + bx)
-                    for ci, tdc, tac in scomps
-                    for cvf, chf in [(comps[ci][2], comps[ci][1])]
-                    for by in range(cvf)
-                    for bx in range(chf)
-                ]
-            ci, tdc, tac = scomps[0]
-            by_r, bx_r = real[ci]
-            return [(ci, tdc, tac, *divmod(unit, bx_r))]
-
-        unit = 0
-        if frame.get("arith"):
-            # SOF9 extended sequential / SOF10 progressive, QM
-            # arithmetic entropy (T.81 Annex D coder + Annex F/G
-            # statistical model). Statistics bins, DC conditioning
-            # contexts, and DC predictors reset per restart segment
-            # (F.2.1.3); conditioning bounds come from the DAC marker
-            # (defaults L=0, U=1, Kx=5). Scan kinds dispatch exactly
-            # like the Huffman path: full-band sequential, DC first /
-            # refine, AC first / refine.
-            if not (full_band or (ss == 0 and se == 0) or ss >= 1):
-                raise ValueError(f"JPEG arithmetic scan band {ss}..{se} invalid")
-            for seg in scan["segments"]:
-                dec = _QmDecoder(seg)
-                dcs_by_t: dict[int, list] = {}
-                acs_by_t: dict[int, list] = {}
-                fixed = _QmBin()
-                fixed.i = 113
-                dc_ctx = [0] * len(comps)
-                last_dc = [0] * len(comps)
-                limit = min(unit + restart, n_units) if restart else n_units
-                while unit < limit:
-                    for ci, tdc, tac, by, bx in sites_for(unit):
-                        dcs = dcs_by_t.setdefault(
-                            tdc, [_QmBin() for _ in range(64)]
-                        )
-                        acs = acs_by_t.setdefault(
-                            tac, [_QmBin() for _ in range(256)]
-                        )
-                        L, U = (dac_dc or {}).get(tdc, (0, 1))
-                        Kx = (dac_ac or {}).get(tac, 5)
-                        blk = block_at(ci, by, bx)
-                        if full_band:
-                            _jpeg_arith_decode_dc(
-                                dec, dcs, fixed, ci, dc_ctx, last_dc, L, U
-                            )
-                            blk[0] = last_dc[ci]
-                            _jpeg_arith_decode_ac_first(
-                                dec, blk, acs, fixed, Kx, 1, 63, 0
-                            )
-                        elif ss == 0 and se == 0:  # DC scan
-                            if ah == 0:
-                                _jpeg_arith_decode_dc(
-                                    dec, dcs, fixed, ci, dc_ctx, last_dc, L, U
-                                )
-                                blk[0] = last_dc[ci] << al
-                            elif dec.decode(fixed):
-                                blk[0] |= 1 << al
-                        elif ah == 0:  # AC initial
-                            _jpeg_arith_decode_ac_first(
-                                dec, blk, acs, fixed, Kx, ss, se, al
-                            )
-                        else:  # AC refinement
-                            _jpeg_arith_decode_ac_refine(
-                                dec, blk, acs, fixed, ss, se, al
-                            )
-                    unit += 1
-                if unit >= n_units:
-                    break
-            if unit < n_units:
-                raise ValueError(
-                    "JPEG entropy data ended before the scan's last unit"
-                )
-            continue
-        for seg in scan["segments"]:
-            bits = _JpegBits(seg)
-            preds = [0] * len(comps)
-            eobrun = 0
-            limit = min(unit + restart, n_units) if restart else n_units
-            while unit < limit:
-                for ci, tdc, tac, by, bx in sites_for(unit):
-                    blk = block_at(ci, by, bx)
-                    if full_band:
-                        _jpeg_block_full(
-                            bits, blk, scan["dc"][tdc], scan["ac"][tac], preds, ci
-                        )
-                    elif ss == 0 and se == 0:  # DC scan
-                        if ah == 0:
-                            t = bits.huff(scan["dc"][tdc])
-                            preds[ci] += _jpeg_extend(bits.bits(t), t)
-                            blk[0] = preds[ci] << al
-                        else:
-                            blk[0] |= bits.bit() << al
-                    elif ss >= 1:  # AC scan (always single-component)
-                        if ah == 0:
-                            eobrun = _jpeg_block_ac_first(
-                                bits, blk, scan["ac"][tac], ss, se, al, eobrun
-                            )
-                        else:
-                            eobrun = _jpeg_block_ac_refine(
-                                bits, blk, scan["ac"][tac], ss, se, al, eobrun
-                            )
-                    else:
-                        raise ValueError(f"JPEG scan band {ss}..{se} invalid")
-                unit += 1
-            if unit >= n_units:
-                break
-        if unit < n_units:
-            raise ValueError("JPEG entropy data ended before the scan's last unit")
-
-    # vectorized dequantize + IDCT of each component's REAL blocks
-    A = _jpeg_idct_matrix()
-    zz_rows = [r for r, _ in JPEG_ZIGZAG]
-    zz_cols = [c for _, c in JPEG_ZIGZAG]
-    prec = frame["prec"]
-    shift = 0.0 if differential else float(1 << (prec - 1))
-    planes: list[np.ndarray | None] = []
-    for ci, (_cid, chi, cvi, tq) in enumerate(comps):
-        if only_comp is not None and ci != only_comp:
-            planes.append(None)
-            continue
-        qtab = qt[tq]
-        by_r, bx_r = real[ci]
-        coeffs = np.zeros((by_r * bx_r, 8, 8))
-        for by in range(by_r):
-            for bx in range(bx_r):
-                blk = grids[ci][by][bx]
-                if blk is not None:
-                    coeffs[by * bx_r + bx, zz_rows, zz_cols] = blk
-        blocks = np.einsum("ij,njk,kl->nil", A.T, coeffs * qtab, A) + shift
-        plane = (
-            blocks.reshape(by_r, bx_r, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(by_r * 8, bx_r * 8)
-        )
-        cw = -(-w * chi // hmax)
-        chh = -(-h * cvi // vmax)
-        planes.append(plane[:chh, :cw])
-    return planes
-
-
-def _jpeg_expand_ref(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
-    """Annex J.1.1.2 reference expansion: double a dimension with
-    x'[2i] = x[i], x'[2i+1] = (x[i] + x[i+1] + 1) >> 1, replicating
-    the last sample at the edge."""
-    if eh:
-        h, w = p.shape
-        out = np.empty((h, 2 * w), dtype=p.dtype)
-        out[:, 0::2] = p
-        out[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
-        out[:, -1] = p[:, -1]
-        p = out
-    if ev:
-        h, w = p.shape
-        out = np.empty((2 * h, w), dtype=p.dtype)
-        out[0::2, :] = p
-        out[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
-        out[-1, :] = p[-1, :]
-        p = out
-    return p
-
-
-def _decode_jpeg_hierarchical(meta: dict) -> tuple[int, int, np.ndarray]:
-    """HIERARCHICAL JPEG (ITU T.81 Annex J): a DHP header defines the
-    full-resolution image; a non-differential first frame decodes a
-    (possibly reduced-resolution) reference, and each subsequent
-    DIFFERENTIAL frame — optionally preceded by an EXP marker that
-    doubles the reference horizontally and/or vertically with the
-    J.1.1.2 bilinear filter — adds Huffman-coded corrections:
-    IDCT outputs without level shift for SOF5 (differential
-    sequential), plain DIFF samples modulo 2^16 for SOF7
-    (differential lossless). Per-component references compose across
-    frames; the output is the luma plane at the DHP resolution,
-    clamped to [0, 2^P-1]. SOF6 (differential progressive) and the
-    arithmetic variants stay behind the fail-loud boundary.
-
-    Reference parity: image_validator.py:73-382 needs width/height +
-    a real pixel plane for the V10 resolution battery."""
-    prec = meta["dhp"]["prec"]
-    w, h = meta["dhp"]["w"], meta["dhp"]["h"]
-    refs: dict[int, np.ndarray] = {}  # component id -> int64 plane
-    for frame in meta["frames"]:
-        frame_cids = [c[0] for c in frame["comps"]]
-        if frame["exp"] is not None:
-            eh, ev = frame["exp"]
-            for cid in frame_cids:
-                if cid not in refs:
-                    raise ValueError("JPEG EXP before any reference frame")
-                refs[cid] = _jpeg_expand_ref(refs[cid], eh, ev)
-        if frame["lossless"]:
-            lplanes, pts = _jpeg_lossless_frame_planes(
-                frame, differential=frame["differential"]
-            )
-            vals = [p << pt for p, pt in zip(lplanes, pts)]
-        else:
-            fplanes = _jpeg_dct_frame_planes(
-                frame, meta["qt"], differential=frame["differential"],
-                dac_dc=meta.get("dac_dc"), dac_ac=meta.get("dac_ac"),
-            )
-            vals = [np.rint(p).astype(np.int64) for p in fplanes]
-        for ci, cid in enumerate(frame_cids):
-            if not frame["differential"]:
-                refs[cid] = vals[ci]
-                continue
-            ref = refs.get(cid)
-            if ref is None:
-                raise ValueError("differential JPEG frame before its reference")
-            vh, vw = vals[ci].shape
-            if ref.shape[0] < vh or ref.shape[1] < vw:
-                raise ValueError(
-                    f"differential frame {vals[ci].shape} larger than its "
-                    f"reference {ref.shape} — missing EXP?"
-                )
-            ref = ref[:vh, :vw]  # expansion may overshoot odd dims by 1
-            if frame["lossless"]:
-                refs[cid] = (ref + vals[ci]) & 0xFFFF
-            else:
-                refs[cid] = ref + vals[ci]
-    luma_cid = meta["dhp"]["comps"][0][0]
-    if luma_cid not in refs:
-        raise ValueError("hierarchical JPEG never coded the first DHP component")
-    plane = np.clip(refs[luma_cid], 0, (1 << prec) - 1)
-    if plane.shape[0] < h or plane.shape[1] < w:
-        raise ValueError(
-            f"hierarchical frames stopped at {plane.shape}, below the "
-            f"DHP resolution {h}x{w}"
-        )
-    return w, h, _jpeg_to_gray8(plane[:h, :w], prec)
-
-
-def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, grayscale ndarray). Stub boundary — but BMP,
-    8-bit non-interlaced PNG, first-frame GIF, and baseline JPEG are
-    decoded for REAL (pure numpy/zlib/LZW/Huffman+IDCT; see
-    _decode_bmp/_decode_png/_decode_gif/_decode_jpeg) and PIL, when
-    installed, covers the rest (progressive JPEG, 16-bit/interlaced
-    PNG, animated GIF compositing)."""
-    if content.startswith(IMG_MAGIC):
-        head, pixels = content[len(IMG_MAGIC):].split(b":", 1)
-        w, h = (int(x) for x in head.decode().split("x"))
-        arr = np.frombuffer(pixels[: w * h], dtype=np.uint8).reshape(h, w)
-        return w, h, arr
-    if _HAVE_PIL:
-        import io
-
-        with Image.open(io.BytesIO(content)) as im:
-            g = im.convert("L")
-            return im.width, im.height, np.asarray(g)
-    if content.startswith(b"BM"):
-        return _decode_bmp(content)
-    if content.startswith(PNG_SIG):
-        return _decode_png(content)
-    if content[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(content)
-    if content[:2] == b"\xff\xd8":
-        return _decode_jpeg(content)
-    raise NotImplementedError("no image codec available for this payload")
-
-
-class _FlacBits:
-    """MSB-first bit reader over a bytes buffer (no byte stuffing —
-    FLAC entropy data is raw, unlike JPEG's 0xFF00-stuffed stream)."""
-
-    def __init__(self, data: bytes, pos: int = 0):
-        self.data = data
-        self.bytepos = pos
-        self.bitpos = 0  # bits consumed within data[bytepos]
-
-    def bits(self, n: int) -> int:
-        out = 0
-        while n > 0:
-            if self.bytepos >= len(self.data):
-                raise ValueError("FLAC bitstream truncated")
-            avail = 8 - self.bitpos
-            take = min(n, avail)
-            cur = self.data[self.bytepos]
-            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
-            self.bitpos += take
-            n -= take
-            if self.bitpos == 8:
-                self.bitpos = 0
-                self.bytepos += 1
-        return out
-
-    def sbits(self, n: int) -> int:
-        v = self.bits(n)
-        return v - (1 << n) if v >= 1 << (n - 1) else v
-
-    def unary(self) -> int:
-        """RFC 9639 unary: n zero bits terminated by a one bit."""
-        n = 0
-        while self.bits(1) == 0:
-            n += 1
-        return n
-
-    def align(self) -> None:
-        if self.bitpos:
-            self.bitpos = 0
-            self.bytepos += 1
-
-
-def _flac_crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8+x^2+x^1+1 (0x07), init 0 (RFC 9639 §9.2)."""
-    crc = 0
-    for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
-
-
-def _flac_crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 (RFC 9639 §9.3)."""
-    crc = 0
-    for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-    return crc
-
-
-def _flac_utf8_number(bits: _FlacBits) -> int:
-    """Frame/sample number: UTF-8-style coding extended to 36-bit
-    values (RFC 9639 §9.1.5 — up to 0xFE lead byte, 6 continuations)."""
-    lead = bits.bits(8)
-    if lead < 0x80:
-        return lead
-    n = 0
-    probe = lead
-    while probe & 0x40:
-        n += 1
-        probe <<= 1
-    if n < 1 or n > 6:
-        raise ValueError("invalid FLAC UTF-8 coded number")
-    val = lead & (0x3F >> n)
-    for _ in range(n):
-        cont = bits.bits(8)
-        if cont & 0xC0 != 0x80:
-            raise ValueError("invalid FLAC UTF-8 continuation byte")
-        val = (val << 6) | (cont & 0x3F)
-    return val
-
-
-# frame-header lookup tables (RFC 9639 §9.1.1-9.1.4); None = coded in
-# a trailing field, 0 = taken from STREAMINFO, -1 = reserved
-_FLAC_BLOCKSIZES = [None, 192, 576, 1152, 2304, 4608, None, None,
-                    256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
-_FLAC_RATES = [0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
-               32000, 44100, 48000, 96000, None, None, None, -1]
-_FLAC_BPS = [0, 8, 12, -1, 16, 20, 24, 32]
-
-
-def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> np.ndarray:
-    """Rice-coded residual (RFC 9639 §9.2.7): 2-bit method (4- or
-    5-bit params), partition order, escape-coded raw partitions."""
-    method = bits.bits(2)
-    if method > 1:
-        raise ValueError(f"reserved FLAC residual coding method {method}")
-    pbits = 4 + method
-    escape = (1 << pbits) - 1
-    porder = bits.bits(4)
-    nparts = 1 << porder
-    if blocksize % nparts or (blocksize >> porder) <= order:
-        raise ValueError("invalid FLAC rice partition order")
-    out = np.empty(blocksize - order, dtype=np.int64)
-    at = 0
-    for p in range(nparts):
-        n = (blocksize >> porder) - (order if p == 0 else 0)
-        param = bits.bits(pbits)
-        if param == escape:
-            raw = bits.bits(5)
-            for i in range(n):
-                out[at + i] = bits.sbits(raw) if raw else 0
-        else:
-            for i in range(n):
-                u = (bits.unary() << param) | bits.bits(param)
-                out[at + i] = -((u >> 1) + 1) if u & 1 else u >> 1
-        at += n
-    return out
-
-
-def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> np.ndarray:
-    """One subframe (RFC 9639 §9.2): CONSTANT / VERBATIM / FIXED 0-4 /
-    LPC, with the wasted-bits shift. Fixed-order reconstruction is the
-    vectorized inverse-difference (k cumsums seeded from the warmup
-    diffs); LPC is the direct IIR recursion in exact Python ints."""
-    if bits.bits(1):
-        raise ValueError("FLAC subframe padding bit set")
-    ftype = bits.bits(6)
-    wasted = 0
-    if bits.bits(1):
-        wasted = bits.unary() + 1
-    eff = bps - wasted
-    if eff <= 0:
-        raise ValueError("FLAC wasted bits exceed sample size")
-    if ftype == 0:  # CONSTANT
-        v = bits.sbits(eff)
-        s = np.full(blocksize, v, dtype=np.int64)
-    elif ftype == 1:  # VERBATIM
-        s = np.array([bits.sbits(eff) for _ in range(blocksize)], dtype=np.int64)
-    elif 8 <= ftype <= 12:  # FIXED, order = ftype - 8
-        order = ftype - 8
-        warm = [bits.sbits(eff) for _ in range(order)]
-        res = _flac_residual(bits, blocksize, order)
-        s = np.empty(blocksize, dtype=np.int64)
-        s[:order] = warm
-        cur = res
-        w = np.asarray(warm, dtype=np.int64)
-        for k in range(order, 0, -1):
-            init = np.diff(w, k - 1)[-1] if k > 1 else (w[-1] if order else 0)
-            cur = init + np.cumsum(cur)
-        s[order:] = cur
-    elif ftype >= 32:  # LPC, order = (ftype & 31) + 1
-        order = (ftype & 31) + 1
-        warm = [bits.sbits(eff) for _ in range(order)]
-        prec = bits.bits(4) + 1
-        if prec == 16:
-            raise ValueError("invalid FLAC LPC precision code 1111")
-        shift = bits.sbits(5)
-        if shift < 0:
-            raise ValueError("negative FLAC LPC shift")
-        coefs = [bits.sbits(prec) for _ in range(order)]
-        res = _flac_residual(bits, blocksize, order)
-        hist = list(warm)
-        out = hist + [0] * (blocksize - order)
-        for i in range(order, blocksize):
-            acc = 0
-            for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = int(res[i - order]) + (acc >> shift)
-        s = np.asarray(out, dtype=np.int64)
-    else:
-        raise ValueError(f"reserved FLAC subframe type {ftype:06b}")
-    return s << wasted if wasted else s
-
-
-def _decode_flac(content: bytes) -> tuple[int, np.ndarray]:
-    """Real FLAC decode (RFC 9639 / xiph spec) — stdlib + numpy only.
-
-    Full subframe surface: CONSTANT, VERBATIM, FIXED orders 0-4, LPC
-    to order 32; rice/rice2 residuals incl. escape-coded partitions;
-    wasted bits; all four channel assignments (independent, left/side,
-    right/side, mid/side); 4-32 bit samples; frame-header CRC-8 and
-    whole-frame CRC-16 verified fail-loud. Multi-channel is averaged
-    to mono like every other audio path here. Reference parity:
-    audio metadata/feature checks (tracebloc_ingestor
-    image_validator.py-style per-file probes) over FLAC payloads."""
-    if content[:4] != b"fLaC":
-        raise ValueError("not a FLAC stream")
-    pos = 4
-    info: dict | None = None
-    while True:  # metadata blocks
-        if pos + 4 > len(content):
-            raise ValueError("FLAC metadata truncated")
-        last, btype = content[pos] & 0x80, content[pos] & 0x7F
-        blen = int.from_bytes(content[pos + 1 : pos + 4], "big")
-        body = content[pos + 4 : pos + 4 + blen]
-        pos += 4 + blen
-        if btype == 0:  # STREAMINFO
-            b = _FlacBits(body)
-            b.bits(16), b.bits(16), b.bits(24), b.bits(24)
-            info = {
-                "sr": b.bits(20),
-                "nch": b.bits(3) + 1,
-                "bps": b.bits(5) + 1,
-                "total": b.bits(36),
-            }
-        if last:
-            break
-    if info is None:
-        raise ValueError("FLAC missing STREAMINFO")
-
-    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(info["nch"])]
-    while pos < len(content):
-        frame_start = pos
-        bits = _FlacBits(content, pos)
-        sync = bits.bits(14)
-        if sync != 0x3FFE:
-            raise ValueError("bad FLAC frame sync")
-        bits.bits(1)  # reserved
-        bits.bits(1)  # blocking strategy
-        bs_code = bits.bits(4)
-        sr_code = bits.bits(4)
-        ch_code = bits.bits(4)
-        bps_code = bits.bits(3)
-        bits.bits(1)  # reserved
-        _flac_utf8_number(bits)
-        if bs_code == 0:
-            raise ValueError("reserved FLAC block size code 0")
-        blocksize = _FLAC_BLOCKSIZES[bs_code]
-        if blocksize is None:
-            blocksize = bits.bits(8 if bs_code == 6 else 16) + 1
-        sr = _FLAC_RATES[sr_code]
-        if sr == -1:
-            raise ValueError("invalid FLAC sample rate code 1111")
-        if sr is None:
-            raw = bits.bits(8 if sr_code == 12 else 16)
-            sr = raw * 1000 if sr_code == 12 else (raw if sr_code == 13 else raw * 10)
-        if sr == 0:
-            sr = info["sr"]
-        bps = _FLAC_BPS[bps_code]
-        if bps == -1:
-            raise ValueError("reserved FLAC sample size code")
-        if bps == 0:
-            bps = info["bps"]
-        header_end = bits.bytepos  # header is byte-aligned here
-        if _flac_crc8(content[frame_start:header_end]) != bits.bits(8):
-            raise ValueError("FLAC frame header CRC-8 mismatch")
-
-        if ch_code <= 7:
-            nch = ch_code + 1
-            subs = [_flac_subframe(bits, blocksize, bps) for _ in range(nch)]
-        elif ch_code in (8, 9, 10):
-            nch = 2
-            b0 = bps + (1 if ch_code == 9 else 0)  # right/side: side first
-            b1 = bps + (1 if ch_code in (8, 10) else 0)
-            c0 = _flac_subframe(bits, blocksize, b0)
-            c1 = _flac_subframe(bits, blocksize, b1)
-            if ch_code == 8:  # left/side: right = left - side
-                subs = [c0, c0 - c1]
-            elif ch_code == 9:  # right/side: left = right + side
-                subs = [c1 + c0, c1]
-            else:  # mid/side
-                m2 = (c0 << 1) | (c1 & 1)
-                subs = [(m2 + c1) >> 1, (m2 - c1) >> 1]
-        else:
-            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
-        if nch != info["nch"]:
-            raise ValueError("FLAC frame channel count != STREAMINFO")
-        bits.align()
-        body_end = bits.bytepos
-        crc16 = bits.bits(16)
-        if _flac_crc16(content[frame_start:body_end]) != crc16:
-            raise ValueError("FLAC frame CRC-16 mismatch")
-        pos = bits.bytepos
-        for i in range(nch):
-            chans[i] = np.concatenate([chans[i], subs[i]])
-
-    total = info["total"]
-    if total:
-        chans = [c[:total] for c in chans]
-    x = np.mean(np.stack(chans, axis=1), axis=1) if info["nch"] > 1 else chans[0].astype(np.float64)
-    return info["sr"], x / float(1 << (info["bps"] - 1))
-
-
-def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, float samples in [-1, 1)). WAV is decoded for
-    REAL — stdlib ``wave`` + numpy, no external codec needed:
-    8/16/24/32-bit PCM, IEEE float32/64 (fmt 3), G.711 A-law/mu-law
-    (fmt 6/7) and IMA ADPCM (fmt 0x11); multi-channel averaged to
-    mono. FLAC is decoded for REAL too (``_decode_flac`` — full
-    subframe/stereo-decorrelation surface, CRC-verified). The FAKEAUD
-    fixture format remains for deterministic tests. Perceptual codecs
-    (mp3/ogg) stay behind the honest stub boundary."""
-    if content[:4] == b"fLaC":
-        return _decode_flac(content)
-    if content.startswith(AUD_MAGIC):
-        head, payload = content[len(AUD_MAGIC):].split(b":", 1)
-        sr = int(head.decode())
-        samples = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
-        return sr, samples
-    if content.startswith(b"RIFF") and content[8:12] == b"WAVE":
-        import io
-        import wave
-
-        wv = _wav_chunks(content)
-        fmt_code, sr_, nch_, data = wv["fmt"], wv["sr"], wv["nch"], wv["data"]
-        if fmt_code in (6, 7):  # G.711 A-law / mu-law — stdlib wave
-            # refuses non-PCM, but the expansion is a 256-entry table
-            table = _alaw_table() if fmt_code == 6 else _mulaw_table()
-            x = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
-            if nch_ > 1:
-                x = x.reshape(-1, nch_).mean(axis=1)
-            return sr_, x
-        if fmt_code == 3:  # IEEE float — already in [-1, 1)
-            if wv["bits"] not in (32, 64):
-                raise NotImplementedError(
-                    f"IEEE-float WAV with {wv['bits']} bits"
-                )
-            dt = np.dtype("<f4" if wv["bits"] == 32 else "<f8")
-            n = len(data) // dt.itemsize
-            x = np.frombuffer(data[: n * dt.itemsize], dtype=dt).astype(np.float64)
-            if nch_ > 1:
-                x = x[: n - n % nch_].reshape(-1, nch_).mean(axis=1)
-            return sr_, x
-        if fmt_code == 0x11:  # IMA / DVI ADPCM
-            x = _ima_adpcm_decode(data, nch_, wv["block_align"], wv["fact"])
-            return sr_, x / 32768.0
-        with wave.open(io.BytesIO(content)) as wf:
-            sr = wf.getframerate()
-            sw = wf.getsampwidth()
-            nch = wf.getnchannels()
-            raw = wf.readframes(wf.getnframes())
-        if sw == 1:  # 8-bit PCM is unsigned
-            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-            x = (x - 128.0) / 128.0
-        elif sw == 2:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-        elif sw == 3:  # 24-bit PCM: manual little-endian assembly
-            b = np.frombuffer(raw, dtype=np.uint8)
-            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
-            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-            v = np.where(v >= 1 << 23, v - (1 << 24), v)
-            x = v.astype(np.float64) / 8388608.0
-        elif sw == 4:
-            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
-        else:
-            raise NotImplementedError(f"unsupported WAV sample width: {sw}")
-        if nch > 1:
-            x = x.reshape(-1, nch).mean(axis=1)
-        return sr, x
-    raise NotImplementedError("no audio codec available for this payload")
-
-
-# IMA ADPCM step-size table (89 entries) and index-adjust table — the
-# standard DVI/IMA constants (IMA Digital Audio Focus/Technical Working
-# Groups, "Recommended Practices for Enhancing Digital Audio
-# Compatibility", rev 3.00, 1992).
-_IMA_STEPS = np.array([
-    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
-    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
-    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
-    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
-    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
-    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
-    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
-], dtype=np.int64)
-_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
-
-
-def _ima_adpcm_decode(
-    data: bytes, nch: int, block_align: int, fact: int | None
-) -> np.ndarray:
-    """IMA ADPCM (WAV fmt 0x11) → mono float64 in int16 range.
-
-    Block layout per the IMA WAV mapping: each ``block_align``-byte
-    block opens with a 4-byte header PER CHANNEL (int16 predictor,
-    uint8 step index, reserved), then 4-byte nibble groups interleaved
-    round-robin across channels (8 samples per group, low nibble
-    first). Blocks are independent, so the sequential nibble recursion
-    is vectorized ACROSS blocks (and channels) — the Python-level loop
-    is only samples-per-block long, not total-samples long. A trailing
-    short block decodes through the same path; ``fact`` (total samples
-    per channel) trims encoder padding."""
-    hdr = 4 * nch
-    if block_align is None or block_align <= hdr:
-        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
-
-    def blockset(arr: np.ndarray) -> np.ndarray:
-        # arr: (nblk, nbytes) uint8 → (nblk, samples_per_block) mono
-        nblk, nbytes = arr.shape
-        head = arr[:, :hdr].reshape(nblk, nch, 4).astype(np.int64)
-        pred = head[:, :, 0] | (head[:, :, 1] << 8)
-        pred = np.where(pred >= 32768, pred - 65536, pred)
-        idx = np.clip(head[:, :, 2], 0, 88)
-        ngroups = (nbytes - hdr) // (4 * nch)
-        body = arr[:, hdr : hdr + ngroups * 4 * nch].astype(np.int64)
-        body = body.reshape(nblk, ngroups, nch, 4)
-        nib = np.empty((nblk, ngroups, nch, 8), dtype=np.int64)
-        nib[..., 0::2] = body & 0x0F
-        nib[..., 1::2] = body >> 4
-        out = np.empty((nblk, ngroups * 8 + 1, nch), dtype=np.float64)
-        out[:, 0] = pred
-        for g in range(ngroups):
-            for k in range(8):
-                n = nib[:, g, :, k]
-                step = _IMA_STEPS[idx]
-                diff = (
-                    (step >> 3)
-                    + np.where(n & 1, step >> 2, 0)
-                    + np.where(n & 2, step >> 1, 0)
-                    + np.where(n & 4, step, 0)
-                )
-                pred = np.clip(
-                    np.where(n & 8, pred - diff, pred + diff), -32768, 32767
-                )
-                idx = np.clip(idx + _IMA_INDEX_ADJ[n & 7], 0, 88)
-                out[:, g * 8 + k + 1] = pred
-        return out.mean(axis=2).reshape(nblk, -1)
-
-    buf = np.frombuffer(data, dtype=np.uint8)
-    nfull = len(buf) // block_align
-    parts = []
-    if nfull:
-        parts.append(blockset(buf[: nfull * block_align].reshape(nfull, block_align)).ravel())
-    tail = buf[nfull * block_align :]
-    if len(tail) > hdr:
-        parts.append(blockset(tail.reshape(1, -1)).ravel())
-    if not parts:
-        raise ValueError("IMA ADPCM payload shorter than one block header")
-    x = np.concatenate(parts)
-    if fact is not None:
-        x = x[:fact]
-    return x
-
-
-def _wav_chunks(content: bytes) -> dict:
-    """Raw RIFF/WAVE walk — needed because stdlib ``wave`` rejects
-    non-PCM formats before we can see the payload. Returns ``fmt``
-    (format code), ``nch``, ``sr``, ``bits`` (bits per sample),
-    ``block_align``, ``data`` (payload bytes) and ``fact`` (total
-    samples per channel from the fact chunk, or None) — the last three
-    are what the float / ADPCM branches need."""
-    pos = 12
-    fmt_code = sr = nch = bits = block_align = fact = None
-    data = b""
-    while pos + 8 <= len(content):
-        cid = content[pos : pos + 4]
-        sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
-        body = content[pos + 8 : pos + 8 + sz]
-        if cid == b"fmt ":
-            fmt_code = int.from_bytes(body[0:2], "little")
-            nch = int.from_bytes(body[2:4], "little")
-            sr = int.from_bytes(body[4:8], "little")
-            block_align = int.from_bytes(body[12:14], "little")
-            bits = int.from_bytes(body[14:16], "little")
-        elif cid == b"fact" and sz >= 4:
-            fact = int.from_bytes(body[0:4], "little")
-        elif cid == b"data":
-            data = body
-        pos += 8 + sz + (sz & 1)
-    if fmt_code is None:
-        raise ValueError("WAV missing fmt chunk")
-    return {
-        "fmt": fmt_code, "nch": nch, "sr": sr, "bits": bits,
-        "block_align": block_align, "data": data, "fact": fact,
-    }
-
-
-def _mulaw_table() -> np.ndarray:
-    """G.711 mu-law byte -> linear int16 expansion table."""
-    u = np.arange(256)
-    u = ~u & 0xFF
-    sign = u & 0x80
-    exp = (u >> 4) & 0x07
-    mant = u & 0x0F
-    mag = ((mant << 3) + 0x84 << exp) - 0x84
-    return np.where(sign, -mag, mag).astype(np.float64)
-
-
-def _alaw_table() -> np.ndarray:
-    """G.711 A-law byte -> linear int16 expansion table."""
-    a = np.arange(256) ^ 0x55
-    sign = a & 0x80  # NB: in A-law the set sign bit means POSITIVE
-    exp = (a >> 4) & 0x07
-    mant = a & 0x0F
-    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
-    return np.where(sign, mag, -mag).astype(np.float64)
-
-
-def _decode_mjpeg_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """REAL frame decode for Motion-JPEG AVI: walk the RIFF chunk
-    tree (no index needed), decode every video chunk (``..dc`` /
-    ``..db``) whose payload starts with a JPEG SOI through
-    :func:`_decode_jpeg`. All frames must agree on dimensions.
-    Inter-frame codecs (h264 etc.) keep the fail-loud boundary —
-    MJPEG is the one container format whose frames are just JPEGs."""
-    payloads: list[bytes] = []
-
-    def walk(pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            cid = content[pos : pos + 4]
-            sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
-            body = pos + 8
-            if cid in (b"RIFF", b"LIST"):
-                walk(body + 4, min(body + sz, end))
-            elif cid[2:4] in (b"dc", b"db") and content[body : body + 2] == b"\xff\xd8":
-                payloads.append(content[body : body + sz])
-            pos = body + sz + (sz & 1)
-
-    walk(0, len(content))
-    if not payloads:
-        raise NotImplementedError(
-            "AVI contains no MJPEG frames — inter-frame codecs need a real decoder"
-        )
-    frames = [_decode_jpeg(p) for p in payloads]
-    w, h = frames[0][0], frames[0][1]
-    if any((f[0], f[1]) != (w, h) for f in frames):
-        raise ValueError("MJPEG frames disagree on dimensions")
-    return w, h, len(frames), np.stack([f[2] for f in frames])
-
-
-def _decode_video(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """(width, height, n_frames, frames[n,h,w]). Stub boundary — but
-    Motion-JPEG AVI decodes for REAL via the baseline-JPEG decoder
-    (see _decode_mjpeg_avi); inter-frame codecs stay stubbed."""
-    if content.startswith(VID_MAGIC):
-        head, payload = content[len(VID_MAGIC):].split(b":", 1)
-        w, h, n = (int(x) for x in head.decode().split("x"))
-        arr = np.frombuffer(payload[: w * h * n], dtype=np.uint8).reshape(n, h, w)
-        return w, h, n, arr
-    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-        return _decode_mjpeg_avi(content)
-    if content[:6] in (b"GIF87a", b"GIF89a"):
-        # animated GIF is a video for sampling purposes: all frames,
-        # real disposal/transparency compositing (r9)
-        return _decode_gif_frames(content)
-    raise NotImplementedError("no video codec available for this payload")
+from .codecs.raster import (  # noqa: F401
+    _ADAM7,
+    _PNG_CHANNELS,
+    PNG_SIG,
+    _decode_bmp,
+    _decode_gif,
+    _decode_gif_frames,
+    _decode_png,
+    _gif_lzw_decode,
+    _png_pixels,
+    _png_unfilter,
+)
+from .codecs.jpeg import (  # noqa: F401
+    JPEG_ZIGZAG,
+    _decode_jpeg,
+    _decode_jpeg_hierarchical,
+    _decode_jpeg_lossless,
+    _jpeg_arith_decode_ac_first,
+    _jpeg_arith_decode_ac_refine,
+    _jpeg_arith_decode_dc,
+    _jpeg_block_ac_first,
+    _jpeg_block_ac_refine,
+    _jpeg_block_full,
+    _jpeg_dct_frame_planes,
+    _jpeg_expand_ref,
+    _jpeg_extend,
+    _jpeg_huff_table,
+    _jpeg_idct_matrix,
+    _jpeg_lossless_frame_planes,
+    _jpeg_parse,
+    _jpeg_sof_fields,
+    _jpeg_split_segments,
+    _jpeg_to_gray8,
+    _JpegBits,
+    _QM_STATES,
+    _QmBin,
+    _QmDecoder,
+)
+from .codecs.audio import (  # noqa: F401
+    _alaw_table,
+    _decode_audio,
+    _decode_flac,
+    _flac_crc16,
+    _flac_crc8,
+    _flac_residual,
+    _flac_subframe,
+    _flac_utf8_number,
+    _FlacBits,
+    _ima_adpcm_decode,
+    _mulaw_table,
+    _wav_chunks,
+)
+from .codecs.video import _decode_mjpeg_avi, _decode_video  # noqa: F401
 
 
 # --- operators ----------------------------------------------------------

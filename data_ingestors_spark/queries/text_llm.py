@@ -66,9 +66,16 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard near-dup pairs, blocked by source."""
+    """Exact word-set Jaccard near-dup pairs, blocked by source.
+    SPARK_GRAFT_JACCARD_STRATEGY pins the physical strategy for
+    within-path scale measurement (see q_dedup_clusters)."""
+    import os as _os
+
     t = tables(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(t["documents"], "text", "doc_id", "source", threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", "source", threshold=0.5,
+        strategy=_os.environ.get("SPARK_GRAFT_JACCARD_STRATEGY", "auto"),
+    )
 
 
 O_NGRAM_JACCARD = f"""
@@ -286,10 +293,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved to cluster keep/drop decisions:
     connected components (min-label propagation) over the oracle-
     checked n-gram Jaccard edges, singletons kept. The oracle computes
-    the same components with a recursive-CTE transitive closure."""
+    the same components with a recursive-CTE transitive closure.
+
+    SPARK_GRAFT_JACCARD_STRATEGY (measurement knob, default "auto"):
+    pins the pair-scan physical strategy so scale proofs can measure
+    the bitmask and inverted-index paths each WITHIN-path (the auto
+    cost model crosses between them as per-block vocabulary grows —
+    BASELINE.md §r9/§r11 — which makes the unpinned decade ratio a
+    strategy-crossing artifact, not a slope)."""
+    import os as _os
+
     t = tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", "source", threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "source", threshold=0.5,
+        strategy=_os.environ.get("SPARK_GRAFT_JACCARD_STRATEGY", "auto"),
+    )
     return D.neardup_clusters(docs.select("doc_id"), pairs.select("id_a", "id_b"))
 
 
