@@ -1,12 +1,14 @@
 """JPEG decode per ITU-T T.81: baseline/extended sequential,
 progressive (SOF2, spectral selection + successive approximation),
 lossless SOF3 (Annex H predictors), hierarchical Annex J (DHP/EXP
-frames), and arithmetic coding (SOF9 sequential / SOF10 progressive
-via the Annex F QM coder + conditioning contexts), 8- and 12-bit
-precisions, restart markers. Honest fail-loud stubs: SOF6
-(differential progressive) and SOF11/13-15 (arithmetic lossless /
-differential) — see _jpeg_dct_frame_planes. Split out of
-operators/multimodal.py in r11; semantics unchanged.
+frames), arithmetic coding (SOF9 sequential / SOF10 progressive /
+SOF11 lossless via the Annex F QM coder + conditioning contexts),
+and every differential variant (SOF5/6/7 Huffman, SOF13/14/15
+arithmetic) — the full T.81 SOF matrix — at 8- and 12-bit DCT /
+2-16-bit lossless precisions, with restart markers. Each mode is
+bit-exact against an independent in-repo reference encoder
+(tests/test_multimodal.py). Split out of operators/multimodal.py in
+r11.
 """
 
 from __future__ import annotations
@@ -329,6 +331,56 @@ def _jpeg_arith_decode_ac_refine(dec, blk, acs, fixed, ss, se, al):
         k += 1
 
 
+def _jpeg_diff_class(diff: int, L: int, U: int) -> int:
+    """5-category conditioning class of a coded lossless DIFF per the
+    same L/U magnitude rule the DC model uses (F.1.4.4.1.2): 0 =
+    zero/near-zero, 1/2 = small +/-, 3/4 = large +/-."""
+    if diff == 0:
+        return 0
+    sign = 1 if diff < 0 else 0
+    t = abs(diff) - 1
+    m = 1 << (t.bit_length() - 1) if t else 0
+    if m < (1 << L) >> 1:
+        return 0
+    if m > (1 << U) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _jpeg_arith_decode_diff(dec, st, ca, cb, L, U) -> int:
+    """One lossless-mode DIFF decode (T.81 Annex F lossless
+    statistical model, the arithmetic counterpart of Annex H): the
+    same zero/sign/magnitude-category/magnitude-bits decision tree as
+    DC coding, but conditioned on the classes of the DIFFs already
+    coded at neighbours a (left) and b (above) — 25 two-neighbour
+    contexts of 4 bins (S0/SS/SP/SN), plus two 30-bin magnitude areas
+    (15-bin X chain + 15 M bins) selected by whether Db's class is
+    'large'. ``st`` is the 160-bin statistics area for one scan."""
+    base = 4 * (5 * ca + cb)
+    if dec.decode(st[base]) == 0:
+        return 0
+    sign = dec.decode(st[base + 1])
+    m = dec.decode(st[base + 2 + sign])
+    pos = base + 2 + sign
+    if m:
+        pos = 100 + (30 if cb >= 3 else 0)
+        m = 1
+        while dec.decode(st[pos]):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("corrupt arithmetic lossless JPEG magnitude")
+            pos += 1
+    v = m
+    pos += 15  # magnitude-bit bins of the same area
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if dec.decode(st[pos]):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
 def _jpeg_split_segments(content: bytes, pos: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``pos``: unstuff 0xFF00, split on
     restart markers; returns (segments, position of the terminating
@@ -429,16 +481,14 @@ def _jpeg_parse(content: bytes) -> dict:
             meta["dhp"] = {"prec": prec, "h": h, "w": w, "comps": comps}
         elif marker == 0xDF:  # EXP — expand reference before next frame
             pending_exp = (data[0] >> 4, data[0] & 0xF)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            # baseline / ext. sequential / progressive / lossless,
-            # their DIFFERENTIAL hierarchical variants (SOF5-7), and
-            # ARITHMETIC sequential (SOF9) / progressive (SOF10)
-            if marker == 0xC6:
-                raise NotImplementedError(
-                    "JPEG SOF6 (differential progressive) not supported"
-                )
-            differential = marker in (0xC5, 0xC7)
-            lossless = marker in (0xC3, 0xC7)
+        elif marker in (
+            0xC0, 0xC1, 0xC2, 0xC3,        # Huffman: base/ext/prog/lossless
+            0xC5, 0xC6, 0xC7,              # Huffman differential (Annex J)
+            0xC9, 0xCA, 0xCB,              # arithmetic: ext/prog/lossless
+            0xCD, 0xCE, 0xCF,              # arithmetic differential
+        ):
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
             prec, h, w, comps = _jpeg_sof_fields(data)
             if lossless:
                 if not 2 <= prec <= 16:
@@ -451,8 +501,8 @@ def _jpeg_parse(content: bytes) -> dict:
                 {
                     "differential": differential,
                     "lossless": lossless,
-                    "progressive": marker in (0xC2, 0xCA),
-                    "arith": marker in (0xC9, 0xCA),
+                    "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                    "arith": marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF),
                     "prec": prec, "h": h, "w": w, "comps": comps,
                     "exp": pending_exp, "scans": [],
                 }
@@ -468,11 +518,6 @@ def _jpeg_parse(content: bytes) -> dict:
                 else:
                     meta.setdefault("dac_ac", {})[tb] = cs
                 i += 2
-        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/differential "
-                "arithmetic) not decodable without PIL"
-            )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[:2], "big")
         elif marker == 0xDA:  # SOS
@@ -635,20 +680,23 @@ def _decode_jpeg_lossless(meta: dict) -> tuple[int, int, np.ndarray]:
     needs width/height + a real pixel plane; DICOM-style lossless
     gray is the main real-world SOF3 payload.
     """
-    planes, pts = _jpeg_lossless_frame_planes(meta)
+    planes, pts = _jpeg_lossless_frame_planes(meta, dac_dc=meta.get("dac_dc"))
     luma = meta["scans"][0]["comps"][0][0]
     return meta["w"], meta["h"], _jpeg_to_gray8(planes[luma] << pts[luma], meta["prec"])
 
 
 def _jpeg_lossless_frame_planes(
-    frame: dict, *, differential: bool = False
+    frame: dict, *, differential: bool = False, dac_dc: dict | None = None
 ) -> tuple[list[np.ndarray], list[int]]:
     """Decode one lossless frame's scans into per-component int64
     planes plus per-component point transforms. Non-differential
     frames run the Annex H predictor chain; DIFFERENTIAL frames
-    (SOF7, Annex J) carry no prediction — each sample IS the coded
-    DIFF, which the hierarchical composer adds to the reference
-    modulo 2^16."""
+    (SOF7/SOF15, Annex J) carry no prediction — each sample IS the
+    coded DIFF, which the hierarchical composer adds to the reference
+    modulo 2^16. Entropy is Huffman (SOF3/SOF7) or QM arithmetic
+    (SOF11/SOF15, ``frame["arith"]``) with the two-neighbour
+    conditioning of `_jpeg_arith_decode_diff`; DAC DC-conditioning
+    bounds (L, U) apply per scan table id, defaults (0, 1)."""
     comps = frame["comps"]
     prec = frame["prec"]
     w, h = frame["w"], frame["h"]
@@ -688,45 +736,77 @@ def _jpeg_lossless_frame_planes(
         default = 1 << (prec - pt - 1)
         ch0, cw0 = dims[scomps[0][0]]
         n_mcus = ch0 * cw0
+
+        def store(ci: int, r: int, c: int, diff: int, fresh: dict) -> None:
+            p = planes[ci]
+            if differential:
+                p[r, c] = diff
+                return
+            if fresh[ci]:
+                pred = default
+                fresh[ci] = False
+            elif r == 0:
+                pred = int(p[r, c - 1])
+            elif c == 0:
+                pred = int(p[r - 1, c])
+            else:
+                ra = int(p[r, c - 1])
+                rb = int(p[r - 1, c])
+                rc = int(p[r - 1, c - 1])
+                pred = (
+                    ra, rb, rc,
+                    ra + rb - rc,
+                    ra + ((rb - rc) >> 1),
+                    rb + ((ra - rc) >> 1),
+                    (ra + rb) >> 1,
+                )[sel - 1]
+            p[r, c] = (pred + diff) & 0xFFFF
+
         unit = 0
-        for seg in scan["segments"]:
-            bits = _JpegBits(seg)
-            fresh = {ci: True for ci, _, _ in scomps}
-            limit = min(unit + restart, n_mcus) if restart else n_mcus
-            while unit < limit:
-                r, c = divmod(unit, cw0)
-                for ci, tdc, _tac in scomps:
-                    t = bits.huff(scan["dc"][tdc])
-                    if t == 16:
-                        diff = 32768
-                    else:
-                        diff = _jpeg_extend(bits.bits(t), t)
-                    p = planes[ci]
-                    if differential:
-                        p[r, c] = diff
-                        continue
-                    if fresh[ci]:
-                        pred = default
-                        fresh[ci] = False
-                    elif r == 0:
-                        pred = int(p[r, c - 1])
-                    elif c == 0:
-                        pred = int(p[r - 1, c])
-                    else:
-                        ra = int(p[r, c - 1])
-                        rb = int(p[r - 1, c])
-                        rc = int(p[r - 1, c - 1])
-                        pred = (
-                            ra, rb, rc,
-                            ra + rb - rc,
-                            ra + ((rb - rc) >> 1),
-                            rb + ((ra - rc) >> 1),
-                            (ra + rb) >> 1,
-                        )[sel - 1]
-                    p[r, c] = (pred + diff) & 0xFFFF
-                unit += 1
-            if unit >= n_mcus:
-                break
+        if frame.get("arith"):
+            # SOF11/SOF15: QM-coded DIFFs with two-neighbour
+            # conditioning. The class planes are data-derived (both
+            # sides recompute them from decoded DIFFs), so they
+            # persist across restart segments; statistics bins, the
+            # coder, and the prediction chain reset per segment.
+            cls = {ci: np.zeros(dims[ci], dtype=np.int8) for ci, _, _ in scomps}
+            for seg in scan["segments"]:
+                dec = _QmDecoder(seg)
+                st_by_t: dict[int, list] = {}
+                fresh = {ci: True for ci, _, _ in scomps}
+                limit = min(unit + restart, n_mcus) if restart else n_mcus
+                while unit < limit:
+                    r, c = divmod(unit, cw0)
+                    for ci, tdc, _tac in scomps:
+                        st = st_by_t.setdefault(
+                            tdc, [_QmBin() for _ in range(160)]
+                        )
+                        L, U = (dac_dc or {}).get(tdc, (0, 1))
+                        ca = int(cls[ci][r, c - 1]) if c > 0 else 0
+                        cb = int(cls[ci][r - 1, c]) if r > 0 else 0
+                        diff = _jpeg_arith_decode_diff(dec, st, ca, cb, L, U)
+                        cls[ci][r, c] = _jpeg_diff_class(diff, L, U)
+                        store(ci, r, c, diff, fresh)
+                    unit += 1
+                if unit >= n_mcus:
+                    break
+        else:
+            for seg in scan["segments"]:
+                bits = _JpegBits(seg)
+                fresh = {ci: True for ci, _, _ in scomps}
+                limit = min(unit + restart, n_mcus) if restart else n_mcus
+                while unit < limit:
+                    r, c = divmod(unit, cw0)
+                    for ci, tdc, _tac in scomps:
+                        t = bits.huff(scan["dc"][tdc])
+                        if t == 16:
+                            diff = 32768
+                        else:
+                            diff = _jpeg_extend(bits.bits(t), t)
+                        store(ci, r, c, diff, fresh)
+                    unit += 1
+                if unit >= n_mcus:
+                    break
         if unit < n_mcus:
             raise ValueError("lossless JPEG entropy data ended before the last sample")
     return planes, pts
@@ -742,11 +822,11 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     vectorized dequantize + IDCT pass then renders the luma plane.
     Grayscale output IS the luma — chroma scans are entropy-decoded
     (the bitstream interleaves or sequences them) and discarded.
-    12-bit precision (SOF0/SOF1, 16-bit DQT), LOSSLESS (SOF3,
+    12-bit precision (SOF0/SOF1, 16-bit DQT), LOSSLESS (SOF3/SOF11,
     `_decode_jpeg_lossless`), and HIERARCHICAL (Annex J,
-    `_decode_jpeg_hierarchical`) decode for real; arithmetic JPEG and
-    differential-progressive SOF6 stay behind the fail-loud
-    boundary."""
+    `_decode_jpeg_hierarchical`, incl. the differential SOF5/6/7 and
+    arithmetic SOF13/14/15 correction frames) decode for real — the
+    full T.81 SOF matrix."""
     meta = _jpeg_parse(content)
     if meta["hierarchical"]:
         return _decode_jpeg_hierarchical(meta)
@@ -1002,8 +1082,9 @@ def _decode_jpeg_hierarchical(meta: dict) -> tuple[int, int, np.ndarray]:
     sequential), plain DIFF samples modulo 2^16 for SOF7
     (differential lossless). Per-component references compose across
     frames; the output is the luma plane at the DHP resolution,
-    clamped to [0, 2^P-1]. SOF6 (differential progressive) and the
-    arithmetic variants stay behind the fail-loud boundary.
+    clamped to [0, 2^P-1]. Differential frames may be progressive
+    (SOF6/SOF14: their scans accumulate into the same coefficient
+    grids) or arithmetic (SOF13/14/15, QM-coded).
 
     Reference parity: image_validator.py:73-382 needs width/height +
     a real pixel plane for the V10 resolution battery."""
@@ -1020,7 +1101,8 @@ def _decode_jpeg_hierarchical(meta: dict) -> tuple[int, int, np.ndarray]:
                 refs[cid] = _jpeg_expand_ref(refs[cid], eh, ev)
         if frame["lossless"]:
             lplanes, pts = _jpeg_lossless_frame_planes(
-                frame, differential=frame["differential"]
+                frame, differential=frame["differential"],
+                dac_dc=meta.get("dac_dc"),
             )
             vals = [p << pt for p, pt in zip(lplanes, pts)]
         else:

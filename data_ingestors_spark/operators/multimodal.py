@@ -8,8 +8,8 @@ the full T.81 matrix, audio.py WAV/FLAC, video.py MJPEG-AVI) and is
 REAL stdlib+numpy decode; each ``_decode_*`` additionally accepts the
 deterministic fake formats below for tests, and raises
 ``NotImplementedError`` for the honestly-stubbed remainder
-(lossless/differential arithmetic JPEG SOF11/13-15, differential-
-progressive SOF6, perceptual audio mp3/ogg, inter-frame video).
+(perceptual audio mp3/ogg, inter-frame video — the JPEG SOF matrix
+is CLOSED as of r11: every T.81 frame type decodes, bit-exact).
 This module keeps the distributed operators and re-exports every
 codec name, so existing imports (tests, user code) are stable.
 
@@ -63,6 +63,8 @@ from .codecs.jpeg import (  # noqa: F401
     _jpeg_arith_decode_ac_first,
     _jpeg_arith_decode_ac_refine,
     _jpeg_arith_decode_dc,
+    _jpeg_arith_decode_diff,
+    _jpeg_diff_class,
     _jpeg_block_ac_first,
     _jpeg_block_ac_refine,
     _jpeg_block_full,

@@ -1834,11 +1834,11 @@ def test_arithmetic_jpeg_restart_multicomp_dac():
 
 
 def test_hierarchical_jpeg_fail_loud_boundaries():
-    """SOF6 (differential progressive) and a differential frame with
-    no DHP stay fail-loud; arithmetic SOFs are unchanged."""
+    """Structural guards stay fail-loud now that every SOF decodes:
+    a differential frame with no DHP, an EXP with no reference frame,
+    and a SOF with no scan."""
     import struct
 
-    import numpy as np
     import pytest
 
     from data_ingestors_spark.operators.multimodal import _decode_jpeg
@@ -1846,22 +1846,28 @@ def test_hierarchical_jpeg_fail_loud_boundaries():
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    gray = np.zeros((4, 4), dtype=np.uint8)
-    hier = bytearray(_encode_jpeg_hierarchical(gray))
-    i = hier.index(b"\xff\xc7")
-    sof6 = bytes(hier[:i]) + b"\xff\xc6" + bytes(hier[i + 2:])
-    with pytest.raises(NotImplementedError, match="SOF6"):
-        _decode_jpeg(sof6)
-
     sof = bytes([8]) + struct.pack(">HH", 4, 4) + bytes([1, 1, 0x11, 0])
     no_dhp = b"\xff\xd8" + seg(0xC7, sof)
     with pytest.raises(ValueError, match="without DHP"):
         _decode_jpeg(no_dhp)
 
-    # SOF11 (lossless arithmetic) stays stubbed; SOF9 decodes for real
-    arith = b"\xff\xd8" + seg(0xCB, sof)
-    with pytest.raises(NotImplementedError, match="arithmetic"):
-        _decode_jpeg(arith)
+    # SOF (any type, here SOF11) without a scan is structurally invalid
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
+        _decode_jpeg(b"\xff\xd8" + seg(0xCB, sof) + b"\xff\xd9")
+
+    # EXP before any reference frame
+    dhp = bytes([8]) + struct.pack(">HH", 4, 4) + bytes([1, 1, 0x11, 0])
+    import numpy as np
+
+    frame2 = _encode_jpeg_lossless_arith(
+        [np.zeros((4, 4), dtype=np.int64)], differential=True
+    )[2:-2]
+    bad = (
+        b"\xff\xd8" + seg(0xDE, dhp) + seg(0xDF, bytes([0x11]))
+        + frame2 + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="EXP before any reference"):
+        _decode_jpeg(bad)
 
 
 def test_12bit_sequential_jpeg_with_16bit_dqt():
@@ -2897,3 +2903,405 @@ def test_jpeg_expand_ref_matches_loop_reference():
                 assert np.array_equal(
                     _jpeg_expand_ref(p, eh, ev), _expand2(p, eh, ev)
                 ), (shape, eh, ev)
+
+
+# --- r11: closing the T.81 SOF matrix (SOF6 / SOF11 / SOF13-15) ---------
+
+
+def _qm_encode_diff(enc, st, ca, cb, L, U, diff):
+    """Mirror of the decoder's lossless-mode DIFF tree
+    (_jpeg_arith_decode_diff): 25 two-neighbour contexts x 4 bins +
+    two 30-bin magnitude areas selected by Db's class."""
+    base = 4 * (5 * ca + cb)
+    if diff == 0:
+        enc.encode(st[base], 0)
+        return
+    enc.encode(st[base], 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st[base + 1], sign)
+    t = abs(diff) - 1
+    if t == 0:
+        enc.encode(st[base + 2 + sign], 0)
+        m, pos = 0, base + 2 + sign
+    else:
+        enc.encode(st[base + 2 + sign], 1)
+        m, pos = 1, 100 + (30 if cb >= 3 else 0)
+        while (m << 1) <= t:
+            enc.encode(st[pos], 1)
+            m <<= 1
+            pos += 1
+        enc.encode(st[pos], 0)
+    pos += 15
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(st[pos], 1 if t & mm else 0)
+
+
+def _encode_jpeg_lossless_arith(planes, prec=8, sel=1, pt=0, *,
+                                differential=False, restart=0):
+    """Reference ARITHMETIC lossless JPEG encoder — SOF11, or SOF15
+    (``differential``: each sample codes the mod-2^16 correction with
+    predictor 0) — driving the bignum QM encoder with the same
+    two-neighbour conditioning the decoder rebuilds. Statistics, the
+    coder, and the prediction chain reset per restart segment; the
+    data-derived class planes persist (both sides recompute them)."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        _jpeg_diff_class,
+        _QmBin,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def stuff(b: bytes) -> bytes:
+        return b.replace(b"\xff", b"\xff\x00")
+
+    L, U = 0, 1
+    h, w = planes[0].shape
+    nc = len(planes)
+    shifted = [(np.asarray(p).astype(np.int64) >> pt) for p in planes]
+    default = 1 << (prec - pt - 1)
+    cls = [np.zeros((h, w), dtype=np.int8) for _ in range(nc)]
+
+    def pred_at(p, r, c, fresh):
+        if differential:
+            return 0
+        if fresh:
+            return default
+        if r == 0:
+            return int(p[r, c - 1])
+        if c == 0:
+            return int(p[r - 1, c])
+        ra, rb, rc = int(p[r, c - 1]), int(p[r - 1, c]), int(p[r - 1, c - 1])
+        return (ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                rb + ((ra - rc) >> 1), (ra + rb) >> 1)[sel - 1]
+
+    body = bytearray()
+    i = 0
+    rst = 0
+    units = h * w
+    while i < units:
+        n_seg = min(restart, units - i) if restart else units
+        if restart and i:
+            body += bytes([0xFF, 0xD0 + ((rst - 1) % 8)])
+        enc = _QmRefEncoder()
+        st_by_c = [[_QmBin() for _ in range(160)] for _ in range(nc)]
+        fresh = [True] * nc
+        for unit in range(i, i + n_seg):
+            r, c = divmod(unit, w)
+            for ci in range(nc):
+                p = shifted[ci]
+                pred = pred_at(p, r, c, fresh[ci])
+                fresh[ci] = False
+                v = (int(p[r, c]) - pred) & 0xFFFF
+                signed = v - 65536 if v > 32768 else v
+                ca = int(cls[ci][r, c - 1]) if c > 0 else 0
+                cb = int(cls[ci][r - 1, c]) if r > 0 else 0
+                _qm_encode_diff(enc, st_by_c[ci], ca, cb, L, U, signed)
+                cls[ci][r, c] = _jpeg_diff_class(signed, L, U)
+        body += stuff(enc.flush())
+        i += n_seg
+        rst += 1
+
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out = b"\xff\xd8" + seg(0xCF if differential else 0xCB, sof)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos += bytes([0 if differential else sel, 0, pt])
+    return out + seg(0xDA, sos) + bytes(body) + b"\xff\xd9"
+
+
+def test_lossless_arith_jpeg_sof11_roundtrip_all_predictors():
+    """ARITHMETIC lossless JPEG (SOF11): bit-exact for every Annex H
+    predictor 1-7 on random 8-bit data."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(41)
+    gray = rng.randint(0, 256, size=(11, 17)).astype(np.uint8)
+    for sel in range(1, 8):
+        w, h, arr = _decode_jpeg(_encode_jpeg_lossless_arith([gray], sel=sel))
+        assert (w, h) == (17, 11)
+        assert np.array_equal(arr, gray), f"predictor {sel}"
+
+
+def test_lossless_arith_jpeg_sof11_restart_and_pt():
+    """SOF11 with a restart interval (stats/coder/prediction reset per
+    segment, conditioning classes persist) and a point transform."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(43)
+    gray = rng.randint(0, 256, size=(9, 13)).astype(np.uint8)
+    w, h, arr = _decode_jpeg(
+        _encode_jpeg_lossless_arith([gray], restart=29)
+    )
+    assert (w, h) == (13, 9) and np.array_equal(arr, gray)
+    pt = 2
+    w, h, arr = _decode_jpeg(_encode_jpeg_lossless_arith([gray], pt=pt))
+    # decoder renders (x >> pt) << pt
+    assert np.array_equal(arr, (gray >> pt) << pt)
+
+
+def test_lossless_arith_jpeg_sof11_16bit_precision():
+    """SOF11 at 16-bit precision: wide DIFF magnitudes walk deep into
+    the X chain; still bit-exact (rendered through the gray8 shift)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(47)
+    plane = rng.randint(0, 1 << 16, size=(7, 9)).astype(np.int64)
+    w, h, arr = _decode_jpeg(_encode_jpeg_lossless_arith([plane], prec=16))
+    assert (w, h) == (9, 7)
+    assert np.array_equal(arr, (plane >> 8).astype(np.uint8))
+
+
+def _hier_parts(ref):
+    """SOI + DHP + full-resolution lossless first frame coding ``ref``,
+    for composing single-correction hierarchical fixtures."""
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    h, w = ref.shape
+    dhp = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    frame1 = _encode_jpeg_lossless([ref], sel=1)[2:-2]
+    return b"\xff\xd8" + seg(0xDE, dhp) + frame1, seg
+
+
+def _dct_diff_expected(ref, diff):
+    """Independent numpy oracle: quantized (qval=1) DCT of the
+    correction, dequantize+IDCT, add to ref, clip — plus the zigzag
+    coefficient blocks the encoders code."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _jpeg_idct_matrix,
+    )
+
+    A = _jpeg_idct_matrix()
+    h, w = diff.shape
+    expected = np.zeros((h, w), dtype=np.int64)
+    blocks = []
+    for my in range(h // 8):
+        for mx in range(w // 8):
+            block = diff[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8].astype(np.float64)
+            Fq = np.rint(A @ block @ A.T).astype(int)
+            expected[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.rint(
+                A.T @ Fq.astype(np.float64) @ A
+            ).astype(np.int64)
+            blocks.append([int(Fq[r, c]) for (r, c) in JPEG_ZIGZAG])
+    want = np.clip(ref.astype(np.int64) + expected, 0, 255).astype(np.uint8)
+    return blocks, want
+
+
+def test_hierarchical_jpeg_differential_progressive_sof6():
+    """Annex J with a DIFFERENTIAL PROGRESSIVE (SOF6) correction
+    frame: a DC scan then an AC spectral-selection scan accumulate
+    into the same coefficient grids; IDCT without level shift adds to
+    the reference. Oracle: independent numpy reconstruction."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(53)
+    ref = rng.randint(60, 190, size=(16, 16)).astype(np.uint8)
+    diff = rng.randint(-12, 13, size=(16, 16)).astype(np.int64)
+    head, seg = _hier_parts(ref)
+    blocks, want = _dct_diff_expected(ref, diff)
+
+    dc = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+
+    # DC scan (Ss=0 Se=0 Ah=0 Al=0), prediction across blocks
+    wr_dc = _JpegWriter()
+    pred = 0
+    for zz in blocks:
+        d = zz[0] - pred
+        pred = zz[0]
+        s = 0 if d == 0 else abs(d).bit_length()
+        code, width = dc[s]
+        wr_dc.put(code, width)
+        if s:
+            wr_dc.put(d if d >= 0 else d + (1 << s) - 1, s)
+    wr_dc.align()
+
+    # AC scan (Ss=1 Se=63 Ah=0 Al=0), EOB = 0x00 run
+    wr_ac = _JpegWriter()
+    for zz in blocks:
+        run = 0
+        kend = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, kend + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, width = ac[0xF0]
+                wr_ac.put(code, width)
+                run -= 16
+            s = abs(v).bit_length()
+            code, width = ac[(run << 4) | s]
+            wr_ac.put(code, width)
+            wr_ac.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if kend < 63:
+            code, width = ac[0x00]
+            wr_ac.put(code, width)
+    wr_ac.align()
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    sof6 = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + _JPEG_DC_COUNTS + _JPEG_DC_SYMBOLS
+        + bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMBOLS
+    )
+    payload = (
+        head
+        + seg(0xDB, qtab)
+        + seg(0xC6, sof6)
+        + seg(0xC4, dht)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(wr_dc.out)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes(wr_ac.out)
+        + b"\xff\xd9"
+    )
+    w, h, arr = _decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(arr, want)
+
+
+def test_hierarchical_jpeg_arith_differential_sequential_sof13():
+    """Annex J with an ARITHMETIC differential sequential (SOF13)
+    correction frame: QM-coded full-band blocks, IDCT without level
+    shift, added to the reference."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg, _QmBin
+
+    rng = np.random.RandomState(59)
+    ref = rng.randint(60, 190, size=(16, 16)).astype(np.uint8)
+    diff = rng.randint(-12, 13, size=(16, 16)).astype(np.int64)
+    head, seg = _hier_parts(ref)
+    blocks, want = _dct_diff_expected(ref, diff)
+
+    enc = _QmRefEncoder()
+    dcs = [_QmBin() for _ in range(64)]
+    acs = [_QmBin() for _ in range(256)]
+    fixed = _QmBin()
+    fixed.i = 113
+    dc_ctx, last_dc = [0], [0]
+    for zz in blocks:
+        _qm_encode_dc(enc, dcs, 0, dc_ctx, last_dc, 0, 1, zz[0])
+        _qm_encode_ac(enc, acs, fixed, zz, 5)
+    body = enc.flush().replace(b"\xff", b"\xff\x00")
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    sof13 = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0])
+    payload = (
+        head
+        + seg(0xDB, qtab)
+        + seg(0xCD, sof13)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + body
+        + b"\xff\xd9"
+    )
+    w, h, arr = _decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(arr, want)
+
+
+def test_hierarchical_jpeg_arith_differential_progressive_sof14():
+    """Annex J with an ARITHMETIC differential progressive (SOF14)
+    correction frame: QM DC scan + QM AC spectral-selection scan
+    (statistics fresh per scan segment, like SOF10)."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg, _QmBin
+
+    rng = np.random.RandomState(61)
+    ref = rng.randint(60, 190, size=(16, 16)).astype(np.uint8)
+    diff = rng.randint(-12, 13, size=(16, 16)).astype(np.int64)
+    head, seg = _hier_parts(ref)
+    blocks, want = _dct_diff_expected(ref, diff)
+
+    enc1 = _QmRefEncoder()
+    dcs = [_QmBin() for _ in range(64)]
+    dc_ctx, last_dc = [0], [0]
+    for zz in blocks:
+        _qm_encode_dc(enc1, dcs, 0, dc_ctx, last_dc, 0, 1, zz[0])
+    dc_body = enc1.flush().replace(b"\xff", b"\xff\x00")
+
+    enc2 = _QmRefEncoder()
+    acs = [_QmBin() for _ in range(256)]
+    fixed = _QmBin()
+    fixed.i = 113
+    for zz in blocks:
+        _qm_encode_ac_first(enc2, acs, fixed, zz, 5, 1, 63)
+    ac_body = enc2.flush().replace(b"\xff", b"\xff\x00")
+
+    qtab = bytes([0]) + bytes([1] * 64)
+    sof14 = bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0])
+    payload = (
+        head
+        + seg(0xDB, qtab)
+        + seg(0xCE, sof14)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + dc_body
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + ac_body
+        + b"\xff\xd9"
+    )
+    w, h, arr = _decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(arr, want)
+
+
+def test_hierarchical_jpeg_arith_differential_lossless_sof15():
+    """Full Annex J pyramid with an ARITHMETIC differential lossless
+    (SOF15) correction frame: half-res SOF3 reference + EXP(1,1) +
+    SOF15 coding (source - expanded ref) mod 2^16 — reconstruction is
+    BIT-EXACT, including odd dims."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    rng = np.random.RandomState(67)
+    for shape in ((12, 16), (13, 19)):
+        gray = rng.randint(0, 256, size=shape).astype(np.uint8)
+        h, w = shape
+        down = gray[::2, ::2]
+        frame1 = _encode_jpeg_lossless([down], sel=1)[2:-2]
+        up = _expand2(down.astype(np.int64), 1, 1)[:h, :w]
+        diff = (gray.astype(np.int64) - up) & 0xFFFF
+        frame2 = _encode_jpeg_lossless_arith(
+            [diff], differential=True
+        )[2:-2]
+        dhp = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        payload = (
+            b"\xff\xd8" + seg(0xDE, dhp) + frame1
+            + seg(0xDF, bytes([0x11])) + frame2 + b"\xff\xd9"
+        )
+        ww, hh, arr = _decode_jpeg(payload)
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(arr, gray), shape
