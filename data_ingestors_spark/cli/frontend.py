@@ -168,6 +168,27 @@ def main(argv: list[str] | None = None) -> int:
     import sys
 
     args = list(argv if argv is not None else sys.argv[1:])
+    if args and args[0] == "refresh":
+        if len(args) != 3:
+            print(
+                "usage: python -m data_ingestors_spark.cli refresh "
+                "<store_dir> <batch_parquet>",
+                file=sys.stderr,
+            )
+            return 2
+        from data_ingestors_spark.ingest.refresh import refresh_corpus
+        from data_ingestors_spark.session import get_spark
+
+        try:
+            spark = get_spark("refresh-cli")
+            summary = refresh_corpus(spark, args[1], args[2])
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        import json as _json
+
+        print(_json.dumps(summary, default=str))
+        return 0
     if args and args[0] == "profile":
         if len(args) != 3:
             print(

@@ -1,0 +1,171 @@
+"""End-to-end incremental corpus refresh — the 100 TB operating loop.
+
+One call per landed batch wires together the pieces that otherwise
+ship separately: preflight novelty report → bucketed upsert into the
+corpus → incremental near-dup monitor advance → periodic index/layout
+compaction. Nothing in the loop ever rescans the corpus:
+
+1. **Preflight + fingerprint index** —
+   :func:`~data_ingestors_spark.streaming.neardup.incremental_dedup_fold_batch`:
+   per-source exact-dup/novelty report against everything seen in
+   PRIOR batches, probing only the batch's touched hash buckets
+   (two-level ``__batch``/``__bucket`` partition pruning); report and
+   fingerprint rows land in ``__batch``-keyed partitions, so the step
+   is exactly-once under replay.
+2. **Upsert** — :func:`~data_ingestors_spark.io.writers.upsert` into
+   the hash-bucketed corpus table: only touched buckets are read,
+   merged, and rewritten (O(|batch|) I/O at any corpus size).
+3. **Near-dup monitor** —
+   :func:`~data_ingestors_spark.streaming.neardup.neardup_fold_batch`:
+   MinHash-LSH candidates of batch-vs-(index ∪ batch), exact-Jaccard
+   verified; emitted pairs and index rows are ``__batch``-keyed
+   (exactly-once; cumulative pairs equal the batch operator over the
+   union of all batches — asserted in tests/test_e2e_categories.py).
+4. **Ledger** — ``ledger.json`` records the batch path LAST, after
+   every fold landed. A crash anywhere earlier means the batch is not
+   in the ledger and the whole loop re-runs with the SAME batch id —
+   every step overwrites its own partitions with identical content. A
+   batch already in the ledger is a REPLAY: the loop mutates nothing
+   and returns the stored report (this also keeps replays safe after
+   compaction has folded the batch's partitions away).
+5. **Compaction** — every ``compact_every`` fresh batches:
+   :func:`~data_ingestors_spark.streaming.neardup.compact_neardup_index`
+   folds the monitor's per-batch partitions into one ``__batch=-1``
+   layer and :func:`~data_ingestors_spark.io.writers.compact_table`
+   bin-packs the corpus buckets — partition/file counts stay bounded
+   as the store ages instead of growing one layer per batch.
+
+Store layout (all under one ``store_dir``)::
+
+    corpus/            hash-bucketed document table (upsert target)
+    dedup_index/fps/   fingerprint index, __batch/__bucket partitions
+    reports/           per-batch per-source novelty reports
+    neardup/index/     MinHash band + shingle index, __batch keyed
+    neardup/pairs/     verified near-dup pairs, __batch keyed
+    ledger.json        ordered list of ingested batch paths
+
+CLI: ``python -m data_ingestors_spark.cli refresh <store_dir>
+<batch_parquet>`` prints the returned summary as one JSON line.
+
+Reference parity: this is the Spark-native form of the reference's
+ingest-then-validate loop (run.py + database upsert); the monitors
+and compaction have no reference counterpart — they are the
+LLM-pipeline extension the 100 TB design calls for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _paths(store_dir: str) -> dict[str, str]:
+    return {
+        "corpus": os.path.join(store_dir, "corpus"),
+        "dedup_index": os.path.join(store_dir, "dedup_index"),
+        "reports": os.path.join(store_dir, "reports"),
+        "nd_index": os.path.join(store_dir, "neardup", "index"),
+        "nd_pairs": os.path.join(store_dir, "neardup", "pairs"),
+        "ledger": os.path.join(store_dir, "ledger.json"),
+    }
+
+
+def _read_ledger(path: str) -> list[str]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)["batches"]
+
+
+def _write_ledger(path: str, batches: list[str]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batches": batches}, fh, indent=0)
+    os.replace(tmp, path)
+
+
+def read_refresh_report(spark: SparkSession, store_dir: str, batch_id: int) -> DataFrame:
+    """One batch's stored per-source novelty report."""
+    from pyspark.sql import functions as F
+
+    from data_ingestors_spark.streaming.neardup import BATCH_PART_COL
+
+    return (
+        spark.read.parquet(_paths(store_dir)["reports"])
+        .filter(F.col(BATCH_PART_COL) == int(batch_id))
+        .drop(BATCH_PART_COL)
+    )
+
+
+def refresh_corpus(
+    spark: SparkSession,
+    store_dir: str,
+    batch_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    compact_every: int = 8,
+    neardup_threshold: float = 0.7,
+) -> dict:
+    """Run the refresh loop for one landed batch; returns a summary
+    dict (batch_id, replay flag, upsert counts, per-source report
+    rows, whether compaction ran). See the module docstring for the
+    step-by-step contract."""
+    from data_ingestors_spark.io.writers import upsert
+    from data_ingestors_spark.streaming.neardup import (
+        compact_neardup_index,
+        incremental_dedup_fold_batch,
+        neardup_fold_batch,
+    )
+
+    p = _paths(store_dir)
+    os.makedirs(store_dir, exist_ok=True)
+    ledger = _read_ledger(p["ledger"])
+    batch_path = os.path.abspath(batch_path)
+    replay = batch_path in ledger
+    batch_id = ledger.index(batch_path) if replay else len(ledger)
+
+    summary: dict = {"batch_id": batch_id, "replay": replay, "compacted": False}
+    if replay:
+        # every fold already landed (ledger is written last); mutating
+        # again would double rows the compactor has since folded into
+        # the __batch=-1 layer. Return the stored report.
+        summary["report"] = [
+            r.asDict() for r in read_refresh_report(spark, store_dir, batch_id).collect()
+        ]
+        return summary
+
+    batch = spark.read.parquet(batch_path)
+
+    # 1. preflight novelty report + fingerprint index advance
+    incremental_dedup_fold_batch(
+        spark, batch, batch_id, p["dedup_index"], p["reports"],
+        text_col=text_col, id_col=id_col, source_col=source_col,
+    )
+    # 2. corpus upsert (touched buckets only)
+    updated, inserted, deduped = upsert(spark, p["corpus"], batch, key=id_col)
+    summary["upsert"] = {
+        "updated": updated, "inserted": inserted, "deduped": deduped,
+    }
+    # 3. near-dup monitor advance
+    neardup_fold_batch(
+        spark, batch, batch_id, p["nd_index"], p["nd_pairs"],
+        text_col=text_col, id_col=id_col, threshold=neardup_threshold,
+    )
+    # 4. ledger last — everything above is idempotent by batch id
+    _write_ledger(p["ledger"], ledger + [batch_path])
+    # 5. bounded-layer maintenance
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        from data_ingestors_spark.io.writers import compact_table
+
+        compact_neardup_index(spark, p["nd_index"])
+        summary["compact_stats"] = compact_table(spark, p["corpus"])
+        summary["compacted"] = True
+
+    summary["report"] = [
+        r.asDict() for r in read_refresh_report(spark, store_dir, batch_id).collect()
+    ]
+    return summary

@@ -1,0 +1,160 @@
+"""End-to-end incremental corpus refresh loop
+(ingest/refresh.py refresh_corpus): batch lands → preflight report →
+upsert → near-dup monitor advance → compaction; run twice, assert
+idempotence and monitor cumulative-equals-batch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _write_batch(spark, tmp_path, name, rows):
+    path = str(tmp_path / name)
+    _docs(spark, rows).coalesce(1).write.parquet(path)
+    return path
+
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while seventy "
+    "translators argue about tokenization and shingles"
+)
+LOREM_NEAR = LOREM + " extra tail clause"  # near-dup of LOREM
+OTHER = (
+    "completely different second document about spark shuffles "
+    "broadcast joins and adaptive query execution at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    """Two fresh batches + one replay through the loop; compaction
+    configured to fire on the second batch."""
+    from data_ingestors_spark.ingest.refresh import refresh_corpus
+
+    tmp = tmp_path_factory.mktemp("refresh")
+    b1 = _write_batch(
+        spark, tmp, "batch1",
+        [
+            (1, "web", LOREM),
+            (2, "web", LOREM),            # in-batch exact dup of 1
+            (3, "web", OTHER),
+            (4, "books", LOREM_NEAR),     # near-dup of 1 (not exact)
+        ],
+    )
+    b2 = _write_batch(
+        spark, tmp, "batch2",
+        [
+            (5, "web", LOREM),            # exact dup of indexed corpus
+            (6, "books", OTHER + " appended"),  # near-dup of 3
+            (7, "books", "a third topic entirely unrelated to both"),
+        ],
+    )
+    store_dir = str(tmp / "store")
+    r1 = refresh_corpus(spark, store_dir, b1, compact_every=2)
+    r2 = refresh_corpus(spark, store_dir, b2, compact_every=2)
+    r2_replay = refresh_corpus(spark, store_dir, b2, compact_every=2)
+    return {
+        "dir": store_dir, "b1": b1, "b2": b2,
+        "r1": r1, "r2": r2, "r2_replay": r2_replay,
+    }
+
+
+def test_refresh_preflight_reports(store):
+    """Batch 1 sees an empty corpus (no corpus dups, one in-batch
+    dup); batch 2's exact repeat of LOREM counts as a corpus dup."""
+    r1 = {row["source"]: row for row in store["r1"]["report"]}
+    assert store["r1"]["batch_id"] == 0 and not store["r1"]["replay"]
+    assert r1["web"]["n_dup_corpus"] == 0
+    assert r1["web"]["n_docs"] == 3 and r1["web"]["n_novel"] == 2
+    assert r1["web"]["n_dup_batch"] == 1  # doc 2
+    r2 = {row["source"]: row for row in store["r2"]["report"]}
+    assert r2["web"]["n_dup_corpus"] == 1  # doc 5 = indexed LOREM
+    assert r2["books"]["n_dup_corpus"] == 0 and r2["books"]["n_novel"] == 2
+
+
+def test_refresh_upsert_and_corpus_state(spark, store):
+    """Corpus equals the union keyed by doc_id; upsert counters track
+    inserts per batch."""
+    assert store["r1"]["upsert"] == {"updated": 0, "inserted": 4, "deduped": 0}
+    assert store["r2"]["upsert"] == {"updated": 0, "inserted": 3, "deduped": 0}
+    corpus = spark.read.parquet(os.path.join(store["dir"], "corpus"))
+    assert corpus.count() == 7
+    assert corpus.select("doc_id").distinct().count() == 7
+
+
+def test_refresh_monitor_cumulative_equals_batch(spark, store):
+    """The monitor's cumulative verified pairs equal the batch LSH
+    operator run once over the union of both batches — including
+    pairs that span the two batches."""
+    from data_ingestors_spark.operators.dedup import minhash_near_duplicates
+    from data_ingestors_spark.streaming.neardup import BATCH_PART_COL
+
+    union = spark.read.parquet(store["b1"]).unionByName(
+        spark.read.parquet(store["b2"])
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates(union, "text", "doc_id").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(
+            os.path.join(store["dir"], "neardup", "pairs")
+        ).drop(BATCH_PART_COL).collect()
+    }
+    assert want == got and want  # non-trivial: the dup families above collide
+    # at least one pair must span the two batches
+    assert any(a <= 4 and b >= 5 for a, b, _ in got)
+
+
+def test_refresh_replay_is_idempotent(spark, store):
+    """Re-running a ledgered batch mutates nothing: same report, same
+    corpus, same cumulative pairs, replay flagged."""
+    assert store["r2_replay"]["replay"] is True
+    assert store["r2_replay"]["batch_id"] == store["r2"]["batch_id"]
+    assert sorted(
+        (row["source"], row["n_docs"]) for row in store["r2_replay"]["report"]
+    ) == sorted((row["source"], row["n_docs"]) for row in store["r2"]["report"])
+    corpus = spark.read.parquet(os.path.join(store["dir"], "corpus"))
+    assert corpus.count() == 7
+    pairs = spark.read.parquet(os.path.join(store["dir"], "neardup", "pairs"))
+    assert pairs.count() == pairs.dropDuplicates(["id_a", "id_b"]).count()
+    with open(os.path.join(store["dir"], "ledger.json")) as fh:
+        assert len(json.load(fh)["batches"]) == 2
+
+
+def test_refresh_compaction_ran_and_bounded_layers(spark, store):
+    """compact_every=2 fired on batch 2: the near-dup index is folded
+    to the single __batch=-1 layer (bounded partition count) and the
+    monitor comparison above still held AFTER compaction."""
+    from data_ingestors_spark.streaming.neardup import BATCH_PART_COL
+
+    assert store["r2"]["compacted"] is True and "compact_stats" in store["r2"]
+    bands = spark.read.parquet(
+        os.path.join(store["dir"], "neardup", "index", "bands")
+    )
+    layers = [r[0] for r in bands.select(BATCH_PART_COL).distinct().collect()]
+    assert layers == [-1]
+
+
+def test_refresh_cli_subcommand(spark, store, tmp_path, capsys):
+    """`cli refresh <store> <batch>` runs the loop and prints one JSON
+    summary line."""
+    from data_ingestors_spark.cli.frontend import main
+
+    b3 = _write_batch(
+        spark, tmp_path, "batch3", [(8, "web", "yet another novel doc")]
+    )
+    rc = main(["refresh", store["dir"], b3])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    summary = json.loads(out)
+    assert summary["batch_id"] == 2 and summary["replay"] is False
+    assert summary["upsert"]["inserted"] == 1
