@@ -1,8 +1,31 @@
-"""Video codecs: MJPEG-in-AVI (RIFF parse + per-frame JPEG decode)
-plus the deterministic FAKEVID test format. Inter-frame codecs
-(H.26x/VP/AV1) are an honest fail-loud NotImplementedError — no
-codec libs in-container. Split out of operators/multimodal.py in
-r11; semantics unchanged.
+"""Video codecs: AVI container walk with two REAL frame decoders —
+Motion-JPEG (every frame is a JPEG; intra-only) and MS Video 1
+(MS-CRAM, fourcc ``CRAM``/``MSVC``/``WHAM`` — a true INTER-FRAME
+codec: skip opcodes copy 4x4 blocks from the previous frame) — plus
+animated GIF reuse and the deterministic FAKEVID test format.
+Modern inter-frame codecs (H.26x/VP/AV1) remain an honest fail-loud
+NotImplementedError — no codec libs in-container.
+
+MS Video 1 bitstream (8-bit form, per the public MS-CRAM layout,
+same decision structure as every open-source decoder of the format):
+the frame is 4x4 blocks, left→right, BOTTOM block row first, and
+rows within a block also run bottom-up (the DIB heritage). Per
+block, a little-endian WORD (byte_a, byte_b) selects:
+
+- ``(byte_b & 0xFC) == 0x84`` → skip ``word - 0x8400`` blocks: each
+  keeps the co-located block of the PREVIOUS frame (the inter-frame
+  mechanism).
+- ``byte_b < 0x80`` → 2-color block: ``word`` is 16 LSB-first flag
+  bits; two color bytes follow; flag bit 1 selects the FIRST color.
+- ``byte_b >= 0x90`` → 8-color block: like 2-color, but a color pair
+  per 2x2 quadrant (8 color bytes follow).
+- otherwise (``0x80-0x83`` / ``0x88-0x8F``) → 1-color block filled
+  with ``byte_a``.
+
+Colors are palette indices; the ``strf`` BITMAPINFO palette, when
+present, maps them through BT.601 luma — a grayscale palette (or
+none) leaves indices as gray values, which is what the bit-exact
+fixture tests use.
 """
 
 from __future__ import annotations
@@ -14,14 +37,15 @@ from .raster import _decode_gif_frames  # noqa: E402
 
 VID_MAGIC = b"FAKEVID:"
 
-def _decode_mjpeg_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """REAL frame decode for Motion-JPEG AVI: walk the RIFF chunk
-    tree (no index needed), decode every video chunk (``..dc`` /
-    ``..db``) whose payload starts with a JPEG SOI through
-    :func:`_decode_jpeg`. All frames must agree on dimensions.
-    Inter-frame codecs (h264 etc.) keep the fail-loud boundary —
-    MJPEG is the one container format whose frames are just JPEGs."""
+_MSVC_FOURCC = (b"CRAM", b"MSVC", b"WHAM", b"cram", b"msvc", b"wham")
+
+
+def _avi_streams(content: bytes) -> tuple[list[bytes], dict]:
+    """Walk the RIFF tree once: ordered video chunk payloads
+    (``..dc``/``..db``) plus the video stream's ``strf``
+    BITMAPINFOHEADER fields (dims, fourcc, palette)."""
     payloads: list[bytes] = []
+    fmt: dict = {}
 
     def walk(pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -30,37 +54,153 @@ def _decode_mjpeg_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
             body = pos + 8
             if cid in (b"RIFF", b"LIST"):
                 walk(body + 4, min(body + sz, end))
-            elif cid[2:4] in (b"dc", b"db") and content[body : body + 2] == b"\xff\xd8":
+            elif cid == b"strf" and sz >= 40 and not fmt:
+                bi = content[body : body + sz]
+                fmt["w"] = int.from_bytes(bi[4:8], "little", signed=True)
+                fmt["h"] = abs(int.from_bytes(bi[8:12], "little", signed=True))
+                fmt["bits"] = int.from_bytes(bi[14:16], "little")
+                fmt["compression"] = bi[16:20]
+                n_colors = int.from_bytes(bi[32:36], "little") or (
+                    256 if fmt["bits"] == 8 else 0
+                )
+                pal = bi[40 : 40 + 4 * n_colors]
+                if len(pal) == 4 * n_colors and n_colors:
+                    rgbq = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)
+                    # RGBQUAD is B,G,R,reserved; BT.601 integer luma
+                    # (widen BEFORE multiplying — uint8 wraps)
+                    b_, g_, r_ = (rgbq[:, k].astype(np.int64) for k in (0, 1, 2))
+                    fmt["palette"] = ((77 * r_ + 150 * g_ + 29 * b_ + 128) >> 8).astype(
+                        np.uint8
+                    )
+            elif cid[2:4] in (b"dc", b"db"):
                 payloads.append(content[body : body + sz])
             pos = body + sz + (sz & 1)
 
     walk(0, len(content))
+    return payloads, fmt
+
+
+def _msvideo1_frame(
+    data: bytes, prev: np.ndarray, blocks_w: int, blocks_h: int
+) -> np.ndarray:
+    """Decode one MS Video 1 frame (8-bit) against the previous
+    frame's padded plane; returns the new padded plane."""
+    out = prev.copy()
+    pos = 0
+    skip = 0
+    n_blocks = blocks_w * blocks_h
+    for blk in range(n_blocks):
+        if skip:
+            skip -= 1
+            continue
+        if pos + 2 > len(data):
+            break  # remaining blocks keep previous-frame content
+        a, b = data[pos], data[pos + 1]
+        pos += 2
+        word = (b << 8) | a
+        if (b & 0xFC) == 0x84:
+            skip = word - 0x8400
+            if skip == 0:
+                break  # explicit end-of-frame
+            skip -= 1  # this block is the first of the run
+            continue
+        # block origin: bottom block row first, bottom pixel row first
+        by, bx = divmod(blk, blocks_w)
+        y0 = (blocks_h - 1 - by) * 4
+        x0 = bx * 4
+        if b < 0x80:  # 2-color
+            if pos + 2 > len(data):
+                raise ValueError("truncated MS Video 1 2-color block")
+            c = (data[pos], data[pos + 1])
+            pos += 2
+            flags = word
+            for ry in range(4):  # bottom row of the block first
+                y = y0 + 3 - ry
+                for rx in range(4):
+                    out[y, x0 + rx] = c[0] if flags & 1 else c[1]
+                    flags >>= 1
+        elif b >= 0x90:  # 8-color: a color pair per 2x2 quadrant
+            if pos + 8 > len(data):
+                raise ValueError("truncated MS Video 1 8-color block")
+            c = data[pos : pos + 8]
+            pos += 8
+            flags = word
+            for ry in range(4):
+                y = y0 + 3 - ry
+                for rx in range(4):
+                    # quadrant color pairs in stream order: bottom-left,
+                    # bottom-right, top-left, top-right (ry counts from
+                    # the bottom, matching the bit order)
+                    q = 2 * (ry // 2) + rx // 2
+                    out[y, x0 + rx] = c[2 * q] if flags & 1 else c[2 * q + 1]
+                    flags >>= 1
+        else:  # 1-color
+            out[y0 : y0 + 4, x0 : x0 + 4] = a
+    return out
+
+
+def _decode_msvideo1_avi(
+    payloads: list[bytes], fmt: dict
+) -> tuple[int, int, int, np.ndarray]:
+    w, h = fmt["w"], fmt["h"]
+    if fmt.get("bits", 8) != 8:
+        raise NotImplementedError(
+            f"MS Video 1 at {fmt.get('bits')} bpp (only the 8-bit form decodes)"
+        )
+    bw, bh = -(-w // 4), -(-h // 4)
+    plane = np.zeros((bh * 4, bw * 4), dtype=np.uint8)
+    frames = []
+    pal = fmt.get("palette")
+    for data in payloads:
+        plane = _msvideo1_frame(data, plane, bw, bh)
+        vis = plane[:h, :w]
+        frames.append(pal[vis] if pal is not None else vis.copy())
+    return w, h, len(frames), np.stack(frames)
+
+
+def _decode_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL frame decode for AVI: Motion-JPEG (payloads start with a
+    JPEG SOI) or MS Video 1 (strf fourcc CRAM/MSVC/WHAM — inter-frame
+    skip blocks against the previous frame). Anything else keeps the
+    fail-loud boundary."""
+    payloads, fmt = _avi_streams(content)
     if not payloads:
         raise NotImplementedError(
-            "AVI contains no MJPEG frames — inter-frame codecs need a real decoder"
+            "AVI contains no video frames this decoder understands"
         )
-    frames = [_decode_jpeg(p) for p in payloads]
-    w, h = frames[0][0], frames[0][1]
-    if any((f[0], f[1]) != (w, h) for f in frames):
-        raise ValueError("MJPEG frames disagree on dimensions")
-    return w, h, len(frames), np.stack([f[2] for f in frames])
+    if payloads[0][:2] == b"\xff\xd8":
+        frames = [_decode_jpeg(p) for p in payloads]
+        w, h = frames[0][0], frames[0][1]
+        if any((f[0], f[1]) != (w, h) for f in frames):
+            raise ValueError("MJPEG frames disagree on dimensions")
+        return w, h, len(frames), np.stack([f[2] for f in frames])
+    if fmt.get("compression", b"") in _MSVC_FOURCC:
+        return _decode_msvideo1_avi(payloads, fmt)
+    raise NotImplementedError(
+        f"AVI codec {fmt.get('compression', b'?')!r} — only MJPEG and "
+        "MS Video 1 decode without codec libs"
+    )
+
+
+def _decode_mjpeg_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Back-compat alias: the original MJPEG-only entry now routes
+    through the general AVI walk (which also handles MS Video 1)."""
+    return _decode_avi(content)
 
 
 def _decode_video(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """(width, height, n_frames, frames[n,h,w]). Stub boundary — but
-    Motion-JPEG AVI decodes for REAL via the baseline-JPEG decoder
-    (see _decode_mjpeg_avi); inter-frame codecs stay stubbed."""
+    """(width, height, n_frames, frames[n,h,w]). Motion-JPEG AVI and
+    inter-frame MS Video 1 AVI decode for REAL; animated GIF reuses
+    the raster decoder; modern codecs stay fail-loud stubbed."""
     if content.startswith(VID_MAGIC):
         head, payload = content[len(VID_MAGIC):].split(b":", 1)
         w, h, n = (int(x) for x in head.decode().split("x"))
         arr = np.frombuffer(payload[: w * h * n], dtype=np.uint8).reshape(n, h, w)
         return w, h, n, arr
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-        return _decode_mjpeg_avi(content)
+        return _decode_avi(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         # animated GIF is a video for sampling purposes: all frames,
         # real disposal/transparency compositing (r9)
         return _decode_gif_frames(content)
     raise NotImplementedError("no video codec available for this payload")
-
-

@@ -8,8 +8,10 @@ the full T.81 matrix, audio.py WAV/FLAC, video.py MJPEG-AVI) and is
 REAL stdlib+numpy decode; each ``_decode_*`` additionally accepts the
 deterministic fake formats below for tests, and raises
 ``NotImplementedError`` for the honestly-stubbed remainder
-(perceptual audio mp3/ogg, inter-frame video — the JPEG SOF matrix
-is CLOSED as of r11: every T.81 frame type decodes, bit-exact).
+(perceptual audio mp3/ogg and MODERN video codecs H.26x/VP/AV1 — the
+JPEG SOF matrix is CLOSED as of r11, and MS Video 1 gives a real
+INTER-FRAME video decode path: skip opcodes against the previous
+frame).
 This module keeps the distributed operators and re-exports every
 codec name, so existing imports (tests, user code) are stable.
 

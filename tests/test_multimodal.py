@@ -3305,3 +3305,218 @@ def test_hierarchical_jpeg_arith_differential_lossless_sof15():
         ww, hh, arr = _decode_jpeg(payload)
         assert (ww, hh) == (w, h)
         assert np.array_equal(arr, gray), shape
+
+
+# --- r11: MS Video 1 (MS-CRAM) — real inter-frame video decode ----------
+
+
+def _msvc_encode_frame(frame, prev, bw, bh):
+    """Encode one padded frame vs the previous padded frame as MS
+    Video 1 block opcodes (skip runs / 1-color / 2-color / 8-color),
+    choosing color order so the byte_b mode ranges hold."""
+    data = bytearray()
+    skip = 0
+
+    def flush_skip():
+        nonlocal skip
+        while skip:
+            run = min(skip, 0x3FF)
+            word = 0x8400 + run
+            data.append(word & 0xFF)
+            data.append(word >> 8)
+            skip -= run
+
+    for blk in range(bw * bh):
+        by, bx = divmod(blk, bw)
+        y0 = (bh - 1 - by) * 4
+        x0 = bx * 4
+        cur = frame[y0:y0 + 4, x0:x0 + 4]
+        if (cur == prev[y0:y0 + 4, x0:x0 + 4]).all():
+            skip += 1
+            continue
+        flush_skip()
+        # decode-order pixel list: rows bottom-up, x left->right
+        seq = [int(cur[3 - ry, rx]) for ry in range(4) for rx in range(4)]
+        uniq = sorted(set(seq))
+        if len(uniq) == 1:
+            data.append(uniq[0])
+            data.append(0x80)
+            continue
+        if len(uniq) == 2:
+            # flag bit 1 selects the FIRST color; force the last
+            # decode-order pixel's bit to 0 so byte_b < 0x80
+            c1 = seq[15]
+            c0 = uniq[0] if uniq[1] == c1 else uniq[1]
+            flags = 0
+            for i, v in enumerate(seq):
+                if v == c0:
+                    flags |= 1 << i
+            assert flags < 0x8000
+            data += bytes([flags & 0xFF, flags >> 8, c0, c1])
+            continue
+        # 8-color: a color pair per 2x2 quadrant (bottom-left,
+        # bottom-right, top-left, top-right in decode order)
+        pairs = []
+        for q in range(4):
+            qpix = [seq[i] for i in range(16)
+                    if 2 * ((i // 4) // 2) + (i % 4) // 2 == q]
+            qu = sorted(set(qpix))
+            assert len(qu) <= 2, "fixture block must be <=2 colors per quadrant"
+            pairs.append([qu[0], qu[-1]])
+        # force byte_b >= 0x90: bit15 (pixel ry=3,rx=3, q3) = 1, and
+        # bit12 (ry=3, rx=0, q2) = 1
+        if pairs[3][0] != seq[15]:
+            pairs[3] = [pairs[3][1], pairs[3][0]]
+        if pairs[2][0] != seq[12]:
+            pairs[2] = [pairs[2][1], pairs[2][0]]
+        flags = 0
+        for i, v in enumerate(seq):
+            q = 2 * ((i // 4) // 2) + (i % 4) // 2
+            if v == pairs[q][0]:
+                flags |= 1 << i
+        assert (flags >> 8) >= 0x90, hex(flags)
+        data += bytes([flags & 0xFF, flags >> 8])
+        for p in pairs:
+            data += bytes(p)
+    # trailing skips: end-of-frame is implicit (decoder keeps prev)
+    return bytes(data)
+
+
+def _encode_msvideo1_avi(frames, palette=None):
+    """Reference MS Video 1 AVI: minimal RIFF with an avih/strl
+    header (fccHandler CRAM, strf BITMAPINFOHEADER + optional
+    RGBQUAD palette) and one 00dc chunk per frame."""
+    import struct
+
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    bw, bh = -(-w // 4), -(-h // 4)
+    padded = np.zeros((n, bh * 4, bw * 4), dtype=np.uint8)
+    padded[:, :h, :w] = frames
+    prev = np.zeros((bh * 4, bw * 4), dtype=np.uint8)
+    chunks = []
+    for f in padded:
+        chunks.append(_msvc_encode_frame(f, prev, bw, bh))
+        prev = f
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    pal = b""
+    n_colors = 0
+    if palette is not None:
+        n_colors = len(palette)
+        pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette)
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 8, b"CRAM", 0, 0, 0, n_colors, 0
+    ) + pal
+    strh = (
+        b"vids" + b"CRAM" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10,
+                                        0, n, 0, 0, 0, 0)
+    )
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", c) for c in chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_msvideo1_interframe_bit_exact():
+    """MS Video 1 (CRAM): multi-frame reconstruction is BIT-EXACT,
+    and the inter-frame skip path is actually exercised (frame 2
+    changes only a sprite region, so its chunk is dominated by skip
+    opcodes and is far smaller than a keyframe)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_video
+
+    rng = np.random.RandomState(71)
+    h, w = 13, 18  # non-multiples of 4: exercise pad + crop
+    f0 = np.zeros((h, w), dtype=np.uint8)
+    # 2-color texture + a solid band
+    f0[:6] = np.where(rng.rand(6, w) < 0.5, 40, 200).astype(np.uint8)
+    f0[6:] = 90
+    f1 = f0.copy()
+    f1[8:12, 3:9] = 250          # moving sprite: small change only
+    f2 = f1.copy()
+    f2[8:12, 3:9] = 90           # sprite leaves
+    f2[8:12, 9:15] = 250
+    payload = _encode_msvideo1_avi([f0, f1, f2])
+    ww, hh, nn, frames = _decode_video(payload)
+    assert (ww, hh, nn) == (w, h, 3)
+    assert np.array_equal(frames, np.stack([f0, f1, f2]))
+    # the delta frames must be much smaller than the keyframe
+    import struct as _s
+
+    sizes = []
+    pos = payload.find(b"00dc")
+    while pos != -1:
+        sizes.append(_s.unpack("<I", payload[pos + 4:pos + 8])[0])
+        pos = payload.find(b"00dc", pos + 8)
+    assert len(sizes) == 3
+    assert sizes[1] < sizes[0] / 2 and sizes[2] < sizes[0] / 2, sizes
+
+
+def test_msvideo1_eight_color_quadrants():
+    """8-color blocks (a color pair per 2x2 quadrant) decode exactly."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_video
+
+    rng = np.random.RandomState(73)
+    h = w = 8
+    f = np.zeros((h, w), dtype=np.uint8)
+    # per 2x2 quadrant of each 4x4 block: two colors, random pattern
+    for by in range(2):
+        for bx in range(2):
+            for qy in range(2):
+                for qx in range(2):
+                    c = rng.randint(0, 256, size=2)
+                    patch = np.where(rng.rand(2, 2) < 0.5, c[0], c[1])
+                    f[by * 4 + qy * 2: by * 4 + qy * 2 + 2,
+                      bx * 4 + qx * 2: bx * 4 + qx * 2 + 2] = patch
+    ww, hh, nn, frames = _decode_video(_encode_msvideo1_avi([f]))
+    assert (ww, hh, nn) == (8, 8, 1)
+    assert np.array_equal(frames[0], f)
+
+
+def test_msvideo1_palette_maps_indices():
+    """A non-identity strf palette maps indices through BT.601 luma;
+    a grayscale-identity palette is a no-op."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_video
+
+    f = np.array([[0, 1, 2, 3]] * 4, dtype=np.uint8)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    _, _, _, frames = _decode_video(_encode_msvideo1_avi([f], palette=pal))
+    want = np.array(
+        [(77 * r + 150 * g + 29 * b + 128) >> 8 for r, g, b in pal],
+        dtype=np.uint8,
+    )[f]
+    assert np.array_equal(frames[0], want)
+    ident = [(i, i, i) for i in range(4)]
+    _, _, _, frames2 = _decode_video(_encode_msvideo1_avi([f], palette=ident))
+    assert np.array_equal(frames2[0], f)
+
+
+def test_msvideo1_unknown_codec_fail_loud():
+    """An AVI whose strf fourcc is a modern codec stays fail-loud."""
+    import numpy as np
+    import pytest
+
+    from data_ingestors_spark.operators.multimodal import _decode_video
+
+    payload = _encode_msvideo1_avi([np.zeros((4, 4), dtype=np.uint8)])
+    h264 = payload.replace(b"CRAM", b"H264")
+    with pytest.raises(NotImplementedError, match="H264"):
+        _decode_video(h264)
