@@ -1,5 +1,5 @@
 """Audio codecs: WAV (PCM 8/16/24/32, IEEE float, G.711 mu/A-law,
-IMA ADPCM) and FLAC per RFC 9639 (all subframe types, Rice
+IMA ADPCM, MS ADPCM) and FLAC per RFC 9639 (all subframe types, Rice
 residuals, CRC-8/16 verified) — pure stdlib+numpy. The honest
 fail-loud boundary: perceptual codecs (mp3/ogg) raise
 NotImplementedError (no codec libs in-container). Split out of
@@ -302,7 +302,8 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, float samples in [-1, 1)). WAV is decoded for
     REAL — stdlib ``wave`` + numpy, no external codec needed:
     8/16/24/32-bit PCM, IEEE float32/64 (fmt 3), G.711 A-law/mu-law
-    (fmt 6/7) and IMA ADPCM (fmt 0x11); multi-channel averaged to
+    (fmt 6/7), IMA ADPCM (fmt 0x11) and MS ADPCM (fmt 0x02);
+    multi-channel averaged to
     mono. FLAC is decoded for REAL too (``_decode_flac`` — full
     subframe/stereo-decorrelation surface, CRC-verified). The FAKEAUD
     fixture format remains for deterministic tests. Perceptual codecs
@@ -340,6 +341,9 @@ def _decode_audio(content: bytes) -> tuple[int, np.ndarray]:
             return sr_, x
         if fmt_code == 0x11:  # IMA / DVI ADPCM
             x = _ima_adpcm_decode(data, nch_, wv["block_align"], wv["fact"])
+            return sr_, x / 32768.0
+        if fmt_code == 0x02:  # MS ADPCM
+            x = _ms_adpcm_decode(data, nch_, wv["block_align"], wv["fact"])
             return sr_, x / 32768.0
         with wave.open(io.BytesIO(content)) as wf:
             sr = wf.getframerate()
@@ -503,3 +507,90 @@ def _alaw_table() -> np.ndarray:
     return np.where(sign, mag, -mag).astype(np.float64)
 
 
+
+
+# MS ADPCM (WAV fmt 0x0002) constants — the 7 default coefficient
+# pairs and the 16-entry delta adaptation table from the Microsoft
+# multimedia standards ("Microsoft ADPCM" WAVEFORMAT documentation).
+_MS_ADPCM_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_ADPCM_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+_MS_ADPCM_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64)
+
+
+def _ms_adpcm_decode(
+    data: bytes, nch: int, block_align: int, fact: int | None
+) -> np.ndarray:
+    """MS ADPCM (WAV fmt 0x0002) → mono float64 in int16 range.
+
+    Block layout per the Microsoft spec: per channel a 1-byte
+    predictor index (selects a coefficient pair), then per channel
+    int16 ``delta``, ``sample1``, ``sample2`` (7 bytes/channel of
+    header); the first two output samples per channel are sample2
+    then sample1; each following 4-bit nibble (HIGH nibble first,
+    channels round-robin) codes
+
+        pred  = (sample1*coef1 + sample2*coef2) >> 8
+        new   = clamp16(pred + delta * signed4(nibble))
+        delta = max(16, (Adapt[nibble] * delta) >> 8)
+
+    Blocks are independent, so the recursion vectorizes ACROSS blocks
+    and channels — the Python loop is samples-per-block long (same
+    design as `_ima_adpcm_decode`). ``fact`` trims encoder padding
+    after the mono average."""
+    hdr = 7 * nch
+    if block_align is None or block_align <= hdr:
+        raise ValueError(f"MS ADPCM block_align {block_align} too small")
+
+    def i16(a: np.ndarray, pos: int) -> np.ndarray:
+        lo = a[:, pos : pos + 2 * nch : 2]
+        hi = a[:, pos + 1 : pos + 2 * nch : 2]
+        v = lo | (hi << 8)
+        return np.where(v >= 32768, v - 65536, v)
+
+    def blockset(arr: np.ndarray) -> np.ndarray:
+        nblk, nbytes = arr.shape
+        a = arr.astype(np.int64)
+        pidx = np.clip(a[:, :nch], 0, 6)
+        c1 = _MS_ADPCM_COEF1[pidx]
+        c2 = _MS_ADPCM_COEF2[pidx]
+        delta = i16(a, nch)
+        s1 = i16(a, 3 * nch)
+        s2 = i16(a, 5 * nch)
+        body = a[:, hdr:]
+        nnib = body.shape[1] * 2
+        nib = np.empty((nblk, nnib), dtype=np.int64)
+        nib[:, 0::2] = body >> 4
+        nib[:, 1::2] = body & 0x0F
+        per_ch = nnib // nch
+        nib = nib[:, : per_ch * nch].reshape(nblk, per_ch, nch)
+        out = np.empty((nblk, per_ch + 2, nch), dtype=np.float64)
+        out[:, 0] = s2
+        out[:, 1] = s1
+        for k in range(per_ch):
+            n = nib[:, k]
+            signed = np.where(n >= 8, n - 16, n)
+            pred = (s1 * c1 + s2 * c2) >> 8
+            new = np.clip(pred + delta * signed, -32768, 32767)
+            s2, s1 = s1, new
+            delta = np.maximum(16, (_MS_ADPCM_ADAPT[n] * delta) >> 8)
+            out[:, k + 2] = new
+        return out.mean(axis=2).reshape(nblk, -1)
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nfull = len(buf) // block_align
+    parts = []
+    if nfull:
+        parts.append(
+            blockset(buf[: nfull * block_align].reshape(nfull, block_align)).ravel()
+        )
+    tail = buf[nfull * block_align :]
+    if len(tail) > hdr:
+        parts.append(blockset(tail.reshape(1, -1)).ravel())
+    if not parts:
+        raise ValueError("MS ADPCM payload shorter than one block header")
+    x = np.concatenate(parts)
+    if fact is not None:
+        x = x[:fact]
+    return x

@@ -96,6 +96,7 @@ from .codecs.audio import (  # noqa: F401
     _flac_utf8_number,
     _FlacBits,
     _ima_adpcm_decode,
+    _ms_adpcm_decode,
     _mulaw_table,
     _wav_chunks,
 )
