@@ -2990,7 +2990,11 @@ def _encode_jpeg_lossless_arith(planes, prec=8, sel=1, pt=0, *,
         if restart and i:
             body += bytes([0xFF, 0xD0 + ((rst - 1) % 8)])
         enc = _QmRefEncoder()
-        st_by_c = [[_QmBin() for _ in range(160)] for _ in range(nc)]
+        # ONE stats area: every component's SOS entry carries table id
+        # 0, and T.81 statistics are per table destination, not per
+        # component — the decoder shares accordingly. Conditioning
+        # classes stay per component.
+        st = [_QmBin() for _ in range(160)]
         fresh = [True] * nc
         for unit in range(i, i + n_seg):
             r, c = divmod(unit, w)
@@ -3002,7 +3006,7 @@ def _encode_jpeg_lossless_arith(planes, prec=8, sel=1, pt=0, *,
                 signed = v - 65536 if v > 32768 else v
                 ca = int(cls[ci][r, c - 1]) if c > 0 else 0
                 cb = int(cls[ci][r - 1, c]) if r > 0 else 0
-                _qm_encode_diff(enc, st_by_c[ci], ca, cb, L, U, signed)
+                _qm_encode_diff(enc, st, ca, cb, L, U, signed)
                 cls[ci][r, c] = _jpeg_diff_class(signed, L, U)
         body += stuff(enc.flush())
         i += n_seg
@@ -3639,3 +3643,20 @@ def test_ms_adpcm_fact_trim_and_audio_quality():
     assert len(x) == n
     err = np.abs(x * 32768.0 - sig)
     assert err.max() < 900, err.max()  # lossy but close (< 3% of amplitude)
+
+
+def test_lossless_arith_jpeg_sof11_interleaved_components():
+    """SOF11 with THREE interleaved components sharing one stats
+    table (all SOS entries carry table 0; T.81 statistics are per
+    table destination while conditioning classes are per component):
+    the rendered luma plane — component of the first scan entry —
+    round-trips bit-exactly."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(83)
+    planes = [rng.randint(0, 256, size=(6, 11)).astype(np.uint8) for _ in range(3)]
+    w, h, arr = _decode_jpeg(_encode_jpeg_lossless_arith(planes, sel=4))
+    assert (w, h) == (11, 6)
+    assert np.array_equal(arr, planes[0])
