@@ -139,6 +139,64 @@ def _msvideo1_frame(
     return out
 
 
+def _msrle8_frame(
+    data: bytes, prev: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """Decode one BI_RLE8 frame (the Windows DIB RLE used as the
+    'mrle' AVI codec) against the previous frame. Opcodes (count,
+    value) with count>0 repeat ``value``; count==0 escapes: 0 =
+    end-of-line, 1 = end-of-bitmap, 2 = delta (dx right, dy lines up
+    the decode order — every pixel jumped over keeps the PREVIOUS
+    frame's content, the inter-frame mechanism), n>=3 = that many
+    literal pixels (word-aligned). Rows run bottom-up."""
+    out = prev.copy()
+    x = 0
+    row = 0  # 0 = bottom row
+    pos = 0
+    while pos + 1 < len(data):
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            y = h - 1 - row
+            if row >= h or x + cnt > w:
+                raise ValueError("RLE8 run overflows the frame")
+            out[y, x : x + cnt] = val
+            x += cnt
+            continue
+        if val == 0:  # end of line
+            row += 1
+            x = 0
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            x += data[pos]
+            row += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` literal pixels
+            if pos + val > len(data) or row >= h or x + val > w:
+                raise ValueError("RLE8 absolute run overflows")
+            y = h - 1 - row
+            out[y, x : x + val] = np.frombuffer(data[pos : pos + val], np.uint8)
+            x += val
+            pos += val + (val & 1)  # word-aligned
+    raise ValueError("RLE8 frame missing end-of-bitmap")
+
+
+def _decode_msrle8_avi(
+    payloads: list[bytes], fmt: dict
+) -> tuple[int, int, int, np.ndarray]:
+    w, h = fmt["w"], fmt["h"]
+    plane = np.zeros((h, w), dtype=np.uint8)
+    pal = fmt.get("palette")
+    frames = []
+    for data in payloads:
+        plane = _msrle8_frame(data, plane, w, h)
+        frames.append(pal[plane] if pal is not None else plane.copy())
+    return w, h, len(frames), np.stack(frames)
+
+
 def _decode_msvideo1_avi(
     payloads: list[bytes], fmt: dict
 ) -> tuple[int, int, int, np.ndarray]:
@@ -174,11 +232,16 @@ def _decode_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
         if any((f[0], f[1]) != (w, h) for f in frames):
             raise ValueError("MJPEG frames disagree on dimensions")
         return w, h, len(frames), np.stack([f[2] for f in frames])
-    if fmt.get("compression", b"") in _MSVC_FOURCC:
+    comp = fmt.get("compression", b"")
+    if comp in _MSVC_FOURCC:
         return _decode_msvideo1_avi(payloads, fmt)
+    if comp in (b"MRLE", b"mrle") or (
+        len(comp) == 4 and int.from_bytes(comp, "little") == 1  # BI_RLE8
+    ):
+        return _decode_msrle8_avi(payloads, fmt)
     raise NotImplementedError(
-        f"AVI codec {fmt.get('compression', b'?')!r} — only MJPEG and "
-        "MS Video 1 decode without codec libs"
+        f"AVI codec {comp!r} — only MJPEG, MS Video 1, and RLE8 decode "
+        "without codec libs"
     )
 
 

@@ -3660,3 +3660,150 @@ def test_lossless_arith_jpeg_sof11_interleaved_components():
     w, h, arr = _decode_jpeg(_encode_jpeg_lossless_arith(planes, sel=4))
     assert (w, h) == (11, 6)
     assert np.array_equal(arr, planes[0])
+
+
+# --- r11: MS-RLE8 (BI_RLE8 in AVI) ---------------------------------------
+
+
+def _encode_msrle8_avi(frames, palette=None):
+    """Reference BI_RLE8 AVI: unchanged rows are skipped with bare
+    end-of-line opcodes (inter-frame: the decoder keeps the previous
+    frame's pixels), changed rows use RLE runs and absolute literals."""
+    import struct
+
+    import numpy as np
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape
+    prev = np.zeros((h, w), dtype=np.uint8)
+    chunks = []
+    for f in frames:
+        data = bytearray()
+        for row in range(h):  # bottom-up
+            y = h - 1 - row
+            line = f[y]
+            if (line == prev[y]).all():
+                data += b"\x00\x00"  # EOL: whole row keeps prev content
+                continue
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and line[x + run] == line[x] and run < 255:
+                    run += 1
+                if run >= 3 or run == w - x:
+                    data += bytes([run, line[x]])
+                    x += run
+                else:
+                    lit = x + 1
+                    best = 1
+                    while lit < w and best < 255:
+                        r2 = 1
+                        while lit + r2 < w and line[lit + r2] == line[lit] and r2 < 3:
+                            r2 += 1
+                        if r2 >= 3:
+                            break
+                        lit += 1
+                        best = lit - x
+                    nlit = lit - x
+                    if nlit >= 3:
+                        data += bytes([0, nlit]) + bytes(line[x:lit].tolist())
+                        if nlit & 1:
+                            data += b"\x00"
+                        x = lit
+                    else:
+                        data += bytes([1, line[x]])
+                        x += 1
+            data += b"\x00\x00"  # EOL
+        data += b"\x00\x01"  # end of bitmap
+        chunks.append(bytes(data))
+        prev = f
+
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    pal = b""
+    n_colors = 0
+    if palette is not None:
+        n_colors = len(palette)
+        pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 0, 0, n_colors, 0) + pal
+    strh = b"vids" + b"MRLE" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 10,
+                                           0, n, 0, 0, 0, 0)
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", c) for c in chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_msrle8_interframe_bit_exact():
+    """BI_RLE8 AVI: runs, absolute literals, and skipped-row
+    inter-frame reconstruction are all bit-exact; delta frames are
+    smaller than the keyframe."""
+    import struct as _s
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_video
+
+    rng = np.random.RandomState(89)
+    h, w = 11, 23
+    f0 = np.zeros((h, w), dtype=np.uint8)
+    f0[:4] = rng.randint(0, 255, size=(4, w))      # literal-heavy rows
+    f0[4:8] = 77                                    # run-heavy rows
+    f0[8:] = np.repeat(rng.randint(0, 255, size=(3, 5)), 5, axis=1)[:, :w]
+    f1 = f0.copy()
+    f1[5:7, 4:19] = 200                             # small change
+    payload = _encode_msrle8_avi([f0, f1])
+    ww, hh, nn, frames = _decode_video(payload)
+    assert (ww, hh, nn) == (w, h, 2)
+    assert np.array_equal(frames, np.stack([f0, f1]))
+    sizes = []
+    pos = payload.find(b"00dc")
+    while pos != -1:
+        sizes.append(_s.unpack("<I", payload[pos + 4:pos + 8])[0])
+        pos = payload.find(b"00dc", pos + 8)
+    assert sizes[1] < sizes[0] / 2, sizes
+
+
+def test_msrle8_delta_opcode_skips_pixels():
+    """The 00 02 (dx, dy) delta opcode jumps the write position; the
+    jumped-over pixels keep the previous frame's content."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_video
+
+    # hand-build: frame 1 fills 8x8 with 50 (8 runs + EOLs); frame 2:
+    # one run of 2 at the bottom-left, delta right 3 / up 2, a run of
+    # 2 of value 9, then EOB — everything else keeps frame 1.
+    f1_rows = (bytes([8, 50]) + b"\x00\x00") * 8 + b"\x00\x01"
+    f2 = bytes([2, 7]) + b"\x00\x02" + bytes([3, 2]) + bytes([2, 9]) + b"\x00\x01"
+    base = _encode_msrle8_avi([np.zeros((8, 8), dtype=np.uint8)])
+    # replace the single generated chunk with our two hand-built ones
+    head, movi_kw, _rest = base.partition(b"LIST")
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b"")
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", f1_rows) + chunk(b"00dc", f2))
+    # head still contains the hdrl LIST; base layout: RIFF(AVI hdrl movi)
+    hdrl_end = base.find(b"LIST", base.find(b"hdrl"))
+    hdrl_end = base.find(b"movi") - 8
+    payload = base[:hdrl_end] + movi
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    ww, hh, nn, frames = _decode_video(payload)
+    assert (ww, hh, nn) == (8, 8, 2)
+    want1 = np.full((8, 8), 50, dtype=np.uint8)
+    assert np.array_equal(frames[0], want1)
+    want2 = want1.copy()
+    want2[7, 0:2] = 7            # bottom row, first run
+    want2[5, 5:7] = 9            # after delta dx=3 dy=2: x=5, row=2 -> y=5
+    assert np.array_equal(frames[1], want2)
