@@ -68,6 +68,8 @@ def _paths(store_dir: str) -> dict[str, str]:
         "reports": os.path.join(store_dir, "reports"),
         "nd_index": os.path.join(store_dir, "neardup", "index"),
         "nd_pairs": os.path.join(store_dir, "neardup", "pairs"),
+        "emb_index": os.path.join(store_dir, "neardup_emb", "index"),
+        "emb_pairs": os.path.join(store_dir, "neardup_emb", "pairs"),
         "ledger": os.path.join(store_dir, "ledger.json"),
     }
 
@@ -109,14 +111,26 @@ def refresh_corpus(
     source_col: str = "source",
     compact_every: int = 8,
     neardup_threshold: float = 0.7,
+    embedding_batch_path: str | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    embedding_threshold: float = 0.9,
 ) -> dict:
     """Run the refresh loop for one landed batch; returns a summary
     dict (batch_id, replay flag, upsert counts, per-source report
     rows, whether compaction ran). See the module docstring for the
-    step-by-step contract."""
+    step-by-step contract.
+
+    ``embedding_batch_path`` (optional): the batch's embedding table,
+    folded into the hyperplane-LSH embedding near-dup monitor
+    (``neardup_emb/``) under the same batch id — the third
+    incremental-dedup modality, with the same exactly-once and
+    compaction discipline."""
     from data_ingestors_spark.io.writers import upsert
     from data_ingestors_spark.streaming.neardup import (
+        compact_embedding_neardup_index,
         compact_neardup_index,
+        embedding_neardup_fold_batch,
         incremental_dedup_fold_batch,
         neardup_fold_batch,
     )
@@ -155,6 +169,13 @@ def refresh_corpus(
         spark, batch, batch_id, p["nd_index"], p["nd_pairs"],
         text_col=text_col, id_col=id_col, threshold=neardup_threshold,
     )
+    if embedding_batch_path is not None:
+        embedding_neardup_fold_batch(
+            spark, spark.read.parquet(embedding_batch_path), batch_id,
+            p["emb_index"], p["emb_pairs"],
+            id_col=vec_id_col, vec_col=vec_col,
+            threshold=embedding_threshold,
+        )
     # 4. ledger last — everything above is idempotent by batch id
     _write_ledger(p["ledger"], ledger + [batch_path])
     # 5. bounded-layer maintenance
@@ -162,6 +183,8 @@ def refresh_corpus(
         from data_ingestors_spark.io.writers import compact_table
 
         compact_neardup_index(spark, p["nd_index"])
+        if os.path.isdir(p["emb_index"]):
+            compact_embedding_neardup_index(spark, p["emb_index"])
         summary["compact_stats"] = compact_table(spark, p["corpus"])
         summary["compacted"] = True
 

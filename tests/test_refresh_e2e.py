@@ -158,3 +158,58 @@ def test_refresh_cli_subcommand(spark, store, tmp_path, capsys):
     summary = json.loads(out)
     assert summary["batch_id"] == 2 and summary["replay"] is False
     assert summary["upsert"]["inserted"] == 1
+
+
+def test_refresh_embedding_monitor(spark, tmp_path):
+    """Optional embedding batches advance the hyperplane-LSH embedding
+    near-dup monitor under the same batch ids: cumulative pairs equal
+    the batch operator over the union, and compaction folds the
+    sketch index to one layer."""
+    import numpy as np
+
+    from data_ingestors_spark.ingest.refresh import refresh_corpus
+    from data_ingestors_spark.operators.similarity import blocked_cosine_pairs
+    from data_ingestors_spark.streaming.neardup import BATCH_PART_COL
+
+    rng = np.random.RandomState(97)
+    base = rng.randn(6, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+
+    def vec_rows(ids, vecs):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    # batch 2 vector 10 is a near-dup of batch 1 vector 0
+    near = base[0] + 0.01 * rng.randn(16)
+    near /= np.linalg.norm(near)
+    e1 = str(tmp_path / "emb1")
+    e2 = str(tmp_path / "emb2")
+    vec_rows(range(6), base).coalesce(1).write.parquet(e1)
+    vec_rows([10, 11], [near, base[3] * -1]).coalesce(1).write.parquet(e2)
+
+    b1 = _write_batch(spark, tmp_path, "db1", [(1, "web", LOREM)])
+    b2 = _write_batch(spark, tmp_path, "db2", [(2, "web", OTHER)])
+    store_dir = str(tmp_path / "store")
+    refresh_corpus(spark, store_dir, b1, compact_every=2, embedding_batch_path=e1)
+    r2 = refresh_corpus(spark, store_dir, b2, compact_every=2, embedding_batch_path=e2)
+    assert r2["compacted"] is True
+
+    pairs_dir = os.path.join(store_dir, "neardup_emb", "pairs")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_dir).drop(BATCH_PART_COL).collect()
+    }
+    union = spark.read.parquet(e1).unionByName(spark.read.parquet(e2))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_cosine_pairs(
+            union, id_col="vec_id", vec_col="embedding",
+            threshold=0.9, dim=16
+        ).collect()
+    }
+    assert got == want and (0, 10) in got
+    # compaction folded the sketch index to the -1 layer
+    sk = spark.read.parquet(os.path.join(store_dir, "neardup_emb", "index", "sketches"))
+    assert [r[0] for r in sk.select(BATCH_PART_COL).distinct().collect()] == [-1]

@@ -33,8 +33,10 @@ FIELDS = ("exch", "bhj", "smj", "cart", "push")
 
 def parse_scale_md(path: str) -> dict[str, dict]:
     rows: dict[str, dict] = {}
+    # the push cell may carry a footnote marker (strip_dup_spans¹:
+    # the count-prunes-projection timing caveat, SCALE.md r11)
     pat = re.compile(
-        r"^\| (\S+) \| (\d+|—) \| (\d+|—) \| (\d+|—) \| (\d+|—) \| (?:\d+|—) \| (yes|—|error.*?) \|$"
+        r"^\| (\S+) \| (\d+|—) \| (\d+|—) \| (\d+|—) \| (\d+|—) \| (?:\d+|—) \| (yes|—|error.*?)¹? \|$"
     )
     with open(path) as f:
         for line in f:
