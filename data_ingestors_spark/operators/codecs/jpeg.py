@@ -348,14 +348,18 @@ def _jpeg_diff_class(diff: int, L: int, U: int) -> int:
 
 
 def _jpeg_arith_decode_diff(dec, st, ca, cb, L, U) -> int:
-    """One lossless-mode DIFF decode (T.81 Annex F lossless
-    statistical model, the arithmetic counterpart of Annex H): the
-    same zero/sign/magnitude-category/magnitude-bits decision tree as
-    DC coding, but conditioned on the classes of the DIFFs already
-    coded at neighbours a (left) and b (above) — 25 two-neighbour
-    contexts of 4 bins (S0/SS/SP/SN), plus two 30-bin magnitude areas
-    (15-bin X chain + 15 M bins) selected by whether Db's class is
-    'large'. ``st`` is the 160-bin statistics area for one scan."""
+    """One lossless-mode DIFF decode: the same zero/sign/magnitude-
+    category/magnitude-bits decision tree as DC coding, conditioned
+    on the classes of the DIFFs already coded at neighbours a (left)
+    and b (above) — the two-neighbour 5x5 conditioning design of
+    T.81 F.1.4.4.3 (25 contexts of 4 bins S0/SS/SP/SN, magnitude
+    areas selected by Db's size class). The exact bin-area LAYOUT
+    (two 30-bin magnitude areas: 15-bin X chain + 15 M bins; 160
+    bins total) is this module's documented convention; decode is
+    verified bit-exact against the independent in-repo reference
+    encoder (tests/test_multimodal.py _qm_encode_diff — the same
+    parity standard the SOF9/SOF10 paths use). ``st`` is the 160-bin
+    statistics area for one scan."""
     base = 4 * (5 * ca + cb)
     if dec.decode(st[base]) == 0:
         return 0
