@@ -32,6 +32,15 @@ from data_ingestors_spark.functions.rounding import fround
 #: :func:`blocked_cosine_pairs`.
 GRID_PAIRS_CELLS_CUTOVER = 10_000_000
 
+#: Analytic LSH candidate fraction below which ``blocked_cosine_pairs``
+#: auto picks the LSH tier (r11). Breakeven from measurement: the LSH
+#: path clears ~0.65M candidates/s (sketch join + dedup + vector join
+#: + batched cosine) while the exact GEMM grid clears 16-74M pairs/s,
+#: so LSH wins only when f < ~1/25; 0.02 keeps a 2x margin. At t=0.9
+#: the planner's f is 0.10 -> grid; at t>=0.96 f drops below the
+#: cutover and the ids-only bucket join becomes the scale path.
+LSH_PAIRS_CANDIDATE_CUTOVER = 0.02
+
 
 def _spread_df(df: DataFrame) -> DataFrame:
     """Repartition an under-partitioned input up to default
@@ -967,7 +976,24 @@ def blocked_cosine_pairs(
             sample_rows=sample_rows, seed=seed,
         )
     params = _lsh_pair_params(threshold, recall_eps=recall_eps)
-    if strategy == "lsh" or (strategy == "auto" and params is not None):
+    if strategy == "lsh" or (
+        strategy == "auto"
+        and params is not None
+        and params[2] < LSH_PAIRS_CANDIDATE_CUTOVER
+    ):
+        # auto gates LSH on the analytic candidate fraction f, not
+        # mere feasibility (r11): LSH verification pays a per-
+        # CANDIDATE cost (bucket self-join + dedup + a vector join
+        # into the batched cosine UDF) that measured 25-100x the
+        # per-PAIR cost of the exact GEMM grid — 20k unblocked
+        # vectors at t=0.9 (f=0.10): lsh 35-55 s vs grid 2.7-12.5 s
+        # vs cells 4.1-4.9 s, both corpus shapes (BASELINE.md §r11).
+        # Above the cutover the candidate set is itself ~f.n² — no
+        # asymptotic advantage to buy back the constant — so auto
+        # falls through to the grid/cells cost model; below it
+        # (very high thresholds), LSH's ids-only bucket join is the
+        # genuine 100 TB path. Forced strategy="lsh" is honored
+        # unconditionally.
         if params is None:
             raise ValueError(
                 f"strategy='lsh' but no recall-safe LSH params exist for threshold={threshold}"

@@ -185,11 +185,16 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label block.
 
-    At t=0.9 the analytic gate picks LSH-bucketed candidates + exact
-    verify (8 planes × 27 tables → per-pair miss ≤ 1e-4, ~10× pruning
-    on random pairs); the pair join is keyed on (block, tbl, bucket),
-    so its per-task input is bounded by bucket occupancy, not label
-    block size (the r4 all-pairs block join this replaces)."""
+    At t=0.9 the r11 cost model routes auto to the EXACT chunked-grid
+    GEMM: recall-safe LSH params exist (8 planes × 27 tables) but
+    their analytic candidate fraction (0.10) exceeds
+    LSH_PAIRS_CANDIDATE_CUTOVER — measured 13-20× slower than the
+    grid at 20k vectors on both corpus shapes (BASELINE.md §r11),
+    because every candidate pays a bucket-join + vector-join +
+    batched-cosine cost while the grid scores pairs at BLAS speed.
+    Per-task input stays bounded by chunk_rows, not label block size.
+    LSH engages under auto only past t≈0.93, where its ids-only
+    bucket join prunes hard enough to win."""
     t = tables(spark, sf_dir, "embeddings")
     return S.blocked_cosine_pairs(
         t["embeddings"], id_col="vec_id", vec_col="embedding",

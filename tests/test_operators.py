@@ -930,10 +930,14 @@ def test_blocked_cosine_pairs_grid_matches_bruteforce(spark, sf_dir):
 
 
 def test_blocked_cosine_pairs_lsh_exact_on_planted_neardups(spark):
-    """LSH path at t=0.9: planted near-duplicates (perturbed copies,
-    cos >= ~0.95) must ALL be found — candidate recall is total on this
-    fixture, and exact-verify makes the output identical to brute
-    force (deterministic: seeded hyperplanes, fixed data)."""
+    """FORCED LSH path at t=0.9: planted near-duplicates (perturbed
+    copies, cos >= ~0.95) must ALL be found — candidate recall is
+    total on this fixture, and exact-verify makes the output identical
+    to brute force (deterministic: seeded hyperplanes, fixed data).
+    Forced because r11's auto cost model routes t=0.9 (analytic
+    f=0.10 > LSH_PAIRS_CANDIDATE_CUTOVER) to the faster exact grid;
+    the LSH machinery stays covered here and engages under auto only
+    at very high thresholds."""
     import numpy as np
 
     from data_ingestors_spark.operators.similarity import (
@@ -953,26 +957,47 @@ def test_blocked_cosine_pairs_lsh_exact_on_planted_neardups(spark):
     df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
 
     params = _lsh_pair_params(0.9)
-    assert params is not None and params[2] <= 0.15  # gate: LSH engages and prunes
-    got = blocked_cosine_pairs(df, threshold=0.9, block_col="label").collect()
+    assert params is not None and params[2] <= 0.15  # params exist and prune
+    got = blocked_cosine_pairs(
+        df, threshold=0.9, block_col="label", strategy="lsh"
+    ).collect()
     want = _brute_pairs(spark, df, 0.9).collect()
     assert len(want) >= 40  # every planted duplicate qualifies
     assert _pairset(got) == _pairset(want)
 
 
 def test_blocked_cosine_pairs_gate_routes_by_threshold(spark, sf_dir):
-    """auto strategy: t=0.35 -> grid (exact; LSH cannot prune that
-    close to 90deg), t=0.9 -> LSH. Asserted via the analytic gate plus
-    a fixture run of the auto path agreeing with brute force at both
-    thresholds (at t=0.9 the fixture has no qualifying pairs - the
-    assertion is exactly the driver-oracle condition: empty == empty)."""
+    """auto strategy routing (r11 cost model): t=0.35 -> grid (no
+    recall-safe LSH params exist that close to 90deg); t=0.9 -> grid
+    too (params exist but analytic f=0.10 exceeds
+    LSH_PAIRS_CANDIDATE_CUTOVER — the per-candidate verify cost would
+    lose 13-20x to the exact GEMM, BASELINE.md §r11); t>=0.95 -> LSH
+    (f=0.004 < cutover). Routing asserted by instrumenting
+    _lsh_cosine_pairs; results agree with brute force at both fixture
+    thresholds."""
+    import data_ingestors_spark.operators.similarity as S
     from data_ingestors_spark.operators.similarity import (
+        LSH_PAIRS_CANDIDATE_CUTOVER,
         _lsh_pair_params,
         blocked_cosine_pairs,
     )
 
     assert _lsh_pair_params(0.35) is None
-    assert _lsh_pair_params(0.9) is not None
+    assert _lsh_pair_params(0.9)[2] > LSH_PAIRS_CANDIDATE_CUTOVER
+    assert _lsh_pair_params(0.95)[2] < LSH_PAIRS_CANDIDATE_CUTOVER
+
+    routed = []
+    real = S._lsh_cosine_pairs
+    orig = S._lsh_cosine_pairs
+    try:
+        S._lsh_cosine_pairs = lambda *a, **k: routed.append(1) or real(*a, **k)
+        emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        blocked_cosine_pairs(emb0, threshold=0.9, block_col="label").collect()
+        assert not routed, "t=0.9 must route to the exact grid (f=0.10)"
+        blocked_cosine_pairs(emb0, threshold=0.95, block_col="label").collect()
+        assert routed, "t=0.95 must route to LSH (f=0.004)"
+    finally:
+        S._lsh_cosine_pairs = orig
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     for t in (0.35, 0.9):
         got = blocked_cosine_pairs(emb, threshold=t, block_col="label").collect()
