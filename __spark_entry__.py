@@ -50,7 +50,10 @@ _DRIVER_SAMPLE_ANCHORS = [
     "pricing_summary", "revenue_by_nation", "bottleneck_supplier",
     "semi_join", "semantic_dedup", "triangle_count",
     "tumbling_window", "dedup_clusters", "cluster_canonical",
-    "topk_per_group",
+    # r11: plan changed this round (auto LSH->grid cost-model fix,
+    # BASELINE.md §r11) — the driver must re-verify exactly what
+    # changed; replaces the many-times-checked topk_per_group.
+    "embedding_neardup",
 ]
 _DRIVER_SAMPLE_ROTATION = [
     # r11 rotation: 40 first-ever names (none in any CORRECTNESS_r*
