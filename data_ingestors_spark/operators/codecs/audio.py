@@ -594,3 +594,137 @@ def _ms_adpcm_decode(
     if fact is not None:
         x = x[:fact]
     return x
+
+
+# --- perceptual-codec METADATA (header walk only; decode stays stubbed) --
+
+# MPEG audio bitrate table [version_group][layer][index] in kbit/s
+# (index 0 = free, 15 = bad) and sample-rate table [version][index],
+# per the public MPEG-1/2 audio frame-header layout (ISO 11172-3 /
+# 13818-3 framing — the same constants every tag reader ships).
+_MP3_BITRATES = {
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # version bits: 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+
+
+def _mp3_metadata(content: bytes) -> dict:
+    """MP3/MPEG-audio METADATA from a frame-header walk — no sample
+    decode (the perceptual synthesis stays behind the honest stub):
+    sample rate, channels, average bitrate, frame count, and duration
+    (Xing/Info VBR frame count when present, else counted frames).
+    Raises ValueError when no MPEG frame sync is found."""
+    pos = 0
+    # skip an ID3v2 tag: 10-byte header, syncsafe length
+    if content[:3] == b"ID3" and len(content) >= 10:
+        ln = 0
+        for b in content[6:10]:
+            ln = (ln << 7) | (b & 0x7F)
+        pos = 10 + ln
+    n_frames = 0
+    sr = channels = None
+    samples_per_frame = 0
+    kbps_sum = 0
+    xing_frames = None
+    while pos + 4 <= len(content):
+        b0, b1, b2, b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk / tag after the last frame
+            pos += 1
+            continue
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = 4 - ((b1 >> 1) & 0x3)  # 1..3; (b1>>1)&3 == 0 reserved
+        if version == 1 or ((b1 >> 1) & 0x3) == 0:
+            pos += 1
+            continue
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        vgroup = 1 if version == 3 else 2
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (b2 >> 1) & 0x1
+        if layer == 1:
+            spf = 384
+            size = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            spf = 1152 if (layer == 3 and version == 3) or layer == 2 else 576
+            size = spf // 8 * kbps * 1000 // rate + padding
+        if size <= 4:
+            pos += 1
+            continue
+        if n_frames == 0:
+            sr = rate
+            channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+            samples_per_frame = spf
+            # Xing/Info header (VBR): frame count field
+            for off in (pos + 36, pos + 21, pos + 13):  # stereo/mono MPEG1/2
+                tag = content[off : off + 4]
+                if tag in (b"Xing", b"Info") and content[off + 7 : off + 8]:
+                    flags = int.from_bytes(content[off + 4 : off + 8], "big")
+                    if flags & 1:
+                        xing_frames = int.from_bytes(
+                            content[off + 8 : off + 12], "big"
+                        )
+                    break
+        n_frames += 1
+        kbps_sum += kbps
+        pos += size
+    if not n_frames or sr is None:
+        raise ValueError("no MPEG audio frame sync found")
+    frames = xing_frames if xing_frames else n_frames
+    return {
+        "codec": "mp3",
+        "sample_rate": sr,
+        "channels": channels,
+        "duration_s": round(frames * samples_per_frame / sr, 6),
+        "n_frames": frames,
+        "avg_kbps": round(kbps_sum / n_frames, 1),
+    }
+
+
+def _ogg_vorbis_metadata(content: bytes) -> dict:
+    """Ogg/Vorbis METADATA from the container walk — no sample decode:
+    channels + sample rate from the Vorbis identification header
+    (first packet of the first page), duration from the LAST page's
+    granule position (total PCM samples per the Ogg/Vorbis mapping).
+    Raises ValueError on a non-Vorbis or truncated stream."""
+    if content[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    # identification header: first page's first packet
+    seg_n = content[26]
+    body = 27 + seg_n
+    if content[body : body + 7] != b"\x01vorbis":
+        raise ValueError("first Ogg packet is not a Vorbis id header")
+    channels = content[body + 11]
+    sr = int.from_bytes(content[body + 12 : body + 16], "little")
+    if not sr:
+        raise ValueError("Vorbis id header carries zero sample rate")
+    # walk pages for the last granulepos
+    pos = 0
+    last_granule = 0
+    n_pages = 0
+    while pos + 27 <= len(content) and content[pos : pos + 4] == b"OggS":
+        gran = int.from_bytes(content[pos + 6 : pos + 14], "little", signed=True)
+        if gran > 0:
+            last_granule = gran
+        nseg = content[pos + 26]
+        seg_table = content[pos + 27 : pos + 27 + nseg]
+        pos += 27 + nseg + sum(seg_table)
+        n_pages += 1
+    return {
+        "codec": "vorbis",
+        "sample_rate": sr,
+        "channels": channels,
+        "duration_s": round(last_granule / sr, 6),
+        "n_pages": n_pages,
+    }

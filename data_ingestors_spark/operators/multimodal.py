@@ -88,6 +88,8 @@ from .codecs.jpeg import (  # noqa: F401
 from .codecs.audio import (  # noqa: F401
     _alaw_table,
     _decode_audio,
+    _mp3_metadata,
+    _ogg_vorbis_metadata,
     _decode_flac,
     _flac_crc16,
     _flac_crc8,
@@ -166,6 +168,67 @@ def image_features(df: DataFrame, id_col: str, bin_col: str, resize_to: int = 8)
         run,
         "id long, features array<double>, mean_intensity double, std_intensity double, error string",
     )
+
+
+AUDIO_META_SCHEMA = (
+    "id long, codec string, sample_rate int, channels int, "
+    "duration_s double, n_bytes long, error string"
+)
+
+
+def audio_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Typed audio metadata per clip WITHOUT requiring a full decode:
+    WAV/FLAC/FAKEAUD go through the real decoders; mp3 and Ogg/Vorbis
+    — whose sample synthesis stays behind the honest stub — report
+    sample rate / channels / duration from a pure header walk
+    (codecs/audio.py _mp3_metadata / _ogg_vorbis_metadata: MPEG frame
+    headers + Xing VBR count; Ogg page granule positions). The 100 TB
+    shape matches image_metadata: binary payloads never leave the
+    executor, one compact struct row out per clip."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["b"]):
+                nb = len(b) if b is not None else 0
+                try:
+                    raw = bytes(b)
+                    if raw[:3] == b"ID3" or (
+                        len(raw) > 1 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        m = _mp3_metadata(raw)
+                    elif raw[:4] == b"OggS":
+                        m = _ogg_vorbis_metadata(raw)
+                    else:
+                        sr, x = _decode_audio(raw)
+                        codec = (
+                            "flac" if raw[:4] == b"fLaC"
+                            else "fake" if raw.startswith(AUD_MAGIC)
+                            else "wav"
+                        )
+                        m = {
+                            "codec": codec, "sample_rate": sr, "channels": 1,
+                            "duration_s": round(len(x) / sr, 6),
+                        }
+                    rows.append(
+                        (i, m["codec"], m["sample_rate"], m.get("channels"),
+                         m["duration_s"], nb, None)
+                    )
+                except NotImplementedError as e:
+                    rows.append((i, None, None, None, None, nb, str(e)))
+                except Exception as e:
+                    rows.append(
+                        (i, None, None, None, None, nb,
+                         f"metadata failed: {type(e).__name__}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "codec", "sample_rate", "channels",
+                         "duration_s", "n_bytes", "error"],
+            )
+
+    return src.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:

@@ -3807,3 +3807,116 @@ def test_msrle8_delta_opcode_skips_pixels():
     want2[7, 0:2] = 7            # bottom row, first run
     want2[5, 5:7] = 9            # after delta dx=3 dy=2: x=5, row=2 -> y=5
     assert np.array_equal(frames[1], want2)
+
+
+# --- r11: mp3 / Ogg-Vorbis METADATA (header walk; decode stays stubbed) --
+
+
+def _mp3_frame(kbps=128, sr=44100, mono=False, fill=0xAA):
+    """One well-formed MPEG1 Layer III frame (header + payload)."""
+    br_table = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    sr_table = [44100, 48000, 32000]
+    b0 = 0xFF
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG1, layer III, no CRC
+    b2 = (br_table.index(kbps) << 4) | (sr_table.index(sr) << 2)
+    b3 = 0xC0 if mono else 0x00
+    size = 144 * kbps * 1000 // sr
+    return bytes([b0, b1, b2, b3]) + bytes([fill]) * (size - 4)
+
+
+def test_mp3_metadata_cbr_and_id3():
+    """CBR mp3 behind an ID3v2 tag: frame count, sample rate,
+    channels, duration, and average bitrate from the header walk."""
+    from data_ingestors_spark.operators.multimodal import _mp3_metadata
+
+    frames = b"".join(_mp3_frame() for _ in range(10))
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    m = _mp3_metadata(id3 + frames)
+    assert m["codec"] == "mp3" and m["sample_rate"] == 44100
+    assert m["channels"] == 2 and m["n_frames"] == 10
+    assert m["avg_kbps"] == 128.0
+    assert abs(m["duration_s"] - 10 * 1152 / 44100) < 1e-6
+
+
+def test_mp3_metadata_xing_vbr_frame_count():
+    """A Xing header in the first frame overrides the counted frames
+    (the VBR duration convention)."""
+    from data_ingestors_spark.operators.multimodal import _mp3_metadata
+
+    f0 = bytearray(_mp3_frame(mono=False))
+    f0[36:40] = b"Xing"
+    f0[40:44] = (1).to_bytes(4, "big")       # flags: FRAMES
+    f0[44:48] = (500).to_bytes(4, "big")     # total frames
+    m = _mp3_metadata(bytes(f0) + _mp3_frame())
+    assert m["n_frames"] == 500
+    assert abs(m["duration_s"] - 500 * 1152 / 44100) < 1e-6
+
+
+def _ogg_page(granule, segments, first=False, serial=1, seq=0):
+    import struct
+
+    body = b"".join(segments)
+    seg_table = bytes(len(s) for s in segments)  # each segment < 255
+    hdr = (
+        b"OggS" + bytes([0, 2 if first else 0])
+        + struct.pack("<q", granule) + struct.pack("<I", serial)
+        + struct.pack("<I", seq) + b"\x00\x00\x00\x00"
+        + bytes([len(segments)]) + seg_table
+    )
+    return hdr + body
+
+
+def test_ogg_vorbis_metadata():
+    """Ogg/Vorbis: channels + rate from the id header, duration from
+    the last page's granule position."""
+    import struct
+
+    from data_ingestors_spark.operators.multimodal import _ogg_vorbis_metadata
+
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", 48000) + bytes(16)
+    )
+    pages = (
+        _ogg_page(0, [ident], first=True)
+        + _ogg_page(24000, [b"\x05" * 100], seq=1)
+        + _ogg_page(96000, [b"\x05" * 50], seq=2)
+    )
+    m = _ogg_vorbis_metadata(pages)
+    assert m["codec"] == "vorbis" and m["sample_rate"] == 48000
+    assert m["channels"] == 2 and m["n_pages"] == 3
+    assert abs(m["duration_s"] - 2.0) < 1e-9
+
+
+def test_audio_metadata_operator_mixed_payloads(spark):
+    """audio_metadata over mixed clips: FAKEAUD and WAV through the
+    real decoders, mp3 and Ogg through the header walk, junk rows
+    carry an error — one typed struct row per clip."""
+    from data_ingestors_spark.operators.multimodal import audio_metadata
+
+    import struct
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 16) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 16) + bytes(16)
+    )
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+        + struct.pack("<I", 16000) + bytes(16)
+    )
+    rows = [
+        (1, bytearray(b"FAKEAUD:8000:" + bytes(32))),
+        (2, bytearray(wav)),
+        (3, bytearray(b"".join(_mp3_frame(mono=True) for _ in range(4)))),
+        (4, bytearray(_ogg_page(0, [ident], first=True) + _ogg_page(8000, [b"x"], seq=1))),
+        (5, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, clip binary")
+    got = {r["id"]: r.asDict() for r in audio_metadata(df, "id", "clip").collect()}
+    assert got[1]["codec"] == "fake" and got[1]["sample_rate"] == 8000
+    assert got[2]["codec"] == "wav" and got[2]["duration_s"] == 0.001
+    assert got[3]["codec"] == "mp3" and got[3]["channels"] == 1
+    assert got[4]["codec"] == "vorbis" and got[4]["duration_s"] == 0.5
+    assert got[5]["codec"] is None and got[5]["error"]
+    assert all(got[i]["n_bytes"] > 0 for i in got)
