@@ -216,6 +216,33 @@ def _decode_msvideo1_avi(
     return w, h, len(frames), np.stack(frames)
 
 
+def _avi_metadata(content: bytes) -> dict:
+    """AVI container METADATA without decoding frames: dims + codec
+    fourcc from strf, frame count from the chunk walk, fps from the
+    video strh rate/scale pair when present."""
+    payloads, fmt = _avi_streams(content)
+    fps = None
+    pos = content.find(b"strh")
+    if pos != -1 and content[pos + 8 : pos + 12] == b"vids":
+        import struct
+
+        scale = struct.unpack("<I", content[pos + 28 : pos + 32])[0]
+        rate = struct.unpack("<I", content[pos + 32 : pos + 36])[0]
+        if scale:
+            fps = round(rate / scale, 3)
+    comp = fmt.get("compression", b"")
+    if comp and len(comp) == 4 and int.from_bytes(comp, "little") == 1:
+        codec = "rle8"
+    elif payloads and payloads[0][:2] == b"\xff\xd8":
+        codec = "mjpeg"
+    else:
+        codec = comp.decode("ascii", "replace").strip("\x00 ").lower() or None
+    return {
+        "codec": codec, "width": fmt.get("w"), "height": fmt.get("h"),
+        "n_frames": len(payloads), "fps": fps,
+    }
+
+
 def _decode_avi(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """REAL frame decode for AVI: Motion-JPEG (payloads start with a
     JPEG SOI) or MS Video 1 (strf fourcc CRAM/MSVC/WHAM — inter-frame

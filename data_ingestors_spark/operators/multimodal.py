@@ -102,7 +102,11 @@ from .codecs.audio import (  # noqa: F401
     _mulaw_table,
     _wav_chunks,
 )
-from .codecs.video import _decode_mjpeg_avi, _decode_video  # noqa: F401
+from .codecs.video import (  # noqa: F401
+    _avi_metadata,
+    _decode_mjpeg_avi,
+    _decode_video,
+)
 
 
 # --- operators ----------------------------------------------------------
@@ -276,6 +280,62 @@ def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         "id long, sample_rate int, n_samples long, duration_s double, rms double, "
         "zcr double, spectral_centroid double, dominant_freq double, error string",
     )
+
+
+VIDEO_META_SCHEMA = (
+    "id long, codec string, width int, height int, n_frames int, "
+    "fps double, n_bytes long, error string"
+)
+
+
+def video_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Typed video metadata per clip WITHOUT decoding frames: AVI
+    clips report codec fourcc / dims / chunk-walk frame count / fps
+    from the container headers (codecs/video.py _avi_metadata);
+    FAKEVID and animated GIF go through the cheap header parse. Same
+    100 TB shape as image_metadata / audio_metadata."""
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("b"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["b"]):
+                nb = len(b) if b is not None else 0
+                try:
+                    raw = bytes(b)
+                    if raw.startswith(VID_MAGIC):
+                        head, _ = raw[len(VID_MAGIC):].split(b":", 1)
+                        w, h, n = (int(x) for x in head.decode().split("x"))
+                        m = {"codec": "fake", "width": w, "height": h,
+                             "n_frames": n, "fps": None}
+                    elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        m = _avi_metadata(raw)
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, n, _ = _decode_gif_frames(raw)
+                        m = {"codec": "gif", "width": w, "height": h,
+                             "n_frames": n, "fps": None}
+                    else:
+                        raise NotImplementedError(
+                            "no video container recognized for this payload"
+                        )
+                    rows.append(
+                        (i, m["codec"], m["width"], m["height"],
+                         m["n_frames"], m["fps"], nb, None)
+                    )
+                except NotImplementedError as e:
+                    rows.append((i, None, None, None, None, None, nb, str(e)))
+                except Exception as e:
+                    rows.append(
+                        (i, None, None, None, None, None, nb,
+                         f"metadata failed: {type(e).__name__}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "codec", "width", "height", "n_frames",
+                         "fps", "n_bytes", "error"],
+            )
+
+    return src.mapInPandas(run, VIDEO_META_SCHEMA)
 
 
 def video_frame_sample(

@@ -3920,3 +3920,26 @@ def test_audio_metadata_operator_mixed_payloads(spark):
     assert got[4]["codec"] == "vorbis" and got[4]["duration_s"] == 0.5
     assert got[5]["codec"] is None and got[5]["error"]
     assert all(got[i]["n_bytes"] > 0 for i in got)
+
+
+def test_video_metadata_operator(spark):
+    """video_metadata over mixed clips: MS Video 1 AVI reports codec/
+    dims/frames/fps from container headers (no frame decode), FAKEVID
+    and GIF parse cheaply, junk rows carry an error."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import video_metadata
+
+    avi = _encode_msvideo1_avi([np.zeros((6, 8), dtype=np.uint8)] * 3)
+    rows = [
+        (1, bytearray(b"FAKEVID:4x2x5:" + bytes(4 * 2 * 5))),
+        (2, bytearray(avi)),
+        (3, bytearray(b"definitely not a video")),
+    ]
+    df = spark.createDataFrame(rows, "id long, clip binary")
+    got = {r["id"]: r.asDict() for r in video_metadata(df, "id", "clip").collect()}
+    assert got[1]["codec"] == "fake" and (got[1]["width"], got[1]["height"]) == (4, 2)
+    assert got[1]["n_frames"] == 5
+    assert got[2]["codec"] == "cram" and (got[2]["width"], got[2]["height"]) == (8, 6)
+    assert got[2]["n_frames"] == 3 and got[2]["fps"] == 10.0  # strh rate/scale = 10/1
+    assert got[3]["codec"] is None and got[3]["error"]
