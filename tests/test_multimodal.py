@@ -1514,12 +1514,14 @@ def _qm_encode_ac(enc, acs, fixed, blk, Kx, se=63):
         enc.encode(acs[3 * kend], 1)  # EOB at k = kend + 1
 
 
-def _encode_jpeg_arith(gray, *, chroma=None, qval=1, restart=0, dac=None):
+def _encode_jpeg_arith(gray, *, chroma=None, qval=1, restart=0, dac=None,
+                       prec=8):
     """Reference ARITHMETIC sequential JPEG (SOF9) encoder: the T.81
     Annex F statistical model driving the bignum QM encoder above.
     1 component (or 3 at 4:4:4 when ``chroma`` is given), optional
     restart interval (statistics + DC contexts + predictors reset per
-    segment), optional DAC conditioning (dc (L, U), ac Kx)."""
+    segment), optional DAC conditioning (dc (L, U), ac Kx), 8- or
+    12-bit sample precision (level shift 2^(prec-1))."""
     import struct
 
     import numpy as np
@@ -1541,7 +1543,8 @@ def _encode_jpeg_arith(gray, *, chroma=None, qval=1, restart=0, dac=None):
     H, W = -(-h // 8) * 8, -(-w // 8) * 8
     planes = [gray] if chroma is None else [gray, chroma, chroma]
     padded = [
-        np.pad(p.astype(np.float64) - 128, ((0, H - h), (0, W - w)), mode="edge")
+        np.pad(p.astype(np.float64) - float(1 << (prec - 1)),
+               ((0, H - h), (0, W - w)), mode="edge")
         for p in planes
     ]
     L, U = (dac or {}).get("dc", (0, 1))
@@ -1578,7 +1581,7 @@ def _encode_jpeg_arith(gray, *, chroma=None, qval=1, restart=0, dac=None):
 
     nc = len(planes)
     qtab = bytes([0]) + bytes([qval] * 64)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])
     out = b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC9, sof)
@@ -3943,3 +3946,37 @@ def test_video_metadata_operator(spark):
     assert got[2]["codec"] == "cram" and (got[2]["width"], got[2]["height"]) == (8, 6)
     assert got[2]["n_frames"] == 3 and got[2]["fps"] == 10.0  # strh rate/scale = 10/1
     assert got[3]["codec"] is None and got[3]["error"]
+
+
+def test_arith_jpeg_sof9_12bit_precision():
+    """12-bit ARITHMETIC sequential JPEG (SOF9, prec=12): DC DIFF and
+    AC magnitudes walk deep X chains; rendered gray8 matches an
+    independent numpy reconstruction of the same quantized
+    coefficients (the same oracle device as the 12-bit Huffman
+    test)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        _decode_jpeg,
+        _jpeg_idct_matrix,
+    )
+
+    y, x = np.mgrid[0:16, 0:16]
+    plane = (
+        2048 + 1500 * np.sin(x / 2.5) + 400 * np.cos(y / 1.5)
+    ).astype(np.int64).clip(0, 4095)
+    payload = _encode_jpeg_arith(plane, prec=12)
+    w, h, arr = _decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+    # independent recon: quantized DCT coeffs -> IDCT -> +2048 -> top 8 bits
+    A = _jpeg_idct_matrix()
+    want = np.zeros((16, 16))
+    for my in range(2):
+        for mx in range(2):
+            block = plane[my*8:my*8+8, mx*8:mx*8+8].astype(np.float64) - 2048.0
+            Fq = np.rint(A @ block @ A.T)
+            want[my*8:my*8+8, mx*8:mx*8+8] = A.T @ Fq @ A + 2048.0
+    # the decoder renders clip(float)->int64 (truncation), then >>4
+    want8 = (np.clip(want, 0, 4095).astype(np.int64) >> 4).astype(np.uint8)
+    assert np.array_equal(arr, want8)
