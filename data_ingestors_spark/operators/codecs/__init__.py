@@ -20,10 +20,12 @@ IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"FAKEIMG:", b"FAKEAUD:", b"FAKEVID:"
 
 from .raster import (  # noqa: E402
     PNG_SIG,
+    TIFF_SIGS,
     _decode_bmp,
     _decode_gif,
     _decode_gif_frames,
     _decode_png,
+    _decode_tiff,
 )
 from .jpeg import _decode_jpeg  # noqa: E402
 
@@ -53,6 +55,8 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_gif(content)
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg(content)
+    if content[:4] in TIFF_SIGS:
+        return _decode_tiff(content)
     raise NotImplementedError("no image codec available for this payload")
 
 

@@ -502,3 +502,197 @@ def _decode_gif_frames(content: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, len(frames), np.stack(frames)
 
 
+
+
+# --- TIFF (baseline 6.0, strip-based) ------------------------------------
+
+TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first code packing,
+    9→12-bit codes, ClearCode 256 / EOI 257, and the TIFF
+    "early change" (code width bumps one code EARLIER than GIF)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW code")
+            out += entry
+            prev = entry
+            # early change: widen when the NEXT code would not fit
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_out:
+                return bytes(out)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in [0,127] → n+1 literals; n in
+    [-127,-1] → repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _decode_tiff(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline TIFF 6.0 decode — pure stdlib+numpy: both byte
+    orders, strip organization, gray 1/8/16-bit (incl. WhiteIsZero),
+    8-bit RGB(A) (BT.601 luma), palette-color (ColorMap luma);
+    compressions 1 (none), 5 (LZW + optional horizontal predictor),
+    32773 (PackBits). Fail-loud NotImplementedError for tiles, planar
+    configuration 2, and the codec-in-TIFF compressions (CCITT,
+    JPEG) — the same honest-boundary style as the rest of the
+    matrix. Reference parity: image_validator.py:60 lists .tif/.tiff
+    in the default supported set (via PIL); this keeps the battery
+    PIL-less."""
+    if content[:4] not in TIFF_SIGS:
+        raise ValueError("not a TIFF stream")
+    bo = "<" if content[:2] == b"II" else ">"
+
+    def u16(pos):
+        return int.from_bytes(content[pos : pos + 2], "little" if bo == "<" else "big")
+
+    def u32(pos):
+        return int.from_bytes(content[pos : pos + 4], "little" if bo == "<" else "big")
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        tags[u16(e)] = (u16(e + 2), u32(e + 4), e + 8)
+
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        t, cnt, vpos = tags[tag]
+        sz = type_size.get(t)
+        if sz is None:
+            raise ValueError(f"TIFF tag {tag} has unsupported type {t}")
+        total = sz * cnt
+        pos = vpos if total <= 4 else u32(vpos)
+        rd = u16 if t == 3 else u32 if t == 4 else None
+        if t == 1:
+            return list(content[pos : pos + cnt])
+        if rd is None:
+            raise ValueError(f"TIFF tag {tag} type {t} not supported here")
+        return [rd(pos + sz * i) for i in range(cnt)]
+
+    def one(tag, default=None):
+        v = values(tag, None)
+        return default if v is None else v[0]
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bps_list = values(258, [1]) or [1]
+    bps = bps_list[0]
+    if any(b != bps for b in bps_list):
+        raise NotImplementedError("TIFF with mixed bits-per-sample")
+    if one(284, 1) != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    predictor = one(317, 1)
+    rps = one(278, h) or h
+    offsets = values(273)
+    counts = values(279)
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+
+    row_bytes = (w * spp * bps + 7) // 8
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = content[off : off + cnt]
+        nrows = min(rps, h - si * rps)
+        need = row_bytes * nrows
+        if comp == 1:
+            dec = strip[:need]
+        elif comp == 5:
+            dec = _tiff_lzw_decode(strip, need)
+        elif comp == 32773:
+            dec = _packbits_decode(strip, need)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+        if len(dec) < need:
+            raise ValueError("TIFF strip shorter than its rows")
+        raw += dec[:need]
+
+    if bps == 1 and spp == 1:
+        bits = np.unpackbits(
+            np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes), axis=1
+        )[:, :w]
+        plane = bits.astype(np.int64) * 255
+    elif bps == 8:
+        a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp).astype(np.int64)
+        if predictor == 2:
+            a = np.cumsum(a, axis=1) & 0xFF
+        if photo == 2 and spp >= 3:  # RGB(A)
+            plane = (77 * a[..., 0] + 150 * a[..., 1] + 29 * a[..., 2] + 128) >> 8
+        elif photo == 3:  # palette
+            cmap = values(320)
+            if not cmap or len(cmap) < 3 * 256:
+                raise ValueError("palette TIFF missing ColorMap")
+            third = len(cmap) // 3
+            lut = np.array(cmap, dtype=np.int64).reshape(3, third) >> 8
+            idx = a[..., 0]
+            plane = (77 * lut[0][idx] + 150 * lut[1][idx] + 29 * lut[2][idx] + 128) >> 8
+        else:
+            plane = a[..., 0]
+    elif bps == 16 and spp == 1:
+        dt = "<u2" if bo == "<" else ">u2"
+        a = np.frombuffer(bytes(raw), dt).reshape(h, w).astype(np.int64)
+        if predictor == 2:
+            a = np.cumsum(a, axis=1) & 0xFFFF
+        plane = a >> 8
+    else:
+        raise NotImplementedError(f"TIFF {bps}-bit x {spp} samples")
+    if photo == 0:  # WhiteIsZero: invert after the 8-bit rendering
+        plane = 255 - plane
+    return int(w), int(h), plane.astype(np.uint8)

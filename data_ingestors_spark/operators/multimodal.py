@@ -49,10 +49,12 @@ from .codecs.raster import (  # noqa: F401
     _ADAM7,
     _PNG_CHANNELS,
     PNG_SIG,
+    TIFF_SIGS,
     _decode_bmp,
     _decode_gif,
     _decode_gif_frames,
     _decode_png,
+    _decode_tiff,
     _gif_lzw_decode,
     _png_pixels,
     _png_unfilter,

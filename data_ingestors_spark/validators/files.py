@@ -221,9 +221,34 @@ def _bmp_dims(b: bytes) -> tuple[int, int]:
     return w, abs(h)
 
 
+def _tiff_dims(b: bytes) -> tuple[int, int]:
+    """TIFF: first IFD's ImageWidth (256) / ImageLength (257) tags —
+    both byte orders (the reference's default supported set includes
+    .tif/.tiff via PIL, image_validator.py:60; full pixel decode
+    lives in operators/codecs/raster.py _decode_tiff)."""
+    order = "little" if b[:2] == b"II" else "big"
+
+    def u(pos, n):
+        return int.from_bytes(b[pos : pos + n], order)
+
+    ifd = u(4, 4)
+    w = h = None
+    for k in range(u(ifd, 2)):
+        e = ifd + 2 + 12 * k
+        tag, typ = u(e, 2), u(e + 2, 2)
+        val = u(e + 8, 2 if typ == 3 else 4)
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if not w or not h:
+        raise ValueError("TIFF missing dimension tags")
+    return w, h
+
+
 def _header_dims(content: bytes) -> tuple[int, int]:
     """Pure-python dimension extraction from public image container
-    headers (PNG / JPEG / GIF / BMP) — restores fail-loud resolution
+    headers (PNG / JPEG / GIF / BMP / TIFF) — restores fail-loud resolution
     checks when no full decoder (PIL) is installed, matching the
     reference's behavior (image_validator.py:73-382) without adding a
     dependency. Raises ValueError for anything unrecognized/corrupt."""
@@ -235,6 +260,8 @@ def _header_dims(content: bytes) -> tuple[int, int]:
         return _gif_dims(content)
     if content.startswith(b"BM"):
         return _bmp_dims(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_dims(content)
     raise ValueError("unrecognized image format")
 
 

@@ -3980,3 +3980,268 @@ def test_arith_jpeg_sof9_12bit_precision():
     # the decoder renders clip(float)->int64 (truncation), then >>4
     want8 = (np.clip(want, 0, 4095).astype(np.int64) >> 4).astype(np.uint8)
     assert np.array_equal(arr, want8)
+
+
+# --- r11: baseline TIFF (strips; none/LZW/PackBits) ----------------------
+
+
+def _encode_tiff(plane, *, byteorder="<", photo=1, bps=8, spp=1,
+                 compression=1, predictor=1, rows_per_strip=None,
+                 colormap=None, rgb=None):
+    """Reference baseline-TIFF writer: header + one IFD + strip data.
+    ``plane`` is (h, w) indices/gray; ``rgb`` (h, w, 3) overrides it
+    for photometric 2. TIFF-LZW packs MSB-first with early change."""
+    import struct
+
+    import numpy as np
+
+    if rgb is not None:
+        h, w = rgb.shape[:2]
+        spp = 3
+        sample_rows = [bytes(rgb[r].astype(np.uint8).tobytes()) for r in range(h)]
+    else:
+        h, w = plane.shape
+        if bps == 1:
+            sample_rows = [
+                bytes(np.packbits(plane[r].astype(np.uint8) // 255).tobytes())
+                for r in range(h)
+            ]
+        elif bps == 16:
+            dt = "<u2" if byteorder == "<" else ">u2"
+            sample_rows = [plane[r].astype(dt).tobytes() for r in range(h)]
+        else:
+            sample_rows = [plane[r].astype(np.uint8).tobytes() for r in range(h)]
+
+    rps = rows_per_strip or h
+    strips = []
+    for s0 in range(0, h, rps):
+        rows = sample_rows[s0 : s0 + rps]
+        if predictor == 2:
+            # horizontal differencing per row before compression
+            def diff_row(row):
+                a = np.frombuffer(row, np.uint8 if bps == 8 else
+                                  ("<u2" if byteorder == "<" else ">u2")).astype(np.int64)
+                if spp > 1:
+                    a = a.reshape(-1, spp)
+                    d = np.concatenate([a[:1], (a[1:] - a[:-1])], axis=0) & (
+                        (1 << bps) - 1)
+                    d = d.ravel()
+                else:
+                    d = np.concatenate([a[:1], (a[1:] - a[:-1])]) & ((1 << bps) - 1)
+                if bps == 8:
+                    return d.astype(np.uint8).tobytes()
+                return d.astype("<u2" if byteorder == "<" else ">u2").tobytes()
+            rows = [diff_row(r) for r in rows]
+        raw = b"".join(rows)
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 32773:
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                run = 1
+                while i + run < len(raw) and raw[i + run] == raw[i] and run < 128:
+                    run += 1
+                if run >= 2:
+                    out += bytes([257 - run, raw[i]])
+                    i += run
+                else:
+                    lit = i + 1
+                    while (lit < len(raw) and lit - i < 128
+                           and not (lit + 1 < len(raw) and raw[lit] == raw[lit + 1])):
+                        lit += 1
+                    out += bytes([lit - i - 1]) + raw[i:lit]
+                    i = lit
+            strips.append(bytes(out))
+        elif compression == 5:
+            # TIFF-LZW encoder: MSB-first, early change
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            bits = []
+            def put(code):
+                bits.append((code, width))
+            put(256)
+            prev = b""
+            for byte in raw:
+                cur = prev + bytes([byte])
+                if cur in table:
+                    prev = cur
+                    continue
+                put(table[prev])
+                table[cur] = next_code
+                next_code += 1
+                if next_code + 1 >= (1 << width) and width < 12:
+                    width += 1
+                prev = bytes([byte])
+            if prev:
+                put(table[prev])
+            put(257)
+            acc = nb = 0
+            out = bytearray()
+            for code, wd in bits:
+                acc = (acc << wd) | code
+                nb += wd
+                while nb >= 8:
+                    out.append((acc >> (nb - 8)) & 0xFF)
+                    nb -= 8
+            if nb:
+                out.append((acc << (8 - nb)) & 0xFF)
+            strips.append(bytes(out))
+        else:
+            raise AssertionError(compression)
+
+    e = "<" if byteorder == "<" else ">"
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append((tag, typ, cnt, val))
+
+    # layout: 8-byte header, IFD, then value areas, then strips
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 1, bps)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, photo)
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, rps)
+    if predictor != 1:
+        entry(317, 3, 1, predictor)
+    n_strips = len(strips)
+    # compute sizes: IFD then offset arrays then colormap then strips
+    ifd_off = 8
+    extra = []  # (bytes) appended after IFD; entries referencing them patched later
+    n_entries = len(entries) + 2 + (1 if colormap is not None else 0)
+    ifd_size = 2 + 12 * n_entries + 4
+    data_off = ifd_off + ifd_size
+
+    strip_offsets_pos = None
+    cmap_bytes = b""
+    if colormap is not None:
+        cmap_vals = [v for ch in colormap for v in ch]  # 3*2^bps u16
+        cmap_bytes = b"".join(struct.pack(e + "H", v) for v in cmap_vals)
+
+    off_array = b""
+    cnt_array = b""
+    # reserve space: offsets array (u32*n), counts array (u32*n), colormap
+    off_array_pos = data_off
+    cnt_array_pos = off_array_pos + 4 * n_strips
+    cmap_pos = cnt_array_pos + 4 * n_strips
+    strip0 = cmap_pos + len(cmap_bytes)
+    cur = strip0
+    soffs = []
+    for st in strips:
+        soffs.append(cur)
+        cur += len(st)
+    off_array = b"".join(struct.pack(e + "I", o) for o in soffs)
+    cnt_array = b"".join(struct.pack(e + "I", len(st)) for st in strips)
+
+    if n_strips == 1:
+        entry(273, 4, 1, soffs[0])
+        entry(279, 4, 1, len(strips[0]))
+    else:
+        entry(273, 4, n_strips, off_array_pos)
+        entry(279, 4, n_strips, cnt_array_pos)
+    if colormap is not None:
+        entry(320, 3, len(cmap_vals), cmap_pos)
+    entries.sort()
+
+    out = bytearray()
+    out += (b"II*\x00" if e == "<" else b"MM\x00*")
+    out += struct.pack(e + "I", ifd_off)
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            out += struct.pack(e + "HH", val, 0)
+        else:
+            out += struct.pack(e + "I", val)
+    out += struct.pack(e + "I", 0)  # next IFD
+    out += off_array + cnt_array + cmap_bytes
+    for st in strips:
+        out += st
+    return bytes(out)
+
+
+def test_tiff_gray8_both_orders_and_strips():
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_tiff
+
+    rng = np.random.RandomState(101)
+    g = rng.randint(0, 256, size=(9, 14)).astype(np.uint8)
+    for bo in ("<", ">"):
+        for rps in (None, 3):
+            w, h, arr = _decode_tiff(_encode_tiff(g, byteorder=bo, rows_per_strip=rps))
+            assert (w, h) == (14, 9)
+            assert np.array_equal(arr, g), (bo, rps)
+
+
+def test_tiff_packbits_lzw_and_predictor():
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_tiff
+
+    rng = np.random.RandomState(103)
+    g = np.repeat(rng.randint(0, 256, size=(7, 4)), 4, axis=1).astype(np.uint8)[:, :13]
+    for comp, pred in ((32773, 1), (5, 1), (5, 2)):
+        w, h, arr = _decode_tiff(
+            _encode_tiff(g, compression=comp, predictor=pred, rows_per_strip=2)
+        )
+        assert (w, h) == (13, 7)
+        assert np.array_equal(arr, g), (comp, pred)
+
+
+def test_tiff_bilevel_gray16_rgb_palette_whiteiszero():
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_tiff
+
+    rng = np.random.RandomState(107)
+    # 1-bit
+    bw = (rng.rand(6, 11) < 0.5).astype(np.uint8) * 255
+    w, h, arr = _decode_tiff(_encode_tiff(bw, bps=1))
+    assert np.array_equal(arr, bw)
+    # WhiteIsZero inverts
+    w, h, arr = _decode_tiff(_encode_tiff(bw, bps=1, photo=0))
+    assert np.array_equal(arr, 255 - bw)
+    # 16-bit renders the top byte
+    g16 = rng.randint(0, 1 << 16, size=(5, 7)).astype(np.int64)
+    w, h, arr = _decode_tiff(_encode_tiff(g16, bps=16, byteorder=">"))
+    assert np.array_equal(arr, (g16 >> 8).astype(np.uint8))
+    # RGB -> BT.601 luma
+    rgb = rng.randint(0, 256, size=(4, 6, 3)).astype(np.int64)
+    w, h, arr = _decode_tiff(_encode_tiff(None, photo=2, rgb=rgb))
+    want = ((77 * rgb[..., 0] + 150 * rgb[..., 1] + 29 * rgb[..., 2] + 128) >> 8)
+    assert np.array_equal(arr, want.astype(np.uint8))
+    # palette via ColorMap (u16 channels, high byte significant)
+    idx = rng.randint(0, 4, size=(5, 5)).astype(np.uint8)
+    cmap = [[((v * 17) & 0xFF) << 8 for v in range(256)] for _ in range(3)]  # gray ramp
+    w, h, arr = _decode_tiff(_encode_tiff(idx, photo=3, colormap=cmap))
+    lut = (np.arange(256) * 17) & 0xFF
+    assert np.array_equal(arr, lut[idx].astype(np.uint8))
+
+
+def test_tiff_fail_loud_boundaries_and_validator_dims():
+    import numpy as np
+    import pytest
+
+    from data_ingestors_spark.operators.multimodal import _decode_tiff
+    from data_ingestors_spark.validators.files import _header_dims
+
+    g = np.zeros((4, 4), dtype=np.uint8)
+    t = _encode_tiff(g)
+    assert _header_dims(t) == (4, 4)
+    mm = _encode_tiff(g, byteorder=">")
+    assert _header_dims(mm) == (4, 4)
+    # unsupported compression fails loud
+    bad = bytearray(t)
+    # compression tag value: find tag 259 entry and set value 6 (JPEG)
+    import struct
+    n = struct.unpack("<H", bad[8:10])[0]
+    for k in range(n):
+        e = 10 + 12 * k
+        if struct.unpack("<H", bad[e:e+2])[0] == 259:
+            bad[e+8:e+10] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        _decode_tiff(bytes(bad))
