@@ -579,7 +579,7 @@ def _decode_tiff(content: bytes) -> tuple[int, int, np.ndarray]:
     orders, strip organization, gray 1/8/16-bit (incl. WhiteIsZero),
     8-bit RGB(A) (BT.601 luma), palette-color (ColorMap luma);
     compressions 1 (none), 5 (LZW + optional horizontal predictor),
-    32773 (PackBits). Fail-loud NotImplementedError for tiles, planar
+    8/32946 (Deflate), 32773 (PackBits). Fail-loud NotImplementedError for tiles, planar
     configuration 2, and the codec-in-TIFF compressions (CCITT,
     JPEG) — the same honest-boundary style as the rest of the
     matrix. Reference parity: image_validator.py:60 lists .tif/.tiff
@@ -658,6 +658,10 @@ def _decode_tiff(content: bytes) -> tuple[int, int, np.ndarray]:
             dec = _tiff_lzw_decode(strip, need)
         elif comp == 32773:
             dec = _packbits_decode(strip, need)
+        elif comp in (8, 32946):  # Adobe / legacy Deflate
+            import zlib
+
+            dec = zlib.decompress(strip)
         else:
             raise NotImplementedError(f"TIFF compression {comp}")
         if len(dec) < need:

@@ -4053,6 +4053,10 @@ def _encode_tiff(plane, *, byteorder="<", photo=1, bps=8, spp=1,
                     out += bytes([lit - i - 1]) + raw[i:lit]
                     i = lit
             strips.append(bytes(out))
+        elif compression == 8:
+            import zlib as _z
+
+            strips.append(_z.compress(raw))
         elif compression == 5:
             # TIFF-LZW encoder: MSB-first, early change
             table = {bytes([i]): i for i in range(256)}
@@ -4184,7 +4188,7 @@ def test_tiff_packbits_lzw_and_predictor():
 
     rng = np.random.RandomState(103)
     g = np.repeat(rng.randint(0, 256, size=(7, 4)), 4, axis=1).astype(np.uint8)[:, :13]
-    for comp, pred in ((32773, 1), (5, 1), (5, 2)):
+    for comp, pred in ((32773, 1), (5, 1), (5, 2), (8, 1), (8, 2)):
         w, h, arr = _decode_tiff(
             _encode_tiff(g, compression=comp, predictor=pred, rows_per_strip=2)
         )
