@@ -25,6 +25,7 @@ from .raster import (  # noqa: E402
     _decode_gif,
     _decode_gif_frames,
     _decode_png,
+    _decode_pnm,
     _decode_tiff,
 )
 from .jpeg import _decode_jpeg  # noqa: E402
@@ -57,6 +58,8 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         return _decode_jpeg(content)
     if content[:4] in TIFF_SIGS:
         return _decode_tiff(content)
+    if content[:1] == b"P" and len(content) > 1 and content[1:2] in b"123456":
+        return _decode_pnm(content)
     raise NotImplementedError("no image codec available for this payload")
 
 

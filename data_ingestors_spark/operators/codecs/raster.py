@@ -700,3 +700,74 @@ def _decode_tiff(content: bytes) -> tuple[int, int, np.ndarray]:
     if photo == 0:  # WhiteIsZero: invert after the 8-bit rendering
         plane = 255 - plane
     return int(w), int(h), plane.astype(np.uint8)
+
+
+# --- PNM (PBM/PGM/PPM, ASCII + binary) ------------------------------------
+
+
+def _decode_pnm(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Netpbm decode — P1/P4 bilevel, P2/P5 gray, P3/P6 RGB, ASCII and
+    binary forms, '#' comments, any maxval < 65536 (16-bit binary
+    samples are big-endian per the spec; output renders to 8-bit via
+    the maxval scale). Pure stdlib+numpy."""
+    if len(content) < 2 or content[0:1] != b"P" or content[1] not in b"123456":
+        raise ValueError("not a PNM stream")
+    kind = content[1] - 0x30
+    pos = 2
+
+    def token():
+        nonlocal pos
+        while pos < len(content):
+            c = content[pos]
+            if c in b"#":
+                while pos < len(content) and content[pos] not in b"\n":
+                    pos += 1
+            elif c in b" \t\r\n":
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(content) and content[pos] not in b" \t\r\n#":
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        return int(content[start:pos])
+
+    w = token()
+    h = token()
+    maxval = 1 if kind in (1, 4) else token()
+    if not 1 <= maxval < 65536:
+        raise ValueError(f"PNM maxval {maxval} invalid")
+    channels = 3 if kind in (3, 6) else 1
+
+    if kind in (1, 2, 3):  # ASCII samples
+        vals = []
+        need = w * h * channels
+        while len(vals) < need:
+            vals.append(token())
+        a = np.array(vals, dtype=np.int64).reshape(h, w, channels)
+    else:  # binary: exactly ONE whitespace byte after the header
+        pos += 1
+        if kind == 4:
+            row_bytes = (w + 7) // 8
+            raw = np.frombuffer(content, np.uint8, count=row_bytes * h, offset=pos)
+            a = np.unpackbits(raw.reshape(h, row_bytes), axis=1)[:, :w]
+            a = a.reshape(h, w, 1).astype(np.int64)
+        else:
+            two = maxval > 255
+            n = w * h * channels
+            if two:
+                raw = np.frombuffer(content, ">u2", count=n, offset=pos)
+            else:
+                raw = np.frombuffer(content, np.uint8, count=n, offset=pos)
+            a = raw.reshape(h, w, channels).astype(np.int64)
+
+    if kind in (1, 4):  # PBM: 1 = black per spec
+        plane = (1 - a[..., 0]) * 255
+    else:
+        a = (a * 255 + maxval // 2) // maxval
+        if channels == 3:
+            plane = (77 * a[..., 0] + 150 * a[..., 1] + 29 * a[..., 2] + 128) >> 8
+        else:
+            plane = a[..., 0]
+    return w, h, plane.astype(np.uint8)

@@ -54,6 +54,7 @@ from .codecs.raster import (  # noqa: F401
     _decode_gif,
     _decode_gif_frames,
     _decode_png,
+    _decode_pnm,
     _decode_tiff,
     _gif_lzw_decode,
     _png_pixels,

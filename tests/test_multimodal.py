@@ -4249,3 +4249,40 @@ def test_tiff_fail_loud_boundaries_and_validator_dims():
             bad[e+8:e+10] = struct.pack("<H", 6)
     with pytest.raises(NotImplementedError, match="compression 6"):
         _decode_tiff(bytes(bad))
+
+
+def test_pnm_all_six_forms():
+    """Netpbm P1-P6: ASCII and binary, bilevel inversion, maxval
+    scaling, 16-bit binary gray, comments in headers."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.multimodal import _decode_image
+
+    rng = np.random.RandomState(109)
+    bits = (rng.rand(3, 10) < 0.5).astype(np.uint8)
+    # P1 ASCII bitmap with a comment; 1 = black
+    p1 = b"P1\n# comment\n10 3\n" + b"\n".join(
+        b" ".join(b"%d" % v for v in row) for row in bits
+    )
+    w, h, arr = _decode_image(p1)
+    assert (w, h) == (10, 3) and np.array_equal(arr, (1 - bits) * 255)
+    # P4 binary bitmap
+    p4 = b"P4\n10 3\n" + np.packbits(bits, axis=1).tobytes()
+    assert np.array_equal(_decode_image(p4)[2], (1 - bits) * 255)
+    # P2 ASCII gray, maxval 31 -> rounded scale
+    g = rng.randint(0, 32, size=(4, 5))
+    p2 = b"P2\n5 4\n31\n" + b" ".join(b"%d" % v for v in g.ravel())
+    want = ((g * 255 + 15) // 31).astype(np.uint8)
+    assert np.array_equal(_decode_image(p2)[2], want)
+    # P5 binary gray 16-bit big-endian
+    g16 = rng.randint(0, 65535, size=(3, 4))
+    p5 = b"P5\n4 3\n65535\n" + g16.astype(">u2").tobytes()
+    want = ((g16 * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(_decode_image(p5)[2], want)
+    # P3/P6 RGB -> BT.601
+    rgbv = rng.randint(0, 256, size=(2, 3, 3))
+    lum = ((77 * rgbv[..., 0] + 150 * rgbv[..., 1] + 29 * rgbv[..., 2] + 128) >> 8)
+    p3 = b"P3\n3 2\n255\n" + b" ".join(b"%d" % v for v in rgbv.ravel())
+    assert np.array_equal(_decode_image(p3)[2], lum.astype(np.uint8))
+    p6 = b"P6\n3 2\n255\n" + rgbv.astype(np.uint8).tobytes()
+    assert np.array_equal(_decode_image(p6)[2], lum.astype(np.uint8))
