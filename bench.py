@@ -308,6 +308,10 @@ HEADLINE = [
     "part_adoption_curve",
     "supplier_breadth",
     "value_concentration_topk",
+    # r11: embedding-space train/test contamination (exact top-1 vs
+    # the train split — new heavy-ish plan joins the headline on
+    # arrival, same rule as every batch above)
+    "embedding_contamination",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the

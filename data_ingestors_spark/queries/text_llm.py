@@ -137,6 +137,50 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
 """
 
 
+def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage in EMBEDDING space — the semantic twin of
+    the n-gram [contamination_check]: for every held-out vector
+    (vec_id % 17 == 0, a deterministic oracle-expressible split), the
+    exact nearest train vector by cosine and a contamination verdict
+    at the SemDeDup-style 0.95 threshold. Decontamination-by-
+    similarity is standard before training on scraped corpora —
+    benchmark items routinely survive TEXT dedup via paraphrase but
+    sit on top of a train vector in embedding space.
+
+    Scale shape: exact top-1 via the broadcast-queries brute-force
+    GEMM-free JVM path (queries side is the SMALL split, broadcast;
+    corpus side streams) — at 100 TB the queries side is the
+    benchmark suite (thousands of rows), so broadcast is the right
+    plan at any corpus size."""
+    t = tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    test = emb.filter(F.col("vec_id") % 17 == 0)
+    train = emb.filter(F.col("vec_id") % 17 != 0)
+    top1 = S.cosine_topk_bruteforce(train, test, k=1)
+    return top1.select(
+        F.col("query_id").alias("test_id"),
+        F.col("neighbor_id").alias("nearest_train_id"),
+        F.col("cos_sim").alias("max_cos"),
+        (F.col("cos_sim") >= 0.95).alias("contaminated"),
+    )
+
+
+O_EMBEDDING_CONTAMINATION = f"""
+WITH q AS (SELECT vec_id AS test_id, embedding AS qv FROM embeddings WHERE vec_id % 17 = 0),
+tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+scored AS (
+  SELECT q.test_id, tr.vec_id AS nearest_train_id,
+         {o_fround("list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(tr.embedding AS DOUBLE[]))", 6)} AS max_cos
+  FROM tr CROSS JOIN q
+)
+SELECT test_id, nearest_train_id, max_cos, max_cos >= 0.95 AS contaminated FROM (
+  SELECT *, row_number() OVER (PARTITION BY test_id
+                               ORDER BY max_cos DESC, nearest_train_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only; recall vs the exact
     brute-force path is asserted in tests/test_similarity.py)."""
@@ -457,6 +501,7 @@ QUERIES = {
     "embedding_ann_pq": q_embedding_ann_pq,
     "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_contamination": q_embedding_contamination,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "token_count": q_token_count,
@@ -475,6 +520,7 @@ ORACLES = {
     # same exact semantics, same oracle — the fast path must match it
     "embedding_topk_fast": O_EMBEDDING_TOPK,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "embedding_contamination": O_EMBEDDING_CONTAMINATION,
     "text_stats": O_TEXT_STATS,
     "language_id": O_LANGUAGE_ID,
     "token_count": O_TOKEN_COUNT,
