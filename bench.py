@@ -417,6 +417,13 @@ _DRIFT_THRESHOLD = 1.15
 _DRIFT_MAX_FLAGGED = 8
 _DRIFT_AB_REPS = 3
 _DRIFT_CONFIRM_RATIO = 1.10
+# Absolute floor for a code-regression verdict: on sub-second queries
+# 3 interleaved reps carry ~0.1 s of jitter, so a ratio alone
+# misfires (measured r11: attribution_models read ab_ratio 1.17 with
+# a PROVABLY identical plan and module — git diff empty between the
+# two checkouts). A genuine regression must also move the min by
+# more than this many seconds; smaller deltas report `noise-floor`.
+_DRIFT_MIN_ABS_S = 0.2
 
 
 def _drift_flags(
@@ -530,9 +537,12 @@ def _drift_ab(spark, sf_dir: str, flagged: list[tuple[str, float]], cur_stats: d
             entry["ab_new_min"] = round(min(news), 3)
             ab_ratio = min(news) / min(olds)
             entry["ab_ratio"] = round(ab_ratio, 3)
-            entry["verdict"] = (
-                "code-regression" if ab_ratio > _DRIFT_CONFIRM_RATIO else "session-drift"
-            )
+            if ab_ratio <= _DRIFT_CONFIRM_RATIO:
+                entry["verdict"] = "session-drift"
+            elif min(news) - min(olds) > _DRIFT_MIN_ABS_S:
+                entry["verdict"] = "code-regression"
+            else:
+                entry["verdict"] = "noise-floor"
             section["flagged"][name] = entry
             print(f"# drift A/B {name}: {entry}", file=sys.stderr)
     finally:
