@@ -426,6 +426,16 @@ _DRIFT_CONFIRM_RATIO = 1.10
 _DRIFT_MIN_ABS_S = 0.2
 
 
+def _ab_verdict(old_min: float, new_min: float) -> str:
+    """Pure verdict rule for one interleaved A/B result (unit-tested):
+    ratio gate, then the absolute noise floor for sub-second queries."""
+    if new_min / old_min <= _DRIFT_CONFIRM_RATIO:
+        return "session-drift"
+    if new_min - old_min > _DRIFT_MIN_ABS_S:
+        return "code-regression"
+    return "noise-floor"
+
+
 def _drift_flags(
     prev_stats: dict, cur_stats: dict, threshold: float = _DRIFT_THRESHOLD
 ) -> list[tuple[str, float]]:
@@ -537,12 +547,7 @@ def _drift_ab(spark, sf_dir: str, flagged: list[tuple[str, float]], cur_stats: d
             entry["ab_new_min"] = round(min(news), 3)
             ab_ratio = min(news) / min(olds)
             entry["ab_ratio"] = round(ab_ratio, 3)
-            if ab_ratio <= _DRIFT_CONFIRM_RATIO:
-                entry["verdict"] = "session-drift"
-            elif min(news) - min(olds) > _DRIFT_MIN_ABS_S:
-                entry["verdict"] = "code-regression"
-            else:
-                entry["verdict"] = "noise-floor"
+            entry["verdict"] = _ab_verdict(min(olds), min(news))
             section["flagged"][name] = entry
             print(f"# drift A/B {name}: {entry}", file=sys.stderr)
     finally:

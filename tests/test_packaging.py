@@ -210,3 +210,17 @@ def test_drift_old_queries_extraction():
         assert after is cur_queries_mod
     finally:
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_drift_ab_verdict_rule():
+    """bench._ab_verdict: ratio gate + absolute noise floor — the
+    measured r11 false positive (0.478 -> 0.561, identical code) must
+    land in noise-floor, a real half-second regression in
+    code-regression, and small moves in session-drift."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert bench._ab_verdict(0.478, 0.561) == "noise-floor"
+    assert bench._ab_verdict(2.0, 2.1) == "session-drift"
+    assert bench._ab_verdict(2.0, 2.6) == "code-regression"
+    assert bench._ab_verdict(0.05, 0.08) == "noise-floor"  # tiny query, big ratio
