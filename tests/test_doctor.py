@@ -82,6 +82,11 @@ _DOCTOR_EXEMPT: dict[str, tuple[str, ...]] = {
     #                                 — the roc_auc pattern), plus supplier
     #                                 bound rows; never the fact table
     "embedding_topk": ("D1",),      # broadcast fixed query set
+    "embedding_contamination": ("D1",),  # broadcast heldout split vs
+    #                                 streamed train corpus (the test
+    #                                 side is the SMALL benchmark
+    #                                 suite at any corpus size —
+    #                                 embedding_topk shape)
     "unigram_logprob": ("D1",),     # 1-row (n_tokens, n_vocab) scalar cross join
     "bigram_logprob": ("D1",),      # 1-row vocab-size scalar cross join
     "bm25_relevance": ("D1",),      # 1-row (n_docs, avgdl) scalar cross join
