@@ -40,40 +40,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # available and the in-repo sf0.01 sweep (tools/local_correctness.py)
 # still covers them all.
 _DRIVER_SAMPLE_ANCHORS = [
-    # r11: anchors trimmed 22 -> 10 per the r10 verdict so 40
-    # rotation slots go to never-driver-checked names (170 oracle-
-    # paired names had no CORRECTNESS_r{N} row through r10).
-    # Canary spread: TPC-H head, join family, the GEMM-rewritten
-    # semantic path, one graph, one streaming-adjacent window, and
-    # the ngram-Jaccard family whose strategy knobs are exercised by
-    # this round's forced-index scale proof.
+    # r12: 8 canary anchors (TPC-H head, join family, the GEMM
+    # semantic path, one graph, one streaming-adjacent window, the
+    # ngram-Jaccard dedup family) + the two value-path-changed names
+    # this round MUST re-verify on the driver box:
+    #   - survival_km: the r11 driver-hash-red row — root-caused to
+    #     its oracle's HUGEINT n_risk output (the only exotic-typed
+    #     output column in the registry) and hardened with
+    #     fround(term, 8) before the transcendental->DECIMAL fold
+    #     (queries/analytics_stats.py; tests/test_oracle_portability.py);
+    #   - retrieval_eval: its dcg/idcg folds got the same fround(8)
+    #     hardening (driver-checked before, value path changed r12).
     "pricing_summary", "revenue_by_nation", "bottleneck_supplier",
     "semi_join", "semantic_dedup", "triangle_count",
-    "tumbling_window", "dedup_clusters", "cluster_canonical",
-    # r11: plan changed this round (auto LSH->grid cost-model fix,
-    # BASELINE.md §r11) — the driver must re-verify exactly what
-    # changed; replaces the many-times-checked topk_per_group.
-    "embedding_neardup",
+    "tumbling_window", "dedup_clusters",
+    "survival_km", "retrieval_eval",
 ]
 _DRIVER_SAMPLE_ROTATION = [
-    # r11 rotation: 40 first-ever names (none in any CORRECTNESS_r*
-    # artifact through r10), spread so every query module gains
-    # driver-side rows: text_llm/audits, events, relational extras,
-    # sampling, stats/timeseries, analytics, planning.
-    "dup_span_stats", "c4_filter", "ccnet_buckets", "dsir_weights",
-    "contamination_check", "bm25_relevance", "winnowing_overlap",
-    "lexical_diversity",
-    "event_transitions", "burstiness", "session_paths",
-    "inter_event_gaps", "lateness_audit", "rolling_distinct",
-    "array_hof", "having", "string_agg", "posexplode",
-    "lateral_join", "scalar_subquery", "union_by_name",
-    "window_ignore_nulls", "ntile_cume",
-    "weighted_sample", "stratified_quota", "budget_select",
-    "temperature_mix",
-    "robust_stats", "stats_aggs", "regr_aggs", "spearman_corr",
-    "chi_square", "ks_test", "ewma",
-    "rfm_segments", "survival_km", "decile_lift",
-    "key_skew_audit", "cbo_stats", "file_binpack",
+    # r12 rotation: 40 first-ever names (none in any CORRECTNESS_r*
+    # artifact through r11; 137 were never-checked entering the
+    # round). link_prediction and char_entropy_filter also carry the
+    # r12 fround(8) hardening, so their first driver rows double as
+    # the re-verification of that change. Spread: analytics_stats,
+    # graph, text_corpus/audits, text_llm, events, relational
+    # extras, sampling/planning, statistics, analytics_trade.
+    "cusum_changepoint", "gini_concentration", "kl_drift",
+    "link_prediction",
+    "char_entropy_filter", "unicode_class_mix",
+    "duplicate_prefix_audit", "label_balance_audit",
+    "source_similarity_matrix", "cluster_compactness",
+    "token_length_histogram", "stopword_coverage",
+    "chunk_documents", "unigram_logprob", "bigram_logprob",
+    "doc_novelty", "hard_negatives", "token_fertility",
+    "sequence_mining", "activity_streaks", "new_vs_returning",
+    "cumulative_users", "rapid_repeat_events", "events_user_gini",
+    "null_funcs", "percentile_disc", "struct_argmax",
+    "interval_arith", "salted_groupby", "regex_battery",
+    "nth_value_window", "map_hof",
+    "hash_split", "deterministic_sample", "corpus_prep",
+    "mad_stats",
+    "moments_stats", "winsorized_stats",
+    "ship_latency",
+    # brand-new this round (also first-ever by construction): the
+    # refresh loop's oracle-paired novelty reports
+    "refresh_report",
 ]
 
 

@@ -312,6 +312,11 @@ HEADLINE = [
     # the train split — new heavy-ish plan joins the headline on
     # arrival, same rule as every batch above)
     "embedding_contamination",
+    # r12: the refresh loop's novelty reports through the REAL
+    # refresh_corpus path (two batches into a temp store) — the
+    # operating loop's numbers, timed and oracle-checked like
+    # everything else
+    "refresh_report",
 ]
 
 # Secondary suite (separate totals, NOT in the headline metric so the
@@ -786,10 +791,32 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
     )
+    # commit-discipline guard (r12, VERDICT r11 nit #2): the drift A/B
+    # above reads `git show HEAD:BENCH_full_latest.json`, so an
+    # UNCOMMITTED payload silently never becomes the next round's
+    # baseline. Warn when this run is about to overwrite one, and
+    # remind to commit the new payload (tests/test_packaging.py
+    # asserts the committed artifact's git_head stays valid).
+    try:
+        if _git(["status", "--porcelain", "--", full_path]).strip():
+            print(
+                "# WARNING: overwriting an UNCOMMITTED BENCH_full_latest.json"
+                " — the previous run's payload was never committed and has"
+                " not been (and now never will be) a drift-A/B baseline",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh)
         print(f"# full bench payload -> {full_path}", file=sys.stderr)
+        print(
+            "# commit BENCH_full_latest.json (git_head="
+            f"{(git_head or 'none')[:12]}) so the next round's drift A/B"
+            " baselines on THIS run",
+            file=sys.stderr,
+        )
     except OSError as e:  # read-only checkout: compact line still stands alone
         full_path = None
         print(f"# full bench payload not written: {e}", file=sys.stderr)

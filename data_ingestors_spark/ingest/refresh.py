@@ -34,6 +34,15 @@ compaction. Nothing in the loop ever rescans the corpus:
    layer and :func:`~data_ingestors_spark.io.writers.compact_table`
    bin-packs the corpus buckets — partition/file counts stay bounded
    as the store ages instead of growing one layer per batch.
+   Compaction runs AFTER the ledger write (the folds' exactly-once
+   story must not depend on it), so it carries its own crash
+   discipline: the index swap is sibling-write + atomic rename
+   (:func:`~data_ingestors_spark.streaming.neardup.recover_compaction`
+   repairs half-swapped states at every loop entry), and
+   ``compact_marker.json`` records ``compacted_through`` — a crash
+   mid-compaction leaves the marker behind, and the NEXT refresh
+   detects the overdue cycle and re-runs it instead of waiting a
+   full ``compact_every`` period.
 
 Store layout (all under one ``store_dir``)::
 
@@ -43,6 +52,16 @@ Store layout (all under one ``store_dir``)::
     neardup/index/     MinHash band + shingle index, __batch keyed
     neardup/pairs/     verified near-dup pairs, __batch keyed
     ledger.json        ordered list of ingested batch paths
+    compact_marker.json  highest batch id compaction has folded through
+
+Store requirement: ``store_dir`` must be a POSIX filesystem visible
+to the driver — the ledger/marker writes and the compaction swap use
+local ``open``/``os.replace``/``os.rename`` for their atomicity
+guarantees, while the DATA paths go through Spark writers. On an
+object store or HDFS, keep the (tiny) store control files on a
+driver-local or NFS path and point only the data paths at the remote
+store; an object-store-native ledger (conditional PUT) is the
+documented extension point.
 
 CLI: ``python -m data_ingestors_spark.cli refresh <store_dir>
 <batch_parquet>`` prints the returned summary as one JSON line.
@@ -71,7 +90,22 @@ def _paths(store_dir: str) -> dict[str, str]:
         "emb_index": os.path.join(store_dir, "neardup_emb", "index"),
         "emb_pairs": os.path.join(store_dir, "neardup_emb", "pairs"),
         "ledger": os.path.join(store_dir, "ledger.json"),
+        "compact_marker": os.path.join(store_dir, "compact_marker.json"),
     }
+
+
+def _read_compacted_through(path: str) -> int:
+    if not os.path.exists(path):
+        return -1
+    with open(path) as fh:
+        return int(json.load(fh)["compacted_through"])
+
+
+def _write_compacted_through(path: str, batch_id: int) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"compacted_through": batch_id}, fh)
+    os.replace(tmp, path)
 
 
 def _read_ledger(path: str) -> list[str]:
@@ -146,11 +180,21 @@ def refresh_corpus(
     if replay:
         # every fold already landed (ledger is written last); mutating
         # again would double rows the compactor has since folded into
-        # the __batch=-1 layer. Return the stored report.
+        # the __batch=-1 layer. Return the stored report, with an
+        # explicit null for the upsert counts the docstring promises
+        # (they were consumed by the original run).
+        summary["upsert"] = None
         summary["report"] = [
             r.asDict() for r in read_refresh_report(spark, store_dir, batch_id).collect()
         ]
         return summary
+
+    # repair any compaction a previous run crashed in the middle of,
+    # BEFORE the folds read the indexes
+    from data_ingestors_spark.streaming.neardup import recover_compaction
+
+    recover_compaction(p["nd_index"], ("bands", "shingles"))
+    recover_compaction(p["emb_index"], ("sketches", "vectors"))
 
     batch = spark.read.parquet(batch_path)
 
@@ -178,15 +222,29 @@ def refresh_corpus(
         )
     # 4. ledger last — everything above is idempotent by batch id
     _write_ledger(p["ledger"], ledger + [batch_path])
-    # 5. bounded-layer maintenance
-    if compact_every and (batch_id + 1) % compact_every == 0:
-        from data_ingestors_spark.io.writers import compact_table
+    # 5. bounded-layer maintenance — due on this batch, OR overdue
+    # because a previous cycle's compaction crashed after its batch
+    # was ledgered (the marker lags the expected cycle boundary).
+    # The swap itself is crash-safe (recover_compaction repairs it);
+    # the marker guarantees an interrupted cycle re-runs on the NEXT
+    # refresh instead of waiting a full compact_every period.
+    if compact_every:
+        # highest batch id any completed cycle should have folded
+        # through by now (covers both "due on this batch" and
+        # "overdue from a crashed earlier cycle")
+        expected_through = ((batch_id + 1) // compact_every) * compact_every - 1
+        if (
+            expected_through >= 0
+            and _read_compacted_through(p["compact_marker"]) < expected_through
+        ):
+            from data_ingestors_spark.io.writers import compact_table
 
-        compact_neardup_index(spark, p["nd_index"])
-        if os.path.isdir(p["emb_index"]):
-            compact_embedding_neardup_index(spark, p["emb_index"])
-        summary["compact_stats"] = compact_table(spark, p["corpus"])
-        summary["compacted"] = True
+            compact_neardup_index(spark, p["nd_index"])
+            if os.path.isdir(p["emb_index"]):
+                compact_embedding_neardup_index(spark, p["emb_index"])
+            summary["compact_stats"] = compact_table(spark, p["corpus"])
+            summary["compacted"] = True
+            _write_compacted_through(p["compact_marker"], batch_id)
 
     summary["report"] = [
         r.asDict() for r in read_refresh_report(spark, store_dir, batch_id).collect()

@@ -27,16 +27,21 @@ from .raster import (  # noqa: E402
     _decode_png,
     _decode_pnm,
     _decode_tiff,
+    _gif_metadata,
 )
 from .jpeg import _decode_jpeg  # noqa: E402
 
 def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, grayscale ndarray). Stub boundary — but BMP,
-    8-bit non-interlaced PNG, first-frame GIF, and baseline JPEG are
+    """(width, height, grayscale ndarray). BMP, PNG (all depths +
+    Adam7), GIF, the full T.81 JPEG SOF matrix, TIFF, and Netpbm are
     decoded for REAL (pure numpy/zlib/LZW/Huffman+IDCT; see
-    _decode_bmp/_decode_png/_decode_gif/_decode_jpeg) and PIL, when
-    installed, covers the rest (progressive JPEG, 16-bit/interlaced
-    PNG, animated GIF compositing)."""
+    codecs/raster.py and codecs/jpeg.py). PIL, when installed, is
+    tried FIRST (faster, wider color handling) but only EXTENDS the
+    matrix: on any PIL failure we fall through to the pure decoders,
+    so payloads PIL cannot open (arithmetic SOF9-11, lossless SOF3,
+    hierarchical/differential JPEG) decode identically with or
+    without PIL installed — results must not be environment-dependent
+    (ADVICE r12 #2)."""
     if content.startswith(IMG_MAGIC):
         head, pixels = content[len(IMG_MAGIC):].split(b":", 1)
         w, h = (int(x) for x in head.decode().split("x"))
@@ -45,9 +50,12 @@ def _decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
     if _HAVE_PIL:
         import io
 
-        with Image.open(io.BytesIO(content)) as im:
-            g = im.convert("L")
-            return im.width, im.height, np.asarray(g)
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                g = im.convert("L")
+                return im.width, im.height, np.asarray(g)
+        except Exception:
+            pass  # fall through: the pure decoders cover more JPEG SOFs
     if content.startswith(b"BM"):
         return _decode_bmp(content)
     if content.startswith(PNG_SIG):

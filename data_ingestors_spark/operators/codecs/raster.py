@@ -380,6 +380,62 @@ def _decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("GIF contains no image data")
 
 
+def _gif_metadata(content: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from the logical screen descriptor
+    plus a cheap block walk — image-descriptor blocks are counted and
+    their LZW payloads SKIPPED by sub-block length, never decoded
+    (video_metadata's 'without decoding frames' contract; pre-r12 the
+    GIF branch ran the full compositing decoder just to count frames
+    — ADVICE r12 #5). Raises on a truncated/garbled block stream so
+    junk bytes stay fail-loud rather than reporting a frame count the
+    decoder would not reproduce."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+
+    def le16(o: int) -> int:
+        return int.from_bytes(content[o : o + 2], "little")
+
+    w, h = le16(6), le16(8)
+    packed = content[10]
+    pos = 13
+    if packed >> 7 & 1:
+        pos += 3 * (2 ** ((packed & 7) + 1))
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(content):
+                raise ValueError("truncated GIF sub-block stream")
+            n = content[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    n_frames = 0
+    while True:
+        if pos >= len(content):
+            raise ValueError("GIF block stream ended without trailer")
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos = skip_subblocks(pos + 1)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(content):
+                raise ValueError("truncated GIF image descriptor")
+            flags = content[pos + 8]
+            pos += 9
+            if flags >> 7 & 1:  # local color table
+                pos += 3 * (2 ** ((flags & 7) + 1))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return w, h, n_frames
+
+
 def _decode_gif_frames(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """REAL decode of ALL frames of an animated GIF87a/89a — the r8
     verdict's cheapest honest stub, retired: per-frame Graphic Control

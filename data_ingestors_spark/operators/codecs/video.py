@@ -98,6 +98,14 @@ def _msvideo1_frame(
         a, b = data[pos], data[pos + 1]
         pos += 2
         word = (b << 8) | a
+        if word == 0:
+            # de-facto CRAM end-of-frame marker (FFmpeg msvideo1
+            # semantics): a (0,0) byte pair outside a skip run ends
+            # the frame; remaining blocks keep previous-frame
+            # content. Without this, real-world streams that close
+            # frames early would mis-read the pair as a 2-color
+            # block header and paint garbage (ADVICE r12 #3).
+            break
         if (b & 0xFC) == 0x84:
             skip = word - 0x8400
             if skip == 0:

@@ -57,6 +57,7 @@ from .codecs.raster import (  # noqa: F401
     _decode_pnm,
     _decode_tiff,
     _gif_lzw_decode,
+    _gif_metadata,
     _png_pixels,
     _png_unfilter,
 )
@@ -314,7 +315,9 @@ def video_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                     elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                         m = _avi_metadata(raw)
                     elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                        w, h, n, _ = _decode_gif_frames(raw)
+                        # header + block walk only — descriptor counts,
+                        # LZW payloads skipped, never decoded
+                        w, h, n = _gif_metadata(raw)
                         m = {"codec": "gif", "width": w, "height": h,
                              "n_frames": n, "fps": None}
                     else:

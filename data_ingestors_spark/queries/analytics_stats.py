@@ -271,9 +271,22 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 - d_t / n_t) over event times <= t — the standard estimator
     with censoring handled exactly.
 
-    Engine-exactness: the log-survival terms fold in decimal under the
-    ordered window (exp of an exact decimal sum), so segment-tree vs
-    running-fold accumulation cannot diverge.
+    Engine-exactness: each ln term is quantized with the
+    engine-portable ``fround(term, 8)`` BEFORE the decimal cast —
+    ``ln`` is not correctly-rounded, so raw ``CAST(double AS
+    DECIMAL)`` sits on the repr-vs-binary knife edge
+    (``functions/rounding.py``) AND inherits cross-box libm/JVM
+    ±1-ulp jitter; fround performs identical IEEE ops in both
+    engines and the resulting k/1e8 double quantizes identically to
+    DECIMAL(30,10) on both sides. The quantized terms then fold in
+    decimal under the ordered window (exp of an exact decimal sum),
+    so segment-tree vs running-fold accumulation cannot diverge.
+    The oracle casts ``n_risk`` to BIGINT explicitly: a bare window
+    ``sum(BIGINT)`` is HUGEINT in DuckDB — the r11 driver-hash
+    mismatch was this int128 surviving to the output column, where
+    value-conversion paths (fetchall→int vs pandas/arrow→float64)
+    disagree across harnesses; tests/test_oracle_portability.py now
+    sweeps every registered oracle for exotic output types.
 
     Plan (100 TB): per-customer first/last collapse map-side; the KM
     table itself is one row per distinct duration-day (bounded by the
@@ -317,7 +330,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "log_s",
             F.sum(
-                F.log(1 - F.col("d") / F.col("n_risk")).cast(DEC)
+                fround(F.log(1 - F.col("d") / F.col("n_risk")), 8).cast(DEC)
             ).over(w_cum),
         )
     )
@@ -344,11 +357,11 @@ WITH horizon AS (
   SELECT CAST(sum(m) AS BIGINT) AS tot FROM by_dur
 ), risked AS (
   SELECT dur, d,
-         tot - coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+         CAST(tot - coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
   FROM by_dur CROSS JOIN total
 ), stepped AS (
   SELECT dur, d, n_risk,
-         sum(CAST(ln(1 - d / CAST(n_risk AS DOUBLE)) AS DECIMAL(30,10)))
+         sum(CAST({o_fround("ln(1 - d / CAST(n_risk AS DOUBLE))", 8)} AS DECIMAL(30,10)))
            OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_s
   FROM risked
 )

@@ -200,9 +200,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("common_customers"),
             fround(
-                F.sum((1 / F.log2(F.col("a.deg"))).cast("decimal(30,10)")).cast(
-                    "double"
-                ),
+                F.sum(
+                    fround(1 / F.log2(F.col("a.deg")), 8).cast("decimal(30,10)")
+                ).cast("double"),
                 6,
             ).alias("aa_score"),
         )
@@ -228,7 +228,7 @@ WITH edges AS (
 )
 SELECT a.part AS part_a, b.part AS part_b,
        CAST(count(*) AS BIGINT) AS common_customers,
-       {o_fround("CAST(sum(CAST(1.0 / log2(a.deg) AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS aa_score
+       {o_fround(f"CAST(sum(CAST({o_fround('1.0 / log2(a.deg)', 8)} AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS aa_score
 FROM e a JOIN e b ON a.cust = b.cust AND a.part < b.part
 GROUP BY 1, 2
 ORDER BY aa_score DESC, common_customers DESC, part_a ASC, part_b ASC

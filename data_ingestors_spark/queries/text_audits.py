@@ -86,7 +86,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = scored.groupBy("query_id").agg(
         F.sum(
-            (F.col("rel") / F.log2(F.col("rnk") + 1)).cast(DEC)
+            fround(F.col("rel") / F.log2(F.col("rnk") + 1), 8).cast(DEC)
         ).cast("double").alias("dcg"),
         F.max(F.when(F.col("rel") == 1, F.lit(1.0) / F.col("rnk")).otherwise(0.0)).alias("rr"),
         (F.sum("rel") / F.lit(10.0)).alias("p10"),
@@ -109,7 +109,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.least(F.col("r_total"), F.lit(10)))).alias("i"),
         )
         .groupBy("query_id")
-        .agg(F.sum((F.lit(1.0) / F.log2(F.col("i") + 1)).cast(DEC)).cast("double").alias("idcg"))
+        .agg(F.sum(fround(F.lit(1.0) / F.log2(F.col("i") + 1), 8).cast(DEC)).cast("double").alias("idcg"))
     )
     per_q_full = (
         per_q.join(F.broadcast(idcg), "query_id", "left")
@@ -150,7 +150,7 @@ top AS (
 ),
 per_q AS (
   SELECT query_id,
-         CAST(sum(CAST((CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / log2(rnk + 1)
+         CAST(sum(CAST({o_fround("(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / log2(rnk + 1)", 8)}
                        AS DECIMAL(30,10))) AS DOUBLE) AS dcg,
          max(CASE WHEN n_label = q_label THEN 1.0 / rnk ELSE 0.0 END) AS rr,
          sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) / 10.0 AS p10
@@ -166,7 +166,7 @@ rel_n AS (
 ),
 idcg AS (
   SELECT query_id,
-         CAST(sum(CAST(1.0 / log2(i + 1) AS DECIMAL(30,10))) AS DOUBLE) AS idcg
+         CAST(sum(CAST({o_fround("1.0 / log2(i + 1)", 8)} AS DECIMAL(30,10))) AS DOUBLE) AS idcg
   FROM (SELECT query_id, unnest(range(1, least(r_total, 10) + 1)) AS i FROM rel_n)
   GROUP BY 1
 ),

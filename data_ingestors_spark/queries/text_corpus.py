@@ -1501,7 +1501,7 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (
         hist.withColumn("n", F.sum("k").over(Window.partitionBy("doc_id")))
         .groupBy("doc_id", "source")
-        .agg((-F.sum((p * F.log2(p)).cast(DEC))).cast("double").alias("h"))
+        .agg((-F.sum(fround(p * F.log2(p), 8).cast(DEC))).cast("double").alias("h"))
     )
     return (
         ent.groupBy("source")
@@ -1528,7 +1528,7 @@ hist AS (
 ),
 ent AS (
   SELECT doc_id, source,
-         CAST(-sum(CAST((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)
+         CAST(-sum(CAST({o_fround("(CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)", 8)}
                          AS DECIMAL(30,10))) AS DOUBLE) AS h
   FROM (SELECT *, sum(k) OVER (PARTITION BY doc_id) AS n FROM hist)
   GROUP BY 1, 2

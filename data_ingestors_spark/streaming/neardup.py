@@ -230,13 +230,64 @@ def stream_neardup(
     return writer.start()
 
 
+# sibling-directory suffixes for the crash-safe compaction swap
+_COMPACT_TMP = "__compacting"
+_COMPACT_OLD = "__precompact"
+
+
+def recover_compaction(index_path: str, subdirs: tuple[str, ...]) -> None:
+    """Repair a compaction interrupted mid-swap (see _compact_index).
+
+    State machine per subdir (write-tmp → rename live→old →
+    rename tmp→live → rm old):
+
+    - live missing, old present: crashed between the two renames —
+      restore the original (``old`` → live); the interrupted
+      compaction simply never happened. The tmp copy (complete at
+      that point by ordering) is discarded.
+    - live present, old present: crashed before the old layer was
+      removed — finish by deleting ``old``.
+    - tmp present, live present: crashed before the swap started —
+      discard the partial/complete tmp copy.
+
+    Every terminal state leaves ``live`` holding either the exact
+    pre-compaction or the exact post-compaction row set (the two are
+    semantically identical: compaction is pure row movement)."""
+    import os
+    import shutil
+
+    for sub in subdirs:
+        live = f"{index_path}/{sub}"
+        tmp = live + _COMPACT_TMP
+        old = live + _COMPACT_OLD
+        if not os.path.isdir(live) and os.path.isdir(old):
+            os.rename(old, live)
+        if os.path.isdir(old) and os.path.isdir(live):
+            shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+
 def _compact_index(spark, index_path: str, subdirs: tuple[str, ...]) -> None:
     """Fold the accumulated per-batch index partitions into a single
     __batch=-1 layer so partition counts stay bounded as the stream
     ages. Offline maintenance (single-writer discipline, same
     contract as operators/rollup.py compact_rollup); folding is pure
     row movement — index rows are immutable facts, so no merge math
-    is involved and emitted pairs are unaffected."""
+    is involved and emitted pairs are unaffected.
+
+    Crash-safe: the folded layer is written to a SIBLING directory
+    first, then swapped in with two directory renames (local-FS
+    atomic each); the live index is never the write target, so a
+    crash at any point leaves a complete copy on disk and
+    :func:`recover_compaction` (run here and at every refresh-loop
+    entry) repairs the half-swapped states. The pre-r12 form
+    overwrote the live path in place — a mid-write crash lost the
+    index permanently (ADVICE r12 #1)."""
+    import os
+    import shutil
+
+    recover_compaction(index_path, subdirs)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         # STATIC overwrite: under dynamic mode only the __batch=-1
@@ -245,14 +296,23 @@ def _compact_index(spark, index_path: str, subdirs: tuple[str, ...]) -> None:
         # bug class — regression-tested there and here)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
         for sub in subdirs:
-            path = f"{index_path}/{sub}"
-            df = spark.read.parquet(path)
+            live = f"{index_path}/{sub}"
+            tmp = live + _COMPACT_TMP
+            old = live + _COMPACT_OLD
+            df = spark.read.parquet(live)
             folded = df.drop(BATCH_PART_COL).withColumn(
                 BATCH_PART_COL, F.lit(-1).cast("long")
             )
-            folded.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+            # the write target is a sibling, not the read path, so no
+            # localCheckpoint materialization is needed (pre-r12 the
+            # in-place overwrite required one — and its volatility was
+            # exactly the crash-loss window)
+            folded.write.mode("overwrite").partitionBy(
                 BATCH_PART_COL
-            ).parquet(path)
+            ).parquet(tmp)
+            os.rename(live, old)
+            os.rename(tmp, live)
+            shutil.rmtree(old)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

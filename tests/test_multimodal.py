@@ -2463,6 +2463,45 @@ def _encode_animated_gif(w, h, palette, frames, bg=0):
     return bytes(out)
 
 
+def test_gif_metadata_walk_matches_decoder_without_decoding(monkeypatch):
+    """video_metadata's GIF branch reads dims/frame-count from the
+    logical screen descriptor + a block walk (ADVICE r12 #5): the
+    result must match the full decoder's, while the LZW decode stage
+    is provably never invoked (patched to raise)."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.codecs import raster
+    from data_ingestors_spark.operators.codecs.raster import (
+        _decode_gif_frames,
+        _gif_metadata,
+    )
+
+    w, h = 6, 4
+    pal = bytes(b for i in range(4) for b in (40 * i, 40 * i, 40 * i))
+    f0 = np.full((h, w), 1, np.uint8)
+    f1 = np.full((2, 3), 2, np.uint8)
+    gif = _encode_animated_gif(
+        w, h, pal,
+        [(f0, 0, 0, 1, None), (f1, 1, 1, 2, 3), (f0, 0, 0, 1, None)],
+        bg=0,
+    )
+    gw, gh, n, _ = _decode_gif_frames(gif)
+    assert _gif_metadata(gif) == (gw, gh, n) == (w, h, 3)
+
+    def boom(*a, **k):  # the walk must not decode pixel data
+        raise AssertionError("LZW decode invoked by metadata walk")
+
+    monkeypatch.setattr(raster, "_gif_lzw_decode", boom)
+    assert _gif_metadata(gif) == (w, h, 3)
+
+    # truncation stays fail-loud: a cut block stream must not report
+    # a frame count the decoder would not reproduce
+    import pytest
+
+    with pytest.raises(ValueError):
+        _gif_metadata(gif[: len(gif) // 2])
+
+
 def test_animated_gif_disposal_and_transparency(spark):
     """Animated-GIF continuation frames (the r8 verdict's stretch):
     disposal 1 (leave), 2 (restore background), 3 (restore previous)
@@ -3527,6 +3566,37 @@ def test_msvideo1_unknown_codec_fail_loud():
     h264 = payload.replace(b"CRAM", b"H264")
     with pytest.raises(NotImplementedError, match="H264"):
         _decode_video(h264)
+
+
+def test_msvideo1_zero_word_is_end_of_frame():
+    """The de-facto CRAM end-of-frame marker: a (0,0) byte pair
+    outside a skip run ends the frame; remaining blocks keep the
+    previous frame's content (FFmpeg msvideo1 semantics — the in-repo
+    encoder never emits it, so this is hand-crafted; ADVICE r12 #3).
+    Contrast case: inside a 2-color block, 00 00 COLOR bytes are
+    legal data and must NOT terminate."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.codecs.video import _msvideo1_frame
+
+    prev = np.full((8, 8), 9, dtype=np.uint8)
+    # block 0 painted solid 77 (1-color op), then explicit (0,0) EOF
+    # with three blocks remaining
+    data = bytes([77, 0x80, 0x00, 0x00, 55, 0x80])
+    out = _msvideo1_frame(data, prev, blocks_w=2, blocks_h=2)
+    want = prev.copy()
+    want[4:8, 0:4] = 77  # block 0 is the bottom-left 4x4
+    assert np.array_equal(out, want)  # trailing 55-block never decoded
+
+    # a 2-color block whose COLOR bytes are (0,0) is not an EOF: the
+    # flags word selects only color[1] (=0), so the block goes black
+    # and decoding continues into the next block
+    data2 = bytes([0x00, 0x40, 0x00, 0x00, 66, 0x80])
+    out2 = _msvideo1_frame(data2, prev, blocks_w=2, blocks_h=2)
+    want2 = prev.copy()
+    want2[4:8, 0:4] = 0   # 2-color block, both colors 0
+    want2[4:8, 4:8] = 66  # next block decoded: no false EOF
+    assert np.array_equal(out2, want2)
 
 
 # --- r11: MS ADPCM (WAV fmt 0x0002) --------------------------------------

@@ -224,3 +224,34 @@ def test_drift_ab_verdict_rule():
     assert bench._ab_verdict(2.0, 2.1) == "session-drift"
     assert bench._ab_verdict(2.0, 2.6) == "code-regression"
     assert bench._ab_verdict(0.05, 0.08) == "noise-floor"  # tiny query, big ratio
+
+
+def test_committed_bench_artifact_head_is_valid():
+    """The drift A/B baselines on `git show HEAD:BENCH_full_latest.json`
+    and checks out the tree at its recorded git_head — so the COMMITTED
+    artifact must carry a git_head that exists and is an ancestor of
+    HEAD (VERDICT r11 nit #2: the driver's run overwrote the committed
+    payload and sat uncommitted; bench.py now warns on both sides)."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def git(*args):
+        return subprocess.run(
+            ["git", "-C", repo, *args], capture_output=True, text=True
+        )
+
+    show = git("show", "HEAD:BENCH_full_latest.json")
+    if show.returncode != 0:
+        pytest.skip("no committed BENCH_full_latest.json (fresh clone)")
+    payload = json.loads(show.stdout)
+    head = payload.get("git_head")
+    assert head, "committed bench artifact lost its git_head"
+    assert git("cat-file", "-e", f"{head}^{{commit}}").returncode == 0, (
+        f"committed artifact's git_head {head[:12]} is not a commit in this repo"
+    )
+    assert git("merge-base", "--is-ancestor", head, "HEAD").returncode == 0, (
+        f"committed artifact's git_head {head[:12]} is not an ancestor of HEAD"
+        " — it was produced on a different line of history"
+    )

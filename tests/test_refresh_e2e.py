@@ -213,3 +213,131 @@ def test_refresh_embedding_monitor(spark, tmp_path):
     # compaction folded the sketch index to the -1 layer
     sk = spark.read.parquet(os.path.join(store_dir, "neardup_emb", "index", "sketches"))
     assert [r[0] for r in sk.select(BATCH_PART_COL).distinct().collect()] == [-1]
+
+
+# --- r12: compaction crash-safety (ADVICE r12 #1) ------------------------
+
+
+def test_recover_compaction_state_machine(tmp_path):
+    """Every interrupted-swap state terminates with a complete live
+    copy: live-missing+old → restore old; live+old → drop old;
+    live+tmp → drop tmp. Pure directory mechanics, no Spark."""
+    import shutil
+
+    from data_ingestors_spark.streaming.neardup import (
+        _COMPACT_OLD,
+        _COMPACT_TMP,
+        recover_compaction,
+    )
+
+    def mk(name, tag):
+        d = tmp_path / name
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_text(tag)
+        return d
+
+    idx = tmp_path / "index"
+    # state A: crashed between the two renames (live gone, old+tmp left)
+    mk("index/bands" + _COMPACT_OLD, "original")
+    mk("index/bands" + _COMPACT_TMP, "folded")
+    recover_compaction(str(idx), ("bands",))
+    assert (idx / "bands" / "part-0.parquet").read_text() == "original"
+    assert not (idx / ("bands" + _COMPACT_OLD)).exists()
+    assert not (idx / ("bands" + _COMPACT_TMP)).exists()
+
+    # state B: crashed after the swap, before old was removed
+    shutil.rmtree(idx)
+    mk("index/bands", "folded")
+    mk("index/bands" + _COMPACT_OLD, "original")
+    recover_compaction(str(idx), ("bands",))
+    assert (idx / "bands" / "part-0.parquet").read_text() == "folded"
+    assert not (idx / ("bands" + _COMPACT_OLD)).exists()
+
+    # state C: crashed mid-tmp-write, before any rename
+    shutil.rmtree(idx)
+    mk("index/bands", "original")
+    mk("index/bands" + _COMPACT_TMP, "partial")
+    recover_compaction(str(idx), ("bands",))
+    assert (idx / "bands" / "part-0.parquet").read_text() == "original"
+    assert not (idx / ("bands" + _COMPACT_TMP)).exists()
+
+    # no-op on a healthy or absent index
+    recover_compaction(str(idx), ("bands", "shingles"))
+    assert (idx / "bands" / "part-0.parquet").read_text() == "original"
+
+
+def test_refresh_compaction_overdue_catchup(spark, tmp_path):
+    """A compaction cycle that never completed (crash after the ledger
+    write) re-runs on the NEXT refresh via the compacted_through
+    marker, instead of waiting a full compact_every period."""
+    import json as _json
+
+    from data_ingestors_spark.ingest.refresh import refresh_corpus
+    from data_ingestors_spark.streaming.neardup import BATCH_PART_COL
+
+    store_dir = str(tmp_path / "store")
+    # batches 0 and 1 with compaction disabled == "ledgered but the
+    # due compaction (cycle end at batch 1) never completed"
+    for i, txt in enumerate([LOREM, OTHER]):
+        b = _write_batch(spark, tmp_path, f"cb{i}", [(i + 1, "web", txt)])
+        r = refresh_corpus(spark, store_dir, b, compact_every=0)
+        assert r["compacted"] is False
+    assert not os.path.exists(os.path.join(store_dir, "compact_marker.json"))
+
+    # batch 2 with compact_every=2: (2+1) % 2 != 0, but the marker
+    # lags the expected cycle boundary (through batch 1) -> catch-up
+    b2 = _write_batch(spark, tmp_path, "cb2", [(3, "web", "third doc entirely")])
+    r2 = refresh_corpus(spark, store_dir, b2, compact_every=2)
+    assert r2["compacted"] is True
+    with open(os.path.join(store_dir, "compact_marker.json")) as fh:
+        assert _json.load(fh)["compacted_through"] == 2
+    bands = spark.read.parquet(
+        os.path.join(store_dir, "neardup", "index", "bands")
+    )
+    assert [r[0] for r in bands.select(BATCH_PART_COL).distinct().collect()] == [-1]
+
+    # batch 3 (id 3): due cycle through batch 3 > marker 2 -> compacts;
+    # batch 4 (id 4): expected through 3 == marker -> skipped
+    b3 = _write_batch(spark, tmp_path, "cb3", [(4, "web", "fourth doc")])
+    assert refresh_corpus(spark, store_dir, b3, compact_every=2)["compacted"] is True
+    b4 = _write_batch(spark, tmp_path, "cb4", [(5, "web", "fifth doc")])
+    assert refresh_corpus(spark, store_dir, b4, compact_every=2)["compacted"] is False
+
+
+def test_refresh_repairs_halfswapped_index_at_entry(spark, tmp_path):
+    """A half-swapped compaction (live dir missing, __precompact left)
+    is repaired at the next refresh entry BEFORE the folds read the
+    index — the monitor's cumulative-equals-batch property survives
+    the simulated crash."""
+    import os as _os
+
+    from data_ingestors_spark.ingest.refresh import refresh_corpus
+    from data_ingestors_spark.operators.dedup import minhash_near_duplicates
+    from data_ingestors_spark.streaming.neardup import _COMPACT_OLD, BATCH_PART_COL
+
+    store_dir = str(tmp_path / "store")
+    b0 = _write_batch(
+        spark, tmp_path, "hb0", [(1, "web", LOREM), (2, "web", OTHER)]
+    )
+    refresh_corpus(spark, store_dir, b0, compact_every=0)
+    bands = _os.path.join(store_dir, "neardup", "index", "bands")
+    # simulate the crash window between the two swap renames
+    _os.rename(bands, bands + _COMPACT_OLD)
+    assert not _os.path.isdir(bands)
+
+    b1 = _write_batch(spark, tmp_path, "hb1", [(3, "web", LOREM_NEAR)])
+    refresh_corpus(spark, store_dir, b1, compact_every=0)  # repairs, then folds
+    assert _os.path.isdir(bands) and not _os.path.isdir(bands + _COMPACT_OLD)
+
+    union = spark.read.parquet(b0).unionByName(spark.read.parquet(b1))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(union, "text", "doc_id").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(_os.path.join(store_dir, "neardup", "pairs"))
+        .drop(BATCH_PART_COL)
+        .collect()
+    }
+    assert got == want and (1, 3) in got
