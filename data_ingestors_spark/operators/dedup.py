@@ -348,14 +348,15 @@ def ngram_jaccard_pairs(
     contract, chosen from block statistics like a cost-based optimizer
     (``strategy="auto"``; force with "index" / "bitmask"):
 
-    **Inverted index** (the unbounded-vocabulary scale path): explode
-    distinct words → self-join on (block, word) → the per-pair match
-    count IS the intersection size; union = |A| + |B| − |A∩B|. Every
-    step is a codegen'd equi-join + hash aggregate, and only pairs
-    sharing ≥1 word are ever materialized. Cost grows with Σ df² per
-    word — dense near-duplicate blocks multiply each true pair by its
-    intersection size (measured 11.2M intermediate rows for 445k pairs
-    on a dense corpus).
+    **Inverted index** (the unbounded-vocabulary scale path; r12:
+    PREFIX-FILTERED): only each set's rarest ``sz − ceil(t·sz) + 1``
+    tokens are indexed (the lossless Bayardo rule, see
+    :func:`_jaccard_pairs_index`), candidates equi-join on
+    (block, prefix token) and verify exactly via array_intersect.
+    Cost grows with Σ df_prefix² — head stopwords never enter the
+    index, which is what keeps Zipfian (real) text linear; the
+    pre-r12 full-token index was quadratic there (docstring of
+    _jaccard_pairs_index has the measurement).
 
     **Bitmask** (the bounded-vocabulary fast path): per-block word ids
     → each doc's word set packed into nw SCALAR LONG mask columns →
@@ -369,9 +370,12 @@ def ngram_jaccard_pairs(
     Strategy choice (``auto``) is a measured COST MODEL, not a fixed
     bound: both paths' dominant cost is the rows their join
     materializes — Σ C(n_b, 2) candidates for the bitmask,
-    Σ_(block,w) df² intermediate rows for the index — so auto picks
-    the smaller (requiring the per-block vocab to pack into ≤16
-    longs for the bitmask to be feasible at all). On the dense
+    Σ_(block,w) df² intermediate rows for the index (since r12 a
+    LOOSE upper bound: prefix filtering indexes only the rare tail,
+    so the real index cost is Σ df_prefix² ≤ Σ df² — the model can
+    only err toward the bitmask, whose estimate stays exact) — so
+    auto picks the smaller (requiring the per-block vocab to pack
+    into ≤16 longs for the bitmask to be feasible at all). On the dense
     benchmark corpus the bitmask side wins at every scale measured
     (622k vs 77M at sf0.1, 62.5M vs 770M at the 10× sf1); a truly
     open vocabulary fails the ≤1024 gate and uses the index.
@@ -434,30 +438,72 @@ def ngram_jaccard_pairs(
         strategy = "index"
     if strategy == "bitmask":
         return _jaccard_pairs_bitmask(tok, threshold)
-    return _jaccard_pairs_index(base, tok, threshold)
+    return _jaccard_pairs_index(base, threshold)
 
 
-def _jaccard_pairs_index(base: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
-    sizes = base.select("doc_id", F.size("words").alias("sz"))
-    inter = (
-        tok.join(
-            tok.select(
-                F.col("doc_id").alias("id_b"), F.col("block").alias("block_r"), F.col("w").alias("w_r")
-            ),
-            (F.col("block") == F.col("block_r"))
-            & (F.col("w") == F.col("w_r"))
-            & (F.col("doc_id") < F.col("id_b")),
-        )
-        .groupBy(F.col("doc_id").alias("id_a"), F.col("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
+    """Blocked inverted index with PREFIX FILTERING (r12).
+
+    The pre-r12 form indexed EVERY token, so its join materialized
+    Σ df² rows per (block, word) — on Zipfian text the head tokens
+    appear in nearly every document (df ≈ block size), making the
+    intermediate quadratic in corpus size AND skewed onto the single
+    reducer owning the hottest (block, token) key. Measured on the
+    natural tier (tools/make_natural_corpus.py): 50k docs, 8 source
+    blocks → one core pegged >15 min, vs 36 s for the same decade on
+    the synthetic corpus whose short docs keep df low (the r11
+    "index path proven linear" ran there — linear in n only while
+    df/n stays constant, which real text violates).
+
+    Fix: only each set's first ``sz − ceil(t·sz) + 1`` tokens under
+    the global rarest-first order are indexed (the same lossless
+    Bayardo/ssjoin rule :func:`prefix_filter_pairs` proves against
+    its exhaustive oracle — any pair with Jaccard ≥ t shares a
+    prefix token). Head stopwords land in every doc's SUFFIX, so
+    posting lists carry rare tokens and candidate volume collapses
+    to Σ df_prefix²; candidates verify exactly via array_intersect
+    against the materialized word sets. Output identical (exact
+    verification, same rounding); the auto cost model's Σ df² stays
+    a sound (now loose) upper bound for this path."""
+    from pyspark.sql import Window
+
+    sets = _materialize(
+        base.withColumn("sz", F.size("words")).filter(F.col("sz") > 0)
     )
+    tok_sz = sets.select("doc_id", "block", "sz", F.explode("words").alias("w"))
+    dft = tok_sz.groupBy("w").agg(F.count("*").alias("df"))
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "w")
+    prefix = (
+        tok_sz.join(dft, "w")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "block", "sz", "w")
+    )
+    sz_filter = F.least(F.col("a.sz"), F.col("b.sz")) >= F.ceil(
+        F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & sz_filter,
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("words").alias("wa"))
+    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
     j = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
         .withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            inter / (F.size("wa") + F.size("wb") - inter).cast("double"),
         )
     )
     return (

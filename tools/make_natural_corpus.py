@@ -23,8 +23,12 @@ shape, seeded and deterministic:
   structure mirrors a scraped corpus: ~4% exact dups and ~8% near
   dups (a few word substitutions) of earlier documents.
 
-Usage: python tools/make_natural_corpus.py [out_dir] [n_docs] [n_vecs] [seed]
-Defaults: /tmp/natural 5000 2000 1411  (the sf0.1 bench sizes)
+Usage: python tools/make_natural_corpus.py [out_dir] [n_docs] [n_vecs] [seed] [n_clusters] [vocab]
+Defaults: /tmp/natural 5000 2000 1411 32 20000  (the sf0.1 bench sizes)
+For decade-sweep tiers scale n_clusters with n_vecs (constant ~62
+members/cluster: 20k vecs -> 320, 200k -> 3200; see gen_embeddings)
+and vocab with corpus tokens (Heaps' law, ~36*sqrt(60*n_docs): 50k
+docs -> 62000, 500k -> 197000; see gen_documents).
 
 tools/natural_corpus_report.py measures the pruning paths on this
 tier side by side with the shipped worst case; the table lives in
@@ -45,21 +49,47 @@ VOCAB = 20000
 ZIPF_S = 1.07
 
 
-def gen_embeddings(n_vecs: int, rng: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    centers = rng.randn(N_CLUSTERS, DIM)
+def gen_embeddings(
+    n_vecs: int, rng: np.ndarray, n_clusters: int = N_CLUSTERS
+) -> tuple[np.ndarray, np.ndarray]:
+    """``n_clusters`` parametrized in r12 for the decade sweep: a
+    growing corpus adds TOPICS, it does not pack 10x the mass into
+    the same 32 — a fixed cluster count at 200k vectors would make
+    within-cluster candidate mass quadratic in n, the same
+    data-shape artifact make_sf_scale.py's docstring documents for
+    its first-cut replication schemes. Scaling clusters with n keeps
+    members-per-cluster (the LOCAL density every pruning strategy
+    actually faces) constant at ~62, so per-decade ratios measure
+    the OPERATOR, not the generator."""
+    centers = rng.randn(n_clusters, DIM)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.randint(0, N_CLUSTERS, size=n_vecs)
+    labels = rng.randint(0, n_clusters, size=n_vecs)
     X = centers[labels] + NOISE * rng.randn(n_vecs, DIM)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     return X.astype(np.float32), labels.astype(np.int32)
 
 
-def gen_documents(n_docs: int, rng) -> list[tuple]:
-    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+def gen_documents(n_docs: int, rng, vocab: int = VOCAB) -> list[tuple]:
+    """``vocab`` parametrized in r12 (Heaps' law): a fixed 20k
+    vocabulary at 500k docs makes every token's document frequency
+    grow linearly with n, so even prefix-filtered posting lists go
+    quadratic — a generator artifact, not an operator property. Real
+    corpora grow vocabulary ~ K·sqrt(total tokens); K≈36 reproduces
+    the r11 default exactly (36·sqrt(5000·60) ≈ 20k), so decade
+    tiers use vocab ≈ 36·sqrt(n_docs·60): 62k at 50k docs, 197k at
+    500k. Token draws are inverse-CDF searchsorted (the previous
+    per-doc rng.choice(p=...) was O(vocab) per call — 1e11 ops at
+    the 100x tier)."""
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
     p = 1.0 / ranks**ZIPF_S
     p /= p.sum()
-    words = np.array([f"w{i}" for i in range(VOCAB)])
+    cum = np.cumsum(p)
+    words = np.array([f"w{i}" for i in range(vocab)])
     langs = ["en", "de", "fr", "zh", "es"]
+
+    def draw(k: int) -> np.ndarray:
+        return np.minimum(np.searchsorted(cum, rng.rand(k)), vocab - 1)
+
     rows: list[tuple] = []
     for doc_id in range(n_docs):
         u = rng.rand()
@@ -70,12 +100,13 @@ def gen_documents(n_docs: int, rng) -> list[tuple]:
             src = rows[rng.randint(0, len(rows))]
             toks = src[1].split(" ")
             n_sub = max(1, len(toks) // 20)
-            for pos in rng.choice(len(toks), size=n_sub, replace=False):
-                toks[pos] = words[rng.choice(VOCAB, p=p)]
+            subs = draw(n_sub)
+            for i, pos in enumerate(rng.choice(len(toks), size=n_sub, replace=False)):
+                toks[pos] = words[subs[i]]
             text = " ".join(toks)
         else:
             n_words = max(8, int(rng.lognormal(np.log(60), 0.6)))
-            text = " ".join(words[rng.choice(VOCAB, size=n_words, p=p)])
+            text = " ".join(words[draw(n_words)])
         rows.append(
             (
                 doc_id,
@@ -93,13 +124,15 @@ def main() -> None:
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 1411
+    n_clusters = int(sys.argv[5]) if len(sys.argv) > 5 else N_CLUSTERS
+    vocab = int(sys.argv[6]) if len(sys.argv) > 6 else VOCAB
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    X, labels = gen_embeddings(n_vecs, rng)
+    X, labels = gen_embeddings(n_vecs, rng, n_clusters)
     emb = pa.table(
         {
             "vec_id": pa.array(range(n_vecs), pa.int64()),
@@ -109,7 +142,7 @@ def main() -> None:
     )
     pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
 
-    rows = gen_documents(n_docs, rng)
+    rows = gen_documents(n_docs, rng, vocab)
     docs = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),

@@ -62,23 +62,38 @@ def ann_recall(spark, sf_dir: str, n_queries: int, k: int = 10) -> dict:
     )
     from data_ingestors_spark.queries.base import tables
 
+    import time
+
     emb = tables(spark, sf_dir, "embeddings")["embeddings"]
     q = emb.filter(F.col("vec_id") < n_queries)
     dim = len(emb.select("embedding").first()[0])
+    n = emb.count()
+    # index parameters scale with corpus size so the 20k+ tiers (r12,
+    # VERDICT r11 task 7) measure the same LOCAL selectivity as the
+    # r11 2k point: cells ~ sqrt(n)/2.8 (16 at 2k, 51 at 20k), LSH planes
+    # keep ~30 members/bucket. At n = 2000 these reduce to the exact
+    # r11 values (n_cells=16 via the floor, n_planes=6).
+    n_cells = max(16, int(round(math.sqrt(n) / 2.8)))
+    n_planes = max(6, int(math.log2(max(n, 64) / 30)))
+    t0 = time.time()
     exact = {
         (r.query_id, r.neighbor_id)
         for r in cosine_topk_bruteforce(emb, q, k=k).collect()
     }
+    brute_s = round(time.time() - t0, 2)
     tiers = {
-        "lsh": lambda: lsh_ann_topk(emb, q, k=k, n_tables=8, n_planes=6, dim=dim),
-        "ivf": lambda: ivf_ann_topk(emb, q, k=k, n_cells=16, n_probe=4),
+        "lsh": lambda: lsh_ann_topk(emb, q, k=k, n_tables=8, n_planes=n_planes, dim=dim),
+        "ivf": lambda: ivf_ann_topk(emb, q, k=k, n_cells=n_cells, n_probe=4),
         "pq": lambda: pq_ann_topk(emb, q, k=k, refine=2 * k),
-        "ivfpq": lambda: ivfpq_ann_topk(emb, q, k=k, n_cells=16, n_probe=4, refine=2 * k),
+        "ivfpq": lambda: ivfpq_ann_topk(emb, q, k=k, n_cells=n_cells, n_probe=4, refine=2 * k),
     }
-    out = {}
+    out: dict = {"n_vectors": n, "n_cells": n_cells, "n_planes": n_planes,
+                 "brute_s": brute_s}
     for name, fn in tiers.items():
+        t0 = time.time()
         got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
         out[name] = round(len(exact & got) / len(exact), 3)
+        out[f"{name}_s"] = round(time.time() - t0, 2)
     return out
 
 
@@ -222,20 +237,25 @@ def main() -> None:
     ap.add_argument("--cos-threshold", type=float, default=0.9)
     ap.add_argument("--n-queries", type=int, default=50)
     ap.add_argument("--skip-ann", action="store_true")
+    ap.add_argument("--skip-static", action="store_true",
+                    help="skip the three non-Spark measurements (their "
+                         "all-pairs ground truths are O(n^2) memory — at "
+                         "20k+ vectors run only the ANN recall)")
     args = ap.parse_args()
     label = args.label or os.path.basename(args.dir.rstrip("/"))
 
-    X = _load_vectors(args.dir)
-    print(json.dumps({"corpus": label, "metric": "cell_prune",
-                      "cos_threshold": args.cos_threshold,
-                      **cell_prune_fraction(X, args.cos_threshold)}), flush=True)
-    print(json.dumps({"corpus": label, "metric": "lsh_keep_rate",
-                      "cos_threshold": args.cos_threshold,
-                      **lsh_keep_rate(X, args.cos_threshold)}), flush=True)
-    print(json.dumps({"corpus": label, "metric": "prefix_filter",
-                      "jaccard_threshold": args.threshold,
-                      **prefix_filter_reduction(args.dir, args.threshold)}),
-          flush=True)
+    if not args.skip_static:
+        X = _load_vectors(args.dir)
+        print(json.dumps({"corpus": label, "metric": "cell_prune",
+                          "cos_threshold": args.cos_threshold,
+                          **cell_prune_fraction(X, args.cos_threshold)}), flush=True)
+        print(json.dumps({"corpus": label, "metric": "lsh_keep_rate",
+                          "cos_threshold": args.cos_threshold,
+                          **lsh_keep_rate(X, args.cos_threshold)}), flush=True)
+        print(json.dumps({"corpus": label, "metric": "prefix_filter",
+                          "jaccard_threshold": args.threshold,
+                          **prefix_filter_reduction(args.dir, args.threshold)}),
+              flush=True)
     if not args.skip_ann:
         from data_ingestors_spark.session import get_spark
 
