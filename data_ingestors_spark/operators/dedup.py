@@ -461,42 +461,93 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
     its exhaustive oracle — any pair with Jaccard ≥ t shares a
     prefix token). Head stopwords land in every doc's SUFFIX, so
     posting lists carry rare tokens and candidate volume collapses
-    to Σ df_prefix²; candidates verify exactly via array_intersect
-    against the materialized word sets. Output identical (exact
-    verification, same rounding); the auto cost model's Σ df² stays
-    a sound (now loose) upper bound for this path."""
+    to Σ df_prefix²; candidates verify exactly against the
+    materialized word sets. Output identical (exact verification,
+    same rounding); the auto cost model's Σ df² stays a sound (now
+    loose) upper bound for this path.
+
+    Two physical forms behind the same rule, gated on |vocab| (one
+    bounded count over the df frame):
+
+    - **dictionary** (vocab ≤ 2M, broadcastable): words encode to
+      int ids ASSIGNED IN RAREST-FIRST ORDER, so ``sort_array`` on a
+      doc's id set IS the prefix order — the prefix is ``slice(ids,
+      1, plen)`` with no per-document window shuffle at all, the
+      candidate join carries ids+ints only, and verification
+      intersects ``array<int>`` (~5× lighter per row than the string
+      arrays that spilled the 500k-doc local run out of memory).
+    - **open vocabulary** (the 100 TB tail: a dictionary too big to
+      broadcast or to row_number in one partition): classic form —
+      per-document rank window over (global df, token), string-keyed
+      prefix join, array_intersect verify on the word arrays."""
     from pyspark.sql import Window
 
-    sets = _materialize(
-        base.withColumn("sz", F.size("words")).filter(F.col("sz") > 0)
-    )
-    tok_sz = sets.select("doc_id", "block", "sz", F.explode("words").alias("w"))
-    dft = tok_sz.groupBy("w").agg(F.count("*").alias("df"))
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    pos_w = Window.partitionBy("doc_id").orderBy("df", "w")
-    prefix = (
-        tok_sz.join(dft, "w")
-        .withColumn("pos", F.row_number().over(pos_w))
-        .filter(F.col("pos") <= plen)
-        .select("doc_id", "block", "sz", "w")
-    )
     sz_filter = F.least(F.col("a.sz"), F.col("b.sz")) >= F.ceil(
         F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & sz_filter,
+    sets = base.withColumn("sz", F.size("words")).filter(F.col("sz") > 0)
+    tok_sz = sets.select("doc_id", "block", "sz", F.explode("words").alias("w"))
+    dft = _materialize(tok_sz.groupBy("w").agg(F.count("*").alias("df")))
+    vocab_n = dft.count()  # bounded stats job: one row per distinct token
+
+    if vocab_n <= 2_000_000:
+        # wid 0 = globally rarest token; the window runs over the
+        # |vocab|-row df frame, never the corpus
+        vocab = dft.select(
+            "w", (F.row_number().over(Window.orderBy("df", "w")) - 1).alias("wid")
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("words").alias("wa"))
-    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("words").alias("wb"))
+        docs = _materialize(
+            tok_sz.join(F.broadcast(vocab), "w")
+            .groupBy("doc_id", "block")
+            .agg(F.sort_array(F.collect_list("wid")).alias("ids"))
+            .withColumn("sz", F.size("ids"))
+        )
+        plen = (
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        ).cast("int")
+        prefix = docs.select(
+            "doc_id", "block", "sz",
+            F.explode(F.slice(F.col("ids"), F.lit(1), plen)).alias("w"),
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & sz_filter,
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        wa = docs.select(F.col("doc_id").alias("id_a"), F.col("ids").alias("wa"))
+        wb = docs.select(F.col("doc_id").alias("id_b"), F.col("ids").alias("wb"))
+    else:
+        sets = _materialize(sets)
+        plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        pos_w = Window.partitionBy("doc_id").orderBy("df", "w")
+        prefix = (
+            tok_sz.join(dft, "w")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .filter(F.col("pos") <= plen)
+            .select("doc_id", "block", "sz", "w")
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & sz_filter,
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        wa = sets.select(F.col("doc_id").alias("id_a"), F.col("words").alias("wa"))
+        wb = sets.select(F.col("doc_id").alias("id_b"), F.col("words").alias("wb"))
+
     inter = F.size(F.array_intersect("wa", "wb")).cast("double")
     j = (
         cand.join(wa, "id_a")
