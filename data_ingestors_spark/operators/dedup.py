@@ -485,6 +485,25 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
     sz_filter = F.least(F.col("a.sz"), F.col("b.sz")) >= F.ceil(
         F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
     )
+    # PPJoin positional filter (Xiao et al., WWW 2008), row-local in
+    # the candidate join: a pair meeting Jaccard t needs overlap
+    # o = t/(1+t)·(szA+szB); for a shared token at 0-based rarest-
+    # first positions (i, j) every common token sits at or after it,
+    # so overlap ≤ min(szA−i, szB−j). Filtering rows on that bound is
+    # LOSSLESS before the distinct: the pair's MINIMAL common token —
+    # inside both prefixes by the Bayardo theorem — satisfies the
+    # bound whenever the pair truly qualifies, so at least that
+    # generating row always survives. The ε guards float rounding of
+    # the (exact-in-theory) threshold product; it can only weaken the
+    # filter, never drop a true pair.
+    pos_filter = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        ).cast("double")
+        >= F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.sz") + F.col("b.sz")).cast("double")
+        - F.lit(1e-9)
+    )
     sets = base.withColumn("sz", F.size("words")).filter(F.col("sz") > 0)
     tok_sz = sets.select("doc_id", "block", "sz", F.explode("words").alias("w"))
     dft = _materialize(tok_sz.groupBy("w").agg(F.count("*").alias("df")))
@@ -507,7 +526,7 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
         ).cast("int")
         prefix = docs.select(
             "doc_id", "block", "sz",
-            F.explode(F.slice(F.col("ids"), F.lit(1), plen)).alias("w"),
+            F.posexplode(F.slice(F.col("ids"), F.lit(1), plen)).alias("pos", "w"),
         )
         a, b = prefix.alias("a"), prefix.alias("b")
         cand = (
@@ -516,7 +535,8 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
                 (F.col("a.block") == F.col("b.block"))
                 & (F.col("a.w") == F.col("b.w"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & sz_filter,
+                & sz_filter
+                & pos_filter,
             )
             .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
             .distinct()
@@ -529,9 +549,9 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
         pos_w = Window.partitionBy("doc_id").orderBy("df", "w")
         prefix = (
             tok_sz.join(dft, "w")
-            .withColumn("pos", F.row_number().over(pos_w))
-            .filter(F.col("pos") <= plen)
-            .select("doc_id", "block", "sz", "w")
+            .withColumn("pos", F.row_number().over(pos_w) - 1)  # 0-based
+            .filter(F.col("pos") < plen)
+            .select("doc_id", "block", "sz", "pos", "w")
         )
         a, b = prefix.alias("a"), prefix.alias("b")
         cand = (
@@ -540,7 +560,8 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
                 (F.col("a.block") == F.col("b.block"))
                 & (F.col("a.w") == F.col("b.w"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & sz_filter,
+                & sz_filter
+                & pos_filter,
             )
             .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
             .distinct()

@@ -502,6 +502,47 @@ def test_ngram_jaccard_strategies_agree(spark, sf_dir):
     assert idx == bm and idx
 
 
+def test_ngram_jaccard_index_prefix_pruning_lossless(spark):
+    """r12: the prefix-filtered + positionally-filtered index path
+    must equal the unpruned bitmask path on a ZIPFIAN corpus — the
+    shape where the pruning actually fires (head stopwords in every
+    doc stay out of the index; the sf0.001 corpus's 31-word vocab
+    barely exercises it). Docs share a heavy stopword head; planted
+    near-dup pairs must all survive the pruning."""
+    import numpy as np
+
+    from data_ingestors_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(1212)
+    head = [f"s{i}" for i in range(8)]            # stopwords, in ~every doc
+    tail = [f"t{i}" for i in range(400)]          # rare content words
+    rows = []
+    for i in range(120):
+        toks = list(rng.choice(head, size=6)) + [
+            tail[j] for j in rng.choice(400, size=10, replace=False)
+        ]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks), f"b{i % 3}"))
+        if i % 7 == 0:  # planted near-dup: drop one token, add one
+            toks2 = toks[1:] + [tail[int(rng.randint(400))]]
+            rows.append((1000 + i, " ".join(toks2), f"b{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    idx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", "src", 0.5, strategy="index"
+        ).collect()
+    }
+    bm = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", "src", 0.5, strategy="bitmask"
+        ).collect()
+    }
+    assert idx == bm
+    assert any(b >= 1000 for _, b in idx), "planted near-dups missing"
+
+
 def test_cell_gemm_scorer_guards_and_rounding():
     """Unit contract of the cogrouped GEMM pair scorer (no Spark):
     the diagonal id guard fires only at ci==cj (and, with the
