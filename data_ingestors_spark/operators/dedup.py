@@ -389,6 +389,7 @@ def ngram_jaccard_pairs(
     )
     tok = base.select("doc_id", "block", F.explode("words").alias("w"))
 
+    dft_shared = None
     if strategy == "auto":
         # ONE driver-blocking sizing action (r10, ADVICE): the per-block
         # vocab/df² stats and the per-block doc counts are joined on
@@ -397,10 +398,17 @@ def ngram_jaccard_pairs(
         # collects. Left join from the doc side: blocks whose docs all
         # tokenize to empty word sets vanish from tok but still
         # contribute candidate pairs.
+        # r12: the per-(block, word) frame is MATERIALIZED so that when
+        # auto routes to the index path, the global df order the prefix
+        # filter needs derives from it by one bounded re-aggregation —
+        # the pre-r12 form re-scanned and re-tokenized the whole corpus
+        # for a second frequency pass (measured 42 s of the 500k-doc
+        # natural-tier run).
+        blk_df = _materialize(
+            tok.groupBy("block", "w").agg(F.count("*").alias("df"))
+        )
         per_block_vocab = (
-            tok.groupBy("block", "w")
-            .agg(F.count("*").alias("df"))
-            .groupBy("block")
+            blk_df.groupBy("block")
             .agg(
                 F.count("*").alias("v"),
                 F.sum(F.col("df") * F.col("df")).alias("df2"),
@@ -436,12 +444,15 @@ def ngram_jaccard_pairs(
                 broadcast_vocab=(stats["total_vocab"] or 0) <= 2_000_000,
             )
         strategy = "index"
+        dft_shared = blk_df.groupBy("w").agg(F.sum("df").alias("df"))
     if strategy == "bitmask":
         return _jaccard_pairs_bitmask(tok, threshold)
-    return _jaccard_pairs_index(base, threshold)
+    return _jaccard_pairs_index(base, threshold, dft=dft_shared)
 
 
-def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs_index(
+    base: DataFrame, threshold: float, dft: DataFrame | None = None
+) -> DataFrame:
     """Blocked inverted index with PREFIX FILTERING (r12).
 
     The pre-r12 form indexed EVERY token, so its join materialized
@@ -506,7 +517,14 @@ def _jaccard_pairs_index(base: DataFrame, threshold: float) -> DataFrame:
     )
     sets = base.withColumn("sz", F.size("words")).filter(F.col("sz") > 0)
     tok_sz = sets.select("doc_id", "block", "sz", F.explode("words").alias("w"))
-    dft = _materialize(tok_sz.groupBy("w").agg(F.count("*").alias("df")))
+    # global token frequencies: reuse the auto cost model's per-block
+    # frame when provided (one corpus tokenization pass total),
+    # otherwise one fresh pass (forced strategy="index")
+    dft = _materialize(
+        dft
+        if dft is not None
+        else tok_sz.groupBy("w").agg(F.count("*").alias("df"))
+    )
     vocab_n = dft.count()  # bounded stats job: one row per distinct token
 
     if vocab_n <= 2_000_000:
