@@ -477,6 +477,13 @@ def _jaccard_pairs_index(
     same rounding); the auto cost model's Σ df² stays a sound (now
     loose) upper bound for this path.
 
+    This is the canonical distributed ssjoin shape (Vernica, Carey &
+    Li, "Efficient Parallel Set-Similarity Joins Using MapReduce",
+    SIGMOD 2010): prefix-token equi-join for candidates, row-local
+    length + positional filters inside the join, pair dedup, exact
+    verification against the stored sets — expressed as DataFrame
+    joins so Catalyst/AQE own the physical strategy.
+
     Two physical forms behind the same rule, gated on |vocab| (one
     bounded count over the df frame):
 
