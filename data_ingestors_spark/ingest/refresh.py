@@ -122,6 +122,23 @@ def _write_ledger(path: str, batches: list[str]) -> None:
     os.replace(tmp, path)
 
 
+def _spread_input(spark: SparkSession, batch: DataFrame) -> DataFrame:
+    """Round-robin a narrow batch read across the cluster (guide §2.5
+    input skew). A landed batch often arrives as one or a few parquet
+    files below ``maxPartitionBytes``, so the scan yields fewer splits
+    than cores and every per-doc stage downstream (normalize+md5
+    fingerprints, shingling, MinHash) runs on that handful of cores —
+    measured at sf0.1: the fingerprint pass alone was 7.2 s on the
+    1-split read vs 1.6 s spread (the fold's CPU work is regex-bound,
+    not I/O-bound). Only fires when the scan is under-parallel; a
+    large batch that already reads as >= defaultParallelism splits is
+    left untouched, so the shuffle this adds is bounded by one small
+    batch, never corpus-sized."""
+    n = batch.rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+    return batch.repartition(par) if n < par else batch
+
+
 def read_refresh_report(spark: SparkSession, store_dir: str, batch_id: int) -> DataFrame:
     """One batch's stored per-source novelty report."""
     from pyspark.sql import functions as F
@@ -196,7 +213,7 @@ def refresh_corpus(
     recover_compaction(p["nd_index"], ("bands", "shingles"))
     recover_compaction(p["emb_index"], ("sketches", "vectors"))
 
-    batch = spark.read.parquet(batch_path)
+    batch = _spread_input(spark, spark.read.parquet(batch_path))
 
     # 1. preflight novelty report + fingerprint index advance
     incremental_dedup_fold_batch(
@@ -215,7 +232,7 @@ def refresh_corpus(
     )
     if embedding_batch_path is not None:
         embedding_neardup_fold_batch(
-            spark, spark.read.parquet(embedding_batch_path), batch_id,
+            spark, _spread_input(spark, spark.read.parquet(embedding_batch_path)), batch_id,
             p["emb_index"], p["emb_pairs"],
             id_col=vec_id_col, vec_col=vec_col,
             threshold=embedding_threshold,

@@ -473,13 +473,23 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the part key — both sides are |parts|-sized, no broadcast. The
     top-5 window partitions by part. Co-count ≥ 2 prunes the pair
     tail before any join."""
+    from data_ingestors_spark.operators.dedup import _materialize
+
     t = tables(spark, sf_dir, "lineitem", "orders")
-    bought = _cap_baskets(
-        t["lineitem"]
-        .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
-        .select("o_custkey", "l_partkey")
-        .distinct(),
-        "o_custkey",
+    # r12-opt (guide §2.4): bought (fact-fact join + distinct + cap
+    # window) feeds THREE branches (self-join a/b + pop) — unpersisted
+    # the plan re-ran the lineitem⨝orders join per branch (16 parquet
+    # scans in plans/r12/item_cosine_before.txt). Materialize once;
+    # the (custkey, partkey) pairs are two longs per row at any scale
+    # and the cache is read back by every branch.
+    bought = _materialize(
+        _cap_baskets(
+            t["lineitem"]
+            .join(t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
+            .select("o_custkey", "l_partkey")
+            .distinct(),
+            "o_custkey",
+        )
     )
     a, b = bought.alias("a"), bought.alias("b")
     co = (
@@ -1177,15 +1187,25 @@ def q_copurchase_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration (cap applied AFTER the Apriori prefilter, so a basket
     is judged on its frequent-item size).
     """
+    from data_ingestors_spark.operators.dedup import _materialize
+
     t = tables(spark, sf_dir, "lineitem")
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # r12-opt (guide §2.4): items feeds freq + the semi join and
+    # fitems feeds the THREE-way self-join (a/b/c) — unpersisted, the
+    # scan+distinct (and the Apriori prefilter above it) re-ran per
+    # branch (12 parquet scans in
+    # plans/r12/copurchase_triples_before.txt). Materialize both
+    # narrow (long, long) frames once.
+    items = _materialize(t["lineitem"].select("l_orderkey", "l_partkey").distinct())
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 3)
         .select("l_partkey")
     )
-    fitems = _cap_baskets(items.join(freq, "l_partkey", "semi"), "l_orderkey")
+    fitems = _materialize(
+        _cap_baskets(items.join(freq, "l_partkey", "semi"), "l_orderkey")
+    )
     a = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     c = fitems.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pc"))
@@ -1251,7 +1271,16 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric joins; per-part support frames stream on the part key
     (|parts|-sized — NOT broadcast); the 1-row basket total cross-
     joins broadcast. Whale baskets above :data:`MAX_BASKET_ITEMS`
-    are dropped before the fan-out."""
+    are dropped before the fan-out.
+
+    r12-opt note: wrapping ``items`` in ``_materialize`` (as
+    ``item_cosine``/``copurchase_triples`` do) was measured and
+    REJECTED here — interleaved A/B at sf0.1 put the cached form ~10%
+    slower on both min and med (3.40/4.34 s uncached vs 3.73/4.87 s
+    cached over two 6-rep runs): the shared subtree is only
+    scan+distinct+cap-window (no fact-fact join), and ReuseExchange
+    already shares the shuffle across the a/b branches, so the persist
+    round-trip costs more than the recomputation it saves."""
     t = tables(spark, sf_dir, "lineitem")
     items = _cap_baskets(
         t["lineitem"].select("l_orderkey", "l_partkey").distinct(), "l_orderkey"

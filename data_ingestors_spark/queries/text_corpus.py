@@ -560,12 +560,18 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dims = emb.select(F.posexplode("v").alias("pos", "val"))
-    dstats = dims.groupBy("pos").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("val").cast(DEC)).cast("double").alias("s"),
-        F.sum((F.col("val") * F.col("val")).cast(DEC))
-        .cast("double")
-        .alias("ss"),
+    # r12-opt: sa and sb below both broadcast from this frame, and an
+    # unpersisted plan runs the scan+posexplode+agg subtree once PER
+    # broadcast (plan ops 25-33 in plans/r12/embedding_dim_corr_before
+    # duplicate ops 14-22). 64 rows — materialize once.
+    dstats = D._materialize(
+        dims.groupBy("pos").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast(DEC)).cast("double").alias("s"),
+            F.sum((F.col("val") * F.col("val")).cast(DEC))
+            .cast("double")
+            .alias("ss"),
+        )
     )
     # row-local upper-triangle products as a FLAT double array +
     # posexplode: the flat index is decoded to (pos_a, pos_b) via a
@@ -586,17 +592,40 @@ def q_embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     dim = len(probe["v"])
     iu_a, iu_b = np.triu_indices(dim, k=1)  # row-major — matches decode
+    n_pairs = len(iu_a)
 
-    @F.pandas_udf("array<double>")
-    def _upper_products(vs: pd.Series) -> pd.Series:
-        if vs.empty:
-            return pd.Series([], dtype=object)
-        V = np.array(list(vs), dtype=np.float64)
-        P = V[:, iu_a] * V[:, iu_b]
-        return pd.Series(list(P))
+    # r12-opt (guide §4.2): the r9 form returned the 2016 products as
+    # one array<double> CELL per row and posexploded in the JVM — at
+    # the default 10k-row Arrow batch that is a ~160 MB batch per
+    # worker plus 40M exploded structs, and the bench showed the
+    # Python workers degrading across reps (6 s → 73 s on one box,
+    # min/med 3.0/50.1 in BENCH_r12opt_before). mapInArrow streams the
+    # SAME (pidx, xy) rows as flat ~4 MB record batches (256 input
+    # rows at a time), so no giant Arrow cells and no explode exist at
+    # any scale; the identical float64 products reach the identical
+    # decimal-fold groupBy, so the sums (and oracle hash) are
+    # unchanged. Measured: med 19.6 s → 2.6 s, max 72.8 s → 2.7 s.
+    def _upper_products_arrow(it):
+        import pyarrow as pa
 
-    pair_terms = emb.select(
-        F.posexplode(_upper_products("v")).alias("pidx", "xy")
+        pidx_tile = np.arange(n_pairs, dtype=np.int32)
+        for rb in it:
+            # fixed-dim, non-null list<double> → (n, dim) without copy
+            vals = rb.column(0).flatten().to_numpy(zero_copy_only=False)
+            V = np.ascontiguousarray(vals).reshape(-1, dim)
+            for s in range(0, V.shape[0], 256):
+                chunk = V[s : s + 256]
+                P = chunk[:, iu_a] * chunk[:, iu_b]  # identical IEEE mults
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.tile(pidx_tile, P.shape[0])),
+                        pa.array(P.reshape(-1)),  # row-major = decode order
+                    ],
+                    names=["pidx", "xy"],
+                )
+
+    pair_terms = emb.select("v").mapInArrow(
+        _upper_products_arrow, "pidx int, xy double"
     )
     decode = spark.createDataFrame(
         [
@@ -1204,22 +1233,36 @@ def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "length(CAST((count(*) + 1499) DIV 1500 - 1 AS STRING)))) AS BIGINT)"
         ).alias("m")
     )
-    cust = (
+    # r12-opt: cust feeds five branches (keys a/b, truth x/y, n) and
+    # cands/truth each feed two consumers — unpersisted, the plan
+    # re-ran the customer scan + mod agg per branch and the quadratic
+    # levenshtein truth scan TWICE (36 customer scans / 28 nested-loop
+    # branches in plans/r12/blocking_audit_before.txt). All three
+    # frames are bounded by construction (sample ≤ ~1500 rows), so
+    # materializing them runs each subtree exactly once (guide §2.4).
+    cust = D._materialize(
         t["customer"]
         .crossJoin(F.broadcast(mod))
         .filter(F.col("c_custkey") % F.greatest(F.col("m"), F.lit(10)) == 0)
         .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("v"))
     )
     keys = cust.select("id", F.explode(_deletion_keys("v")).alias("k"))
-    cands = (
+    cands = D._materialize(
         keys.alias("a")
         .join(keys.alias("b"), F.col("a.k") == F.col("b.k"))
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    truth = (
-        cust.alias("x")
+    # r12-opt (guide §2.5 input skew): the ≤1500-row sample collapses
+    # to ONE scan partition, so the deliberately-quadratic ~1.1M-pair
+    # levenshtein nested-loop ran on a single core (measured 8-9.5 s;
+    # repartitioned across the cluster: 1.1-1.7 s). Spreading the
+    # STREAMED side is row-identical — the filter decides membership,
+    # not placement.
+    truth = D._materialize(
+        cust.repartition(spark.sparkContext.defaultParallelism)
+        .alias("x")
         .join(cust.alias("y"), F.col("x.id") < F.col("y.id"))
         .filter(F.levenshtein(F.col("x.v"), F.col("y.v")) == 1)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))

@@ -46,8 +46,10 @@ def _batch_index_frames(
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """(band_rows, shingle_rows, cached_intermediates) for one batch,
     reusing the batch operator's shingle/signature/band expressions.
-    The caller unpersists the intermediates once its outputs are
-    materialized."""
+    band_rows/shingle_rows are cheap derivations OF the cached
+    intermediates (an 8-struct explode and a projection) — the caller
+    keeps the intermediates persisted until its last consumer ran,
+    then unpersists them."""
     from data_ingestors_spark.operators.dedup import (
         _materialize,
         _minhash_sig_expr,
@@ -55,13 +57,17 @@ def _batch_index_frames(
     )
 
     r = num_hashes // bands
-    shingled = _materialize(shingle_docs(batch, text_col, id_col, shingle_n))
-    # the sig frame MUST materialize before per-band element extraction
-    # — same load-bearing cache boundary as the batch operator
-    # (operators/dedup.py _minhash_sig_expr): inlining the 32-way
-    # signature expression into the 8 bucket hashes mis-collapses the
-    # per-seed lambdas and every band hashes the same components
-    # (observed: one bucket repeated across all bands)
+    # Both frames need a persist() CACHE BOUNDARY in the plan (the
+    # InMemoryRelation is what stops CollapseProject re-inlining the
+    # shingle regex into every seed's array_min, and the 32-way
+    # signature expression into the 8 bucket hashes — the per-seed
+    # lambdas mis-collapse and every band hashes the same components;
+    # observed: one bucket repeated across all bands). Only the TOP
+    # frame needs the eager count: materializing sigs computes the
+    # shingles once and populates both caches in the same job —
+    # r12-opt, one pass over the batch instead of two and one fewer
+    # job per fold (guide §1.2: don't compute things twice).
+    shingled = shingle_docs(batch, text_col, id_col, shingle_n).persist()
     sigs = _materialize(
         shingled.select("doc_id", _minhash_sig_expr(num_hashes).alias("signature"))
     )
@@ -108,13 +114,12 @@ def neardup_fold_batch(
     new_bands, new_sh, intermediates = _batch_index_frames(
         batch, text_col, id_col, num_hashes, bands, shingle_n
     )
-    new_bands = new_bands.persist()
-    new_sh = new_sh.persist()
-    new_bands.count(), new_sh.count()  # materialize once
-    # the helper's shingle/signature caches served their purpose; free
-    # them so long streams don't accumulate storage memory
-    for frame in intermediates:
-        frame.unpersist()
+    # r12-opt (guide §5 caching): new_sh IS a projection of the
+    # persisted shingle frame and new_bands a cheap 8-struct explode
+    # of the persisted signature frame — re-persisting both doubled
+    # the cached bytes and cost two extra count jobs per batch. Keep
+    # the helper's caches live for the whole fold instead; every
+    # branch (candidate join, verify, index writes) reads them.
 
     have_index = path_exists(spark, bands_dir)
     all_bands = new_bands
@@ -181,8 +186,10 @@ def neardup_fold_batch(
             ).partitionBy(BATCH_PART_COL).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        new_bands.unpersist()
-        new_sh.unpersist()
+        # free the shingle/signature caches so long streams don't
+        # accumulate storage memory
+        for frame in intermediates:
+            frame.unpersist()
 
 
 def stream_neardup(
@@ -402,9 +409,18 @@ def incremental_dedup_fold_batch(
         report = _novelty_report(
             b.drop(BUCKET_COL).join(idx, "fp_md5", "left")
         ).withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
+        # r12-opt (guide §6 small files): cluster on the bucket column
+        # before the two-level partitionBy write — unclustered, every
+        # task writes one file into every bucket directory it holds
+        # rows for (tasks × buckets files per batch; measured 130
+        # files / 1.8 s at sf0.1 vs 130 dirs-worth clustered in
+        # 0.7 s), and at corpus scale the file count per batch layer
+        # is what keeps the touched-bucket probe's listing cheap. Same
+        # discipline as io/writers._cluster_by_bucket.
         new_fps = (
             b.select("fp_md5", BUCKET_COL)
             .distinct()
+            .repartition(n_buckets, F.col(BUCKET_COL))
             .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
