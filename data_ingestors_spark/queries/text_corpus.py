@@ -329,6 +329,16 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+    # r12-opt (guide §2.4): shingles feeds df_counts AND the join-back
+    # — unpersisted, the md5-per-shingle Generate pass compiled twice
+    # (2 documents scans in plans/r12/doc_novelty_before.txt; the
+    # second copy even column-pruned doc_id away, so no ReuseExchange
+    # could fire). The (long, long) rows are token-count-sized;
+    # persist (memory-and-disk) trades one spillable cache for the
+    # second full hash pass.
+    from data_ingestors_spark.operators.dedup import _materialize
+
+    shingles = _materialize(shingles)
     # (doc_id, sh) rows are unique by construction (array_distinct
     # upstream), so plain count == distinct-doc count without the
     # per-key hashset a countDistinct would carry through the shuffle
@@ -1118,6 +1128,13 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir, "documents")
     pred = X.language_id(t["documents"], "text", "doc_id").select("doc_id", "lang_pred")
     truth = t["documents"].select("doc_id", "lang")
+    # r12-opt note: materializing ``cells`` (the language_id corpus
+    # pass compiles once per consumer — 8 documents scans) was
+    # measured and REJECTED: same-JVM interleaved A/B at sf0.1 put the
+    # cached form 1.88x slower min-vs-min (1.25/3.49 s uncached vs
+    # 2.35/10.99 s cached over 4 reps/arm) — the persist barrier
+    # serializes branches the scheduler overlaps, and ReuseExchange
+    # already shares the heavy exchange. See OPTIMIZATION_r12.md.
     cells = (
         truth.join(pred, "doc_id")
         .groupBy("lang", "lang_pred")

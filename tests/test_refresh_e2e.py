@@ -341,3 +341,23 @@ def test_refresh_repairs_halfswapped_index_at_entry(spark, tmp_path):
         .collect()
     }
     assert got == want and (1, 3) in got
+
+
+def test_spread_input_only_when_under_parallel(spark, tmp_path):
+    """r12-opt guard: _spread_input round-robins a 1-file batch read
+    to defaultParallelism (so per-doc stages use the cluster) but is
+    row-identical and leaves an already-parallel frame untouched."""
+    from data_ingestors_spark.ingest.refresh import _spread_input
+
+    rows = [(i, "s", f"doc {i}") for i in range(100)]
+    path = str(tmp_path / "one_file_batch")
+    _docs(spark, rows).coalesce(1).write.parquet(path)
+    narrow = spark.read.parquet(path)
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+
+    spread = _spread_input(spark, narrow)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.doc_id for r in spread.collect()) == list(range(100))
+
+    wide = _docs(spark, rows).repartition(spark.sparkContext.defaultParallelism)
+    assert _spread_input(spark, wide) is wide  # no extra shuffle added
