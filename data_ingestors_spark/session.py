@@ -60,6 +60,23 @@ def get_spark(app_name: str = "data_ingestors_spark", cpus: int | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12-opt (guide §4.5/§5): fresh Python worker per task. Reused
+        # workers accumulate heap bloat across HETEROGENEOUS python
+        # stages (numpy/pandas/pyarrow allocator fragmentation — RSS
+        # grew to ~300 MB/worker and a 65-worker second generation
+        # appeared over a 40-query python-heavy loop), degrading later
+        # Arrow stages up to 20x: embedding_dim_corr measured 70/66/43 s
+        # per rep after the loop with reuse=true vs 10.8/7.4/6.6 s with
+        # reuse=false (isolated clean-session floor ~3 s either way).
+        # Cost: one daemon fork + numpy/pandas import per python task
+        # (~0.5-1.5 s per python-heavy query — measured, same loop).
+        # Long heterogeneous sessions (the bench, a production executor
+        # running many jobs) win by a lot; a single homogeneous
+        # pipeline can restore reuse via the env knob.
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
