@@ -22,7 +22,11 @@ compaction. Nothing in the loop ever rescans the corpus:
    (exactly-once; cumulative pairs equal the batch operator over the
    union of all batches — asserted in tests/test_e2e_categories.py).
 4. **Ledger** — ``ledger.json`` records the batch path LAST, after
-   every fold landed. A crash anywhere earlier means the batch is not
+   every fold landed. Steps 1-3 (and the optional embedding fold) run
+   CONCURRENTLY from a driver thread pool (r12-opt, guide §2.6): they
+   touch disjoint store paths and each is idempotent by batch id, so
+   overlap changes wall-clock only — the ledger still gates on all of
+   them. A crash anywhere earlier means the batch is not
    in the ledger and the whole loop re-runs with the SAME batch id —
    every step overwrites its own partitions with identical content. A
    batch already in the ledger is a REPLAY: the loop mutates nothing
@@ -213,30 +217,64 @@ def refresh_corpus(
     recover_compaction(p["nd_index"], ("bands", "shingles"))
     recover_compaction(p["emb_index"], ("sketches", "vectors"))
 
-    batch = _spread_input(spark, spark.read.parquet(batch_path))
+    # One scan+spread of the landed batch, shared by every fold below
+    # (unpersisted each step re-read and re-shuffled it).
+    batch = _spread_input(spark, spark.read.parquet(batch_path)).persist()
 
-    # 1. preflight novelty report + fingerprint index advance
-    incremental_dedup_fold_batch(
-        spark, batch, batch_id, p["dedup_index"], p["reports"],
-        text_col=text_col, id_col=id_col, source_col=source_col,
-    )
-    # 2. corpus upsert (touched buckets only)
-    updated, inserted, deduped = upsert(spark, p["corpus"], batch, key=id_col)
-    summary["upsert"] = {
-        "updated": updated, "inserted": inserted, "deduped": deduped,
-    }
-    # 3. near-dup monitor advance
-    neardup_fold_batch(
-        spark, batch, batch_id, p["nd_index"], p["nd_pairs"],
-        text_col=text_col, id_col=id_col, threshold=neardup_threshold,
-    )
-    if embedding_batch_path is not None:
-        embedding_neardup_fold_batch(
-            spark, _spread_input(spark, spark.read.parquet(embedding_batch_path)), batch_id,
-            p["emb_index"], p["emb_pairs"],
-            id_col=vec_id_col, vec_col=vec_col,
-            threshold=embedding_threshold,
-        )
+    # Steps 1-3 (and the optional embedding fold) are INDEPENDENT: they
+    # read/write disjoint store paths (dedup_index+reports / corpus /
+    # neardup / neardup_emb), each is idempotent by batch id, and the
+    # ledger is only written after ALL of them land — so running them
+    # concurrently from a small driver thread pool (guide §2.6: actions
+    # are only sequential because the driver calls them sequentially)
+    # preserves the crash contract exactly while each fold's straggler
+    # tail back-fills the others' tasks. A crash or failure in ANY fold
+    # leaves the batch un-ledgered and the whole loop re-runs, same as
+    # the serial form. partitionOverwriteMode is hoisted to "dynamic"
+    # around the block: every fold wants it for its partition-keyed
+    # overwrite, and hoisting makes the folds' own save/set/restore
+    # no-ops instead of a cross-thread set/restore race.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            # 1. preflight novelty report + fingerprint index advance
+            f_dedup = pool.submit(
+                incremental_dedup_fold_batch,
+                spark, batch, batch_id, p["dedup_index"], p["reports"],
+                text_col=text_col, id_col=id_col, source_col=source_col,
+            )
+            # 2. corpus upsert (touched buckets only)
+            f_upsert = pool.submit(upsert, spark, p["corpus"], batch, key=id_col)
+            # 3. near-dup monitor advance
+            f_neardup = pool.submit(
+                neardup_fold_batch,
+                spark, batch, batch_id, p["nd_index"], p["nd_pairs"],
+                text_col=text_col, id_col=id_col, threshold=neardup_threshold,
+            )
+            f_emb = None
+            if embedding_batch_path is not None:
+                f_emb = pool.submit(
+                    embedding_neardup_fold_batch,
+                    spark,
+                    _spread_input(spark, spark.read.parquet(embedding_batch_path)),
+                    batch_id, p["emb_index"], p["emb_pairs"],
+                    id_col=vec_id_col, vec_col=vec_col,
+                    threshold=embedding_threshold,
+                )
+            f_dedup.result()
+            updated, inserted, deduped = f_upsert.result()
+            summary["upsert"] = {
+                "updated": updated, "inserted": inserted, "deduped": deduped,
+            }
+            f_neardup.result()
+            if f_emb is not None:
+                f_emb.result()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
+        batch.unpersist()
     # 4. ledger last — everything above is idempotent by batch id
     _write_ledger(p["ledger"], ledger + [batch_path])
     # 5. bounded-layer maintenance — due on this batch, OR overdue

@@ -78,6 +78,21 @@ def get_spark(app_name: str = "data_ingestors_spark", cpus: int | None = None) -
             os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false"),
         )
     )
+    # r12-opt (guide §4.5): preload numpy/pandas/pyarrow in the python
+    # worker DAEMON so every forked worker inherits them copy-on-write —
+    # reuse=false (above) stays, but its per-task import tax (~0.4-0.8 s
+    # x concurrent workers per python stage) disappears. pydaemon.py is
+    # setup-only (no computation change); the repo root goes on the
+    # workers' PYTHONPATH so the module resolves in the spawned daemon.
+    if os.environ.get("SPARK_GRAFT_PY_DAEMON_PRELOAD", "1") != "0":
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pypath = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.python.daemon.module", "data_ingestors_spark.pydaemon"
+        ).config(
+            "spark.executorEnv.PYTHONPATH",
+            pkg_root + (os.pathsep + pypath if pypath else ""),
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
