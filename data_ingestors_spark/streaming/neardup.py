@@ -171,19 +171,37 @@ def neardup_fold_batch(
         .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
     )
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # The three writes land on DISTINCT paths and each reads only the
+    # persisted shingle/signature caches (plus prior-batch parquet), so
+    # they are independent jobs — run them concurrently (r12-opt,
+    # guide §2.6) instead of paying three serial job latencies. The
+    # fold still returns only after ALL writes landed, so callers'
+    # ledger/exactly-once discipline is unchanged; overwrite mode is
+    # held at "dynamic" for the whole block (no per-write set/restore
+    # racing across threads).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_pairs():
         verified.write.mode(
             "overwrite" if path_exists(spark, pairs_path) else "errorifexists"
         ).partitionBy(BATCH_PART_COL).parquet(pairs_path)
-        for frame, path in (
-            (new_bands, bands_dir),
-            (new_sh, sh_dir),
-        ):
-            frame.withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long")).write.mode(
-                "overwrite" if path_exists(spark, path) else "errorifexists"
-            ).partitionBy(BATCH_PART_COL).parquet(path)
+
+    def _write_index(frame, path):
+        frame.withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long")).write.mode(
+            "overwrite" if path_exists(spark, path) else "errorifexists"
+        ).partitionBy(BATCH_PART_COL).parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write_pairs),
+                pool.submit(_write_index, new_bands, bands_dir),
+                pool.submit(_write_index, new_sh, sh_dir),
+            ]
+            for f in futs:
+                f.result()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # free the shingle/signature caches so long streams don't
@@ -423,15 +441,28 @@ def incremental_dedup_fold_batch(
             .repartition(n_buckets, F.col(BUCKET_COL))
             .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the two writes land on distinct paths and both read only the
+        # persisted batch frame (+ prior-batch fps, whose file listing
+        # was captured above) — run them concurrently (r12-opt, guide
+        # §2.6); the fold still returns only after both landed
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_report():
             report.write.mode(
                 "overwrite" if path_exists(spark, reports_path) else "errorifexists"
             ).partitionBy(BATCH_PART_COL).parquet(reports_path)
+
+        def _write_fps():
             new_fps.write.mode(
                 "overwrite" if path_exists(spark, fps_dir) else "errorifexists"
             ).partitionBy(BATCH_PART_COL, BUCKET_COL).parquet(fps_dir)
+
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for f in [pool.submit(_write_report), pool.submit(_write_fps)]:
+                    f.result()
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
