@@ -719,8 +719,12 @@ def main() -> None:
     # registry query at sf0.001 (plan shape is scale-invariant) so a
     # plan regression diffs per-round even when timings cannot.
     # tools/plans_check.py diffs this file against the committed
-    # SCALE.md table.
+    # SCALE.md table. r13: SPARK_GRAFT_BENCH_PLANS=0 skips this block
+    # (process-level A/B arms re-time the same committed code, so the
+    # deterministic fingerprints add nothing per arm); default unchanged.
     try:
+        if os.environ.get("SPARK_GRAFT_BENCH_PLANS", "1") == "0":
+            raise RuntimeError("disabled via SPARK_GRAFT_BENCH_PLANS=0")
         from data_ingestors_spark.doctor import plan_stats
 
         plan_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
@@ -769,6 +773,15 @@ def main() -> None:
     }
     out["reps"] = reps
     out["top_reps"] = top_reps
+    # r13 (VERDICT r12 item 2): carry the session's actual core count and
+    # master in the payload so the driver's low-core heuristic can see
+    # that SPARK_GRAFT_CPUS was honored instead of inferring from
+    # per-query ratios (which are overhead-bound at sf0.1).
+    try:
+        out["cpus"] = spark.sparkContext.defaultParallelism
+        out["master"] = spark.sparkContext.master
+    except Exception:
+        pass
     if git_head:
         out["git_head"] = git_head
     if drift_section is not None:
@@ -835,6 +848,9 @@ def main() -> None:
         "tpch22_total": tpch22_total,
         "full_results": full_path,
     }
+    for k in ("cpus", "master"):
+        if k in out:
+            compact[k] = out[k]
     if ingest_rows_per_sec is not None:
         compact["ingest_rows_per_sec"] = ingest_rows_per_sec
     if git_head:
