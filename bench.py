@@ -713,6 +713,62 @@ def main() -> None:
     except Exception as e:  # never let the throughput probe break the bench line
         print(f"# ingest bench skipped: {e}", file=sys.stderr)
 
+    # r13 (VERDICT r12 #6): embedding-fold timer. The embedding near-dup
+    # fold (the refresh loop's third dedup modality) had NO timer, so
+    # its optimizations were unmeasurable — the text fold's numbers ride
+    # in refresh_report but the embedding fold is only exercised when a
+    # caller passes embedding_batch_path. Two vec_id-parity batches from
+    # the embeddings table run through the REAL embedding_neardup_fold_batch
+    # into a fresh temp store per rep; reported as median wall seconds
+    # for the two folds. Additions-only: a new payload field, no change
+    # to any existing timing.
+    emb_fold_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from data_ingestors_spark.streaming.neardup import (
+            embedding_neardup_fold_batch,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        b0 = emb.where("vec_id % 2 = 0")
+        b1 = emb.where("vec_id % 2 = 1")
+        if os.path.isdir(warm_dir):  # untimed JIT warm, different data path
+            wtmp = tempfile.mkdtemp(prefix="bench_embfold_warm_")
+            try:
+                wemb = spark.read.parquet(os.path.join(warm_dir, "embeddings.parquet"))
+                embedding_neardup_fold_batch(
+                    spark, wemb, 0,
+                    os.path.join(wtmp, "index"), os.path.join(wtmp, "pairs"),
+                )
+            finally:
+                shutil.rmtree(wtmp, ignore_errors=True)
+            spark.catalog.clearCache()
+        ef_samples = []
+        for rep in range(reps):
+            tmp = tempfile.mkdtemp(prefix=f"bench_embfold_{rep}_")
+            try:
+                t0 = time.perf_counter()
+                for bi, bdf in enumerate((b0, b1)):
+                    embedding_neardup_fold_batch(
+                        spark, bdf, bi,
+                        os.path.join(tmp, "index"), os.path.join(tmp, "pairs"),
+                    )
+                ef_samples.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+        emb_fold_sec = round(_median(ef_samples), 3)
+        emb_fold_stats = {
+            "min": round(min(ef_samples), 3),
+            "med": emb_fold_sec,
+            "max": round(max(ef_samples), 3),
+        }
+        print(f"# embedding fold (2 batches): {emb_fold_stats} s", file=sys.stderr)
+    except Exception as e:  # never let the probe break the bench line
+        print(f"# embedding fold bench skipped: {e}", file=sys.stderr)
+
     # r10: per-round PLAN artifact — wall-time regressions are drowned
     # by box noise (BASELINE.md §r10), but plan stats (shuffles, join
     # kinds, cartesians, pushdown) are deterministic. Fingerprint EVERY
@@ -794,6 +850,9 @@ def main() -> None:
     if ingest_rows_per_sec is not None:
         out["ingest_rows_per_sec"] = ingest_rows_per_sec
         out["ingest_stats"] = ingest_stats
+    if emb_fold_sec is not None:
+        out["emb_fold_sec"] = emb_fold_sec
+        out["emb_fold_stats"] = emb_fold_stats
 
     # The driver captures only a bounded tail of stdout (BENCH_r06/r07
     # recorded `parsed: null` because the full 160-query line blew past
@@ -853,6 +912,8 @@ def main() -> None:
             compact[k] = out[k]
     if ingest_rows_per_sec is not None:
         compact["ingest_rows_per_sec"] = ingest_rows_per_sec
+    if emb_fold_sec is not None:
+        compact["emb_fold_sec"] = emb_fold_sec
     if git_head:
         compact["git_head"] = git_head[:12]
     if drift_section is not None:

@@ -230,14 +230,14 @@ def refresh_corpus(
     # preserves the crash contract exactly while each fold's straggler
     # tail back-fills the others' tasks. A crash or failure in ANY fold
     # leaves the batch un-ledgered and the whole loop re-runs, same as
-    # the serial form. partitionOverwriteMode is hoisted to "dynamic"
-    # around the block: every fold wants it for its partition-keyed
-    # overwrite, and hoisting makes the folds' own save/set/restore
-    # no-ops instead of a cross-thread set/restore race.
+    # the serial form. Overwrite-mode isolation (r13, ADVICE r12): every
+    # partition-keyed write inside the folds carries its own per-write
+    # option("partitionOverwriteMode", ...), which takes precedence over
+    # the session conf — no session-level mutation happens here or in
+    # any fold, so concurrent folds cannot race on it and upsert's
+    # whole-table-rewrite branches keep their static truncation.
     from concurrent.futures import ThreadPoolExecutor
 
-    prev_pom = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         with ThreadPoolExecutor(max_workers=4) as pool:
             # 1. preflight novelty report + fingerprint index advance
@@ -273,7 +273,6 @@ def refresh_corpus(
             if f_emb is not None:
                 f_emb.result()
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_pom)
         batch.unpersist()
     # 4. ledger last — everything above is idempotent by batch id
     _write_ledger(p["ledger"], ledger + [batch_path])

@@ -191,7 +191,16 @@ def upsert(
             merged = _cluster_by_bucket(
                 keep.unionByName(batch.select(keep.columns)), n_buckets
             ).localCheckpoint(eager=True)
-            write_table(merged, target_path, "overwrite", [BUCKET_COL])
+            # whole-table rewrite: force a STATIC overwrite per-write so
+            # an ambient dynamic mode (e.g. a caller running refresh
+            # folds concurrently) cannot leave the pre-upgrade files
+            # alongside the new __bucket=* dirs — reads would then
+            # return duplicated rows (ADVICE r12, medium). The writer
+            # option takes precedence over the session conf and is
+            # scoped to this write only.
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy(BUCKET_COL).parquet(target_path)
             updated = int(row["updated"] or 0)
             return (updated, int(row["n"]) - updated, int(row["deduped"] or 0))
 
@@ -206,7 +215,16 @@ def upsert(
             merged = _cluster_by_bucket(
                 keep.unionByName(batch.select(keep.columns)), n_buckets
             ).localCheckpoint(eager=True)
-            write_table(merged, target_path, "overwrite", [BUCKET_COL])
+            # whole-table rewrite: force a STATIC overwrite per-write so
+            # an ambient dynamic mode (e.g. a caller running refresh
+            # folds concurrently) cannot leave the pre-upgrade files
+            # alongside the new __bucket=* dirs — reads would then
+            # return duplicated rows (ADVICE r12, medium). The writer
+            # option takes precedence over the session conf and is
+            # scoped to this write only.
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "static"
+            ).partitionBy(BUCKET_COL).parquet(target_path)
             updated = int(row["updated"] or 0)
             return (updated, int(row["n"]) - updated, int(row["deduped"] or 0))
 
@@ -229,13 +247,12 @@ def upsert(
         merged = merged.localCheckpoint(eager=True)
 
         # dynamic overwrite: only partitions present in `merged`
-        # (exactly the touched buckets) are replaced.
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # (exactly the touched buckets) are replaced. Per-write option
+        # instead of a session-conf set/restore: thread-safe under the
+        # concurrent refresh folds (r13, ADVICE r12 low #3).
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(BUCKET_COL).parquet(target_path)
         return (updated, inserted, deduped)
     finally:
         batch.unpersist()
@@ -358,13 +375,10 @@ def purge_keys(
         # delete those bucket directories explicitly
         kept_buckets = {r[BUCKET_COL] for r in keep.select(BUCKET_COL).distinct().collect()}
         emptied = [b for b in touched if b not in kept_buckets]
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            if n_after:
-                keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(target_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if n_after:
+            keep.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(BUCKET_COL).parquet(target_path)
         for b in emptied:
             fs, p = hadoop_fs(spark, f"{target_path}/{BUCKET_COL}={b}")
             # deleting an already-absent dir returns false too — only

@@ -120,16 +120,12 @@ def rollup_upsert(
         .select(parts.columns)
     )
     merged = _merge(parts.unionByName(existing), key_cols)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # merged contains ONLY touched buckets, so dynamic overwrite
-        # replaces exactly those partition directories
-        merged.repartition(BUCKET_PART_COL).write.mode("overwrite").partitionBy(
-            BUCKET_PART_COL
-        ).parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # merged contains ONLY touched buckets, so dynamic overwrite
+    # replaces exactly those partition directories. Per-write option:
+    # thread-safe, no session-conf set/restore (r13).
+    merged.repartition(BUCKET_PART_COL).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(BUCKET_PART_COL).parquet(store_path)
     return len(touched)
 
 
@@ -184,14 +180,11 @@ def rollup_append_partials(
     parts = _partials(batch, ts_col, key_cols, val_col, bucket).withColumn(
         BATCH_PART_COL, F.lit(int(batch_id)).cast("long")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        parts.repartition(BUCKET_PART_COL).write.mode(
-            "overwrite" if path_exists(spark, store_path) else "errorifexists"
-        ).partitionBy(BUCKET_PART_COL, BATCH_PART_COL).parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    parts.repartition(BUCKET_PART_COL).write.mode(
+        "overwrite" if path_exists(spark, store_path) else "errorifexists"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        BUCKET_PART_COL, BATCH_PART_COL
+    ).parquet(store_path)
 
 
 def compact_rollup(
@@ -206,17 +199,14 @@ def compact_rollup(
     merged = _merge(df.drop(BATCH_PART_COL), key_cols).withColumn(
         BATCH_PART_COL, F.lit(-1).cast("long")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        # STATIC overwrite is load-bearing: under dynamic mode (which
-        # rollup_upsert/append set, and clusters often default to) the
-        # write would replace only the __batch=-1 partitions and leave
-        # every stale per-batch partial in place — read_rollup would
-        # then double-count all measures
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        # materialize before the full-store overwrite reads-under-write
-        merged.localCheckpoint(eager=True).repartition(BUCKET_PART_COL).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET_PART_COL, BATCH_PART_COL).parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # STATIC overwrite is load-bearing: under dynamic mode (which
+    # clusters often default to) the write would replace only the
+    # __batch=-1 partitions and leave every stale per-batch partial in
+    # place — read_rollup would then double-count all measures.
+    # Per-write option so an ambient dynamic mode cannot leak in (r13).
+    # materialize before the full-store overwrite reads-under-write
+    merged.localCheckpoint(eager=True).repartition(BUCKET_PART_COL).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "static").partitionBy(
+        BUCKET_PART_COL, BATCH_PART_COL
+    ).parquet(store_path)

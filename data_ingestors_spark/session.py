@@ -53,29 +53,37 @@ def get_spark(app_name: str = "data_ingestors_spark", cpus: int | None = None) -
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # r12-opt (guide §4.5/§5): fresh Python worker per task. Reused
-        # workers accumulate heap bloat across HETEROGENEOUS python
-        # stages (numpy/pandas/pyarrow allocator fragmentation — RSS
-        # grew to ~300 MB/worker and a 65-worker second generation
-        # appeared over a 40-query python-heavy loop), degrading later
-        # Arrow stages up to 20x: embedding_dim_corr measured 70/66/43 s
-        # per rep after the loop with reuse=true vs 10.8/7.4/6.6 s with
-        # reuse=false (isolated clean-session floor ~3 s either way).
-        # Cost: one daemon fork + numpy/pandas import per python task
-        # (~0.5-1.5 s per python-heavy query — measured, same loop).
-        # Long heterogeneous sessions (the bench, a production executor
-        # running many jobs) win by a lot; a single homogeneous
-        # pipeline can restore reuse via the env knob.
+        # r13 (VERDICT r12 item 1): default back to reuse=true (Spark's
+        # default). The r12 round flipped this to false after root-causing
+        # a real pathology (reused workers bloat to ~300 MB RSS across a
+        # 40-query heterogeneous python loop, degrading later Arrow
+        # stages up to 20x) — but that was a LONG-interactive-session
+        # shape. The clean experiment the r12 verdict asked for — full
+        # bench.py at sf0.1, 3 fresh processes per arm, alternated on one
+        # box, code pinned — measured the fresh-worker default NEUTRAL TO
+        # SLIGHTLY NEGATIVE on the per-round bench shape: per-query
+        # min-vs-min geomean r11-flags/r12-flags = 0.974 (37 names),
+        # headline mins 167.3 s (reuse=true) vs 171.4 s (reuse=false),
+        # ingest equal, and NO within-session Python-stage degradation
+        # (embedding_dim_corr min/med/max 2.04/2.18/2.32 s under
+        # reuse=true — the r12 70 s mode needs a much longer session).
+        # At 100 TB the scale argument is decisive: a fresh fork +
+        # interpreter init per PYTHON TASK multiplies across millions of
+        # tasks, while guide §4.5's posture is init-once-per-task state
+        # in long-lived workers. Long heterogeneous driver sessions can
+        # opt back into fresh workers via SPARK_GRAFT_PY_WORKER_REUSE=
+        # false (the r12 evidence for that shape stands).
         .config(
             "spark.python.worker.reuse",
-            os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "false"),
+            os.environ.get("SPARK_GRAFT_PY_WORKER_REUSE", "true"),
         )
     )
     # r12-opt (guide §4.5): preload numpy/pandas/pyarrow in the python
@@ -84,7 +92,14 @@ def get_spark(app_name: str = "data_ingestors_spark", cpus: int | None = None) -
     # x concurrent workers per python stage) disappears. pydaemon.py is
     # setup-only (no computation change); the repo root goes on the
     # workers' PYTHONPATH so the module resolves in the spawned daemon.
-    if os.environ.get("SPARK_GRAFT_PY_DAEMON_PRELOAD", "1") != "0":
+    # Gated on a local master (ADVICE r12 low #2): executorEnv.PYTHONPATH
+    # points at the DRIVER-LOCAL repo root, which remote executors do not
+    # have — there the daemon-module import would hard-fail every python
+    # task. Non-local deployments must ship the package (--py-files /
+    # image) and set spark.python.daemon.module themselves.
+    if master.startswith("local") and (
+        os.environ.get("SPARK_GRAFT_PY_DAEMON_PRELOAD", "1") != "0"
+    ):
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         pypath = os.environ.get("PYTHONPATH", "")
         builder = builder.config(

@@ -34,12 +34,9 @@ def digest_fold_batch(
     partial = build_digest(batch_df, col, b).withColumn(
         "__batch", F.lit(int(batch_id))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        partial.write.mode("overwrite").partitionBy("__batch").parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__batch").parquet(store_path)
 
 
 def stream_quantile_digest(

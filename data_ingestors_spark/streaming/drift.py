@@ -94,7 +94,6 @@ def stream_psi_fold(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         partial = (
             batch_df.join(edges, "event_type")
             .groupBy(
@@ -104,12 +103,9 @@ def stream_psi_fold(
             .agg(F.count("*").cast("long").alias("c_new"))
             .withColumn("__batch", F.lit(int(batch_id)))
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            partial.write.mode("overwrite").partitionBy("__batch").parquet(store_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        partial.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("__batch").parquet(store_path)
 
     writer = (
         events.writeStream.foreachBatch(fold)

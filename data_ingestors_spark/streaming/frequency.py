@@ -37,12 +37,9 @@ def counts_fold_batch(
         .agg(F.count("*").cast("long").alias("cnt"))
         .withColumn("__batch", F.lit(int(batch_id)))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        partial.write.mode("overwrite").partitionBy("__batch").parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__batch").parquet(store_path)
 
 
 def stream_heavy_hitters(

@@ -53,14 +53,11 @@ def fuzzy_match_fold_batch(
     if not exists and matched.isEmpty():
         return
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        matched.write.mode(
-            "overwrite" if exists else "errorifexists"
-        ).partitionBy(BATCH_PART_COL).parquet(matches_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    matched.write.mode(
+        "overwrite" if exists else "errorifexists"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        BATCH_PART_COL
+    ).parquet(matches_path)
 
 
 def stream_fuzzy_match(

@@ -39,13 +39,9 @@ STALE_SLA_US = 3_600_000_000
 
 
 def _overwrite_batch_partition(partial: DataFrame, store_path: str) -> None:
-    spark = partial.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        partial.write.mode("overwrite").partitionBy("__batch").parquet(store_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__batch").parquet(store_path)
 
 
 # ---------------------------------------------------------------- freshness

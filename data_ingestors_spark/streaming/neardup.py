@@ -176,24 +176,27 @@ def neardup_fold_batch(
     # they are independent jobs — run them concurrently (r12-opt,
     # guide §2.6) instead of paying three serial job latencies. The
     # fold still returns only after ALL writes landed, so callers'
-    # ledger/exactly-once discipline is unchanged; overwrite mode is
-    # held at "dynamic" for the whole block (no per-write set/restore
-    # racing across threads).
+    # ledger/exactly-once discipline is unchanged. Overwrite mode is a
+    # PER-WRITE option (r13, ADVICE r12 low #3): it takes precedence
+    # over the session conf, so no session-level set/restore exists to
+    # race across these (or the caller's) threads.
     from concurrent.futures import ThreadPoolExecutor
 
     def _write_pairs():
         verified.write.mode(
             "overwrite" if path_exists(spark, pairs_path) else "errorifexists"
-        ).partitionBy(BATCH_PART_COL).parquet(pairs_path)
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            BATCH_PART_COL
+        ).parquet(pairs_path)
 
     def _write_index(frame, path):
         frame.withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long")).write.mode(
             "overwrite" if path_exists(spark, path) else "errorifexists"
-        ).partitionBy(BATCH_PART_COL).parquet(path)
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            BATCH_PART_COL
+        ).parquet(path)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(_write_pairs),
@@ -203,7 +206,6 @@ def neardup_fold_batch(
             for f in futs:
                 f.result()
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # free the shingle/signature caches so long streams don't
         # accumulate storage memory
         for frame in intermediates:
@@ -313,33 +315,29 @@ def _compact_index(spark, index_path: str, subdirs: tuple[str, ...]) -> None:
     import shutil
 
     recover_compaction(index_path, subdirs)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        # STATIC overwrite: under dynamic mode only the __batch=-1
+    for sub in subdirs:
+        live = f"{index_path}/{sub}"
+        tmp = live + _COMPACT_TMP
+        old = live + _COMPACT_OLD
+        df = spark.read.parquet(live)
+        folded = df.drop(BATCH_PART_COL).withColumn(
+            BATCH_PART_COL, F.lit(-1).cast("long")
+        )
+        # the write target is a sibling, not the read path, so no
+        # localCheckpoint materialization is needed (pre-r12 the
+        # in-place overwrite required one — and its volatility was
+        # exactly the crash-loss window). STATIC overwrite is
+        # load-bearing: under dynamic mode only the __batch=-1
         # partitions would be replaced and the stale per-batch layers
         # would survive, doubling every index row (the compact_rollup
-        # bug class — regression-tested there and here)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        for sub in subdirs:
-            live = f"{index_path}/{sub}"
-            tmp = live + _COMPACT_TMP
-            old = live + _COMPACT_OLD
-            df = spark.read.parquet(live)
-            folded = df.drop(BATCH_PART_COL).withColumn(
-                BATCH_PART_COL, F.lit(-1).cast("long")
-            )
-            # the write target is a sibling, not the read path, so no
-            # localCheckpoint materialization is needed (pre-r12 the
-            # in-place overwrite required one — and its volatility was
-            # exactly the crash-loss window)
-            folded.write.mode("overwrite").partitionBy(
-                BATCH_PART_COL
-            ).parquet(tmp)
-            os.rename(live, old)
-            os.rename(tmp, live)
-            shutil.rmtree(old)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # bug class — regression-tested there and here). Per-write
+        # option so an ambient dynamic mode cannot leak in (r13).
+        folded.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy(BATCH_PART_COL).parquet(tmp)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
 
 
 def compact_neardup_index(spark, index_path: str) -> None:
@@ -450,21 +448,20 @@ def incremental_dedup_fold_batch(
         def _write_report():
             report.write.mode(
                 "overwrite" if path_exists(spark, reports_path) else "errorifexists"
-            ).partitionBy(BATCH_PART_COL).parquet(reports_path)
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                BATCH_PART_COL
+            ).parquet(reports_path)
 
         def _write_fps():
             new_fps.write.mode(
                 "overwrite" if path_exists(spark, fps_dir) else "errorifexists"
-            ).partitionBy(BATCH_PART_COL, BUCKET_COL).parquet(fps_dir)
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                BATCH_PART_COL, BUCKET_COL
+            ).parquet(fps_dir)
 
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                for f in [pool.submit(_write_report), pool.submit(_write_fps)]:
-                    f.result()
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_write_report), pool.submit(_write_fps)]:
+                f.result()
     finally:
         b.unpersist()
 
@@ -585,7 +582,12 @@ def embedding_neardup_fold_batch(
         "vec_id", F.posexplode(sketch(F.col("vec"))).alias("tbl", "bucket")
     ).persist()
     new_vec = base.persist()
-    new_sk.count(), new_vec.count()  # materialize once
+    # r13-opt (guide §1.2, same as the r12 text-fold change): ONE eager
+    # count materializes BOTH caches — computing new_sk scans base,
+    # which the cache manager substitutes with new_vec's registered
+    # InMemoryRelation and populates on the way through. The second
+    # count job was pure overhead.
+    new_sk.count()
 
     sk_dir = f"{index_path}/sketches"
     vec_dir = f"{index_path}/vectors"
@@ -637,20 +639,42 @@ def embedding_neardup_fold_batch(
         .withColumn(BATCH_PART_COL, F.lit(int(batch_id)).cast("long"))
     )
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # r13-opt (guide §2.6, VERDICT r12 #6): the three writes land on
+    # DISTINCT paths (pairs / sketches / vectors) and all read only the
+    # persisted new_sk/new_vec caches plus prior-batch parquet — the
+    # exact shape the text fold already runs concurrently. The fold
+    # still returns only after ALL writes landed, so the caller's
+    # ledger-last / exactly-once discipline is unchanged; a failure in
+    # any write propagates out of .result() and leaves the batch
+    # un-ledgered, same as the serial form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_pairs():
         verified.write.mode(
             "overwrite" if path_exists(spark, pairs_path) else "errorifexists"
-        ).partitionBy(BATCH_PART_COL).parquet(pairs_path)
-        for frame, path in ((new_sk, sk_dir), (new_vec, vec_dir)):
-            frame.withColumn(
-                BATCH_PART_COL, F.lit(int(batch_id)).cast("long")
-            ).write.mode(
-                "overwrite" if path_exists(spark, path) else "errorifexists"
-            ).partitionBy(BATCH_PART_COL).parquet(path)
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            BATCH_PART_COL
+        ).parquet(pairs_path)
+
+    def _write_index(frame, path):
+        frame.withColumn(
+            BATCH_PART_COL, F.lit(int(batch_id)).cast("long")
+        ).write.mode(
+            "overwrite" if path_exists(spark, path) else "errorifexists"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            BATCH_PART_COL
+        ).parquet(path)
+
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write_pairs),
+                pool.submit(_write_index, new_sk, sk_dir),
+                pool.submit(_write_index, new_vec, vec_dir),
+            ]
+            for f in futs:
+                f.result()
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         new_sk.unpersist()
         new_vec.unpersist()
 

@@ -626,6 +626,37 @@ def test_embedding_dim_corr_empty_table_raises_clearly(spark, tmp_path):
         all_queries()["embedding_dim_corr"](spark, sf)
 
 
+def test_flat_vectors_rejects_null_and_ragged():
+    """_flat_vectors (embedding_dim_corr's Arrow batch decoder) must
+    fail LOUDLY on null/ragged vectors: pyarrow's flatten() silently
+    drops null list slots, which would misalign every subsequent row
+    (wrong results at scale, not a crash — VERDICT r12 #8)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from data_ingestors_spark.queries.text_corpus import _flat_vectors
+
+    t = pa.list_(pa.float64())
+    ok = pa.RecordBatch.from_arrays(
+        [pa.array([[1.0, 2.0], [3.0, 4.0]], type=t)], ["v"]
+    )
+    V = _flat_vectors(ok, 2)
+    assert V.shape == (2, 2) and V[1, 1] == 4.0 and V.dtype == np.float64
+
+    with_null = pa.RecordBatch.from_arrays(
+        [pa.array([[1.0, 2.0], None, [5.0, 6.0]], type=t)], ["v"]
+    )
+    with pytest.raises(ValueError, match="null or ragged"):
+        _flat_vectors(with_null, 2)
+
+    ragged = pa.RecordBatch.from_arrays(
+        [pa.array([[1.0, 2.0], [3.0]], type=t)], ["v"]
+    )
+    with pytest.raises(ValueError, match="null or ragged"):
+        _flat_vectors(ragged, 2)
+
+
 def test_ivf_corpus_size_skips_sizing_job(spark, sf_dir):
     """With corpus_size passed, ivf_ann_topk must not run the sizing
     count() — callers with filtered/joined lineage can supply a cached

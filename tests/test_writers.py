@@ -94,6 +94,51 @@ def test_upsert_upgrades_legacy_flat_layout(spark, tmp_path):
     assert bucket_files(t)
 
 
+def test_upsert_whole_table_rewrites_immune_to_dynamic_mode(spark, tmp_path):
+    """Regression (ADVICE r12, medium): upsert's legacy-flat upgrade and
+    schema-evolution branches rewrite the WHOLE table via an overwrite
+    partitioned write. Under an ambient session
+    partitionOverwriteMode=dynamic (set by callers like the concurrent
+    refresh folds pre-r13, and a common cluster default) that write used
+    to replace only the new __bucket=* partitions and leave the old flat
+    parquet files at the table root — readers then returned duplicated
+    rows. The writes now force static mode per-write."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        # legacy flat layout upgrade
+        t = str(tmp_path / "legacy")
+        spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"]).write.parquet(t)
+        assert upsert(spark, t, spark.createDataFrame([("b", 20), ("c", 3)], ["data_id", "v"]), n_buckets=8) == (1, 1, 0)
+        flat_leftovers = [f for f in os.listdir(t) if f.endswith(".parquet")]
+        assert not flat_leftovers, f"stale flat files survived the upgrade: {flat_leftovers}"
+        rows = {r.data_id: r.v for r in read_table(spark, t).collect()}
+        assert rows == {"a": 1, "b": 20, "c": 3}
+
+        # schema evolution rewrite
+        t2 = str(tmp_path / "evolve")
+        upsert(spark, t2, spark.createDataFrame([("a", 1)], ["data_id", "v"]), n_buckets=8)
+        before = bucket_files(t2)
+        upsert(
+            spark, t2,
+            spark.createDataFrame([("b", 2, "x")], ["data_id", "v", "extra"]),
+            n_buckets=8, allow_evolution=True,
+        )
+        rows = {r.data_id: (r.v, r.extra) for r in read_table(spark, t2).collect()}
+        assert rows == {"a": (1, None), "b": (2, "x")}
+        # the rewrite replaced the whole table: no pre-evolution file may
+        # survive (a mixed-schema directory silently drops the new column)
+        after = bucket_files(t2)
+        stale = [
+            f for d, files in before.items() for f in files
+            if f in after.get(d, {}) and after[d][f] == files[f]
+        ]
+        assert not stale, f"pre-evolution files survived the rewrite: {stale}"
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_upsert_idempotent_reingest(spark, tmp_path):
     t = str(tmp_path / "t")
     df = spark.createDataFrame([("a", 1), ("b", 2)], ["data_id", "v"])
